@@ -1,0 +1,169 @@
+"""Grid index determinism + PIP correctness (FIXTURES.md §7 test_geo).
+
+Mirrors the role of the reference's clustering tests — cluster assignment is
+replaced by grid-cell assignment, which must be deterministic and
+hierarchy-consistent (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from raptor_service_spark.geo import (
+    cell_bounds_np,
+    cell_encode_col,
+    cell_encode_np,
+    cell_encode_sql,
+    cell_parent_col,
+    cell_parent_np,
+    cell_parent_sql,
+    cell_res_np,
+    cell_xy_np,
+    children_np,
+    kring_np,
+    points_in_polygon_np,
+    polyfill,
+)
+
+RNG = np.random.default_rng(42)
+LAT = RNG.uniform(-89.9, 89.9, 2000)
+LNG = RNG.uniform(-179.9, 179.9, 2000)
+
+
+def test_encode_roundtrip_bounds():
+    for res in (0, 1, 5, 8, 12, 26):
+        cells = cell_encode_np(LAT, LNG, res)
+        assert (cell_res_np(cells) == res).all()
+        lat_lo, lat_hi, lng_lo, lng_hi = cell_bounds_np(cells)
+        assert ((LAT >= lat_lo) & (LAT <= lat_hi)).all()
+        assert ((LNG >= lng_lo) & (LNG <= lng_hi)).all()
+
+
+def test_parent_consistency():
+    fine = cell_encode_np(LAT, LNG, 10)
+    for pres in (9, 5, 0):
+        direct = cell_encode_np(LAT, LNG, pres)
+        via_parent = cell_parent_np(fine, pres)
+        assert (direct == via_parent).all()
+
+
+def test_children_inverse_of_parent():
+    cells = cell_encode_np(LAT[:50], LNG[:50], 7)
+    kids = children_np(cells)
+    assert kids.shape == (50, 4)
+    for j in range(4):
+        assert (cell_parent_np(kids[:, j], 7) == cells).all()
+
+
+def test_kring_counts_and_membership():
+    c = int(cell_encode_np([10.0], [20.0], 8)[0])
+    ring0 = kring_np(c, 0)
+    assert list(ring0) == [c]
+    ring2 = kring_np(c, 2)
+    assert len(ring2) == 25  # interior cell: full 5x5 block
+    assert c in ring2
+    # pole clamp: cell at max y has truncated ring
+    cpole = int(cell_encode_np([89.99], [0.0], 8)[0])
+    assert len(kring_np(cpole, 1)) == 6
+
+
+def test_spark_numpy_duckdb_encode_parity(spark):
+    """The same formula in numpy, Spark codegen, and DuckDB SQL must agree."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"lat": LAT[:500], "lng": LNG[:500]})
+    np_cells = cell_encode_np(pdf.lat.values, pdf.lng.values, 9)
+    np_parents = cell_parent_np(np_cells, 4)
+
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select(
+            cell_encode_col(sdf.lat, sdf.lng, 9).alias("cell"),
+        )
+        .withColumn("parent", cell_parent_col("cell", 9, 4))
+        .toPandas()
+    )
+    assert (got.cell.values == np_cells).all()
+    assert (got.parent.values == np_parents).all()
+
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    sql_cell = cell_encode_sql("lat", "lng", 9)
+    sql_parent = cell_parent_sql(sql_cell, 9, 4)
+    duck = con.execute(f"SELECT {sql_cell} AS cell, {sql_parent} AS parent FROM pts").df()
+    assert (duck.cell.values == np_cells).all()
+    assert (duck.parent.values == np_parents).all()
+
+
+SQUARE = np.array([[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0]])
+TRIANGLE = np.array([[0.0, 0.0], [20.0, 10.0], [0.0, 20.0]])
+
+
+def test_pip_square():
+    lat = np.array([5.0, 15.0, -1.0, 9.99, 5.0])
+    lng = np.array([5.0, 5.0, 5.0, 9.99, 15.0])
+    got = points_in_polygon_np(lat, lng, SQUARE)
+    assert list(got) == [True, False, False, True, False]
+
+
+def test_pip_matches_matplotlib_free_oracle():
+    """Cross-check ray casting against a sign-of-cross-product convex oracle."""
+    lat = RNG.uniform(-5, 25, 5000)
+    lng = RNG.uniform(-5, 25, 5000)
+    got = points_in_polygon_np(lat, lng, TRIANGLE)
+    # convex polygon (CCW as listed): inside iff all cross products >= 0
+    pts = np.stack([lng, lat], axis=1)
+    poly = np.stack([TRIANGLE[:, 1], TRIANGLE[:, 0]], axis=1)
+    sides = []
+    for i in range(len(poly)):
+        a, b = poly[i], poly[(i + 1) % len(poly)]
+        sides.append((b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (pts[:, 0] - a[0]))
+    sides = np.stack(sides, axis=1)
+    oracle = (sides > 0).all(axis=1) | (sides < 0).all(axis=1)
+    # exclude points exactly on an edge (measure-zero; float-ambiguous)
+    ambiguous = np.isclose(sides, 0.0).any(axis=1)
+    assert (got[~ambiguous] == oracle[~ambiguous]).all()
+
+
+def test_polyfill_superset_complete_and_interior_exact():
+    cells, is_boundary = polyfill(TRIANGLE, 6)
+    assert len(cells) > 0
+    # every random point inside the polygon must land in a polyfill cell
+    lat = RNG.uniform(-5, 25, 3000)
+    lng = RNG.uniform(-5, 25, 3000)
+    inside = points_in_polygon_np(lat, lng, TRIANGLE)
+    pt_cells = cell_encode_np(lat, lng, 6)
+    cellset = set(cells.tolist())
+    assert all(c in cellset for c in pt_cells[inside].tolist())
+    # non-boundary cells: all four corners inside polygon
+    interior = cells[~is_boundary]
+    if len(interior):
+        lat_lo, lat_hi, lng_lo, lng_hi = cell_bounds_np(interior)
+        for clat, clng in [(lat_lo, lng_lo), (lat_hi, lng_hi), (lat_lo, lng_hi), (lat_hi, lng_lo)]:
+            assert points_in_polygon_np(clat, clng, TRIANGLE).all()
+
+
+def test_polyfill_interior_points_skip_exact_test():
+    """Points in non-boundary cells are inside the polygon — no exact test needed."""
+    cells, is_boundary = polyfill(SQUARE, 7)
+    interior = set(cells[~is_boundary].tolist())
+    lat = RNG.uniform(-2, 12, 4000)
+    lng = RNG.uniform(-2, 12, 4000)
+    pt_cells = cell_encode_np(lat, lng, 7)
+    claim = np.array([c in interior for c in pt_cells.tolist()])
+    truth = points_in_polygon_np(lat, lng, SQUARE)
+    assert truth[claim].all()
+
+
+def test_res_out_of_range():
+    with pytest.raises(ValueError):
+        cell_encode_np([0.0], [0.0], 27)
+
+
+def test_xy_decode():
+    cells = cell_encode_np(LAT[:100], LNG[:100], 11)
+    res, x, y = cell_xy_np(cells)
+    recon = res * 2**54 + y * (np.int64(1) << 11) + x
+    assert (recon == cells).all()
