@@ -1,0 +1,267 @@
+"""Span pipeline: explode/regroup + text splitting + markdown element kinds.
+
+The reference's chunk invariant — unique ordered ``(doc_id, idx)``
+(/root/reference/db/models/documents.py:43-44, ordered reads
+repositories/chunk_repo_pg.py:37-45) — becomes the span-sequence equality
+invariant here: after explode -> any processing -> regroup, each doc's
+``(kind, text, media_ref, order)`` sequence must be unchanged
+(BASELINE.json input_hint).
+
+All operators are DataFrame programs; the only Python is the recursive text
+splitter + markdown extractor, both Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raptor_service_spark.functions.text import chunk_id, token_count
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, spans[]) -> spans_flat with ordered idx + chunk ids.
+
+    ``posexplode`` preserves array order, so idx == span position. Spans are
+    first sorted by ``offset`` (they are generated sorted; re-sorting makes the
+    invariant explicit and idempotent).
+    """
+    cols = [c for c in ("dataset_id", "lat", "lng") if c in docs.columns]
+    out = docs.select(
+        "doc_id",
+        *cols,
+        F.posexplode(
+            F.expr("array_sort(spans, (a, b) -> a.offset - b.offset)")
+        ).alias("idx", "span"),
+    ).select(
+        "doc_id",
+        *cols,
+        F.col("idx").cast("int").alias("idx"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    return out.withColumn("token_cnt", token_count(F.col("text"))).withColumn(
+        "chunk_id", chunk_id(F.col("doc_id"), F.col("idx"))
+    )
+
+
+def regroup_spans(spans_flat: DataFrame) -> DataFrame:
+    """Inverse of explode_spans: rebuild ordered spans arrays per doc.
+
+    Order restored via sort_array on (idx, ...) structs — a shuffle on doc_id
+    only; array order inside a group is deterministic regardless of task
+    scheduling (the distributed-correctness point of the invariant test).
+    """
+    return (
+        spans_flat.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("idx", "kind", "text", "media_ref", "offset"))
+            ).alias("ispans")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "ispans",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# recursive character splitter (reference langchain_chunker.py:26-70:
+# size 1200 / overlap 200 / separators ["\n\n", "\n", ".", " ", ""])
+# ---------------------------------------------------------------------------
+
+SEPARATORS = ["\n\n", "\n", ".", " ", ""]
+
+
+def split_text_recursive(text: str, chunk_size: int = 1200, overlap: int = 200) -> list[str]:
+    """Deterministic recursive splitter matching the reference's parameters.
+
+    Greedy merge of separator-split pieces up to chunk_size with a suffix
+    overlap carried into the next chunk; recursion falls through the separator
+    ladder for oversized pieces.
+    """
+
+    def _split(t: str, seps: list[str]) -> list[str]:
+        if len(t) <= chunk_size:
+            return [t] if t.strip() else []
+        if not seps:
+            return [t[i : i + chunk_size] for i in range(0, len(t), chunk_size - overlap)]
+        sep, rest = seps[0], seps[1:]
+        parts = t.split(sep) if sep else list(t)
+        pieces: list[str] = []
+        for p in parts:
+            if len(p) > chunk_size:
+                pieces.extend(_split(p, rest))
+            elif p:
+                pieces.append(p)
+        # greedy merge
+        out: list[str] = []
+        cur = ""
+        joiner = sep if sep else ""
+        for p in pieces:
+            cand = (cur + joiner + p) if cur else p
+            if len(cand) <= chunk_size:
+                cur = cand
+            else:
+                if cur.strip():
+                    out.append(cur)
+                tail = cur[-overlap:] if overlap and cur else ""
+                cur = (tail + joiner + p) if tail else p
+                if len(cur) > chunk_size:
+                    cur = p
+        if cur.strip():
+            out.append(cur)
+        return out
+
+    return _split(text, SEPARATORS)
+
+
+def split_documents(docs: DataFrame, text_col: str = "text",
+                    chunk_size: int = 1200, overlap: int = 200) -> DataFrame:
+    """doc rows -> exploded (doc_id, idx, text, chunk_id) chunk rows.
+
+    mapInPandas keeps the splitter Arrow-batched; non-empty-text filter
+    mirrors /root/reference/services/providers/langchain/langchain_chunker.py:66.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                for i, c in enumerate(split_text_recursive(str(txt), chunk_size, overlap)):
+                    rows.append((did, i, c))
+            yield pd.DataFrame(rows, columns=["doc_id", "idx", "text"])
+
+    out = docs.select("doc_id", text_col).mapInPandas(
+        gen, schema="doc_id string, idx int, text string"
+    )
+    return (
+        out.filter(F.trim("text") != "")
+        .withColumn("chunk_id", chunk_id(F.col("doc_id"), F.col("idx")))
+        .withColumn("token_cnt", token_count(F.col("text")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# markdown element extraction (reference markdown_extractor.py:110-147 kinds,
+# :11-100 table rip-out). Kinds: header/code/list/quote/table/text.
+# ---------------------------------------------------------------------------
+
+_MD_TABLE_RE = re.compile(r"^\|.*\|\s*$")
+
+
+def extract_markdown_elements(md: str) -> list[tuple[str, str, str, int]]:
+    """One markdown doc -> [(kind, text, media_ref, offset)] span tuples.
+
+    Line-oriented block classifier mirroring the reference's element kinds:
+    header / code(block) / list(block) / quote(blockquote) / table / text.
+    Tables become media-like spans (text='', media_ref carries the payload id)
+    per the interleaved input model.
+    """
+    spans: list[tuple[str, str, str, int]] = []
+    lines = md.split("\n")
+    i, offset, tbl_n = 0, 0, 0
+
+    def flush(kind: str, buf: list[str], off: int):
+        text = "\n".join(buf).strip()
+        if text:
+            spans.append((kind, text, "", off))
+
+    while i < len(lines):
+        line = lines[i]
+        if line.startswith("```"):
+            buf = [line]
+            j = i + 1
+            while j < len(lines) and not lines[j].startswith("```"):
+                buf.append(lines[j])
+                j += 1
+            if j < len(lines):
+                buf.append(lines[j])
+            flush("code", buf, offset)
+            offset += sum(len(l) + 1 for l in buf)
+            i = j + 1
+        elif _MD_TABLE_RE.match(line):
+            j = i
+            buf = []
+            while j < len(lines) and _MD_TABLE_RE.match(lines[j]):
+                buf.append(lines[j])
+                j += 1
+            spans.append(("table", "", f"table://{tbl_n}", offset))
+            tbl_n += 1
+            offset += sum(len(l) + 1 for l in buf)
+            i = j
+        elif line.startswith("#"):
+            flush("header", [line.lstrip("#").strip()], offset)
+            offset += len(line) + 1
+            i += 1
+        elif line.lstrip().startswith(("- ", "* ", "+ ")) or re.match(r"^\s*\d+\.\s", line):
+            j = i
+            buf = []
+            while j < len(lines) and (
+                lines[j].lstrip().startswith(("- ", "* ", "+ "))
+                or re.match(r"^\s*\d+\.\s", lines[j])
+            ):
+                buf.append(lines[j])
+                j += 1
+            flush("list", buf, offset)
+            offset += sum(len(l) + 1 for l in buf)
+            i = j
+        elif line.startswith(">"):
+            j = i
+            buf = []
+            while j < len(lines) and lines[j].startswith(">"):
+                buf.append(lines[j].lstrip("> "))
+                j += 1
+            flush("quote", buf, offset)
+            offset += sum(len(l) + 1 for l in buf)
+            i = j
+        else:
+            j = i
+            buf = []
+            while j < len(lines) and not (
+                lines[j].startswith(("#", ">", "```"))
+                or _MD_TABLE_RE.match(lines[j])
+                or lines[j].lstrip().startswith(("- ", "* ", "+ "))
+            ):
+                buf.append(lines[j])
+                j += 1
+            flush("text", buf, offset)
+            offset += sum(len(l) + 1 for l in buf)
+            i = max(j, i + 1)
+    return spans
+
+
+def markdown_to_spans(docs: DataFrame, md_col: str = "text") -> DataFrame:
+    """Markdown docs -> interleaved spans rows (ingest S1/S2 analog)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf[md_col]):
+                for idx, (kind, text, ref, off) in enumerate(
+                    extract_markdown_elements(str(txt))
+                ):
+                    rows.append((did, idx, kind, text, ref, off))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "idx", "kind", "text", "media_ref", "offset"]
+            )
+
+    return docs.select("doc_id", md_col).mapInPandas(
+        gen,
+        schema="doc_id string, idx int, kind string, text string, media_ref string, offset int",
+    )
