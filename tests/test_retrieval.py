@@ -1,0 +1,133 @@
+"""Collapsed + traversal ranked-row parity vs a pure-numpy oracle
+(FIXTURES.md §7 test_retrieval; reference retrieval_repo.py:254-436).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from raptor_service_spark.datagen import gen_documents_df, gen_query_vectors
+from raptor_service_spark.functions.vector import embed_spans
+from raptor_service_spark.operators.chunking import explode_spans
+from raptor_service_spark.operators.retrieval import (
+    RESULT_COLS,
+    collapsed_retrieve,
+    latest_root,
+    traversal_retrieve,
+)
+from raptor_service_spark.operators.tree import TreeParams, build_tile_tree
+
+DIM = 32
+PARAMS = TreeParams(res_ladder=(6, 3, 0), summary_cap=16, salt_buckets=4, dim=DIM)
+DATASET = "ds-13"
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    docs = gen_documents_df(spark, 40, seed=13)
+    spans = embed_spans(explode_spans(docs), dim=DIM).persist()
+    tree = build_tile_tree(spans, PARAMS)
+    tree.nodes = tree.nodes.persist()
+    tree.edges = tree.edges.persist()
+    tree.links = tree.links.persist()
+    chunks = spans.select("chunk_id", "doc_id", "idx", "text", "v").persist()
+    # collected copies for the oracle
+    pn = tree.nodes.select("node_id", "level", "kind", "v").toPandas()
+    pe = tree.edges.select("parent_id", "child_id").toPandas()
+    pl = tree.links.select("node_id", "chunk_id", "rank").toPandas()
+    pc = chunks.toPandas()
+    return dict(tree=tree, chunks=chunks, pn=pn, pe=pe, pl=pl, pc=pc)
+
+
+def _dist(vecs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    vecs = np.asarray(vecs, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    return 1.0 - (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+
+
+def _oracle_stage1(pn, q, expand_k):
+    cand = pn[pn.kind.isin(["summary", "root"])].copy()
+    cand["dist"] = _dist(np.array(cand.v.tolist()), q)
+    cand["dkey"] = cand.dist.round(9)
+    return cand.sort_values(["dkey", "node_id"]).head(expand_k).node_id.tolist()
+
+
+def _oracle_gather(pl, pc, node_ids, q, top_k):
+    chunk_ids = pl[pl.node_id.isin(node_ids)].chunk_id.drop_duplicates()
+    cand = pc[pc.chunk_id.isin(chunk_ids)].copy()
+    cand["dist"] = _dist(np.array(cand.v.tolist()), q)
+    cand["dkey"] = cand.dist.round(9)
+    return cand.sort_values(["dkey", "chunk_id"]).head(top_k)
+
+
+def test_collapsed_matches_oracle(world):
+    qs = gen_query_vectors(seed=5, n=3, dim=DIM)
+    for q in qs:
+        got = (
+            collapsed_retrieve(world["tree"], world["chunks"], q, DATASET, top_k=8, expand_k=5)
+            .toPandas()
+        )
+        assert list(got.columns) == list(RESULT_COLS)
+        picked = _oracle_stage1(world["pn"], q, 5)
+        exp = _oracle_gather(world["pl"], world["pc"], picked, q, 8)
+        assert got.chunk_id.tolist() == exp.chunk_id.tolist()
+        np.testing.assert_allclose(got.dist.values, exp.dist.values, rtol=1e-9)
+        # monotone ascending dist
+        assert (np.diff(got.dist.values) >= -1e-12).all()
+
+
+def _oracle_traversal(pn, pe, q, k, levels_cap):
+    byid = pn.set_index("node_id")
+    root = pn[pn.kind == "root"].sort_values("node_id", ascending=False).node_id.iloc[0]
+    frontier = [root]
+    hops = 0
+    while True:
+        if levels_cap and hops >= levels_cap:
+            break
+        kids = pe[pe.parent_id.isin(frontier)].child_id.tolist()
+        if not kids:
+            break
+        cand = byid.loc[kids].reset_index()
+        cand["dist"] = _dist(np.array(cand.v.tolist()), q)
+        cand["dkey"] = cand.dist.round(9)
+        cand = cand.sort_values(["dkey", "node_id"]).head(k)  # GLOBAL limit
+        frontier = cand.node_id.tolist()
+        hops += 1
+        if (cand.kind == "leaf").all():
+            break
+    return frontier
+
+
+def test_traversal_matches_oracle(world):
+    qs = gen_query_vectors(seed=6, n=3, dim=DIM)
+    for q in qs:
+        got = (
+            traversal_retrieve(world["tree"], world["chunks"], q, DATASET, top_k=8)
+            .toPandas()
+        )
+        frontier = _oracle_traversal(world["pn"], world["pe"], q, 8, 0)
+        exp = _oracle_gather(world["pl"], world["pc"], frontier, q, 8)
+        assert got.chunk_id.tolist() == exp.chunk_id.tolist()
+        np.testing.assert_allclose(got.dist.values, exp.dist.values, rtol=1e-9)
+
+
+def test_traversal_levels_cap(world):
+    q = gen_query_vectors(seed=7, n=1, dim=DIM)[0]
+    got = traversal_retrieve(
+        world["tree"], world["chunks"], q, DATASET, top_k=8, levels_cap=1
+    ).toPandas()
+    frontier = _oracle_traversal(world["pn"], world["pe"], q, 8, 1)
+    exp = _oracle_gather(world["pl"], world["pc"], frontier, q, 8)
+    assert got.chunk_id.tolist() == exp.chunk_id.tolist()
+
+
+def test_latest_root(world):
+    root = latest_root(world["tree"].nodes, DATASET)
+    assert root == world["pn"][world["pn"].kind == "root"].node_id.iloc[0]
+
+
+def test_unknown_dataset_returns_empty(world):
+    q = gen_query_vectors(seed=8, n=1, dim=DIM)[0]
+    got = collapsed_retrieve(world["tree"], world["chunks"], q, "nope", top_k=8).toPandas()
+    assert len(got) == 0

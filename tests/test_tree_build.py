@@ -1,0 +1,157 @@
+"""Tile-tree invariants (FIXTURES.md §7 test_tree_build).
+
+Checks mirror the reference's build semantics: per-level tile assignments
+(cluster membership analog), edge sets, first-seen provenance dedup
+(/root/reference/utils/chunking.py:4-11), root promotion
+(build_tree_service.py:363-365), determinism across reruns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_service_spark.datagen import gen_documents_df
+from raptor_service_spark.functions.vector import embed_spans
+from raptor_service_spark.geo.grid import cell_encode_np, cell_parent_np
+from raptor_service_spark.operators.chunking import explode_spans
+from raptor_service_spark.operators.tree import TileTree, TreeParams, build_tile_tree
+
+PARAMS = TreeParams(res_ladder=(6, 3, 0), summary_cap=16, salt_buckets=4, dim=32)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = gen_documents_df(spark, 50, seed=11)
+    spans = embed_spans(explode_spans(docs), dim=32).persist()
+    spans.count()
+    return spans
+
+
+@pytest.fixture(scope="module")
+def tree(corpus) -> TileTree:
+    t = build_tile_tree(corpus, PARAMS)
+    t.nodes = t.nodes.persist()
+    t.edges = t.edges.persist()
+    t.links = t.links.persist()
+    t.nodes.count()
+    return t
+
+
+def test_leaf_tile_assignment_matches_numpy_oracle(corpus, tree):
+    leaves = tree.nodes.filter("kind = 'leaf'").select("node_id", "cell").toPandas()
+    spans = corpus.select("chunk_id", "lat", "lng", "dataset_id").toPandas()
+    spans["node_id"] = spans["dataset_id"] + "::tree::leaf::" + spans["chunk_id"]
+    spans["expect"] = cell_encode_np(spans.lat.values, spans.lng.values, 6)
+    merged = leaves.merge(spans[["node_id", "expect"]], on="node_id")
+    assert len(merged) == len(leaves) == len(spans)
+    assert (merged.cell == merged.expect).all()
+
+
+def test_parent_cells_are_grid_parents(tree):
+    nodes = tree.nodes.select("node_id", "level", "cell", "kind").toPandas()
+    edges = tree.edges.toPandas()
+    byid = nodes.set_index("node_id")
+    for lvl in range(1, int(nodes.level.max()) + 1):
+        kids = edges.merge(
+            nodes[nodes.level == lvl][["node_id", "cell"]],
+            left_on="parent_id",
+            right_on="node_id",
+        )
+        child_cells = byid.loc[kids.child_id, "cell"].values
+        parent_cells = kids.cell.values
+        parent_res = PARAMS.res_ladder[lvl]
+        # forced-single grouping uses sentinel cell 0; otherwise grid parent
+        nontrivial = parent_cells != 0
+        assert (
+            cell_parent_np(child_cells[nontrivial], parent_res) == parent_cells[nontrivial]
+        ).all()
+
+
+def test_every_nonroot_node_has_exactly_one_parent(tree):
+    nodes = tree.nodes.select("node_id", "kind").toPandas()
+    edges = tree.edges.toPandas()
+    parent_count = edges.groupby("child_id").size()
+    nonroot = nodes[nodes.kind != "root"].node_id
+    assert parent_count.reindex(nonroot).fillna(0).eq(1).all()
+    # root has no parent
+    roots = nodes[nodes.kind == "root"].node_id.tolist()
+    assert len(roots) == 1
+    assert roots[0] not in set(edges.child_id)
+
+
+def test_root_promotion_top_level(tree):
+    nodes = tree.nodes.select("node_id", "level", "kind").toPandas()
+    top = nodes.level.max()
+    top_nodes = nodes[nodes.level == top]
+    assert len(top_nodes) == 1
+    assert (top_nodes.kind == "root").all()
+    assert (nodes[(nodes.level > 0) & (nodes.level < top)].kind == "summary").all()
+    assert (nodes[nodes.level == 0].kind == "leaf").all()
+
+
+def _aggregate_chunks_reference(member_lists: list[list[str]]) -> list[str]:
+    """Pure-python port of the reference first-seen dedup semantics
+    (/root/reference/utils/chunking.py:4-11)."""
+    seen, out = set(), []
+    for lst in member_lists:
+        for c in lst:
+            if c not in seen:
+                seen.add(c)
+                out.append(c)
+    return out
+
+
+def test_links_first_seen_dedup_semantics(tree):
+    nodes = tree.nodes.select("node_id", "level", "ord").toPandas()
+    edges = tree.edges.toPandas()
+    links = tree.links.toPandas()
+    ranked = links.sort_values(["node_id", "rank"])
+    child_chunks = {
+        nid: grp.chunk_id.tolist() for nid, grp in ranked.groupby("node_id")
+    }
+    ord_map = nodes.set_index("node_id")["ord"].to_dict()
+    # verify every level-1+ node's chunk list equals the reference semantics
+    for parent_id, grp in edges.groupby("parent_id"):
+        kids = sorted(grp.child_id.tolist(), key=lambda n: ord_map[n])
+        expect = _aggregate_chunks_reference([child_chunks[k] for k in kids])
+        got = child_chunks.get(parent_id, [])
+        assert got == expect, f"provenance mismatch at {parent_id}"
+
+
+def test_leaf_links_rank_zero_identity(tree, corpus):
+    leaf_links = (
+        tree.links.join(
+            tree.nodes.filter("kind='leaf'").select("node_id"), "node_id"
+        )
+        .toPandas()
+    )
+    assert (leaf_links["rank"] == 0).all()
+    assert leaf_links.chunk_id.nunique() == corpus.count()
+
+
+def test_build_is_deterministic(corpus):
+    t1 = build_tile_tree(corpus, PARAMS)
+    t2 = build_tile_tree(corpus, PARAMS)
+    a = t1.nodes.select("node_id", "level", "kind", "cell", "text").toPandas().sort_values("node_id").reset_index(drop=True)
+    b = t2.nodes.select("node_id", "level", "kind", "cell", "text").toPandas().sort_values("node_id").reset_index(drop=True)
+    assert a.equals(b)
+    e1 = set(map(tuple, t1.edges.select("parent_id", "child_id").collect()))
+    e2 = set(map(tuple, t2.edges.select("parent_id", "child_id").collect()))
+    assert e1 == e2
+
+
+def test_summary_text_capped_and_deterministic(tree):
+    summaries = tree.nodes.filter("kind != 'leaf'").select("text").toPandas()
+    assert (summaries.text.str.len() <= PARAMS.summary_max_chars).all()
+    assert (summaries.text.str.len() > 0).all()
+
+
+def test_stall_guard_single_span(spark):
+    docs = gen_documents_df(spark, 1, seed=2)
+    spans = embed_spans(explode_spans(docs).limit(1), dim=16)
+    t = build_tile_tree(spans, TreeParams(res_ladder=(4, 0), dim=16))
+    # one leaf -> loop exits immediately; no summary levels
+    kinds = [r.kind for r in t.nodes.select("kind").collect()]
+    assert kinds == ["leaf"]
