@@ -66,7 +66,12 @@ def with_projected_cell(
                 pdf = pdf.assign(_plat=pd.Series(dtype=float), _plng=pd.Series(dtype=float))
             yield pdf
 
-    schema = df.schema.add("_plat", "double").add("_plng", "double")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("_plat", DoubleType()), StructField("_plng", DoubleType())]
+    )
     out = df.mapInPandas(gen, schema=schema)
     return out.withColumn(
         "ann_cell", cell_encode_col(F.col("_plat"), F.col("_plng"), res)
@@ -83,13 +88,14 @@ def brute_force_knn(
 ) -> DataFrame:
     """Exact cosine top-k against one query vector.
 
-    JVM-side distance (codegen) + TakeOrderedAndProject; ties broken by id
-    for determinism (SURVEY §7.4.1).
+    JVM-side distance (codegen) + TakeOrderedAndProject; ordering key is
+    (round(dist, 9), id) so near-ties are deterministic across float fold
+    orders (SURVEY §7.4.1); the returned dist stays exact.
     """
     cols = [id_col, *payload_cols]
     return (
         df.select(*cols, cosine_dist_col(F.col(vec_col), q).alias("dist"))
-        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .orderBy(F.round(F.col("dist"), 9).asc(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -140,7 +146,7 @@ def brute_force_knn_multi(
     local = df.mapInPandas(gen, schema=f"{fields}, qid string, dist double")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    w = Window.partitionBy("qid").orderBy(F.round(F.col("dist"), 9).asc(), F.col(id_col).asc())
     return (
         local.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
     )
@@ -180,6 +186,6 @@ def grid_knn(
         if n >= target or ring >= max_ring:
             break
         ring *= 2
-    if n < k:  # sparse region: fall back to full scan (still exact)
+    if n < target:  # ring exhausted on a sparse table: degrade to exact full scan
         cand = df_with_cell
     return brute_force_knn(cand, q, k, vec_col, payload_cols, id_col)

@@ -1,0 +1,58 @@
+"""Point-in-polygon join: pruned filter-refine == brute-force exact (J10)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_service_spark.datagen import gen_documents_df, gen_query_polygons
+from raptor_service_spark.geo.grid import points_in_polygon_np
+from raptor_service_spark.operators.pip_join import (
+    point_in_polygon_join,
+    point_in_polygon_join_bruteforce,
+)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    docs = gen_documents_df(spark, 300, seed=31).select("doc_id", "lat", "lng").persist()
+    docs.count()
+    return docs
+
+
+@pytest.fixture(scope="module")
+def polygons():
+    polys = gen_query_polygons(seed=31, n=6)
+    return {f"q{i}": p for i, p in enumerate(polys)}
+
+
+def _key_set(pdf):
+    return set(zip(pdf.qid, pdf.doc_id))
+
+
+def test_pruned_equals_bruteforce(points, polygons):
+    pruned = point_in_polygon_join(points, polygons, res=6).toPandas()
+    brute = point_in_polygon_join_bruteforce(points, polygons).toPandas()
+    assert _key_set(pruned) == _key_set(brute)
+
+
+def test_matches_numpy_oracle(points, polygons):
+    got = point_in_polygon_join(points, polygons, res=7).toPandas()
+    pts = points.toPandas()
+    expect = set()
+    for qid, poly in polygons.items():
+        inside = points_in_polygon_np(pts.lat.values, pts.lng.values, poly)
+        expect |= {(qid, d) for d in pts.doc_id.values[inside]}
+    assert _key_set(got) == expect
+    assert len(got) == len(expect)  # no duplicate pairs
+
+
+def test_output_keeps_point_columns(points, polygons):
+    got = point_in_polygon_join(points, polygons, res=6)
+    assert set(got.columns) == {"doc_id", "lat", "lng", "qid"}
+
+
+def test_plan_broadcasts_cells(points, polygons):
+    plan = point_in_polygon_join(points, polygons, res=6)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
