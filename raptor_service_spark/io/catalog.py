@@ -1,0 +1,175 @@
+"""Snapshot-versioned parquet tables — Iceberg table semantics, zero deps.
+
+The north_rule requires Iceberg tables with snapshot-checkpoint resume and
+per-partition lineage + metrics. This sandbox has no Iceberg runtime jars, so
+this module implements the same SEMANTICS on plain parquet with an atomic
+manifest-commit protocol (what Iceberg's metadata layer does, minus the
+catalog service):
+
+  table/
+    data/<commit-uuid>/part-*.parquet     immutable data files
+    _snapshots/v000001.json               manifest: list of data dirs + lineage
+    _snapshots/CURRENT                    atomic pointer (os.replace)
+
+Operations map 1:1 to Iceberg:
+  append        -> AppendFiles commit
+  merge         -> MERGE INTO (copy-on-write; reference upsert pattern
+                   /root/reference/repositories/chunk_repo_pg.py:16-35)
+  delete_where  -> DELETE FROM ... WHERE (copy-on-write; reference
+                   dataset_repo_pg.py:129-148)
+  read(version) -> time travel / snapshot isolation
+  snapshots     -> snapshot log with operation + row counts + properties
+                   (per-partition lineage: each snapshot records the commit's
+                   files and row count — the resume checkpoint)
+
+On a real cluster, swap this class for ``spark.table("catalog.db.tbl")`` +
+Iceberg SQL; every caller only touches the four methods above.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------- internals
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _snapdir(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_snapshots")
+
+    def _current_version(self, table: str) -> int:
+        cur = os.path.join(self._snapdir(table), "CURRENT")
+        if not os.path.exists(cur):
+            return 0
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, table: str, version: int | None = None) -> dict:
+        v = version if version is not None else self._current_version(table)
+        if v == 0:
+            return {"version": 0, "files": [], "operation": "none", "rows": 0, "props": {}}
+        with open(os.path.join(self._snapdir(table), f"v{v:06d}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, table: str, files: list[str], operation: str,
+                rows_written: int, props: dict | None = None) -> int:
+        """Atomic snapshot commit: write manifest, then os.replace the pointer.
+
+        A crash before the pointer flip leaves the table at the previous
+        snapshot — readers never see partial writes (Iceberg's core guarantee).
+        """
+        snapdir = self._snapdir(table)
+        os.makedirs(snapdir, exist_ok=True)
+        v = self._current_version(table) + 1
+        manifest = {
+            "version": v,
+            "parent": v - 1,
+            "operation": operation,
+            "files": files,
+            "rows_written": rows_written,
+            "props": props or {},
+        }
+        mpath = os.path.join(snapdir, f"v{v:06d}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        cur_tmp = os.path.join(snapdir, "CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(v))
+        os.replace(cur_tmp, os.path.join(snapdir, "CURRENT"))
+        return v
+
+    def _write_data(self, table: str, df: DataFrame) -> tuple[str, int]:
+        commit_id = uuid.uuid4().hex[:12]
+        path = os.path.join(self._tdir(table), "data", commit_id)
+        df.write.mode("overwrite").parquet(path)
+        rows = self.spark.read.parquet(path).count()  # metadata-only count
+        return path, rows
+
+    # ------------------------------------------------------------------ api
+    def exists(self, table: str) -> bool:
+        return self._current_version(table) > 0
+
+    def append(self, table: str, df: DataFrame, props: dict | None = None) -> int:
+        prev = self._manifest(table)
+        # column order normalization: later appends reorder to the table schema
+        if prev["files"]:
+            cols = self.spark.read.parquet(prev["files"][0]).columns
+            df = df.select(*cols)
+        path, rows = self._write_data(table, df)
+        return self._commit(table, prev["files"] + [path], "append", rows, props)
+
+    def overwrite(self, table: str, df: DataFrame, props: dict | None = None) -> int:
+        path, rows = self._write_data(table, df)
+        return self._commit(table, [path], "overwrite", rows, props)
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        m = self._manifest(table, version)
+        if not m["files"]:
+            raise FileNotFoundError(f"table {table} has no snapshot")
+        return self.spark.read.parquet(*m["files"])
+
+    def merge(self, table: str, updates: DataFrame, key_cols: list[str],
+              props: dict | None = None) -> int:
+        """MERGE INTO: matched rows replaced by updates, unmatched inserted.
+
+        Copy-on-write via left-anti join — the Spark-native expression of the
+        reference's ON CONFLICT DO UPDATE (chunk_repo_pg.py:16-35).
+        """
+        if self.exists(table):
+            cur = self.read(table)
+            kept = cur.join(updates.select(*key_cols), key_cols, "left_anti")
+            merged = kept.unionByName(updates.select(*cur.columns))
+        else:
+            merged = updates
+        path, rows = self._write_data(table, merged)
+        return self._commit(table, [path], "merge", rows, props)
+
+    def insert_if_absent(self, table: str, rows_df: DataFrame, key_cols: list[str],
+                         props: dict | None = None) -> int:
+        """ON CONFLICT DO NOTHING (reference tree_repo_pg.py:14-50)."""
+        if self.exists(table):
+            cur = self.read(table)
+            new = rows_df.join(cur.select(*key_cols), key_cols, "left_anti")
+            merged = cur.unionByName(new.select(*cur.columns))
+        else:
+            merged = rows_df
+        path, rows = self._write_data(table, merged)
+        return self._commit(table, [path], "insert_if_absent", rows, props)
+
+    def delete_where(self, table: str, predicate: str, props: dict | None = None) -> int:
+        """DELETE FROM table WHERE predicate (copy-on-write; reference
+        dataset cascade delete dataset_repo_pg.py:129-148)."""
+        cur = self.read(table)
+        kept = cur.filter(f"NOT ({predicate})")
+        path, rows = self._write_data(table, kept)
+        return self._commit(table, [path], "delete", rows, {"predicate": predicate, **(props or {})})
+
+    def snapshots(self, table: str) -> list[dict]:
+        snapdir = self._snapdir(table)
+        if not os.path.isdir(snapdir):
+            return []
+        out = []
+        for name in sorted(os.listdir(snapdir)):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(snapdir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def rollback(self, table: str, version: int) -> None:
+        cur_tmp = os.path.join(self._snapdir(table), "CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(cur_tmp, os.path.join(self._snapdir(table), "CURRENT"))

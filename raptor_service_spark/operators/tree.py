@@ -18,6 +18,9 @@ Distributed-design notes (10^12-doc posture):
     joined upward level by level — never as ever-growing arrays.
   * All ids are deterministic (sha256) — reruns/resume produce identical
     trees, unlike the reference's uuid-suffixed ids (utils/render_id.py:21-22).
+  * With a SnapshotCatalog, every level is an atomic snapshot commit; resume
+    reads the last complete level's frontier back and continues the ladder
+    (north_rule: resumable from Iceberg-snapshot checkpoints).
 """
 
 from __future__ import annotations
@@ -32,6 +35,8 @@ from raptor_service_spark.functions.vector import hash_embed_udf
 from raptor_service_spark.geo.grid import cell_encode_col, cell_parent_col
 from raptor_service_spark.schema import N_DIM
 
+NODE_COLS = ("tree_id", "node_id", "dataset_id", "level", "kind", "cell", "text", "v", "ord")
+
 
 @dataclass
 class TreeParams:
@@ -45,21 +50,22 @@ class TreeParams:
 
 @dataclass
 class TileTree:
-    nodes: DataFrame  # TILE_NODES + v (embedding)
-    edges: DataFrame  # TILE_EDGES
-    links: DataFrame  # NODE_CHUNKS
+    nodes: DataFrame  # TILE_NODES + v (embedding) + ord
+    edges: DataFrame  # TILE_EDGES + level
+    links: DataFrame  # NODE_CHUNKS + level
     levels: int = 0
     stats: list[dict] = field(default_factory=list)
 
 
-def _leaf_nodes(spans: DataFrame, tree_id_col, res_leaf: int, dim: int) -> DataFrame:
+def _leaf_nodes(spans: DataFrame, res_leaf: int) -> DataFrame:
     """Level-0 leaves from embedded spans (reference build_tree_service.py:198-216).
 
-    Leaf node ids are derived from chunk_id (deterministic & shuffle-free);
-    the reference's global counter id ({tree_id}::leaf::{idx:06d},
-    utils/render_id.py:17-18) would need a global row_number — a single-reducer
-    anti-pattern at 10^12 rows.
+    Leaf node ids derive from chunk_id (deterministic & shuffle-free); the
+    reference's global counter id ({tree_id}::leaf::{idx:06d},
+    utils/render_id.py:17-18) would need a global row_number — a
+    single-reducer anti-pattern at 10^12 rows.
     """
+    tree_id_col = F.concat(F.col("dataset_id"), F.lit("::tree"))
     return spans.select(
         tree_id_col.alias("tree_id"),
         F.concat(tree_id_col, F.lit("::leaf::"), F.col("chunk_id")).alias("node_id"),
@@ -75,14 +81,12 @@ def _leaf_nodes(spans: DataFrame, tree_id_col, res_leaf: int, dim: int) -> DataF
     )
 
 
-def _salted_capped_collect(
-    cur: DataFrame, cap: int, salt_buckets: int
-) -> DataFrame:
+def _salted_capped_collect(cur: DataFrame, cap: int, salt_buckets: int) -> DataFrame:
     """Two-phase skew-safe 'first cap children by ord' per (tree_id, parent_cell).
 
     top-K-by-order is associative: phase 1 takes the cap per (cell, salt),
     phase 2 merges the per-salt arrays and re-caps. Output: one row per parent
-    cell with ordered child structs (ord, node_id, text) plus total child count.
+    cell with ordered child structs plus the TRUE child count (uncapped).
     """
     item = F.struct(F.col("ord"), F.col("node_id"), F.col("text"))
     p1 = (
@@ -93,82 +97,39 @@ def _salted_capped_collect(
             F.count("*").alias("cnt"),
         )
     )
-    return (
-        p1.groupBy("tree_id", "dataset_id", "parent_cell")
-        .agg(
-            F.slice(F.array_sort(F.flatten(F.collect_list("items"))), 1, cap).alias("items"),
-            F.sum("cnt").alias("n_children"),
-        )
+    return p1.groupBy("tree_id", "dataset_id", "parent_cell").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("items"))), 1, cap).alias("items"),
+        F.sum("cnt").alias("n_children"),
     )
 
 
-def build_tile_tree(
-    spans_embedded: DataFrame,
-    params: TreeParams | None = None,
-    catalog=None,
-    table_prefix: str = "tree",
-) -> TileTree:
-    """Build the hierarchical tile tree from embedded, geo-anchored spans.
-
-    ``spans_embedded`` columns: doc_id, dataset_id, idx, chunk_id, text, lat,
-    lng, v (array<float>). Returns nodes/edges/links DataFrames. If ``catalog``
-    (io.catalog.SnapshotCatalog) is given, each level is committed as a
-    snapshot — the resume checkpoint (north_rule).
-    """
-    p = params or TreeParams()
-    ladder = list(p.res_ladder)
-    assert ladder == sorted(ladder, reverse=True), "res_ladder must be strictly coarsening"
+def _ascend_one_level(
+    cur: DataFrame,
+    cur_links: DataFrame,
+    level: int,
+    child_res: int,
+    parent_res: int,
+    p: TreeParams,
+    n_cur: int,
+) -> tuple[DataFrame, DataFrame, DataFrame, int, bool]:
+    """One ladder step: returns (parents, edges, parent_links, n_groups, forced)."""
     embed = hash_embed_udf(p.dim)
+    cur = cur.withColumn("parent_cell", cell_parent_col(F.col("cell"), child_res, parent_res))
 
-    tree_id_col = F.concat(F.col("dataset_id"), F.lit("::tree"))
-    leaves = _leaf_nodes(spans_embedded, tree_id_col, ladder[0], p.dim)
+    grouped = _salted_capped_collect(cur, p.summary_cap, p.salt_buckets)
+    n_groups = grouped.count()
 
-    nodes_schema = "tree_id string, node_id string, dataset_id string, level int, kind string, cell long, text string, ord string"
-    spark = spans_embedded.sparkSession
-
-    all_nodes = [leaves.drop("chunk_id")]
-    all_edges: list[DataFrame] = []
-    # leaf links: rank 0 identity (reference build_tree_service.py:198-216)
-    all_links = [
-        leaves.select(
-            "tree_id", "node_id", "chunk_id", F.lit(0).alias("rank"), "dataset_id"
-        )
-    ]
-    stats: list[dict] = []
-
-    cur = leaves.persist()
-    cur_links = all_links[0]
-    n_cur = cur.count()
-    level = 0
-    if catalog is not None:
-        catalog.append(f"{table_prefix}_nodes", cur.drop("chunk_id"))
-        catalog.append(f"{table_prefix}_links", cur_links)
-
-    for parent_res in ladder[1:]:
-        if n_cur <= 1 or level >= p.max_levels:
-            break
-        level += 1
-        child_res = ladder[ladder.index(parent_res) - 1]
-
-        cur = cur.withColumn(
-            "parent_cell", cell_parent_col(F.col("cell"), child_res, parent_res)
-        )
-
+    # stall guard (reference :109-114): coarsening guarantees progress, but if
+    # a level fails to shrink, collapse everything into one group.
+    forced_single = False
+    if n_groups >= n_cur:
+        forced_single = True
+        cur = cur.withColumn("parent_cell", F.lit(0).cast("long"))
         grouped = _salted_capped_collect(cur, p.summary_cap, p.salt_buckets)
-        n_groups = grouped.count()
+        n_groups = 1
 
-        # stall guard (reference :109-114): coarsening guarantees n_groups <=
-        # n_cur; if no progress, collapse everything into one group.
-        forced_single = False
-        if n_groups >= n_cur:
-            forced_single = True
-            grouped = (
-                cur.withColumn("parent_cell", F.lit(0).cast("long"))
-                .transform(lambda d: _salted_capped_collect(d, p.summary_cap, p.salt_buckets))
-            )
-            n_groups = 1
-
-        parents = grouped.select(
+    parents = (
+        grouped.select(
             "tree_id",
             "dataset_id",
             F.col("parent_cell").alias("cell"),
@@ -178,101 +139,178 @@ def build_tile_tree(
                 1,
                 p.summary_max_chars,
             ).alias("text"),
-            F.col("n_children"),
-        ).withColumn(
-            "node_id", summary_node_id(F.col("tree_id"), F.col("level"), F.col("cell"))
-        ).withColumn(
-            # root promotion happens after counting the level (reference :363-365)
+        )
+        .withColumn("node_id", summary_node_id(F.col("tree_id"), F.col("level"), F.col("cell")))
+        .withColumn(
+            # root promotion after counting the level (reference :363-365)
             "kind",
             F.when(F.lit(n_groups == 1), F.lit("root")).otherwise(F.lit("summary")),
-        ).withColumn(
-            "ord", F.concat_ws("#", F.lit(f"L{level}"), F.col("cell").cast("string"))
         )
-        parents = parents.withColumn("v", embed(F.col("text"))).persist()
+        .withColumn("ord", F.concat_ws("#", F.lit(f"L{level}"), F.col("cell").cast("string")))
+        .withColumn("v", embed(F.col("text")))
+    )
 
-        # edges: every child -> its parent (not capped — caps affect only the
-        # summary text, provenance stays complete, mirroring A6/A7 semantics)
-        edges = cur.select(
+    # edges: every child -> its parent (uncapped: caps affect only summary text;
+    # provenance stays complete, mirroring A6/A7 semantics)
+    edges = cur.select(
+        "tree_id",
+        summary_node_id(F.col("tree_id"), F.lit(level), F.col("parent_cell")).alias("parent_id"),
+        F.col("node_id").alias("child_id"),
+        F.col("ord").alias("child_ord"),
+    )
+
+    # first-seen dedup of chunk provenance (reference utils/chunking.py:4-11;
+    # rank assignment build_tree_service.py:342-349): children ordered by ord,
+    # within child by child rank; first occurrence of a chunk wins.
+    child_links = edges.join(
+        cur_links.select(F.col("node_id").alias("child_id"), "chunk_id", "rank"),
+        "child_id",
+    )
+    w_first = Window.partitionBy("parent_id", "chunk_id").orderBy("child_ord", "rank")
+    w_rank = Window.partitionBy("parent_id").orderBy("child_ord", "rank")
+    parent_links = (
+        child_links.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .withColumn("new_rank", (F.row_number().over(w_rank) - 1).cast("int"))
+        .select(
             "tree_id",
-            summary_node_id(F.col("tree_id"), F.lit(level), F.col("parent_cell")).alias(
-                "parent_id"
-            ),
-            F.col("node_id").alias("child_id"),
-            F.col("ord").alias("child_ord"),
+            F.col("parent_id").alias("node_id"),
+            "chunk_id",
+            F.col("new_rank").alias("rank"),
         )
-        if forced_single:
-            edges = cur.select(
-                "tree_id",
-                summary_node_id(F.col("tree_id"), F.lit(level), F.lit(0).cast("long")).alias(
-                    "parent_id"
-                ),
-                F.col("node_id").alias("child_id"),
-                F.col("ord").alias("child_ord"),
-            )
+        .join(parents.select("node_id", "dataset_id"), "node_id")
+        .withColumn("level", F.lit(level))
+    )
+    edges_out = edges.select("tree_id", "parent_id", "child_id").withColumn(
+        "level", F.lit(level)
+    )
+    return parents, edges_out, parent_links, n_groups, forced_single
 
-        # first-seen dedup of chunk provenance (reference utils/chunking.py:4-11;
-        # rank assignment build_tree_service.py:342-349): order children by ord,
-        # within child by child rank; first occurrence of a chunk wins.
-        child_links = edges.join(
-            cur_links.select(F.col("node_id").alias("child_id"), "chunk_id", "rank"),
-            "child_id",
-        )
-        w_first = Window.partitionBy("parent_id", "chunk_id").orderBy("child_ord", "rank")
-        w_rank = Window.partitionBy("parent_id").orderBy("child_ord", "rank")
-        parent_links = (
-            child_links.withColumn("rn", F.row_number().over(w_first))
-            .filter(F.col("rn") == 1)
-            .withColumn("new_rank", (F.row_number().over(w_rank) - 1).cast("int"))
-            .select(
-                "tree_id",
-                F.col("parent_id").alias("node_id"),
-                "chunk_id",
-                F.col("new_rank").alias("rank"),
-            )
-            .join(parents.select(F.col("node_id"), "dataset_id"), "node_id")
-        )
 
-        edges_out = edges.select("tree_id", "parent_id", "child_id")
+def _run_ladder(
+    cur: DataFrame,
+    cur_links: DataFrame,
+    start_level: int,
+    n_cur: int,
+    p: TreeParams,
+    sink,
+) -> tuple[int, list[dict]]:
+    """Drive the ladder from start_level+1 upward; sink(level, parents, edges,
+    links) persists each level. Returns (top_level, stats)."""
+    ladder = list(p.res_ladder)
+    stats: list[dict] = []
+    level = start_level
+    while level < len(ladder) - 1 and n_cur > 1 and level < p.max_levels:
+        level += 1
+        child_res, parent_res = ladder[level - 1], ladder[level]
+        parents, edges, links, n_groups, forced = _ascend_one_level(
+            cur, cur_links, level, child_res, parent_res, p, n_cur
+        )
+        parents = parents.persist()
+        sink(level, parents, edges, links)
         stats.append(
-            {"level": level, "groups": n_groups, "children": n_cur, "forced_single": forced_single}
+            {"level": level, "groups": n_groups, "children": n_cur, "forced_single": forced}
         )
-
-        if catalog is not None:
-            catalog.append(f"{table_prefix}_nodes", parents.drop("n_children"))
-            catalog.append(f"{table_prefix}_edges", edges_out)
-            catalog.append(f"{table_prefix}_links", parent_links)
-
-        all_nodes.append(parents.drop("n_children"))
-        all_edges.append(edges_out)
-        all_links.append(parent_links)
-
-        cur.unpersist()
-        cur = parents.select(
-            "tree_id", "node_id", "dataset_id", "level", "kind", "cell", "text", "v", "ord"
-        ).persist()
-        cur_links = parent_links
+        cur.unpersist() if level > start_level + 1 else None
+        cur = parents.select(*NODE_COLS)
+        cur_links = links
         n_cur = n_groups
-        if n_groups == 1:
-            break
+    return level, stats
 
-    nodes = all_nodes[0].select(
-        "tree_id", "node_id", "dataset_id", "level", "kind", "cell", "text", "v", "ord"
+
+def build_tile_tree(spans_embedded: DataFrame, params: TreeParams | None = None) -> TileTree:
+    """In-memory build (no checkpointing). ``spans_embedded`` columns: doc_id,
+    dataset_id, idx, chunk_id, text, lat, lng, v."""
+    p = params or TreeParams()
+    spark = spans_embedded.sparkSession
+    leaves = _leaf_nodes(spans_embedded, p.res_ladder[0]).persist()
+    leaf_links = leaves.select(
+        "tree_id", "node_id", "chunk_id", F.lit(0).alias("rank"), "dataset_id",
+        F.lit(0).alias("level"),
     )
-    for extra in all_nodes[1:]:
-        nodes = nodes.unionByName(
-            extra.select(
-                "tree_id", "node_id", "dataset_id", "level", "kind", "cell", "text", "v", "ord"
-            )
-        )
+    n_leaves = leaves.count()
+
+    acc_nodes = [leaves.select(*NODE_COLS)]
+    acc_edges: list[DataFrame] = []
+    acc_links = [leaf_links]
+
+    def sink(level, parents, edges, links):
+        acc_nodes.append(parents.select(*NODE_COLS))
+        acc_edges.append(edges)
+        acc_links.append(links)
+
+    top, stats = _run_ladder(leaves, leaf_links, 0, n_leaves, p, sink)
+
+    nodes = acc_nodes[0]
+    for d in acc_nodes[1:]:
+        nodes = nodes.unionByName(d)
     edges = (
-        all_edges[0]
-        if all_edges
-        else spark.createDataFrame([], "tree_id string, parent_id string, child_id string")
+        acc_edges[0]
+        if acc_edges
+        else spark.createDataFrame(
+            [], "tree_id string, parent_id string, child_id string, level int"
+        )
     )
-    for extra in all_edges[1:]:
-        edges = edges.unionByName(extra)
-    links = all_links[0].select("tree_id", "node_id", "chunk_id", "rank")
-    for extra in all_links[1:]:
-        links = links.unionByName(extra.select("tree_id", "node_id", "chunk_id", "rank"))
+    for d in acc_edges[1:]:
+        edges = edges.unionByName(d)
+    links = acc_links[0]
+    for d in acc_links[1:]:
+        links = links.unionByName(d)
+    return TileTree(nodes=nodes, edges=edges, links=links, levels=top, stats=stats)
 
-    return TileTree(nodes=nodes, edges=edges, links=links, levels=level, stats=stats)
+
+def build_tile_tree_checkpointed(
+    spans_embedded: DataFrame,
+    params: TreeParams | None = None,
+    catalog=None,
+    prefix: str = "tree",
+    resume: bool = True,
+) -> TileTree:
+    """Checkpointed build: each level is an atomic snapshot commit of the
+    ``{prefix}_nodes/_edges/_links`` tables; a rerun after a crash resumes
+    from the last COMPLETE level (nodes are committed last, so a level is
+    complete iff its nodes exist; partial edge/link commits above it are
+    rolled back with a copy-on-write delete).
+    """
+    p = params or TreeParams()
+    t_nodes, t_edges, t_links = f"{prefix}_nodes", f"{prefix}_edges", f"{prefix}_links"
+
+    def sink(level, parents, edges, links):
+        catalog.append(t_links, links, props={"level": level})
+        catalog.append(t_edges, edges, props={"level": level})
+        catalog.append(t_nodes, parents.select(*NODE_COLS), props={"level": level})
+
+    if resume and catalog.exists(t_nodes):
+        nodes = catalog.read(t_nodes)
+        top = nodes.agg(F.max("level")).collect()[0][0]
+        # roll back partial levels above the last complete one
+        for t in (t_edges, t_links):
+            if catalog.exists(t):
+                catalog.delete_where(t, f"level > {top}", props={"resume_cleanup": str(top)})
+        cur = nodes.filter(F.col("level") == top).persist()
+        cur_links = catalog.read(t_links).filter(F.col("level") == top)
+        n_cur = cur.count()
+        start_level = int(top)
+    else:
+        leaves = _leaf_nodes(spans_embedded, p.res_ladder[0]).persist()
+        leaf_links = leaves.select(
+            "tree_id", "node_id", "chunk_id", F.lit(0).alias("rank"), "dataset_id",
+            F.lit(0).alias("level"),
+        )
+        catalog.append(t_links, leaf_links, props={"level": 0})
+        catalog.append(t_nodes, leaves.select(*NODE_COLS), props={"level": 0})
+        cur, cur_links, n_cur, start_level = leaves, leaf_links, leaves.count(), 0
+
+    top, stats = _run_ladder(cur, cur_links, start_level, n_cur, p, sink)
+
+    spark = spans_embedded.sparkSession
+    nodes = catalog.read(t_nodes)
+    edges = (
+        catalog.read(t_edges)
+        if catalog.exists(t_edges)
+        else spark.createDataFrame(
+            [], "tree_id string, parent_id string, child_id string, level int"
+        )
+    )
+    links = catalog.read(t_links)
+    return TileTree(nodes=nodes, edges=edges, links=links, levels=top, stats=stats)

@@ -1,0 +1,127 @@
+"""Snapshot catalog semantics + kill/resume reproducibility (FIXTURES.md §7).
+
+north_rule: resumable from snapshot checkpoints with per-partition lineage +
+metrics; reference upsert analogs chunk_repo_pg.py:16-35 (merge),
+tree_repo_pg.py:14-50 (insert-if-absent), dataset_repo_pg.py:129-148 (delete).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from raptor_service_spark.datagen import gen_documents_df
+from raptor_service_spark.functions.vector import embed_spans
+from raptor_service_spark.io.catalog import SnapshotCatalog
+from raptor_service_spark.operators.chunking import explode_spans
+from raptor_service_spark.operators.tree import (
+    TreeParams,
+    build_tile_tree,
+    build_tile_tree_checkpointed,
+)
+
+PARAMS = TreeParams(res_ladder=(6, 3, 0), summary_cap=16, salt_buckets=4, dim=16)
+
+
+@pytest.fixture(scope="module")
+def spans(spark):
+    docs = gen_documents_df(spark, 30, seed=17)
+    s = embed_spans(explode_spans(docs), dim=16).persist()
+    s.count()
+    return s
+
+
+def _tree_signature(tree):
+    nodes = sorted(
+        map(tuple, tree.nodes.select("node_id", "level", "kind", "cell", "text").collect())
+    )
+    edges = sorted(map(tuple, tree.edges.select("parent_id", "child_id").collect()))
+    links = sorted(map(tuple, tree.links.select("node_id", "chunk_id", "rank").collect()))
+    return nodes, edges, links
+
+
+# ---------------------------------------------------------------- catalog ops
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    df1 = spark.createDataFrame([(1, "a")], "id int, s string")
+    df2 = spark.createDataFrame([(2, "b")], "id int, s string")
+    v1 = cat.append("t", df1)
+    v2 = cat.append("t", df2)
+    assert cat.read("t").count() == 2
+    assert cat.read("t", version=v1).count() == 1  # time travel
+    snaps = cat.snapshots("t")
+    assert [s["version"] for s in snaps] == [v1, v2]
+    assert all("rows_written" in s for s in snaps)  # lineage metrics
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    cat.append("t", spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string"))
+    cat.merge("t", spark.createDataFrame([(2, "B"), (3, "c")], "id int, s string"), ["id"])
+    got = {(r.id, r.s) for r in cat.read("t").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_insert_if_absent(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    cat.append("t", spark.createDataFrame([(1, "a")], "id int, s string"))
+    cat.insert_if_absent("t", spark.createDataFrame([(1, "X"), (2, "b")], "id int, s string"), ["id"])
+    got = {(r.id, r.s) for r in cat.read("t").collect()}
+    assert got == {(1, "a"), (2, "b")}  # existing row NOT updated
+
+
+def test_delete_where_and_rollback(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    cat.append("t", spark.createDataFrame([(1, "ds1"), (2, "ds2")], "id int, d string"))
+    v_before = cat._current_version("t")
+    cat.delete_where("t", "d = 'ds1'")
+    assert [r.id for r in cat.read("t").collect()] == [2]
+    cat.rollback("t", v_before)
+    assert cat.read("t").count() == 2
+
+
+# ------------------------------------------------------------- build/resume
+
+
+def test_checkpointed_equals_inmemory(spark, spans, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    t_mem = build_tile_tree(spans, PARAMS)
+    t_ckpt = build_tile_tree_checkpointed(spans, PARAMS, catalog=cat)
+    assert _tree_signature(t_mem) == _tree_signature(t_ckpt)
+    # per-level lineage recorded in snapshot props
+    levels = [s["props"].get("level") for s in cat.snapshots("tree_nodes")]
+    assert levels == sorted(levels)
+
+
+def test_resume_after_simulated_crash(spark, spans, tmp_path):
+    cat_full = SnapshotCatalog(str(tmp_path / "full"), spark)
+    full = build_tile_tree_checkpointed(spans, PARAMS, catalog=cat_full)
+
+    # crash simulation: build fully, then roll the nodes table back one level
+    # (as if the job died after committing links+edges of the top level but
+    # before committing its nodes)
+    cat = SnapshotCatalog(str(tmp_path / "crash"), spark)
+    build_tile_tree_checkpointed(spans, PARAMS, catalog=cat)
+    node_snaps = cat.snapshots("tree_nodes")
+    cat.rollback("tree_nodes", node_snaps[-2]["version"])
+    max_level_after_rollback = (
+        cat.read("tree_nodes").agg({"level": "max"}).collect()[0][0]
+    )
+    assert max_level_after_rollback < full.levels  # state is genuinely partial
+
+    resumed = build_tile_tree_checkpointed(spans, PARAMS, catalog=cat, resume=True)
+    assert _tree_signature(resumed) == _tree_signature(full)
+    # orphan edge/link rows above the checkpoint were rolled back, not doubled
+    edge_rows = resumed.edges.count()
+    assert edge_rows == full.edges.count()
+
+
+def test_resume_noop_when_complete(spark, spans, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    first = build_tile_tree_checkpointed(spans, PARAMS, catalog=cat)
+    n_snaps = len(cat.snapshots("tree_nodes"))
+    again = build_tile_tree_checkpointed(spans, PARAMS, catalog=cat, resume=True)
+    assert _tree_signature(first) == _tree_signature(again)
+    # complete tree -> no new node snapshots beyond resume bookkeeping
+    assert len(cat.snapshots("tree_nodes")) == n_snaps
