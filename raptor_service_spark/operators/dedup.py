@@ -1,0 +1,391 @@
+"""Deduplication suite for training-data pipelines (graft brief, first-class).
+
+Exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup — all as DataFrame programs whose hot paths are
+JVM-side expressions (md5 / array ops in whole-stage codegen).
+
+Oracle-parity trick: every hash primitive is built from ``md5`` over
+explicitly-constructed strings, and MinHash takes the LEXICOGRAPHIC MIN of the
+band-prefixed md5 hex — md5 exists identically in Spark and DuckDB, so the
+engine and the SQL oracle produce bit-identical signatures, candidates, and
+scores (rounded to 6 dp only to absorb float fold-order in cosine/jaccard
+division).
+
+Scale shape:
+  * exact dedup: one hash-aggregate (partial+final, AQE-coalesced).
+  * MinHash LSH: signatures computed per row (no shuffle), candidate
+    generation via posexplode(bands) + self-equi-join on (band, minhash) —
+    shuffle carries (doc, band) pairs, never the O(n^2) cross product; exact
+    Jaccard verified only for bucket-collision candidates.
+  * embedding near-dup: exact variant for parity; the scale path buckets by
+    the kNN projection cell (operators/knn.with_projected_cell) first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from raptor_service_spark.functions.text import fingerprint, fingerprint_sql
+
+# ---------------------------------------------------------------------------
+# shared shingle / signature expressions (Spark Column + DuckDB SQL fragment)
+# ---------------------------------------------------------------------------
+
+
+def words_col(text):
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def words_sql(expr: str) -> str:
+    return f"regexp_split_to_array(lower(trim({expr})), '\\s+')"
+
+
+def shingles_col(text, k: int = 3):
+    """Distinct word k-shingles; whole text as one shingle when shorter than k."""
+    w = words_col(text)
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", w))
+    )
+
+
+def shingles_sql(expr: str, k: int = 3) -> str:
+    w = words_sql(expr)
+    grams = (
+        f"list_transform(generate_series(1, len({w}) - {k} + 1), "
+        f"i -> array_to_string(list_slice({w}, i, i + {k} - 1), ' '))"
+    )
+    return (
+        f"CASE WHEN len({w}) >= {k} THEN list_distinct({grams}) "
+        f"ELSE [array_to_string({w}, ' ')] END"
+    )
+
+
+def minhash_sig_col(shingles, bands: int = 16):
+    """Band-prefixed md5 string-min signature: array of ``bands`` hex minima."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, b=b: F.md5(F.concat(F.lit(f"{b}|"), s))))
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_sig_sql(shingles_expr: str, bands: int = 16) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({shingles_expr}, s -> md5('{b}|' || s)))"
+        for b in range(bands)
+    )
+    return f"[{mins}]"
+
+
+def jaccard_col(a, b):
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+def jaccard_sql(a: str, b: str) -> str:
+    inter = f"len(list_intersect({a}, {b}))"
+    return f"(CAST({inter} AS DOUBLE) / (len({a}) + len({b}) - {inter}))"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per normalized-text fingerprint,
+    keeping the smallest id (deterministic winner) + duplicate count."""
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+def exact_dedup_sql(table: str, text_expr: str = "text", id_col: str = "doc_id") -> str:
+    return (
+        f"SELECT {fingerprint_sql(text_expr)} AS fp, MIN({id_col}) AS keeper_id, "
+        f"COUNT(*) AS dup_cnt FROM {table} GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Candidates = docs sharing >= 1 MinHash band bucket (equi-join on
+    (band, minhash), NOT a cross join); exact shingle Jaccard verifies.
+    With 1-row bands the miss probability for j >= 0.8 is (1-j)^bands
+    (~7e-12 at bands=16) — the SQL oracle replicates the same candidacy
+    predicate so results match exactly.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("sh")
+    ).withColumn("sig", minhash_sig_col(F.col("sh"), bands))
+
+    buckets = base.select("id", F.posexplode("sig").alias("band", "h"))
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    )
+    return pairs
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB oracle: brute-force pairs with the SAME candidacy predicate
+    (band-prefixed hashes make list_has_any equivalent to same-band match)."""
+    sh = shingles_sql(text_expr, k)
+    sig = minhash_sig_sql("sh", bands)
+    jac = jaccard_sql("a.sh", "b.sh")
+    return f"""
+        WITH d AS (SELECT {id_col} AS id, {sh} AS sh FROM {table}),
+        s AS (SELECT id, sh, {sig} AS sig FROM d)
+        SELECT a.id AS doc_a, b.id AS doc_b, ROUND({jac}, 6) AS jaccard
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE list_has_any(a.sig, b.sig) AND ROUND({jac}, 6) >= {threshold}
+    """
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via shared-shingle candidates.
+
+    Inverted-index join: only pairs sharing >= 1 shingle are scored (a pair
+    below that shares nothing and has jaccard 0), so it IS exact for any
+    threshold > 0 — no cross join.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("sh")
+    )
+    inv = base.select("id", F.explode("sh").alias("g"))
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str, text_expr: str = "text", id_col: str = "doc_id",
+    k: int = 3, threshold: float = 0.5,
+) -> str:
+    sh = shingles_sql(text_expr, k)
+    jac = jaccard_sql("a.sh", "b.sh")
+    return f"""
+        WITH d AS (SELECT {id_col} AS id, {sh} AS sh FROM {table})
+        SELECT a.id AS doc_a, b.id AS doc_b, ROUND({jac}, 6) AS jaccard
+        FROM d a JOIN d b ON a.id < b.id
+        WHERE ROUND({jac}, 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) — hamming-band LSH; no SQL oracle (bit arithmetic), the
+# driver records the weaker rows-only check for this one.
+# ---------------------------------------------------------------------------
+
+
+def simhash_udf():
+    import hashlib
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            acc = np.zeros(64, dtype=np.int64)
+            for w in str(t).lower().split():
+                h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big"))
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            sig = np.uint64(0)
+            for b in range(64):
+                if acc[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return _simhash
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    LSH for hamming distance: split 64 bits into (max_hamming+1) chunks —
+    pigeonhole guarantees any pair within max_hamming shares one chunk
+    exactly; candidates = chunk-equality join, verified by popcount.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    sh = docs.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig"))
+    chunks = sh.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("sig", c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sig", F.col("ck.c").alias("c"), F.col("ck.key").alias("key"))
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_neardup_exact(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine pair join (parity variant; O(n^2) — use the bucketed
+    variant at scale). JVM-side fold cosine, rounded for oracle parity."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_neardup_exact_sql(
+    table: str, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+) -> str:
+    cos = f"list_cosine_similarity(a.{vec_col}, b.{vec_col})"
+    return f"""
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, ROUND({cos}, 6) AS cosine
+        FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+        WHERE ROUND({cos}, 6) >= {threshold}
+    """
+
+
+def cosine_neardup_bucketed(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    res: int = 4,
+) -> DataFrame:
+    """Scale path: bucket by the deterministic projection cell first; only
+    same-bucket pairs are scored (approximate: cross-bucket pairs missed —
+    recall measured in tests)."""
+    from raptor_service_spark.operators.knn import with_projected_cell
+
+    cellified = with_projected_cell(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), res=res
+    )
+    a = cellified.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "ann_cell")
+    b = cellified.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "ann_cell")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return (
+        a.join(b, ["ann_cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
