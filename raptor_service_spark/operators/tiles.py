@@ -1,0 +1,140 @@
+"""Raster <-> vector tile materialization of media_ref payloads (north_star).
+
+Replaces the reference's node persistence (/root/reference/services/core/
+build_tree_service.py:318-400) for MEDIA spans: per grid cell, media-bearing
+spans are rasterized into a fixed-size count grid (the "raster tile") and can
+be vectorized back into point features (the "vector tile").
+
+Media decode is STUBBED (no image/audio libs in this container — the brief
+says stub decode behind a deterministic fake) but the Spark plumbing is real
+and tested: schemas, per-cell applyInPandas grouping, Arrow batch shapes,
+binary payload encode/decode round-trip.
+
+Raster payload format (deterministic, versionless-simple):
+  uint16 little-endian grid of ``grid x grid`` cell-local point counts,
+  row-major from the cell's (lat_min, lng_min) corner.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raptor_service_spark.geo.grid import cell_bounds_np, cell_encode_col
+
+TILE_SCHEMA = "cell long, res int, grid int, n_points long, payload binary"
+FEATURE_SCHEMA = "cell long, px int, py int, cnt int, lat double, lng double"
+
+
+def decode_media_stub(media_refs: pd.Series) -> pd.Series:
+    """Deterministic fake 'decode': 16 pseudo-bytes from md5(media_ref).
+
+    A real deployment swaps this for PIL/ffmpeg decoding inside the same
+    mapInPandas; everything around it (schema, batching) is unchanged.
+    """
+    return media_refs.map(lambda r: hashlib.md5(str(r).encode()).digest())
+
+
+def media_features(spans: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature-extract media spans: deterministic fake embedding per media_ref.
+
+    Real plumbing: mapInPandas, typed output schema, only media-kind spans.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = decode_media_stub(pdf["media_ref"])
+            feats = [
+                [float(b) / 255.0 for b in bytes(x)[:dim]] for x in raw
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                }
+            )
+
+    media = spans.filter(F.col("media_ref") != "")
+    return media.select("doc_id", "media_ref", "kind").mapInPandas(
+        gen, schema=f"doc_id string, media_ref string, kind string, feature array<double>"
+    )
+
+
+def rasterize_points_to_tiles(
+    points: DataFrame,
+    res: int = 5,
+    grid: int = 8,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Group points by grid cell and rasterize each cell into a count grid.
+
+    One shuffle (groupBy cell), then a vectorized histogram2d per group in
+    applyInPandas. Payload is a compact binary uint16 grid — the raster tile.
+    """
+
+    def rasterize(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(key[0])
+        lat_lo, lat_hi, lng_lo, lng_hi = (
+            float(x[0]) for x in cell_bounds_np([cell])
+        )
+        h, _, _ = np.histogram2d(
+            pdf[lat_col].to_numpy(),
+            pdf[lng_col].to_numpy(),
+            bins=grid,
+            range=[[lat_lo, lat_hi], [lng_lo, lng_hi]],
+        )
+        payload = h.astype("<u2").tobytes()
+        return pd.DataFrame(
+            [
+                {
+                    "cell": cell,
+                    "res": res,
+                    "grid": grid,
+                    "n_points": int(len(pdf)),
+                    "payload": payload,
+                }
+            ]
+        )
+
+    with_cell = points.withColumn(
+        "cell", cell_encode_col(F.col(lat_col), F.col(lng_col), res)
+    )
+    return with_cell.groupBy("cell").applyInPandas(rasterize, schema=TILE_SCHEMA)
+
+
+def vectorize_tiles(tiles: DataFrame) -> DataFrame:
+    """Raster -> vector: decode payloads back into nonzero-pixel point features
+    (pixel center lat/lng + count). Inverse of rasterize up to pixel quantization."""
+
+    def vectorize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                g = int(r["grid"])
+                h = np.frombuffer(bytes(r["payload"]), dtype="<u2").reshape(g, g)
+                lat_lo, lat_hi, lng_lo, lng_hi = (
+                    float(x[0]) for x in cell_bounds_np([int(r["cell"])])
+                )
+                ys, xs = np.nonzero(h)
+                for py, px in zip(ys, xs):
+                    rows.append(
+                        {
+                            "cell": int(r["cell"]),
+                            "px": int(px),
+                            "py": int(py),
+                            "cnt": int(h[py, px]),
+                            "lat": lat_lo + (py + 0.5) * (lat_hi - lat_lo) / g,
+                            "lng": lng_lo + (px + 0.5) * (lng_hi - lng_lo) / g,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["cell", "px", "py", "cnt", "lat", "lng"])
+
+    return tiles.mapInPandas(vectorize, schema=FEATURE_SCHEMA)
