@@ -350,7 +350,9 @@ def cosine_neardup_exact(
 def cosine_neardup_exact_sql(
     table: str, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
 ) -> str:
-    cos = f"list_cosine_similarity(a.{vec_col}, b.{vec_col})"
+    da = f"list_transform(a.{vec_col}, x -> CAST(x AS DOUBLE))"
+    db = f"list_transform(b.{vec_col}, x -> CAST(x AS DOUBLE))"
+    cos = f"list_cosine_similarity({da}, {db})"  # upcast: DuckDB computes FLOAT[] cosine in float32
     return f"""
         SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, ROUND({cos}, 6) AS cosine
         FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
