@@ -34,18 +34,44 @@ from raptor_service_spark.schema import N_DIM
 # ---------------------------------------------------------------------------
 
 
-def hash_embed_np(texts: "pd.Series | list[str]", dim: int = N_DIM) -> np.ndarray:
-    """L2-normalized deterministic embedding: rng seeded by sha256(text).
+def hash_embed_np(
+    texts: "pd.Series | list[str]", dim: int = N_DIM, rounds: int = 1
+) -> np.ndarray:
+    """L2-normalized deterministic embedding from SHAKE-256 extendable output.
 
     (FIXTURES.md §3.) Same text -> same vector on every executor, every run.
+
+    Kernel design is deliberate for multi-core scale: one XOF call per text
+    (pure C, tiny state, no allocator churn) then two vectorized passes over
+    the (n, dim) block. The previous per-text ``np.random.default_rng``
+    variant was allocator/memory-bound and capped at ~10x parallel speedup on
+    32 cores; this kernel measures ~30x (see BASELINE.md scaling evidence).
+
+    ``rounds`` chains the XOF (digest_i = shake(digest_{i-1})) to give the
+    kernel a tunable compute cost. rounds=1 is the test default; the bench
+    pipeline uses a higher count to model what the embed stage costs with a
+    real model (C7, voyage-context-3: transformer inference is orders of
+    magnitude more compute per span than one hash), so the benchmark's
+    bottleneck structure — compute-bound embed, not I/O-bound — matches a
+    production deployment.
     """
-    out = np.empty((len(texts), dim), dtype=np.float64)
-    for i, t in enumerate(texts):
-        seed = int.from_bytes(hashlib.sha256(str(t).encode()).digest()[:8], "big")
-        rng = np.random.default_rng(seed)
-        v = rng.standard_normal(dim)
-        out[i] = v / np.linalg.norm(v)
-    return out
+    n = len(texts)
+    if n == 0:
+        return np.empty((0, dim), dtype=np.float64)
+    nb = dim * 8
+
+    def xof(t) -> bytes:
+        d = hashlib.shake_256(str(t).encode()).digest(nb)
+        for _ in range(rounds - 1):
+            d = hashlib.shake_256(d).digest(nb)
+        return d
+
+    buf = b"".join(xof(t) for t in texts)
+    x = np.frombuffer(buf, dtype="<u8").reshape(n, dim)
+    # top 53 bits -> uniform [-1, 1); exact same floats on every platform
+    v = (x >> np.uint64(11)).astype(np.float64) / float(1 << 52) - 1.0
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v
 
 
 def hash_embed_udf(dim: int = N_DIM):
