@@ -384,6 +384,129 @@ def q_json_props(spark, sf_dir):
     )
 
 
+def q_path_to_root(spark, sf_dir):
+    """R7 recursive path-to-root as a distributed batch op (retrieval_repo.py
+    :156-216 WITH RECURSIVE, depth cap 10): every start key climbs the
+    arithmetic hierarchy parent(k)=floor(k/10) to the root, one bounded
+    driver-loop level per hop — each level is a narrow map (no shuffle), the
+    final union is the recursive CTE's UNION ALL."""
+    start = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(F.col("o_orderkey").alias("start_key"))
+        .distinct()
+    )
+    frontier = start.select(
+        "start_key", F.col("start_key").alias("node"), F.lit(0).cast("long").alias("depth")
+    )
+    levels = [frontier]
+    for _ in range(10):
+        frontier = frontier.filter(F.col("node") > 0).select(
+            "start_key",
+            F.floor(F.col("node") / 10).cast("long").alias("node"),
+            (F.col("depth") + 1).alias("depth"),
+        )
+        levels.append(frontier)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def q_first_seen_dedup(spark, sf_dir):
+    """A6 order-preserving dedup-union (utils/chunking.py:4-11): per user keep
+    the FIRST occurrence of each event_type (by ts, event_id) and re-rank in
+    first-seen order — the exact window construction from SURVEY §2.4/A6 that
+    materializes the reference's tree_node_chunks.rank."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_rank = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .select("user_id", "event_type", "rank")
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5 shape with explicit broadcast of the dimension chain
+    (region -> nation): the small sides never shuffle the fact table; at
+    100 TB the only shuffles left are the two fact equi-joins + final agg."""
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _read(spark, sf_dir, "nation")
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    dim = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        c.join(dim, c.c_nationkey == F.col("n_nationkey"))
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_price_bucket_range_join(spark, sf_dir):
+    """J11 range/interval join: orders banded against a tiny bucket table on
+    o_totalprice BETWEEN lo AND hi — broadcast nested-loop on the literal
+    side, never a shuffle of the fact table."""
+    buckets = F.broadcast(
+        spark.createDataFrame(
+            [("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0), ("high", 250000.0, 1e12)],
+            "bucket string, lo double, hi double",
+        )
+    )
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.join(
+            buckets,
+            (o.o_totalprice >= F.col("lo")) & (o.o_totalprice < F.col("hi")),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+def q_scalar_funcs(spark, sf_dir):
+    """F1/F2/F3/F5 scalar battery (utils/regex.py:4-5, persist_document.py:33,
+    render_id.py:17-18, token.py:98-106): md5 checksum, Summary-prefix strip,
+    formatted chunk id, char truncation — all whole-stage-codegen JVM exprs."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("checksum"),
+        F.regexp_replace(F.col("text"), r"(?i)^summary:\s*", "").substr(1, 20).alias("cleaned_head"),
+        F.format_string("%d::leaf::%06d", F.col("doc_id"), F.col("doc_id") % 1000).alias("leaf_id"),
+        F.substring(F.col("text"), 1, 40).alias("truncated"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+    )
+
+
+def q_event_type_setops(spark, sf_dir):
+    """§2.7 set ops: INTERSECT/EXCEPT of event-type sets between the even and
+    odd event-id halves of the stream."""
+    ev = _read(spark, sf_dir, "events")
+    even = ev.filter(F.col("event_id") % 2 == 0).select("event_type")
+    odd = ev.filter(F.col("event_id") % 2 == 1).select("event_type")
+    both = even.intersect(odd).withColumn("src", F.lit("both"))
+    only_even = even.subtract(odd).withColumn("src", F.lit("only_even"))
+    only_odd = odd.subtract(even).withColumn("src", F.lit("only_odd"))
+    return both.unionByName(only_even).unionByName(only_odd)
+
+
 # ---------------------------------------------------------------------------
 # text analysis battery (graft brief: lang-id, quality, tokens, fingerprint)
 # ---------------------------------------------------------------------------
@@ -624,6 +747,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top2_orders_per_customer": q_top2_orders_per_customer,
         "events_hourly_stats": q_events_hourly_stats,
         "json_props": q_json_props,
+        "path_to_root": q_path_to_root,
+        "first_seen_dedup": q_first_seen_dedup,
+        "revenue_by_nation": q_revenue_by_nation,
+        "price_bucket_range_join": q_price_bucket_range_join,
+        "scalar_funcs": q_scalar_funcs,
+        "event_type_setops": q_event_type_setops,
         # text analysis + dedup + similarity
         "doc_tokens_by_lang": q_doc_tokens_by_lang,
         "doc_quality_top20": q_doc_quality_top20,
@@ -741,6 +870,63 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
                    SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
             FROM events GROUP BY 1
+        """,
+        "path_to_root": """
+            WITH RECURSIVE p AS (
+                SELECT DISTINCT o_orderkey AS start_key, o_orderkey AS node,
+                       CAST(0 AS BIGINT) AS depth
+                FROM orders WHERE o_orderkey < 1000
+                UNION ALL
+                SELECT start_key, CAST(FLOOR(node / 10.0) AS BIGINT), depth + 1
+                FROM p WHERE node > 0 AND depth < 10
+            )
+            SELECT start_key, node, depth FROM p
+        """,
+        "first_seen_dedup": """
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS rn
+                  FROM events WHERE user_id < 200)
+            WHERE rn = 1
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM region JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE r_name = 'ASIA'
+            GROUP BY 1
+        """,
+        "price_bucket_range_join": """
+            SELECT bucket, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
+                                     ('high', 250000.0, 1e12)) b(bucket, lo, hi)
+            ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY 1
+        """,
+        "scalar_funcs": """
+            SELECT doc_id, md5(text) AS checksum,
+                   substr(regexp_replace(text, '(?i)^summary:\\s*', ''), 1, 20) AS cleaned_head,
+                   printf('%d::leaf::%06d', doc_id, doc_id % 1000) AS leaf_id,
+                   substr(text, 1, 40) AS truncated,
+                   length(text) AS n_chars
+            FROM documents WHERE doc_id < 200
+        """,
+        "event_type_setops": """
+            SELECT event_type, 'both' AS src FROM
+                (SELECT event_type FROM events WHERE event_id % 2 = 0
+                 INTERSECT SELECT event_type FROM events WHERE event_id % 2 = 1)
+            UNION ALL
+            SELECT event_type, 'only_even' FROM
+                (SELECT event_type FROM events WHERE event_id % 2 = 0
+                 EXCEPT SELECT event_type FROM events WHERE event_id % 2 = 1)
+            UNION ALL
+            SELECT event_type, 'only_odd' FROM
+                (SELECT event_type FROM events WHERE event_id % 2 = 1
+                 EXCEPT SELECT event_type FROM events WHERE event_id % 2 = 0)
         """,
         "doc_tokens_by_lang": (
             f"SELECT lang, SUM({token_count_sql('text')}) AS total_tokens, "
