@@ -642,6 +642,25 @@ def q_grid_knn_ann(spark, sf_dir):
     return grid_knn(cellified, q, 10, res=4)
 
 
+def q_ivf_knn_ann(spark, sf_dir):
+    """IVF centroid-quantizer ANN (operators/ivf.py): train on sample, assign
+    lists, probe half the lists. Rows-only driver check; exactness at
+    nprobe=n_lists and recall are pytest-asserted (tests/test_ivf.py)."""
+    from raptor_service_spark.operators.ivf import (
+        assign_ivf_lists,
+        ivf_knn,
+        train_ivf_centroids,
+    )
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("v")
+    )
+    cents = train_ivf_centroids(e, n_lists=16, sample_n=2000, iters=5)
+    listed = assign_ivf_lists(e, cents)
+    q = gen_query_vectors(seed=103, n=1, dim=64)[0]
+    return ivf_knn(listed, cents, q, 10, nprobe=8)
+
+
 def q_tree_build_synthetic(spark, sf_dir):
     """Full tile-tree build on the synthetic interleaved corpus (R1-R4)."""
     from raptor_service_spark.datagen import gen_documents_df
@@ -766,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine-native (rows-only driver check; pytest covers semantics)
         "simhash_pairs": q_simhash_pairs,
         "grid_knn_ann": q_grid_knn_ann,
+        "ivf_knn_ann": q_ivf_knn_ann,
         "tree_build_synthetic": q_tree_build_synthetic,
         "collapsed_retrieval_synthetic": q_collapsed_retrieval_synthetic,
         "traversal_retrieval_synthetic": q_traversal_retrieval_synthetic,

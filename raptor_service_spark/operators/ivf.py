@@ -1,0 +1,131 @@
+"""IVF (inverted-file) approximate nearest neighbor — the centroid-quantizer
+scale path for similarity search, complementing the LSH/grid path in
+operators/knn.py.
+
+Replaces pgvector's HNSW (/root/reference/db/models/embeddings.py:38-43) with
+the FAISS-style IVF recipe, expressed Spark-first:
+
+  train   — spherical k-means on a bounded driver-side sample (FAISS trains
+            its coarse quantizer on a sample too; at 100 TB use
+            ``df.sample(False, frac, seed)`` so the sample is one cheap scan).
+            Deterministic: seeded k-means++ init, fixed iteration count,
+            argmin tie-break by centroid index.
+  assign  — one Arrow pass: argmax(dot) against the broadcast centroid
+            matrix -> ``list_id``. Written ``partitionBy(list_id)`` the lists
+            are directory partitions, so a query's nprobe filter is partition
+            pruning, exactly like the grid index's pfx pruning.
+  search  — rank centroids by cosine to q on the driver (tiny matvec), take
+            the ``nprobe`` nearest lists, filter ``list_id IN (...)`` (pushed
+            to the scan), exact cosine re-rank inside the probed lists only.
+
+With nprobe == n_lists the search degenerates to exact brute force — the
+recall knob is explicit and monotonic (tested in tests/test_ivf.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raptor_service_spark.operators.knn import brute_force_knn
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    mat = np.asarray(mat, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_lists: int,
+    vec_col: str = "v",
+    id_col: str = "id",
+    sample_n: int = 20000,
+    iters: int = 10,
+    seed: int = 1234,
+) -> np.ndarray:
+    """Spherical k-means on a deterministic sample; returns (n_lists, dim).
+
+    The sample is ``orderBy(id).limit(sample_n)`` here so tests are exactly
+    reproducible; on a 100 TB table swap for ``df.sample(False, frac, seed)``
+    (single scan, no global sort) — IVF quality only needs a representative
+    sample, not a particular one.
+    """
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    x = _normalize(np.array([r[1] for r in rows]))
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    k = min(n_lists, n)
+
+    # seeded k-means++ init
+    cents = np.empty((k, x.shape[1]))
+    cents[0] = x[rng.integers(n)]
+    d2 = np.full(n, np.inf)
+    for i in range(1, k):
+        d2 = np.minimum(d2, 1.0 - x @ cents[i - 1])
+        d2c = np.clip(d2, 0, None)
+        probs = d2c / d2c.sum() if d2c.sum() > 0 else np.full(n, 1.0 / n)
+        cents[i] = x[rng.choice(n, p=probs)]
+
+    for _ in range(iters):
+        sim = x @ cents.T
+        assign = np.argmax(sim, axis=1)  # ties -> lowest index (deterministic)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def assign_ivf_lists(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "v"
+) -> DataFrame:
+    """Attach ``list_id`` = argmax cosine centroid, one GEMM per Arrow batch."""
+    cents = _normalize(centroids)
+    spark = df.sparkSession
+    cents_b = spark.sparkContext.broadcast(cents)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                mat = _normalize(np.array(pdf[vec_col].tolist()))
+                pdf = pdf.assign(list_id=np.argmax(mat @ cents_b.value.T, axis=1).astype(np.int32))
+            else:
+                pdf = pdf.assign(list_id=pd.Series(dtype="int32"))
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField("list_id", IntegerType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def ivf_knn(
+    df_with_list: DataFrame,
+    centroids: np.ndarray,
+    q: np.ndarray,
+    k: int,
+    nprobe: int = 8,
+    vec_col: str = "v",
+    payload_cols: tuple[str, ...] = (),
+    id_col: str = "id",
+) -> DataFrame:
+    """Probe the nprobe nearest lists, exact cosine top-k inside them.
+
+    The ``list_id IN (...)`` literal filter reaches the scan (partition
+    pruning when the index table is written partitionBy(list_id)); only the
+    probed fraction of vectors is ever decoded.
+    """
+    cents = _normalize(centroids)
+    qn = _normalize(np.asarray(q, dtype=np.float64)[None, :])[0]
+    order = np.argsort(-(cents @ qn), kind="stable")
+    probe = [int(i) for i in order[: min(nprobe, len(cents))]]
+    cand = df_with_list.filter(F.col("list_id").isin(probe))
+    return brute_force_knn(cand, q, k, vec_col, payload_cols, id_col)
