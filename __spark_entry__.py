@@ -384,6 +384,23 @@ def q_json_props(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization, batch form (streaming/sessions.py — the
+    applyInPandasWithState streaming twin is parity-tested in
+    tests/test_sessions.py): lag -> gap flag -> cumsum session id -> agg."""
+    from raptor_service_spark.streaming.sessions import sessionize_batch
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return sessionize_batch(ev, gap_minutes=30).select(
+        "user_id",
+        F.col("sess_id").cast("long").alias("sess_id"),
+        F.date_format(F.col("session_start").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("start_dt"),
+        F.date_format(F.col("session_end").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("end_dt"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_path_to_root(spark, sf_dir):
     """R7 recursive path-to-root as a distributed batch op (retrieval_repo.py
     :156-216 WITH RECURSIVE, depth cap 10): every start key climbs the
@@ -767,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stats": q_events_hourly_stats,
         "json_props": q_json_props,
         "path_to_root": q_path_to_root,
+        "user_sessions": q_user_sessions,
         "first_seen_dedup": q_first_seen_dedup,
         "revenue_by_nation": q_revenue_by_nation,
         "price_bucket_range_join": q_price_bucket_range_join,
@@ -890,6 +908,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
                    SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
             FROM events GROUP BY 1
+        """,
+        "user_sessions": """
+            SELECT user_id, sess_id,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_dt,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_dt,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+            FROM (
+                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM (
+                    SELECT *, CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                              THEN 1 ELSE 0 END AS new_sess
+                    FROM events WHERE user_id < 100)
+            ) GROUP BY user_id, sess_id
         """,
         "path_to_root": """
             WITH RECURSIVE p AS (
