@@ -69,22 +69,41 @@ def shingles_sql(expr: str, k: int = 3) -> str:
     )
 
 
+_CHUNKS_PER_MD5 = 4  # 32 hex chars -> four 8-hex band hashes per md5 call
+
+
 def minhash_sig_col(shingles, bands: int = 16):
-    """Band-prefixed md5 string-min signature: array of ``bands`` hex minima."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, b=b: F.md5(F.concat(F.lit(f"{b}|"), s))))
-            for b in range(bands)
-        ]
-    )
+    """MinHash signature: array of ``bands`` 8-hex-char minima.
+
+    One md5 per shingle per GROUP of 4 bands (the 128-bit digest is split
+    into four 8-hex chunks, each an independent-byte hash function) — 4x
+    fewer hash invocations than one-md5-per-band at identical candidacy
+    semantics; the SQL oracle (minhash_sig_sql) applies the same split so
+    signatures stay bit-identical across engines.
+    """
+    assert bands % _CHUNKS_PER_MD5 == 0
+    mins = []
+    for g in range(bands // _CHUNKS_PER_MD5):
+        hashed = F.transform(shingles, lambda s, g=g: F.md5(F.concat(F.lit(f"{g}|"), s)))
+        for c in range(_CHUNKS_PER_MD5):
+            mins.append(
+                F.array_min(
+                    F.transform(hashed, lambda h, c=c: F.substring(h, c * 8 + 1, 8))
+                )
+            )
+    return F.array(*mins)
 
 
 def minhash_sig_sql(shingles_expr: str, bands: int = 16) -> str:
-    mins = ", ".join(
-        f"list_min(list_transform({shingles_expr}, s -> md5('{b}|' || s)))"
-        for b in range(bands)
-    )
-    return f"[{mins}]"
+    assert bands % _CHUNKS_PER_MD5 == 0
+    mins = []
+    for g in range(bands // _CHUNKS_PER_MD5):
+        hashed = f"list_transform({shingles_expr}, s -> md5('{g}|' || s))"
+        for c in range(_CHUNKS_PER_MD5):
+            mins.append(
+                f"list_min(list_transform({hashed}, h -> substring(h, {c * 8 + 1}, 8)))"
+            )
+    return "[" + ", ".join(mins) + "]"
 
 
 def jaccard_col(a, b):
