@@ -572,6 +572,15 @@ def q_cosine_neardup(spark, sf_dir):
     return cosine_neardup_exact(_emb_with_dups(spark, sf_dir), threshold=0.5)
 
 
+def q_cosine_neardup_lsh(spark, sf_dir):
+    """Scale path: projection-cell bucketing prunes the pair space before
+    exact cosine (rows-only driver check; recall vs the exact variant is
+    pytest-asserted in tests/test_dedup.py)."""
+    from raptor_service_spark.operators.dedup import cosine_neardup_bucketed
+
+    return cosine_neardup_bucketed(_emb_with_dups(spark, sf_dir), threshold=0.5)
+
+
 def q_knn_top10(spark, sf_dir):
     """J8 brute-force kNN for one literal query vector."""
     e = _read(spark, sf_dir, "embeddings")
@@ -802,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_explode": q_spans_explode,
         # engine-native (rows-only driver check; pytest covers semantics)
         "simhash_pairs": q_simhash_pairs,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "grid_knn_ann": q_grid_knn_ann,
         "ivf_knn_ann": q_ivf_knn_ann,
         "tree_build_synthetic": q_tree_build_synthetic,

@@ -42,7 +42,7 @@ HEADLINE = [
     "sum_qty_per_segment",
     "latest_order_per_customer",
     "minhash_pairs",
-    "cosine_neardup",
+    "cosine_neardup_lsh",
     "knn_top10",
     "grid_knn_ann",
     "tree_build_synthetic",

@@ -158,11 +158,31 @@ def minhash_lsh_pairs(
     (~7e-12 at bands=16) — the SQL oracle replicates the same candidacy
     predicate so results match exactly.
     """
+    assert bands % _CHUNKS_PER_MD5 == 0
     base = docs.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("sh")
-    ).withColumn("sig", minhash_sig_col(F.col("sh"), bands))
+    ).persist()
 
-    buckets = base.select("id", F.posexplode("sig").alias("band", "h"))
+    # Band minima computed RELATIONALLY: explode shingles once, then one
+    # groupBy(id) with 16 MIN aggregates. The md5/substring exprs live in a
+    # codegen'd Project (subexpression elimination collapses the 4 substring
+    # reads of each md5 to ONE hash call), and the partial aggregation
+    # reduces map-side output to one row per id — unlike the higher-order
+    # `transform` formulation (minhash_sig_col), which is interpreted and
+    # re-evaluates the inner md5 transform per array_min (measured ~10x
+    # slower at sf0.1).
+    ex = base.select("id", F.explode("sh").alias("s"))
+    aggs = []
+    for g in range(bands // _CHUNKS_PER_MD5):
+        h = F.md5(F.concat(F.lit(f"{g}|"), F.col("s")))
+        for c in range(_CHUNKS_PER_MD5):
+            aggs.append(
+                F.min(F.substring(h, c * 8 + 1, 8)).alias(f"h{g * _CHUNKS_PER_MD5 + c}")
+            )
+    wide = ex.groupBy("id").agg(*aggs)
+    buckets = wide.select(
+        "id", F.posexplode(F.array(*[f"h{b}" for b in range(bands)])).alias("band", "h")
+    )
     cand = (
         buckets.alias("a")
         .join(
