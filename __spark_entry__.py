@@ -581,6 +581,23 @@ def q_cosine_neardup_lsh(spark, sf_dir):
     return cosine_neardup_bucketed(_emb_with_dups(spark, sf_dir), threshold=0.5)
 
 
+QVEC2 = np.round(gen_query_vectors(seed=98, n=1, dim=64)[0], 6)
+QVEC2_SQL = "[" + ", ".join(f"{x:.6f}" for x in QVEC2) + "]"
+
+
+def q_knn_multi(spark, sf_dir):
+    """J8 multi-query brute-force kNN: ONE data pass for many queries
+    (operators/knn.py brute_force_knn_multi — per-Arrow-batch GEMM local
+    top-k, then a per-qid window merge; shuffle carries batches*k rows)."""
+    from raptor_service_spark.operators.knn import brute_force_knn_multi
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    out = brute_force_knn_multi(e, np.stack([QVEC, QVEC2]), ["qa", "qb"], k=5)
+    return out.select("qid", "id", F.round("dist", 6).alias("dist"))
+
+
 def q_knn_top10(spark, sf_dir):
     """J8 brute-force kNN for one literal query vector."""
     e = _read(spark, sf_dir, "embeddings")
@@ -808,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_neardup": q_cosine_neardup,
         "knn_top10": q_knn_top10,
+        "knn_multi": q_knn_multi,
         "spans_explode": q_spans_explode,
         # engine-native (rows-only driver check; pytest covers semantics)
         "simhash_pairs": q_simhash_pairs,
@@ -1012,6 +1030,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1.0 - list_cosine_similarity(
                        list_transform(embedding, x -> CAST(x AS DOUBLE)), {QVEC_SQL}), 6) AS dist
             FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10
+        """,
+        "knn_multi": f"""
+            WITH q(qid, qv) AS (VALUES ('qa', {QVEC_SQL}), ('qb', {QVEC2_SQL})),
+            scored AS (
+                SELECT q.qid, e.vec_id AS id,
+                       1.0 - list_cosine_similarity(
+                           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) AS d
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT qid, id, ROUND(d, 6) AS dist FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY ROUND(d, 9), id) AS rn FROM scored)
+            WHERE rn <= 5
         """,
         "spans_explode": """
             WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
