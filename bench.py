@@ -99,8 +99,14 @@ def _measured_only(cpus: int, spans_path: str, warmup_path: str) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     scratch = f"/dev/shm/spark_graft_bench/index_{cpus}_{os.getpid()}"
-    run_measured_pipeline(spark, warmup_path, scratch + "_w", seed=SEED)  # warm JVM+workers
-    res = run_measured_pipeline(spark, spans_path, scratch, seed=SEED)
+    try:
+        run_measured_pipeline(spark, warmup_path, scratch + "_w", seed=SEED)  # warm JVM+workers
+        res = run_measured_pipeline(spark, spans_path, scratch, seed=SEED)
+    finally:
+        import shutil
+
+        for p in (scratch, scratch + "_w"):
+            shutil.rmtree(p, ignore_errors=True)
     print(json.dumps(res))
     spark.stop()
 
