@@ -401,6 +401,54 @@ def q_user_sessions(spark, sf_dir):
     )
 
 
+def q_filtered_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-agg — every predicate and both
+    columns must reach the parquet reader (PushedFilters/ReadSchema), the
+    agg is one partial+final combine, zero joins, zero Python."""
+    l = _read(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> two fact joins -> agg ->
+    global top-10 (TakeOrderedAndProject after partial/final agg)."""
+    c = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
 def q_path_to_root(spark, sf_dir):
     """R7 recursive path-to-root as a distributed batch op (retrieval_repo.py
     :156-216 WITH RECURSIVE, depth cap 10): every start key climbs the
@@ -813,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "first_seen_dedup": q_first_seen_dedup,
         "revenue_by_nation": q_revenue_by_nation,
+        "filtered_revenue": q_filtered_revenue,
+        "shipping_priority": q_shipping_priority,
         "price_bucket_range_join": q_price_bucket_range_join,
         "scalar_funcs": q_scalar_funcs,
         "event_type_setops": q_event_type_setops,
@@ -980,6 +1030,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN lineitem ON l_orderkey = o_orderkey
             WHERE r_name = 'ASIA'
             GROUP BY 1
+        """,
+        "filtered_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'AUTOMOBILE'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
         """,
         "price_bucket_range_join": """
             SELECT bucket, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
