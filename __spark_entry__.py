@@ -984,7 +984,8 @@ def oracle_sql() -> dict[str, str]:
         "json_props": """
             SELECT event_type,
                    ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k
             FROM events GROUP BY 1
         """,
         "user_sessions": """
@@ -993,11 +994,13 @@ def oracle_sql() -> dict[str, str]:
                    strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_dt,
                    COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
             FROM (
-                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
-                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+                SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS sess_id
                 FROM (
-                    SELECT *, CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (
-                               PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                    SELECT *, CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                               > 1800000000
                               THEN 1 ELSE 0 END AS new_sess
                     FROM events WHERE user_id < 100)
             ) GROUP BY user_id, sess_id
@@ -1081,7 +1084,7 @@ def oracle_sql() -> dict[str, str]:
                  EXCEPT SELECT event_type FROM events WHERE event_id % 2 = 0)
         """,
         "doc_tokens_by_lang": (
-            f"SELECT lang, SUM({token_count_sql('text')}) AS total_tokens, "
+            f"SELECT lang, CAST(SUM({token_count_sql('text')}) AS BIGINT) AS total_tokens, "
             f"COUNT(*) AS n_docs FROM documents GROUP BY 1"
         ),
         "doc_quality_top20": (

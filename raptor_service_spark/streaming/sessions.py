@@ -39,13 +39,17 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.lit(gap_minutes * 60)
+    # Microsecond precision, matching the stream kernel (which compares
+    # microsecond gaps) and the DuckDB oracle (epoch_us): a truncated
+    # whole-second comparison would merge pairs whose true gap lies in
+    # (gap, gap+1) seconds that the other two paths split.
+    gap = F.lit(gap_minutes * 60 * 1_000_000)
     # ts may be TIMESTAMP_NTZ (parquet); hop through timestamp (session TZ is
-    # pinned UTC in session.py) to get epoch seconds
-    ts_s = F.col("ts").cast("timestamp").cast("long")
+    # pinned UTC in session.py) to get epoch microseconds
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     flagged = events.withColumn(
         "new_sess",
-        F.when(ts_s - F.lag(ts_s).over(w) > gap, 1).otherwise(0),
+        F.when(ts_us - F.lag(ts_us).over(w) > gap, 1).otherwise(0),
     ).withColumn("sess_id", F.sum("new_sess").over(w))
     return flagged.groupBy("user_id", "sess_id").agg(
         F.min("ts").alias("session_start"),
@@ -92,9 +96,17 @@ def _close_sessions_np(
         seg_n = int(b - a)
         seg_sv = float(vals[a:b].sum())
         if i == 0 and state is not None:
-            # first segment continues the open session from state
-            _, start_us, n0, sv0 = state
-            seg = (int(ts_us[b - 1]), int(start_us), int(n0) + seg_n, float(sv0) + seg_sv)
+            # first segment continues the open session from state; end must
+            # never regress below the previously-seen last event (an
+            # out-of-order event across micro-batches would otherwise shrink
+            # the session end — there is no watermark to reject late data)
+            last_us, start_us, n0, sv0 = state
+            seg = (
+                max(int(last_us), int(ts_us[b - 1])),
+                int(start_us),
+                int(n0) + seg_n,
+                float(sv0) + seg_sv,
+            )
         else:
             seg = (int(ts_us[b - 1]), int(ts_us[a]), seg_n, seg_sv)
         if b == len(ts_us):

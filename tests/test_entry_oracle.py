@@ -56,6 +56,18 @@ def test_query_matches_oracle(spark, duck, name):
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 
+    # The driver hashes via Arrow, where DuckDB's HUGEINT (e.g. an un-cast
+    # integer SUM) becomes decimal128 and formats differently from Spark's
+    # BIGINT even when values are identical. Guard the type at the source.
+    arrow_types = {
+        f.name: str(f.type) for f in duck.execute(ORACLES[name]).arrow().schema
+    }
+    decimals = {c: t for c, t in arrow_types.items() if t.startswith("decimal")}
+    assert not decimals, (
+        f"{name}: oracle emits decimal-typed columns {decimals} — wrap the "
+        f"aggregate in CAST(... AS BIGINT/DOUBLE) to match Spark's type"
+    )
+
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
