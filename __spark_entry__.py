@@ -122,7 +122,7 @@ def grid_collapsed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage tile retrieval over driver tables (R5 recast, J8, A7):
 
     leaves = documents ⋈ embeddings; level-1 tile nodes = per-cell centroid
-    (elementwise mean via posexplode + partial/final avg — JVM-side);
+    (elementwise mean via dim codegen'd SUM aggs + COUNT, map-side partial);
     stage 1 = top-3 cells by centroid cosine; stage 2 = exact cosine top-8
     inside candidate cells. Cites reference collapsed path
     /root/reference/repositories/retrieval_repo.py:254-348.
@@ -136,15 +136,23 @@ def grid_collapsed_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cell2", cell_parent_col(F.col("cell4"), 4, 2))
         .select("doc_id", "embedding", "cell2")
     )
+    # Centroid per cell as dim fixed-width SUM aggregates + one COUNT: fully
+    # codegen'd with map-side partial aggregation, so the single exchange
+    # carries only (cells x dim+1 doubles) per map partition — no row
+    # explosion, no Python. (Replaces a posexplode that materialized n*dim
+    # rows through the aggregate.)
+    dim = 64
     cents = (
-        leaves.select("cell2", F.posexplode("embedding").alias("i", "x"))
-        .groupBy("cell2", "i")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cell2")
+        leaves.groupBy("cell2")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
-            ).alias("centroid")
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(F.col("embedding")[i]).alias(f"s{i}") for i in range(dim)],
+        )
+        .select(
+            "cell2",
+            F.array(*[F.col(f"s{i}") / F.col("cnt") for i in range(dim)]).alias(
+                "centroid"
+            ),
         )
     )
     s1 = (

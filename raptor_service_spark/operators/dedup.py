@@ -86,9 +86,17 @@ def minhash_sig_col(shingles, bands: int = 16):
     for g in range(bands // _CHUNKS_PER_MD5):
         hashed = F.transform(shingles, lambda s, g=g: F.md5(F.concat(F.lit(f"{g}|"), s)))
         for c in range(_CHUNKS_PER_MD5):
+            # Band index baked into the stored value (constant prefix
+            # preserves the min): a cross-band 32-bit collision can then
+            # never count as candidacy, so set-membership comparisons
+            # (the oracle's list_has_any) are same-band by construction.
+            b = g * _CHUNKS_PER_MD5 + c
             mins.append(
-                F.array_min(
-                    F.transform(hashed, lambda h, c=c: F.substring(h, c * 8 + 1, 8))
+                F.concat(
+                    F.lit(f"{b:02d}|"),
+                    F.array_min(
+                        F.transform(hashed, lambda h, c=c: F.substring(h, c * 8 + 1, 8))
+                    ),
                 )
             )
     return F.array(*mins)
@@ -100,7 +108,9 @@ def minhash_sig_sql(shingles_expr: str, bands: int = 16) -> str:
     for g in range(bands // _CHUNKS_PER_MD5):
         hashed = f"list_transform({shingles_expr}, s -> md5('{g}|' || s))"
         for c in range(_CHUNKS_PER_MD5):
+            b = g * _CHUNKS_PER_MD5 + c
             mins.append(
+                f"'{b:02d}|' || "
                 f"list_min(list_transform({hashed}, h -> substring(h, {c * 8 + 1}, 8)))"
             )
     return "[" + ", ".join(mins) + "]"
@@ -159,9 +169,13 @@ def minhash_lsh_pairs(
     predicate so results match exactly.
     """
     assert bands % _CHUNKS_PER_MD5 == 0
+    # No persist: the shingle projection (split/slice, no hashing) is cheap
+    # to recompute for the two verify joins, and a persist here would leak
+    # cached blocks for the life of the session (callers never see the
+    # DataFrame's lineage to unpersist it).
     base = docs.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("sh")
-    ).persist()
+    )
 
     # Band minima computed RELATIONALLY: explode shingles once, then one
     # groupBy(id) with 16 MIN aggregates. The md5/substring exprs live in a
@@ -233,19 +247,44 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join via shared-shingle candidates.
+    """Exact n-gram Jaccard similarity join with prefix-filtered candidates.
 
-    Inverted-index join: only pairs sharing >= 1 shingle are scored (a pair
-    below that shares nothing and has jaccard 0), so it IS exact for any
-    threshold > 0 — no cross join.
+    Prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search"): order shingles globally by ascending document frequency (rare
+    first, tie-break on the shingle string) and index only each doc's first
+    ``|sh| - ceil(t'^2 * |sh|) + 1`` shingles; any pair with jaccard >= t'
+    must share an indexed-prefix shingle, so the join stays EXACT while a
+    stop-shingle shared by f docs no longer creates an f^2 hot key — common
+    shingles sort last and fall outside every prefix. The exponent is t'^2,
+    not t' (the equal-size textbook form), because a valid partner can be as
+    small as t'*|x|, which lowers the guaranteed pair overlap to
+    ceil(t'^2*|x|): for J(x,y) >= t', overlap o >= t'*max(|x|,|y|) >=
+    t'^2*max, so prefixes of length |.| - ceil(t'^2*max) + 1 must intersect
+    (smallest-common-token argument) and each per-set prefix is at least
+    that long. t' carries a 1e-6 margin below ``threshold`` because the
+    final filter compares jaccard ROUNDED to 6 dp (a true jaccard just
+    under t can round up to t).
     """
+    from pyspark.sql import Window
+
+    t_margin = threshold - 1e-6
     base = docs.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("sh")
     )
-    inv = base.select("id", F.explode("sh").alias("g"))
+    inv = base.select("id", F.size("sh").alias("s"), F.explode("sh").alias("g"))
+    freq = inv.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = inv.join(freq, "g").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "g")),
+    )
+    plen = F.col("s") - F.ceil(F.lit(t_margin * t_margin) * F.col("s")) + F.lit(1)
+    prefix = ranked.filter(F.col("rn") <= plen).select("id", "g")
     cand = (
-        inv.alias("a")
-        .join(inv.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -283,19 +322,39 @@ def simhash_udf():
 
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            acc = np.zeros(64, dtype=np.int64)
-            for w in str(t).lower().split():
-                h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big"))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sig = np.uint64(0)
-            for b in range(64):
-                if acc[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
+        # Vectorized per Arrow batch: hash each DISTINCT word once, unpack
+        # its 64 bits into a +/-1 row, then scatter-add rows into per-doc
+        # accumulators. Matches the naive per-word fold exactly (duplicate
+        # words in a doc count once per occurrence, None -> "none" token).
+        n = len(texts)
+        word_lists = texts.astype(str).str.lower().str.split()
+        lens = word_lists.str.len().fillna(0).to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for wl in word_lists:
+            if wl:
+                flat[pos : pos + len(wl)] = wl
+                pos += len(wl)
+        doc_of_word = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
+        digests = np.frombuffer(
+            b"".join(hashlib.md5(w.encode()).digest()[:8] for w in uniq),
+            dtype=">u8",
+        )
+        # (n_uniq, 64) signed bit matrix, bit b at column b (LSB-first)
+        bits = (
+            digests[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
+        ) & np.uint64(1)
+        signed = np.where(bits == 1, np.int64(1), np.int64(-1))
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, doc_of_word, signed[inv])
+        sig = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(sig.astype(np.int64))
 
     return _simhash
 

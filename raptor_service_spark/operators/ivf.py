@@ -52,12 +52,17 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Spherical k-means on a deterministic sample; returns (n_lists, dim).
 
-    The sample is ``orderBy(id).limit(sample_n)`` here so tests are exactly
-    reproducible; on a 100 TB table swap for ``df.sample(False, frac, seed)``
-    (single scan, no global sort) — IVF quality only needs a representative
-    sample, not a particular one.
+    Sampling is ``df.sample`` (one scan, Bernoulli per partition — no global
+    sort of the table, which the previous orderBy(id).limit formulation
+    implied at 100 TB). The oversampled result (~1.3x sample_n rows, O(k)
+    size) is sorted by id on the DRIVER and truncated to sample_n, so the
+    training set is reproducible for a fixed input and seed.
     """
-    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    total = df.count()
+    frac = 1.0 if total <= sample_n else min(1.0, 1.3 * sample_n / total)
+    rows = df.select(id_col, vec_col).sample(False, frac, seed).collect()
+    rows.sort(key=lambda r: r[0])
+    rows = rows[:sample_n]
     x = _normalize(np.array([r[1] for r in rows]))
     rng = np.random.default_rng(seed)
     n = len(x)

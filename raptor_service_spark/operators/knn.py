@@ -179,25 +179,22 @@ def grid_knn(
     ``df_with_cell`` must carry ``ann_cell`` (see with_projected_cell). The
     ``ann_cell IN (<ring>)`` predicate is a literal IN-list -> pushed to the
     parquet/Iceberg scan (partition pruning when partitioned by ann_cell).
-    Ring grows until enough candidates; recall measured in tests vs brute force.
+    Ring size is chosen driver-side from ONE occupancy-histogram job
+    (groupBy(ann_cell).count()) via plan_candidate_cells — not a
+    count-job-per-ring probe loop; recall measured in tests vs brute force.
     """
     q = np.asarray(q, dtype=np.float64)
-    qlat, qlng = project_to_latlng_np(q[None, :], seed)
-    from raptor_service_spark.geo.grid import cell_encode_np
-
-    qcell = int(cell_encode_np(qlat, qlng, res)[0])
-
-    ring = 1
-    target = max(k * min_candidates_factor, k)
-    while True:
-        cells = [int(c) for c in kring_np(qcell, ring)]
-        cand = df_with_cell.filter(F.col("ann_cell").isin(cells))
-        n = cand.limit(target).count()
-        if n >= target or ring >= max_ring:
-            break
-        ring *= 2
-    if n < target:  # ring exhausted on a sparse table: degrade to exact full scan
+    cell_counts = {
+        r["ann_cell"]: r["cnt"]
+        for r in df_with_cell.groupBy("ann_cell").agg(F.count("*").alias("cnt")).collect()
+    }
+    cells = plan_candidate_cells(
+        cell_counts, q, k, res, seed, min_candidates_factor, max_ring
+    )
+    if cells is None:  # sparse table: degrade to exact full scan
         cand = df_with_cell
+    else:
+        cand = df_with_cell.filter(F.col("ann_cell").isin(cells))
     return brute_force_knn(cand, q, k, vec_col, payload_cols, id_col)
 
 

@@ -114,27 +114,35 @@ def vectorize_tiles(tiles: DataFrame) -> DataFrame:
     """Raster -> vector: decode payloads back into nonzero-pixel point features
     (pixel center lat/lng + count). Inverse of rasterize up to pixel quantization."""
 
+    cols = ["cell", "px", "py", "cnt", "lat", "lng"]
+
     def vectorize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                g = int(r["grid"])
-                h = np.frombuffer(bytes(r["payload"]), dtype="<u2").reshape(g, g)
-                lat_lo, lat_hi, lng_lo, lng_hi = (
-                    float(x[0]) for x in cell_bounds_np([int(r["cell"])])
-                )
+            if not len(pdf):
+                continue
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            lat_lo, lat_hi, lng_lo, lng_hi = cell_bounds_np(cells)
+            outs = []
+            # per-TILE loop only; all per-pixel work is numpy
+            for i in range(len(pdf)):
+                g = int(pdf["grid"].iat[i])
+                h = np.frombuffer(bytes(pdf["payload"].iat[i]), dtype="<u2").reshape(g, g)
                 ys, xs = np.nonzero(h)
-                for py, px in zip(ys, xs):
-                    rows.append(
+                if not len(ys):
+                    continue
+                outs.append(
+                    pd.DataFrame(
                         {
-                            "cell": int(r["cell"]),
-                            "px": int(px),
-                            "py": int(py),
-                            "cnt": int(h[py, px]),
-                            "lat": lat_lo + (py + 0.5) * (lat_hi - lat_lo) / g,
-                            "lng": lng_lo + (px + 0.5) * (lng_hi - lng_lo) / g,
+                            "cell": np.full(len(ys), cells[i], dtype=np.int64),
+                            "px": xs.astype(np.int32),
+                            "py": ys.astype(np.int32),
+                            "cnt": h[ys, xs].astype(np.int32),
+                            "lat": lat_lo[i] + (ys + 0.5) * (lat_hi[i] - lat_lo[i]) / g,
+                            "lng": lng_lo[i] + (xs + 0.5) * (lng_hi[i] - lng_lo[i]) / g,
                         }
                     )
-            yield pd.DataFrame(rows, columns=["cell", "px", "py", "cnt", "lat", "lng"])
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
     return tiles.mapInPandas(vectorize, schema=FEATURE_SCHEMA)

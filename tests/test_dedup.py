@@ -117,3 +117,63 @@ def test_cosine_neardup_bucketed_subset_of_exact(emb):
     exact_set = set(zip(exact.id_a, exact.id_b))
     bucket_set = set(zip(bucketed.id_a, bucketed.id_b))
     assert bucket_set <= exact_set  # no false positives
+
+
+@pytest.fixture(scope="module")
+def skewed_corpus_pd():
+    """Heavy size skew + a stop-shingle in every doc: the adversarial shape
+    for prefix filtering (sizes from 4 to ~200 words, so the equal-size
+    textbook prefix bound would be insufficient)."""
+    rng = np.random.default_rng(123)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(50):
+        n = int(rng.choice([4, 6, 10, 30, 80, 200]))
+        body = rng.choice(vocab, n).tolist()
+        # stop-trigram "the quick fox" prepended everywhere
+        rows.append((i, "the quick fox " + " ".join(body)))
+    # scaled near-dups: doc plus a long suffix (big size ratio)
+    for i in range(6):
+        rows.append((3000 + i, rows[i][1] + " " + rows[i + 20][1]))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_ngram_prefix_filter_exact_under_size_skew(spark, skewed_corpus_pd):
+    con = duckdb.connect()
+    con.register("docs", skewed_corpus_pd)
+    df = spark.createDataFrame(skewed_corpus_pd)
+    for t in (0.3, 0.5, 0.7):
+        got = ngram_jaccard_pairs(df, threshold=t).toPandas()
+        exp = con.execute(ngram_jaccard_pairs_sql("docs", threshold=t)).df()
+        assert _norm(got) == _norm(exp), f"threshold {t}"
+
+
+def test_simhash_matches_naive_reference(spark, corpus_pd):
+    """Pin the vectorized kernel to the per-word fold definition."""
+    import hashlib
+
+    from raptor_service_spark.operators.dedup import simhash_udf
+
+    def naive(t):
+        acc = np.zeros(64, dtype=np.int64)
+        for w in str(t).lower().split():
+            h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big"))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        sig = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        return np.int64(sig.astype(np.int64))
+
+    sample = corpus_pd.head(30).copy()
+    sample.loc[len(sample)] = {"doc_id": 9998, "text": ""}
+    sample.loc[len(sample)] = {"doc_id": 9999, "text": "  "}
+    df = spark.createDataFrame(sample)
+    got = (
+        df.select("doc_id", simhash_udf()(F.col("text")).alias("sig"))
+        .toPandas()
+        .set_index("doc_id")["sig"]
+    )
+    for _, row in sample.iterrows():
+        assert got[row.doc_id] == naive(row.text), row.doc_id
