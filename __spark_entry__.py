@@ -778,6 +778,134 @@ def q_tree_build_synthetic(spark, sf_dir):
     )
 
 
+def q_reranked_retrieval(spark, sf_dir):
+    """Two-stage retrieve + rerank (reference retrieval_service.py:143-157):
+    stage 1 = cosine top-50 over documents ⋈ embeddings; stage 2 =
+    rerank_chunks fusion (0.7 * exact cosine sim + 0.3 * quality prior),
+    top-10. Fully oracle-checkable — the external reranker model is
+    replaced by the deterministic fusion score."""
+    from raptor_service_spark.operators.retrieval import rerank_chunks
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    leaves = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", F.col("embedding").alias("v")
+    )
+    cand = (
+        leaves.withColumn("dist", cosine_dist_col(F.col("v"), QVEC))
+        .orderBy(F.round(F.col("dist"), 9).asc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    out = rerank_chunks(cand, QVEC, id_col="doc_id", top_k=10)
+    return out.select("doc_id", F.round("dist", 6).alias("dist"), "rerank_score")
+
+
+def _reranked_retrieval_sql() -> str:
+    demb = "list_transform(e.embedding, x -> CAST(x AS DOUBLE))"
+    qual = quality_score_sql("text")
+    return f"""
+        WITH scored AS (
+            SELECT d.doc_id, d.text,
+                   1.0 - list_cosine_similarity({demb}, {QVEC_SQL}) AS dist
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        ),
+        cand AS (
+            SELECT * FROM scored ORDER BY ROUND(dist, 9) ASC, doc_id ASC LIMIT 50
+        )
+        SELECT doc_id, ROUND(dist, 6) AS dist,
+               ROUND(0.7 * (1.0 - dist) + 0.3 * {qual}, 6) AS rerank_score
+        FROM cand
+        ORDER BY ROUND(0.7 * (1.0 - dist) + 0.3 * {qual}, 6) DESC, doc_id ASC
+        LIMIT 10
+    """
+
+
+def q_tree_build_docs(spark, sf_dir):
+    """Tile-tree build (R1-R4) over the DRIVER documents table — the
+    oracle-checkable twin of tree_build_synthetic: spans come from the
+    10-word split (q_spans_explode scheme) and each span's geography from
+    the _latlng arithmetic keyed on doc_id*1000+idx, so the full ladder
+    (leaf cells -> parent coarsening -> stall guard -> root promotion,
+    reference build_tree_service.py:85-161,363-365) is reproducible as
+    DuckDB arithmetic. Runs the REAL build_tile_tree code path (salted
+    capped collect, provenance links, root promotion) and reports per-level
+    (level, kind, n_nodes)."""
+    from raptor_service_spark.functions.vector import embed_spans
+    from raptor_service_spark.operators.tree import TreeParams, build_tile_tree
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim("text"), r"\s+")
+    n = F.size(w)
+    spans = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / 10).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 10 + 1, 10)),
+    )
+    flat = d.select("doc_id", F.posexplode(spans).alias("idx", "span_text"))
+    lat, lng = _latlng_cols(F.col("doc_id") * F.lit(1000) + F.col("idx"))
+    spans_embedded = embed_spans(
+        flat.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit("ds-docs").alias("dataset_id"),
+            F.col("idx").cast("int").alias("idx"),
+            F.format_string("%d::c%d", F.col("doc_id"), F.col("idx")).alias("chunk_id"),
+            F.col("span_text").alias("text"),
+            lat.alias("lat"),
+            lng.alias("lng"),
+        ),
+        dim=32,
+    )
+    tree = build_tile_tree(spans_embedded, TreeParams(res_ladder=(6, 3, 0), dim=32))
+    return tree.nodes.groupBy(
+        F.col("level").cast("long").alias("level"), "kind"
+    ).agg(F.count("*").alias("n_nodes"))
+
+
+def _tree_build_docs_sql() -> str:
+    """DuckDB oracle for q_tree_build_docs: per-level node counts from the
+    same ladder arithmetic, including the stall guard (forced single group
+    when a level fails to shrink) and root promotion (kind='root' iff the
+    level has exactly one group)."""
+    lat, lng = _latlng_sql("(doc_id * 1000 + idx)")
+    c6 = cell_encode_sql(lat, lng, 6)
+    c3_of_c6 = cell_parent_sql("c6", 6, 3)
+    c0_of_c3 = cell_parent_sql("c3", 3, 0)
+    return f"""
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        sp AS (
+            SELECT doc_id, t.i AS idx
+            FROM w, UNNEST(generate_series(0,
+                 CAST(FLOOR((len(words) - 1) / 10) AS BIGINT))) t(i)
+        ),
+        leaves AS (SELECT {c6} AS c6 FROM sp),
+        l1cells AS (SELECT DISTINCT {c3_of_c6} AS c3 FROM leaves),
+        g AS (
+            SELECT (SELECT COUNT(*) FROM leaves) AS n_leaves,
+                   (SELECT COUNT(*) FROM l1cells) AS n1,
+                   (SELECT COUNT(DISTINCT {c0_of_c3}) FROM l1cells) AS n2
+        ),
+        eff AS (
+            SELECT n_leaves,
+                   CASE WHEN n1 >= n_leaves THEN 1 ELSE n1 END AS eff1,
+                   -- level-2 runs only when level 1 kept >1 group; its own
+                   -- stall guard forces a single group if it fails to shrink
+                   CASE WHEN n2 >= (CASE WHEN n1 >= n_leaves THEN 1 ELSE n1 END)
+                        THEN 1 ELSE n2 END AS eff2
+            FROM g
+        )
+        SELECT CAST(0 AS BIGINT) AS level, 'leaf' AS kind,
+               CAST(n_leaves AS BIGINT) AS n_nodes FROM eff
+        UNION ALL
+        SELECT 1, CASE WHEN eff1 = 1 THEN 'root' ELSE 'summary' END,
+               CAST(eff1 AS BIGINT) FROM eff
+        UNION ALL
+        SELECT 2, CASE WHEN eff2 = 1 THEN 'root' ELSE 'summary' END,
+               CAST(eff2 AS BIGINT) FROM eff WHERE eff1 > 1
+    """
+
+
 def q_collapsed_retrieval_synthetic(spark, sf_dir):
     """Engine-native collapsed retrieval (R5) on the synthetic corpus."""
     from raptor_service_spark.datagen import gen_documents_df
@@ -890,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "grid_knn_ann": q_grid_knn_ann,
         "ivf_knn_ann": q_ivf_knn_ann,
+        "reranked_retrieval": q_reranked_retrieval,
+        "tree_build_docs": q_tree_build_docs,
         "tree_build_synthetic": q_tree_build_synthetic,
         "collapsed_retrieval_synthetic": q_collapsed_retrieval_synthetic,
         "traversal_retrieval_synthetic": q_traversal_retrieval_synthetic,
@@ -907,6 +1037,8 @@ def oracle_sql() -> dict[str, str]:
     rect_sql = _convex_pip_sql("rect", RECT)
     return {
         "grid_collapsed_retrieval": _grid_collapsed_retrieval_sql(),
+        "tree_build_docs": _tree_build_docs_sql(),
+        "reranked_retrieval": _reranked_retrieval_sql(),
         "doc_cells": (
             f"SELECT doc_id, {cell9} AS cell9, "
             f"{cell_parent_sql(cell9, 9, 4)} AS cell4 FROM documents"

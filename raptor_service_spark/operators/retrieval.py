@@ -100,6 +100,42 @@ def collapsed_retrieve(
     return gather_leaf_chunks(tree.links, chunks, picked, q, top_k)
 
 
+def rerank_chunks(
+    cand: DataFrame,
+    q: np.ndarray,
+    text_col: str = "text",
+    id_col: str = "chunk_id",
+    vec_col: str = "v",
+    alpha: float = 0.7,
+    beta: float = 0.3,
+    top_k: int = 10,
+) -> DataFrame:
+    """Second-stage rerank of an already-retrieved candidate set.
+
+    Mirrors the reference's reranker stage (retrieval_service.py:143-157;
+    ``use_reranker``/``reranker_model`` in the retrieve DTO): chunks come
+    back from stage-1 retrieval, get re-scored, re-ordered, and truncated
+    before returning. The external cross-encoder model is replaced by a
+    deterministic fusion score — ``alpha * exact float64 cosine similarity
+    + beta * quality prior`` (functions/text.quality_score) — so the stage
+    is oracle-checkable. ``beta`` is explicit (not computed as 1-alpha)
+    to keep the literal bit-identical across engines. Candidate sets are
+    top-N small, but the operator stays distributed (no collect; a single
+    top-k sort over the candidate set).
+    """
+    sim = F.lit(1.0) - cosine_dist_col(F.col(vec_col), q)
+    from raptor_service_spark.functions.text import quality_score
+
+    fused = F.round(
+        F.lit(alpha) * sim + F.lit(beta) * quality_score(F.col(text_col)), 6
+    )
+    return (
+        cand.withColumn("rerank_score", fused)
+        .orderBy(F.col("rerank_score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
 def latest_root(nodes: DataFrame, dataset_id: str) -> str | None:
     """Reference T2 (retrieval_repo.py:363-371): latest root; our trees are
     deterministic single-root per dataset, ties broken by node_id."""
