@@ -52,6 +52,7 @@ from raptor_service_spark.operators.dedup import (
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_sql,
     simhash_pairs,
+    simhash_pairs_sql,
 )
 
 # ---------------------------------------------------------------------------
@@ -727,7 +728,9 @@ def q_spans_explode(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return simhash_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
+    return simhash_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_grid_knn_ann(spark, sf_dir):
@@ -1237,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_fingerprint_dedup": exact_dedup_sql(_DOCS_WITH_DUPS_SQL + " t"),
         "minhash_pairs": minhash_lsh_pairs_sql(_DOCS_WITH_DUPS_SQL + " t", threshold=0.7),
+        "simhash_pairs": simhash_pairs_sql(_DOCS_WITH_DUPS_SQL + " t", max_hamming=3),
         "ngram_jaccard": ngram_jaccard_pairs_sql(_DOCS_WITH_DUPS_SQL + " t", threshold=0.6),
         "cosine_neardup": cosine_neardup_exact_sql(_EMB_WITH_DUPS_SQL, threshold=0.5),
         "knn_top10": f"""

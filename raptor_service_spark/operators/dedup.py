@@ -312,9 +312,53 @@ def ngram_jaccard_pairs_sql(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (64-bit) — hamming-band LSH; no SQL oracle (bit arithmetic), the
-# driver records the weaker rows-only check for this one.
+# SimHash (64-bit) — hamming-band LSH, with a brute-force DuckDB oracle
+# (the LSH candidacy is exact by pigeonhole, so outputs match the oracle's
+# all-pairs hamming filter row-for-row).
 # ---------------------------------------------------------------------------
+
+
+def simhash_pairs_sql(
+    table: str,
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> str:
+    """Brute-force DuckDB twin of simhash_pairs.
+
+    Word hash parity: the engine takes the first 8 BYTES of md5 big-endian
+    (int.from_bytes(digest[:8], 'big')); DuckDB parses the same value with
+    CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT). The signature is built
+    from 64 per-bit sign sums (+1 when bit b of the word hash is set, else
+    -1; bit b of the signature set iff the sum is positive) — identical to
+    the engine's fold. Docs with zero words keep signature 0 via the left
+    join. Exact, O(n^2) — oracle/parity use only."""
+    # bit weights as decimal literals: DuckDB's << overflows at bit 63
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << b} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+        for b in range(64)
+    )
+    words = (
+        f"list_filter(regexp_split_to_array(lower(CAST({text_expr} AS VARCHAR)),"
+        f" '\\s+'), w -> w <> '')"
+    )
+    return f"""
+        WITH d AS (SELECT {id_col} AS id, {words} AS ws FROM {table}),
+        wx AS (
+            SELECT id, CAST('0x' || substr(md5(t.w), 1, 16) AS UBIGINT) AS h
+            FROM d, UNNEST(ws) t(w)
+        ),
+        sigs AS (SELECT id, {bit_terms} AS sig FROM wx GROUP BY id),
+        full_sigs AS (
+            SELECT d.id, COALESCE(s.sig, CAST(0 AS UBIGINT)) AS sig
+            FROM d LEFT JOIN sigs s ON d.id = s.id
+        )
+        SELECT a.id AS doc_a, b.id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM full_sigs a JOIN full_sigs b ON a.id < b.id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
 
 
 def simhash_udf():
