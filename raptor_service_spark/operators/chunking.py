@@ -160,22 +160,111 @@ def split_documents(docs: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 # markdown element extraction (reference markdown_extractor.py:110-147 kinds,
 # :11-100 table rip-out). Kinds: header/code/list/quote/table/text.
+# Tables come in the reference's three forms — bordered pipe tables,
+# borderless pipe tables (no leading |), and HTML <table> blocks (bare or
+# wrapped in <body>/<html>) — all captured WITH their payload.
 # ---------------------------------------------------------------------------
 
-_MD_TABLE_RE = re.compile(r"^\|.*\|\s*$")
+# bordered: |-led header row with >=2 columns, an alignment row, >=1 data rows
+_BORDERED_TABLE_RE = re.compile(
+    r"(?:^|\n)"
+    r"\|[^\n]*\|[^\n]*\|[ \t]*\n"          # header: at least 3 pipes
+    r"\|[ \t]*:?-+[-| :]*\n"               # alignment row
+    r"(?:\|[^\n]*\|[^\n]*\|[ \t]*(?:\n|$))+"  # data rows
+)
+# borderless: rows contain | but do not start with it; alignment row between
+_BORDERLESS_TABLE_RE = re.compile(
+    r"(?:^|\n)"
+    r"(?!\|)\S[^\n]*\|[^\n]*\n"            # header containing a pipe
+    r"[ \t]*:?-+[-| :]*\n"                 # alignment row
+    r"(?:(?!\|)\S[^\n]*\|[^\n]*(?:\n|$))+"  # data rows
+)
+# HTML: <table>...</table>, optionally wrapped in <body> / <html><body>
+_HTML_TABLE_RE = re.compile(
+    r"(?:^|\n)[ \t]*"
+    r"(?:"
+    r"<html[^>]*>\s*<body[^>]*>\s*<table[^>]*>.*?</table>\s*</body>\s*</html>"
+    r"|<body[^>]*>\s*<table[^>]*>.*?</table>\s*</body>"
+    r"|<table[^>]*>.*?</table>"
+    r")[ \t]*(?=\n|$)",
+    re.DOTALL | re.IGNORECASE,
+)
 
 
-def extract_markdown_elements(md: str) -> list[tuple[str, str, str, int]]:
-    """One markdown doc -> [(kind, text, media_ref, offset)] span tuples.
+def _find_table_regions(md: str) -> list[tuple[int, int, str]]:
+    """All table occurrences as (start, end, payload), sorted by position.
 
-    Line-oriented block classifier mirroring the reference's element kinds:
-    header / code(block) / list(block) / quote(blockquote) / table / text.
-    Tables become media-like spans (text='', media_ref carries the payload id)
-    per the interleaved input model.
+    Mirrors the reference's rip-out order (markdown_extractor.py:36-100):
+    bordered, then borderless, then HTML — each pass runs on a working copy
+    where earlier matches are blanked (non-newline chars -> spaces, so
+    offsets are preserved and blanked regions cannot re-match). ``start``
+    points at the first payload character in the ORIGINAL text.
     """
-    spans: list[tuple[str, str, str, int]] = []
-    lines = md.split("\n")
-    i, offset, tbl_n = 0, 0, 0
+    regions: list[tuple[int, int, str]] = []
+    work = md
+    for pat in (_BORDERED_TABLE_RE, _BORDERLESS_TABLE_RE, _HTML_TABLE_RE):
+        if "|" not in work and pat is not _HTML_TABLE_RE:
+            continue
+        if pat is _HTML_TABLE_RE and "<table" not in work.lower():
+            continue
+        out = []
+        last = 0
+        for m in pat.finditer(work):
+            raw = m.group()
+            lead = len(raw) - len(raw.lstrip())
+            start = m.start() + lead
+            end = start + len(raw.strip())
+            regions.append((start, end, md[start:end]))
+            out.append(work[last : m.start()])
+            out.append(
+                "".join(c if c == "\n" else " " for c in work[m.start() : m.end()])
+            )
+            last = m.end()
+        if out:
+            out.append(work[last:])
+            work = "".join(out)
+    return sorted(regions)
+
+
+def extract_tables_and_remainder(md: str) -> tuple[str, list[str]]:
+    """Reference-parity surface (markdown_extractor.py:11-100,
+    extract_tables_and_remainder with separate_tables=True): returns the
+    text with tables removed plus the raw table payloads in rip order
+    (bordered, borderless, HTML)."""
+    regions = _find_table_regions(md)
+    # rip order = pattern order; _find_table_regions sorts by position, so
+    # recompute pattern-ordered payloads from the same masking walk
+    ordered: list[str] = []
+    work = md
+    for pat in (_BORDERED_TABLE_RE, _BORDERLESS_TABLE_RE, _HTML_TABLE_RE):
+        out, last = [], 0
+        for m in pat.finditer(work):
+            ordered.append(m.group().strip())
+            out.append(work[last : m.start()])
+            out.append(
+                "".join(c if c == "\n" else " " for c in work[m.start() : m.end()])
+            )
+            last = m.end()
+        if out:
+            out.append(work[last:])
+            work = "".join(out)
+    remainder_parts = []
+    pos = 0
+    for s, e, _ in regions:
+        remainder_parts.append(md[pos:s])
+        remainder_parts.append("\n\n")
+        pos = e
+    remainder_parts.append(md[pos:])
+    return "".join(remainder_parts), ordered
+
+
+def _classify_lines(
+    segment: str, base: int, spans: list[tuple[str, str, str, int]]
+) -> None:
+    """Line-oriented block classifier for table-free text: header / code /
+    list / quote / text (reference markdown_extractor.py:110-147)."""
+    lines = segment.split("\n")
+    i, offset = 0, base
 
     def flush(kind: str, buf: list[str], off: int):
         text = "\n".join(buf).strip()
@@ -195,16 +284,6 @@ def extract_markdown_elements(md: str) -> list[tuple[str, str, str, int]]:
             flush("code", buf, offset)
             offset += sum(len(l) + 1 for l in buf)
             i = j + 1
-        elif _MD_TABLE_RE.match(line):
-            j = i
-            buf = []
-            while j < len(lines) and _MD_TABLE_RE.match(lines[j]):
-                buf.append(lines[j])
-                j += 1
-            spans.append(("table", "", f"table://{tbl_n}", offset))
-            tbl_n += 1
-            offset += sum(len(l) + 1 for l in buf)
-            i = j
         elif line.startswith("#"):
             flush("header", [line.lstrip("#").strip()], offset)
             offset += len(line) + 1
@@ -235,7 +314,6 @@ def extract_markdown_elements(md: str) -> list[tuple[str, str, str, int]]:
             buf = []
             while j < len(lines) and not (
                 lines[j].startswith(("#", ">", "```"))
-                or _MD_TABLE_RE.match(lines[j])
                 or lines[j].lstrip().startswith(("- ", "* ", "+ "))
             ):
                 buf.append(lines[j])
@@ -243,6 +321,31 @@ def extract_markdown_elements(md: str) -> list[tuple[str, str, str, int]]:
             flush("text", buf, offset)
             offset += sum(len(l) + 1 for l in buf)
             i = max(j, i + 1)
+
+
+def extract_markdown_elements(md: str) -> list[tuple[str, str, str, int]]:
+    """One markdown doc -> [(kind, text, media_ref, offset)] span tuples.
+
+    Tables (bordered / borderless / HTML, reference markdown_extractor.py:
+    36-100) are ripped first WITH payload capture: the span carries the raw
+    table text AND a ``table://N`` media_ref, at the table's true character
+    offset. The remaining segments go through the line classifier
+    (header / code / list / quote / text). Pipe runs without an alignment
+    row are NOT tables (same as the reference's patterns) and classify as
+    text.
+    """
+    spans: list[tuple[str, str, str, int]] = []
+    regions = _find_table_regions(md)
+    pos, tbl_n = 0, 0
+    for s, e, payload in regions:
+        if s > pos:
+            _classify_lines(md[pos:s], pos, spans)
+        spans.append(("table", payload, f"table://{tbl_n}", s))
+        tbl_n += 1
+        pos = e
+    if pos < len(md):
+        _classify_lines(md[pos:], pos, spans)
+    spans.sort(key=lambda t: t[3])
     return spans
 
 

@@ -9,11 +9,12 @@ clusterer.py:27-112 (UMAP+GMM) are replaced by grid-cell coarsening
 Distributed-design notes (10^12-doc posture):
   * Each level is ONE shuffle: groupBy(parent_cell). No driver-side data.
   * Hot-cell skew (the reference's forced-single-cluster case) is handled by a
-    SALTED TWO-PHASE top-K aggregation: the per-group summary inputs are capped
-    at ``summary_cap`` children (the analog of the reference's token-budget
-    prompt packing, utils/packing.py + voyage_client.py:253-280), and top-K by
-    deterministic order is associative, so phase 1 aggregates (cell, salt)
-    groups and phase 2 merges — no single reducer ever sees a whole hot cell.
+    SALTED TWO-PHASE aggregation: per-group summary inputs are greedily packed
+    to a TOKEN BUDGET (the reference's request packing, utils/packing.py +
+    voyage_client.py:253-280) under a ``summary_cap`` count bound, and
+    budget-prefix-by-order is associative like top-K, so phase 1 aggregates
+    (cell, salt) groups and phase 2 merges — no single reducer ever sees a
+    whole hot cell.
   * Provenance links (node_id, chunk_id, rank) are carried as a DataFrame and
     joined upward level by level — never as ever-growing arrays.
   * All ids are deterministic (sha256) — reruns/resume produce identical
@@ -30,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from raptor_service_spark.functions.text import summary_node_id
+from raptor_service_spark.functions.text import summary_node_id, token_count
 from raptor_service_spark.functions.vector import hash_embed_udf
 from raptor_service_spark.geo.grid import cell_encode_col, cell_parent_col
 from raptor_service_spark.schema import N_DIM
@@ -42,7 +43,11 @@ NODE_COLS = ("tree_id", "node_id", "dataset_id", "level", "kind", "cell", "text"
 class TreeParams:
     res_ladder: tuple[int, ...] = (8, 5, 2, 0)  # leaf res first, coarsening upward
     max_levels: int = 10  # reference raptor_config.py:23
-    summary_cap: int = 32  # max children texts packed per summary (token-budget analog)
+    summary_cap: int = 32  # hard count cap on children packed per summary
+    # greedy token budget per summary group (analog of the reference's
+    # 9500-token request packing, voyage_client.py:253-280), scaled to this
+    # corpus's ~10-word spans; None = count-cap only
+    summary_token_budget: int | None = 320
     summary_max_chars: int = 512  # reference summarizer max_tokens=512 analog
     salt_buckets: int = 16  # phase-1 salt fan-out for hot cells
     dim: int = N_DIM
@@ -81,24 +86,60 @@ def _leaf_nodes(spans: DataFrame, res_leaf: int) -> DataFrame:
     )
 
 
-def _salted_capped_collect(cur: DataFrame, cap: int, salt_buckets: int) -> DataFrame:
-    """Two-phase skew-safe 'first cap children by ord' per (tree_id, parent_cell).
+def _budget_slice(items, cap: int, budget: int | None):
+    """Longest ord-prefix of sorted ``items`` within ``cap`` children AND
+    ``budget`` tokens (>= 1 item always, so an oversized single child still
+    packs). Tokens are counted as max(token_cnt, 1), which also bounds the
+    prefix length by ``budget`` — the count-slice below keeps the O(n^2)
+    prefix-sum lambda on a bounded array even for hot cells."""
+    counted = F.slice(items, 1, cap if budget is None else min(cap, budget))
+    if budget is None:
+        return counted
+    packed = F.filter(
+        counted,
+        lambda x, i: F.aggregate(
+            F.slice(counted, F.lit(1), i + F.lit(1)),
+            F.lit(0).cast("long"),
+            lambda a, y: a + y["tok"],
+        )
+        <= F.lit(budget),
+    )
+    return F.when(F.size(packed) > 0, packed).otherwise(F.slice(items, 1, 1))
 
-    top-K-by-order is associative: phase 1 takes the cap per (cell, salt),
-    phase 2 merges the per-salt arrays and re-caps. Output: one row per parent
-    cell with ordered child structs plus the TRUE child count (uncapped).
+
+def _salted_capped_collect(
+    cur: DataFrame, cap: int, salt_buckets: int, token_budget: int | None = None
+) -> DataFrame:
+    """Two-phase skew-safe 'first children by ord' per (tree_id, parent_cell),
+    greedily packed to ``token_budget`` tokens (reference voyage_client.py:
+    253-280 request packing) under a ``cap`` count bound.
+
+    Budget-prefix-by-order is associative exactly like top-K: an item in the
+    global packed prefix has an in-bucket cumulative token sum no larger than
+    its global one, so phase 1 (per cell+salt) never drops anything phase 2
+    (per cell, merge + re-pack) would keep. Output: one row per parent cell
+    with ordered child structs plus the TRUE child count (uncapped).
     """
-    item = F.struct(F.col("ord"), F.col("node_id"), F.col("text"))
+    item = F.struct(
+        F.col("ord"),
+        F.col("node_id"),
+        F.col("text"),
+        F.greatest(token_count(F.col("text")), F.lit(1)).cast("long").alias("tok"),
+    )
     p1 = (
         cur.withColumn("salt", F.pmod(F.xxhash64("node_id"), F.lit(salt_buckets)))
         .groupBy("tree_id", "dataset_id", "parent_cell", "salt")
         .agg(
-            F.slice(F.array_sort(F.collect_list(item)), 1, cap).alias("items"),
+            _budget_slice(F.array_sort(F.collect_list(item)), cap, token_budget).alias(
+                "items"
+            ),
             F.count("*").alias("cnt"),
         )
     )
     return p1.groupBy("tree_id", "dataset_id", "parent_cell").agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("items"))), 1, cap).alias("items"),
+        _budget_slice(
+            F.array_sort(F.flatten(F.collect_list("items"))), cap, token_budget
+        ).alias("items"),
         F.sum("cnt").alias("n_children"),
     )
 
@@ -116,7 +157,9 @@ def _ascend_one_level(
     embed = hash_embed_udf(p.dim)
     cur = cur.withColumn("parent_cell", cell_parent_col(F.col("cell"), child_res, parent_res))
 
-    grouped = _salted_capped_collect(cur, p.summary_cap, p.salt_buckets)
+    grouped = _salted_capped_collect(
+        cur, p.summary_cap, p.salt_buckets, p.summary_token_budget
+    )
     n_groups = grouped.count()
 
     # stall guard (reference :109-114): coarsening guarantees progress, but if
@@ -125,7 +168,9 @@ def _ascend_one_level(
     if n_groups >= n_cur:
         forced_single = True
         cur = cur.withColumn("parent_cell", F.lit(0).cast("long"))
-        grouped = _salted_capped_collect(cur, p.summary_cap, p.salt_buckets)
+        grouped = _salted_capped_collect(
+            cur, p.summary_cap, p.salt_buckets, p.summary_token_budget
+        )
         n_groups = 1
 
     parents = (

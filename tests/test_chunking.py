@@ -105,7 +105,56 @@ def test_markdown_extractor_kinds():
     offs = [s[3] for s in spans]
     assert offs == sorted(offs)
     tbl = [s for s in spans if s[0] == "table"][0]
-    assert tbl[1] == "" and tbl[2].startswith("table://")
+    assert tbl[2].startswith("table://")
+    assert "| a | b |" in tbl[1]  # payload captured, not just the ref
+
+
+def test_markdown_table_three_forms():
+    """Reference markdown_extractor.py:36-100 semantics: bordered,
+    borderless, and HTML tables are all ripped, payloads captured, offsets
+    interleaved with surrounding elements."""
+    from raptor_service_spark.operators.chunking import extract_tables_and_remainder
+
+    md = (
+        "# Doc\n"
+        "intro text\n"
+        "| h1 | h2 |\n|----|----|\n| a | b |\n| c | d |\n"
+        "middle text\n"
+        "col1 | col2\n--- | ---\nx | y\nz | w\n"
+        "more text\n"
+        "<table><tr><td>cell</td></tr></table>\n"
+        "<body><table><tr><td>v2</td></tr></table></body>\n"
+        "<html><body><table><tr><td>v3</td></tr></table></body></html>\n"
+        "closing\n"
+    )
+    spans = extract_markdown_elements(md)
+    tables = [s for s in spans if s[0] == "table"]
+    assert len(tables) == 5
+    payloads = [t[1] for t in tables]
+    assert payloads[0].startswith("| h1 | h2 |") and "| c | d |" in payloads[0]
+    assert payloads[1].startswith("col1 | col2") and "z | w" in payloads[1]
+    assert payloads[2] == "<table><tr><td>cell</td></tr></table>"
+    assert payloads[3].startswith("<body>") and "v2" in payloads[3]
+    assert payloads[4].startswith("<html>") and "v3" in payloads[4]
+    # media_refs numbered in document order; offsets strictly increasing
+    assert [t[2] for t in tables] == [f"table://{i}" for i in range(5)]
+    offs = [s[3] for s in spans]
+    assert offs == sorted(offs)
+    # interleaved text survives classification
+    texts = [s[1] for s in spans if s[0] == "text"]
+    assert any("middle text" in t for t in texts)
+    assert any("closing" in t for t in texts)
+
+    remainder, ripped = extract_tables_and_remainder(md)
+    assert len(ripped) == 5
+    assert "| h1 | h2 |" not in remainder and "<table>" not in remainder
+    assert "intro text" in remainder and "closing" in remainder
+
+
+def test_markdown_pipe_run_without_alignment_is_text():
+    md = "before\na | b\nc | d\nafter\n"
+    spans = extract_markdown_elements(md)
+    assert all(s[0] != "table" for s in spans)
 
 
 def test_markdown_to_spans_spark(spark):

@@ -155,3 +155,60 @@ def test_stall_guard_single_span(spark):
     # one leaf -> loop exits immediately; no summary levels
     kinds = [r.kind for r in t.nodes.select("kind").collect()]
     assert kinds == ["leaf"]
+
+
+def test_token_budget_packing_respected_and_salt_invariant(spark):
+    """_salted_capped_collect greedily packs children to the token budget
+    (voyage_client.py:253-280 analog): no group's packed items exceed the
+    budget unless it is a single oversized child, and the result is
+    identical at any salt fan-out (associativity)."""
+    from raptor_service_spark.operators.tree import _salted_capped_collect
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for cell in range(6):
+        for i in range(50):
+            n_words = int(rng.integers(1, 40))
+            rows.append(
+                (
+                    "t1",
+                    "ds",
+                    cell,
+                    f"n{cell}-{i:03d}",
+                    " ".join(f"w{k}" for k in range(n_words)),
+                    f"{cell}#{i:09d}",
+                )
+            )
+    cur = spark.createDataFrame(
+        rows, "tree_id string, dataset_id string, parent_cell long, "
+        "node_id string, text string, ord string"
+    )
+    budget = 100
+    out = {}
+    for salts in (1, 16):
+        got = _salted_capped_collect(cur, cap=32, salt_buckets=salts, token_budget=budget)
+        pdf = got.toPandas().sort_values("parent_cell")
+        out[salts] = [
+            (r.parent_cell, tuple(it["node_id"] for it in r.items), r.n_children)
+            for r in pdf.itertuples()
+        ]
+        for r in pdf.itertuples():
+            toks = [max(it["tok"], 1) for it in r.items]
+            assert sum(toks) <= budget or len(toks) == 1, r.parent_cell
+            assert r.n_children == 50  # true count survives capping
+            # packed prefix is the FIRST children by ord
+            ords = [it["ord"] for it in r.items]
+            assert ords == sorted(ords)
+    assert out[1] == out[16]  # salt fan-out cannot change the result
+
+
+def test_token_budget_oversized_single_child(spark):
+    from raptor_service_spark.operators.tree import _salted_capped_collect
+
+    cur = spark.createDataFrame(
+        [("t1", "ds", 0, "n0", " ".join(f"w{k}" for k in range(500)), "a")],
+        "tree_id string, dataset_id string, parent_cell long, "
+        "node_id string, text string, ord string",
+    )
+    got = _salted_capped_collect(cur, cap=32, salt_buckets=4, token_budget=10).collect()
+    assert len(got) == 1 and len(got[0].items) == 1  # still packs the child
