@@ -42,9 +42,13 @@ HEADLINE = [
     "sum_qty_per_segment",
     "latest_order_per_customer",
     "minhash_pairs",
+    "ngram_jaccard",
+    "simhash_pairs",
     "cosine_neardup_lsh",
     "knn_top10",
     "grid_knn_ann",
+    "reranked_retrieval",
+    "tree_build_docs",
     "tree_build_synthetic",
     "collapsed_retrieval_synthetic",
 ]
