@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -116,6 +116,72 @@ def minhash_sig_sql(shingles_expr: str, bands: int = 16) -> str:
     return "[" + ", ".join(mins) + "]"
 
 
+def shingle_rows(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, g) shingle stream, fully relational (WITH duplicate grams).
+
+    split -> posexplode -> lead() window -> concat_ws, plus the whole-text
+    fallback for docs shorter than k words — the codegen twin of
+    ``shingles_col``'s distinct-array semantics once deduplicated (the
+    interpreted slice/concat HOF measured ~5x slower per use and was
+    re-evaluated for every consumer). The window shuffle is on ``id``; the
+    signature groupBy(id) downstream reuses that partitioning.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col).alias("id"), words.alias("ws"))
+    ex = base.select("id", F.size("ws").alias("n"), F.posexplode("ws").alias("pos", "w"))
+    win = Window.partitionBy("id").orderBy("pos")
+    cur = ex
+    parts = [F.col("w")]
+    for j in range(1, k):
+        cur = cur.withColumn(f"w{j}", F.lead("w", j).over(win))
+        parts.append(F.col(f"w{j}"))
+    grams = cur.filter(F.col("pos") <= F.col("n") - k).select(
+        "id", F.concat_ws(" ", *parts).alias("g")
+    )
+    short = base.filter(F.size("ws") < k).select(
+        "id", F.concat_ws(" ", "ws").alias("g")
+    )
+    return grams.unionByName(short)
+
+
+def distinct_shingle_rows(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    return shingle_rows(docs, text_col, id_col, k).dropDuplicates(["id", "g"])
+
+
+def _count_jaccard(
+    cand: DataFrame, dg: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact jaccard for candidate pairs from DISTINCT shingle rows ``dg``,
+    by counts (inter / (|A| + |B| - inter)) — no array materialization, all
+    codegen joins/aggregates. Pairs with zero shared shingles drop out of
+    the inner join, which is correct for any threshold > 0."""
+    sizes = dg.groupBy("id").agg(F.count("*").alias("s"))
+    inter = (
+        cand.join(dg.select(F.col("id").alias("id_a"), "g"), "id_a")
+        .join(dg.select(F.col("id").alias("id_b"), "g"), ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    )
+
+
 def jaccard_col(a, b):
     return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
 
@@ -169,26 +235,14 @@ def minhash_lsh_pairs(
     predicate so results match exactly.
     """
     assert bands % _CHUNKS_PER_MD5 == 0
-    # No persist: the shingle projection (split/slice, no hashing) is cheap
-    # to recompute for the two verify joins, and a persist here would leak
-    # cached blocks for the life of the session (callers never see the
-    # DataFrame's lineage to unpersist it).
-    base = docs.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("sh")
-    )
-
-    # Band minima computed RELATIONALLY: explode shingles once, then one
-    # groupBy(id) with 16 MIN aggregates. The md5/substring exprs live in a
-    # codegen'd Project (subexpression elimination collapses the 4 substring
-    # reads of each md5 to ONE hash call), and the partial aggregation
-    # reduces map-side output to one row per id — unlike the higher-order
-    # `transform` formulation (minhash_sig_col), which is interpreted and
-    # re-evaluates the inner md5 transform per array_min (measured ~10x
-    # slower at sf0.1).
-    ex = base.select("id", F.explode("sh").alias("s"))
+    # Everything relational, no arrays: the gram stream feeds MIN aggregates
+    # directly (duplicate grams cannot change a MIN), and the exact-jaccard
+    # verification runs on counts over the deduplicated stream. No persist
+    # needed: every consumer of the shingle projection is codegen-cheap.
+    ex = shingle_rows(docs, text_col, id_col, k)
     aggs = []
     for g in range(bands // _CHUNKS_PER_MD5):
-        h = F.md5(F.concat(F.lit(f"{g}|"), F.col("s")))
+        h = F.md5(F.concat(F.lit(f"{g}|"), F.col("g")))
         for c in range(_CHUNKS_PER_MD5):
             aggs.append(
                 F.min(F.substring(h, c * 8 + 1, 8)).alias(f"h{g * _CHUNKS_PER_MD5 + c}")
@@ -208,14 +262,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    pairs = (
-        cand.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
-    )
-    return pairs
+    dg = ex.dropDuplicates(["id", "g"])
+    return _count_jaccard(cand, dg, threshold)
 
 
 def minhash_lsh_pairs_sql(
@@ -265,32 +313,51 @@ def ngram_jaccard_pairs(
     final filter compares jaccard ROUNDED to 6 dp (a true jaccard just
     under t can round up to t).
     """
-    from pyspark.sql import Window
-
     t_margin = threshold - 1e-6
-    base = docs.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), k).alias("sh")
-    )
-    inv = base.select("id", F.size("sh").alias("s"), F.explode("sh").alias("g"))
-    freq = inv.groupBy("g").agg(F.count("*").alias("df"))
-    ranked = inv.join(freq, "g").withColumn(
+    # One materialization of the deduplicated gram stream: the frequency
+    # agg, size/rank windows, prefix self-join, and verification arrays
+    # would otherwise each recompute the split/window/dedup pipeline.
+    # localCheckpoint (not persist) ties the cached blocks' lifetime to the
+    # returned plan — the ContextCleaner frees them when the result is
+    # dropped, so nothing leaks for the session lifetime.
+    dg = distinct_shingle_rows(docs, text_col, id_col, k).localCheckpoint(eager=False)
+    sized = dg.withColumn("s", F.count("*").over(Window.partitionBy("id")))
+    freq = dg.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = sized.join(freq, "g").withColumn(
         "rn",
         F.row_number().over(Window.partitionBy("id").orderBy("df", "g")),
     )
     plen = F.col("s") - F.ceil(F.lit(t_margin * t_margin) * F.col("s")) + F.lit(1)
-    prefix = ranked.filter(F.col("rn") <= plen).select("id", "g")
+    prefix = ranked.filter(F.col("rn") <= plen).select("id", "g", "rn", "s")
+    # Pair-dependent prefix test at join time (the ppjoin tightening): for
+    # J >= t', the required overlap is alpha = ceil(t'/(1+t')*(sa+sb)), and
+    # the globally-smallest shared gram must sit within BOTH docs' prefixes
+    # of length s - alpha + 1. Joining on the static prefix (a superset;
+    # alpha >= ceil(t'^2*s) given the size filter) and filtering on the
+    # positional + size conditions keeps exactness while cutting candidate
+    # pairs by an order of magnitude on similar-vocabulary corpora.
+    sa, sb = F.col("a.s"), F.col("b.s")
+    alpha = F.ceil(F.lit(t_margin / (1.0 + t_margin)) * (sa + sb))
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (sb >= F.lit(t_margin) * sa)
+            & (sa >= F.lit(t_margin) * sb)
+            & (F.col("a.rn") <= sa - alpha + 1)
+            & (F.col("b.rn") <= sb - alpha + 1),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verification on per-doc gram ARRAYS (one collect_list, join carries a
+    # row per doc side, auto-broadcast when small) — codegen set ops
+    sh = dg.groupBy("id").agg(F.collect_list("g").alias("sh"))
     return (
-        cand.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
