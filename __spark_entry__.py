@@ -32,6 +32,7 @@ from raptor_service_spark.functions.text import (
     fingerprint,
     lang_id,
     lang_id_sql,
+    normalize_query_sql,
     quality_score,
     quality_score_sql,
 )
@@ -569,6 +570,22 @@ def q_scalar_funcs(spark, sf_dir):
     )
 
 
+def q_query_normalize(spark, sf_dir):
+    """Query length policy battery (query_rewrite_service.py:48-67): caps
+    scaled to the driver docs' token range so all three branches fire —
+    pass-through, truncate-to-target, reject(NULL)."""
+    from raptor_service_spark.functions.text import normalize_query, token_count
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    nq = normalize_query(F.col("text"), soft_cap=50, hard_cap=90, target_tokens=30)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length(nq).cast("long").alias("norm_len"),
+        F.coalesce(F.substring(nq, 1, 24), F.lit("<rejected>")).alias("norm_head"),
+    )
+
+
 def q_event_type_setops(spark, sf_dir):
     """§2.7 set ops: INTERSECT/EXCEPT of event-type sets between the even and
     odd event-id halves of the stream."""
@@ -1008,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "price_bucket_range_join": q_price_bucket_range_join,
         "scalar_funcs": q_scalar_funcs,
+        "query_normalize": q_query_normalize,
         "event_type_setops": q_event_type_setops,
         # text analysis + dedup + similarity
         "doc_tokens_by_lang": q_doc_tokens_by_lang,
@@ -1217,6 +1235,15 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars
             FROM documents WHERE doc_id < 200
         """,
+        "query_normalize": (
+            lambda nq: f"""
+            SELECT doc_id,
+                   CAST({token_count_sql("text")} AS BIGINT) AS n_tokens,
+                   CAST(length({nq}) AS BIGINT) AS norm_len,
+                   COALESCE(substring({nq}, 1, 24), '<rejected>') AS norm_head
+            FROM documents WHERE doc_id < 300
+        """
+        )(normalize_query_sql("text", soft_cap=50, hard_cap=90, target_tokens=30)),
         "event_type_setops": """
             SELECT event_type, 'both' AS src FROM
                 (SELECT event_type FROM events WHERE event_id % 2 = 0

@@ -59,6 +59,44 @@ def truncate_to_tokens(text: Column, max_tokens: int, chars_per_token: float = 4
     return F.substring(text, 1, int(max_tokens * chars_per_token))
 
 
+def normalize_query(
+    text: Column,
+    soft_cap: int = 4000,
+    hard_cap: int = 8000,
+    target_tokens: int = 2000,
+    chars_per_token: float = 4.0,
+) -> Column:
+    """Query length policy (reference services/retrieval/
+    query_rewrite_service.py:48-67 + constants/query.py:1-3):
+    <= soft_cap tokens -> pass through; <= hard_cap -> rewrite down to
+    target_tokens (the LLM rewrite is replaced by the deterministic
+    char-ratio truncation, utils/token.py:98-106); beyond hard_cap -> NULL
+    (the reference raises 400 — a relational operator signals rejection with
+    NULL and lets the caller filter)."""
+    n = token_count(text)
+    return (
+        F.when(n <= soft_cap, text)
+        .when(n <= hard_cap, truncate_to_tokens(text, target_tokens, chars_per_token))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def normalize_query_sql(
+    expr: str,
+    soft_cap: int = 4000,
+    hard_cap: int = 8000,
+    target_tokens: int = 2000,
+    chars_per_token: float = 4.0,
+) -> str:
+    n = token_count_sql(expr)
+    trunc = int(target_tokens * chars_per_token)
+    return (
+        f"CASE WHEN {n} <= {soft_cap} THEN {expr} "
+        f"WHEN {n} <= {hard_cap} THEN substring({expr}, 1, {trunc}) "
+        f"ELSE NULL END"
+    )
+
+
 def enumerate_docs_prompt(texts: Column) -> Column:
     """'[#i] text' prompt assembly over an array<string> column
     (reference services/clustering/summarizer.py:93-101)."""
