@@ -179,6 +179,10 @@ def main() -> None:
     spark = get_spark("bench-queries", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     qmap = entry_mod.queries()
+    # Warmup: touch every driver table once so the first headline query's
+    # number reflects the query, not JVM/codegen/parquet-footer cold start.
+    for t in ("documents", "embeddings", "orders", "lineitem", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

@@ -44,19 +44,6 @@ def words_sql(expr: str) -> str:
     return f"regexp_split_to_array(lower(trim({expr})), '\\s+')"
 
 
-def shingles_col(text, k: int = 3):
-    """Distinct word k-shingles; whole text as one shingle when shorter than k."""
-    w = words_col(text)
-    n = F.size(w)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - F.lit(k)),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
-    )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array(F.concat_ws(" ", w))
-    )
-
-
 def shingles_sql(expr: str, k: int = 3) -> str:
     w = words_sql(expr)
     grams = (
@@ -70,36 +57,6 @@ def shingles_sql(expr: str, k: int = 3) -> str:
 
 
 _CHUNKS_PER_MD5 = 4  # 32 hex chars -> four 8-hex band hashes per md5 call
-
-
-def minhash_sig_col(shingles, bands: int = 16):
-    """MinHash signature: array of ``bands`` 8-hex-char minima.
-
-    One md5 per shingle per GROUP of 4 bands (the 128-bit digest is split
-    into four 8-hex chunks, each an independent-byte hash function) — 4x
-    fewer hash invocations than one-md5-per-band at identical candidacy
-    semantics; the SQL oracle (minhash_sig_sql) applies the same split so
-    signatures stay bit-identical across engines.
-    """
-    assert bands % _CHUNKS_PER_MD5 == 0
-    mins = []
-    for g in range(bands // _CHUNKS_PER_MD5):
-        hashed = F.transform(shingles, lambda s, g=g: F.md5(F.concat(F.lit(f"{g}|"), s)))
-        for c in range(_CHUNKS_PER_MD5):
-            # Band index baked into the stored value (constant prefix
-            # preserves the min): a cross-band 32-bit collision can then
-            # never count as candidacy, so set-membership comparisons
-            # (the oracle's list_has_any) are same-band by construction.
-            b = g * _CHUNKS_PER_MD5 + c
-            mins.append(
-                F.concat(
-                    F.lit(f"{b:02d}|"),
-                    F.array_min(
-                        F.transform(hashed, lambda h, c=c: F.substring(h, c * 8 + 1, 8))
-                    ),
-                )
-            )
-    return F.array(*mins)
 
 
 def minhash_sig_sql(shingles_expr: str, bands: int = 16) -> str:
@@ -122,11 +79,11 @@ def shingle_rows(
     """(id, g) shingle stream, fully relational (WITH duplicate grams).
 
     split -> posexplode -> lead() window -> concat_ws, plus the whole-text
-    fallback for docs shorter than k words — the codegen twin of
-    ``shingles_col``'s distinct-array semantics once deduplicated (the
-    interpreted slice/concat HOF measured ~5x slower per use and was
-    re-evaluated for every consumer). The window shuffle is on ``id``; the
-    signature groupBy(id) downstream reuses that partitioning.
+    fallback for docs shorter than k words — once deduplicated, the codegen
+    twin of the oracle's distinct-array semantics (``shingles_sql``). An
+    interpreted slice/concat array HOF measured ~5x slower per use here and
+    was re-evaluated for every consumer. The window shuffle is on ``id``;
+    the signature groupBy(id) downstream reuses that partitioning.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = docs.select(F.col(id_col).alias("id"), words.alias("ws"))
