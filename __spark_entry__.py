@@ -722,6 +722,37 @@ def q_pip_docs(spark, sf_dir):
     return point_in_polygon_join(pts, polys, res=6).select("qid", "doc_id")
 
 
+_RADIUS_CENTERS = {"c1": (30.0, -80.0), "c2": (-20.0, 140.0), "c3": (50.0, 10.0)}
+_RADIUS = 25.0
+
+
+def q_radius_join_docs(spark, sf_dir):
+    """Within-radius distance join (filter-refine, interior-cell fast
+    accept, codegen sqrt refine — operators/pip_join.radius_join) of driver
+    docs against three literal centers."""
+    from raptor_service_spark.operators.pip_join import radius_join
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng)
+    return radius_join(pts, _RADIUS_CENTERS, _RADIUS, res=5).select(
+        "qid", "doc_id", "dist"
+    )
+
+
+def _radius_join_docs_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    vals = ", ".join(
+        f"('{q}', {la}, {ln})" for q, (la, ln) in _RADIUS_CENTERS.items()
+    )
+    d = f"sqrt(({lat} - clat) * ({lat} - clat) + ({lng} - clng) * ({lng} - clng))"
+    return f"""
+        SELECT qid, doc_id, ROUND({d}, 6) AS dist
+        FROM documents CROSS JOIN (VALUES {vals}) q(qid, clat, clng)
+        WHERE ROUND({d}, 6) <= {_RADIUS}
+    """
+
+
 def q_spans_explode(spark, sf_dir):
     """Span pipeline on driver docs: split to 10-word spans, explode with
     ordered idx + chunk ids (S9/T4 invariant; chunk_service.py:27 id scheme)."""
@@ -1001,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cells": q_doc_cells,
         "tile_histogram": q_tile_histogram,
         "pip_docs": q_pip_docs,
+        "radius_join_docs": q_radius_join_docs,
         # relational battery
         "lineitem_agg": q_lineitem_agg,
         "orders_status_stats": q_orders_status_stats,
@@ -1073,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents GROUP BY 1"
         ),
         "pip_docs": f"{tri_sql} UNION ALL {rect_sql}",
+        "radius_join_docs": _radius_join_docs_sql(),
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty,
                    ROUND(SUM(l_extendedprice), 2) AS sum_price,

@@ -102,3 +102,88 @@ def point_in_polygon_join_bruteforce(
     return points.crossJoin(F.broadcast(qids)).filter(
         pip_exact(F.col("qid"), F.col(lat_col), F.col(lng_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# within-radius distance join (graft-new spatial operator, same filter-refine
+# shape as the PIP join; distance is pure JVM arithmetic — no Python at all)
+# ---------------------------------------------------------------------------
+
+
+def circle_cells_df(
+    spark, centers: dict[str, tuple[float, float]], radius: float, res: int
+) -> DataFrame:
+    """qid -> (qid, cell, is_boundary) rows for cells intersecting each
+    circle (euclidean in degree space). A cell whose FARTHEST corner is
+    within the radius is interior (every point in it matches — no exact
+    test needed); a cell whose NEAREST point is within is boundary."""
+    from raptor_service_spark.geo.grid import RES_MULTIPLIER
+
+    n = 1 << res
+    dlat, dlng = 180.0 / n, 360.0 / n
+    rows = []
+    for qid, (clat, clng) in centers.items():
+        x0 = int(np.clip(np.floor((clng - radius + 180.0) / 360.0 * n), 0, n - 1))
+        x1 = int(np.clip(np.floor((clng + radius + 180.0) / 360.0 * n), 0, n - 1))
+        y0 = int(np.clip(np.floor((clat - radius + 90.0) / 180.0 * n), 0, n - 1))
+        y1 = int(np.clip(np.floor((clat + radius + 90.0) / 180.0 * n), 0, n - 1))
+        for y in range(y0, y1 + 1):
+            lat_lo, lat_hi = y * dlat - 90.0, (y + 1) * dlat - 90.0
+            for x in range(x0, x1 + 1):
+                lng_lo, lng_hi = x * dlng - 180.0, (x + 1) * dlng - 180.0
+                near = float(
+                    np.hypot(
+                        max(lat_lo - clat, 0.0, clat - lat_hi),
+                        max(lng_lo - clng, 0.0, clng - lng_hi),
+                    )
+                )
+                far = float(
+                    np.hypot(
+                        max(abs(clat - lat_lo), abs(clat - lat_hi)),
+                        max(abs(clng - lng_lo), abs(clng - lng_hi)),
+                    )
+                )
+                if near <= radius:
+                    rows.append(
+                        (qid, res * RES_MULTIPLIER + y * n + x, far > radius)
+                    )
+    return spark.createDataFrame(rows, "qid string, cell long, is_boundary boolean")
+
+
+def radius_join(
+    points: DataFrame,
+    centers: dict[str, tuple[float, float]],
+    radius: float,
+    res: int = 6,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Within-distance join: every (center qid, point) pair with euclidean
+    degree-space distance <= radius (compared ROUNDED to 6 dp, the repo's
+    cross-engine float convention; pick a radius that is a multiple of 1e-6
+    so interior-cell acceptance can never disagree with the rounded test).
+
+    Filter-refine like the PIP join: candidate cells per circle are a tiny
+    broadcast list (partition pruning on a cell-partitioned table); interior
+    cells accept with no predicate; boundary cells evaluate the exact
+    distance — a codegen sqrt expression, no UDF. Output: points columns +
+    (qid, dist).
+    """
+    spark = points.sparkSession
+    cells_df = circle_cells_df(spark, centers, radius, res)
+    centers_df = spark.createDataFrame(
+        [(q, float(la), float(ln)) for q, (la, ln) in centers.items()],
+        "qid string, clat double, clng double",
+    )
+    pts = points.withColumn("_cell", cell_encode_col(F.col(lat_col), F.col(lng_col), res))
+    joined = (
+        pts.join(F.broadcast(cells_df), pts["_cell"] == cells_df["cell"], "inner")
+        .join(F.broadcast(centers_df), "qid")
+    )
+    dla = F.col(lat_col) - F.col("clat")
+    dln = F.col(lng_col) - F.col("clng")
+    dist = F.round(F.sqrt(dla * dla + dln * dln), 6)
+    accepted = joined.filter((~F.col("is_boundary")) | (dist <= F.lit(radius)))
+    return accepted.withColumn("dist", dist).drop(
+        "_cell", "cell", "is_boundary", "clat", "clng"
+    )

@@ -56,3 +56,36 @@ def test_output_keeps_point_columns(points, polygons):
 def test_plan_broadcasts_cells(points, polygons):
     plan = point_in_polygon_join(points, polygons, res=6)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_radius_join_matches_bruteforce(spark):
+    """Filter-refine radius join == brute-force distance filter, including
+    interior-cell fast-accepted rows and cells straddling the boundary."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from raptor_service_spark.operators.pip_join import radius_join
+
+    rng = np.random.default_rng(17)
+    pts = spark.createDataFrame(
+        [(int(i), float(la), float(ln)) for i, (la, ln) in enumerate(
+            zip(rng.uniform(-85, 85, 3000), rng.uniform(-179, 179, 3000)))],
+        "pid long, lat double, lng double",
+    )
+    centers = {"a": (10.0, 20.0), "b": (-40.0, -120.0)}
+    radius = 18.0
+    got = radius_join(pts, centers, radius, res=5).select("qid", "pid", "dist")
+    rows = {(r.qid, r.pid) for r in got.collect()}
+    exp = set()
+    for q, (cla, cln) in centers.items():
+        pdf = pts.toPandas()
+        d = np.round(np.sqrt((pdf.lat - cla) ** 2 + (pdf.lng - cln) ** 2), 6)
+        exp |= {(q, int(p)) for p, dd in zip(pdf.pid, d) if dd <= radius}
+    assert rows == exp
+    assert len(rows) > 20
+    # dist values exact vs brute force on a sample
+    one = got.orderBy("qid", "pid").limit(5).collect()
+    for r in one:
+        cla, cln = centers[r.qid]
+        pr = pts.filter(F.col("pid") == r.pid).collect()[0]
+        assert abs(r.dist - round(((pr.lat - cla) ** 2 + (pr.lng - cln) ** 2) ** 0.5, 6)) < 1e-9
