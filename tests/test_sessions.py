@@ -118,3 +118,49 @@ def test_stream_matches_batch_across_microbatches(spark, events, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_fold_property_any_batch_split_matches_naive():
+    """Hypothesis: for ANY sorted event sequence and ANY split into
+    micro-batches, folding batch-by-batch with state carry-over produces
+    exactly the naive whole-sequence sessionization (closed + final open)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def naive(ts, vals, gap):
+        sessions, start = [], 0
+        for i in range(1, len(ts)):
+            if ts[i] - ts[i - 1] > gap:
+                sessions.append(
+                    (int(ts[start]), int(ts[i - 1]), i - start,
+                     float(vals[start:i].sum()))
+                )
+                start = i
+        sessions.append(
+            (int(ts[start]), int(ts[-1]), len(ts) - start,
+             float(vals[start:].sum()))
+        )
+        return sessions
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        deltas=st.lists(st.integers(0, 3 * GAP), min_size=1, max_size=40),
+        cuts=st.lists(st.integers(0, 39), max_size=5),
+        data=st.data(),
+    )
+    def check(deltas, cuts, data):
+        ts = np.cumsum(np.array(deltas, dtype=np.int64))
+        vals = np.arange(1.0, len(ts) + 1)
+        bounds = sorted({c for c in cuts if 0 < c < len(ts)})
+        pieces = np.split(np.arange(len(ts)), bounds)
+        state, closed = None, []
+        for idx in pieces:
+            if not len(idx):
+                continue
+            c, state = _close_sessions_np(ts[idx], vals[idx], state, GAP)
+            closed.extend(c)
+        final = [(s[1], s[0], s[2], s[3]) for s in [state]]
+        got = [(c[0], c[1], c[2], c[3]) for c in closed] + final
+        assert got == naive(ts, vals, GAP)
+
+    check()
