@@ -109,31 +109,18 @@ def distinct_shingle_rows(
     return shingle_rows(docs, text_col, id_col, k).dropDuplicates(["id", "g"])
 
 
-def _count_jaccard(
-    cand: DataFrame, dg: DataFrame, threshold: float
-) -> DataFrame:
-    """Exact jaccard for candidate pairs from DISTINCT shingle rows ``dg``,
-    by counts (inter / (|A| + |B| - inter)) — no array materialization, all
-    codegen joins/aggregates. Pairs with zero shared shingles drop out of
-    the inner join, which is correct for any threshold > 0."""
-    sizes = dg.groupBy("id").agg(F.count("*").alias("s"))
-    inter = (
-        cand.join(dg.select(F.col("id").alias("id_a"), "g"), "id_a")
-        .join(dg.select(F.col("id").alias("id_b"), "g"), ["id_b", "g"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+def _array_jaccard(cand: DataFrame, dg: DataFrame, threshold: float) -> DataFrame:
+    """Exact jaccard for candidate pairs from DISTINCT shingle rows ``dg``:
+    per-doc gram arrays via one collect_list, so the verification join
+    carries ONE row per doc side (auto-broadcast when the doc table is
+    small; a per-GRAM join would carry |sh|x the rows), then codegen
+    array_intersect / array_union set ops. A doc's gram array is bounded by
+    its own length — never corpus-sized."""
+    sh = dg.groupBy("id").agg(F.collect_list("g").alias("sh"))
     return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("s").alias("sa")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("s").alias("sb")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sa") + F.col("sb") - F.col("inter")),
-                6,
-            ),
-        )
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
     )
@@ -192,10 +179,10 @@ def minhash_lsh_pairs(
     predicate so results match exactly.
     """
     assert bands % _CHUNKS_PER_MD5 == 0
-    # Everything relational, no arrays: the gram stream feeds MIN aggregates
-    # directly (duplicate grams cannot change a MIN), and the exact-jaccard
-    # verification runs on counts over the deduplicated stream. No persist
-    # needed: every consumer of the shingle projection is codegen-cheap.
+    # The relational gram stream feeds MIN aggregates directly (duplicate
+    # grams cannot change a MIN); exact-jaccard verification runs on
+    # per-doc gram arrays (_array_jaccard). No persist needed: every
+    # consumer of the shingle projection is codegen-cheap.
     ex = shingle_rows(docs, text_col, id_col, k)
     aggs = []
     for g in range(bands // _CHUNKS_PER_MD5):
@@ -220,7 +207,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     dg = ex.dropDuplicates(["id", "g"])
-    return _count_jaccard(cand, dg, threshold)
+    return _array_jaccard(cand, dg, threshold)
 
 
 def minhash_lsh_pairs_sql(
@@ -309,16 +296,7 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verification on per-doc gram ARRAYS (one collect_list, join carries a
-    # row per doc side, auto-broadcast when small) — codegen set ops
-    sh = dg.groupBy("id").agg(F.collect_list("g").alias("sh"))
-    return (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
-    )
+    return _array_jaccard(cand, dg, threshold)
 
 
 def ngram_jaccard_pairs_sql(
