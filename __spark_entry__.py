@@ -676,6 +676,27 @@ def q_knn_multi(spark, sf_dir):
     return out.select("qid", "id", F.round("dist", 6).alias("dist"))
 
 
+def q_knn_filtered(spark, sf_dir):
+    """Filtered vector search (J8 ∘ P1 — the composition every RAG metadata
+    filter needs): kNN restricted to docs passing a metadata predicate. The
+    predicate lands in the documents scan (PushedFilters) and the left-semi
+    join prunes vectors BEFORE any distance is computed; at scale the same
+    plan partition-prunes a doc-partitioned embedding table."""
+    keep = (
+        _read(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 300))
+        .select("doc_id")
+    )
+    e = _read(spark, sf_dir, "embeddings")
+    cand = e.join(keep, e.vec_id == keep.doc_id, "left_semi")
+    return (
+        cand.withColumn("dist", F.round(cosine_dist_col(F.col("embedding"), QVEC), 6))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "dist")
+    )
+
+
 def q_knn_top10(spark, sf_dir):
     """J8 brute-force kNN for one literal query vector."""
     e = _read(spark, sf_dir, "embeddings")
@@ -1068,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_neardup": q_cosine_neardup,
         "knn_top10": q_knn_top10,
+        "knn_filtered": q_knn_filtered,
         "knn_multi": q_knn_multi,
         "spans_explode": q_spans_explode,
         # engine-native (rows-only driver check; pytest covers semantics)
@@ -1314,6 +1336,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1.0 - list_cosine_similarity(
                        list_transform(embedding, x -> CAST(x AS DOUBLE)), {QVEC_SQL}), 6) AS dist
             FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10
+        """,
+        "knn_filtered": f"""
+            SELECT vec_id,
+                   ROUND(1.0 - list_cosine_similarity(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)), {QVEC_SQL}), 6) AS dist
+            FROM embeddings
+            WHERE vec_id IN (SELECT doc_id FROM documents
+                             WHERE lang = 'en' AND n_chars >= 300)
+            ORDER BY dist ASC, vec_id ASC LIMIT 10
         """,
         "knn_multi": f"""
             WITH q(qid, qv) AS (VALUES ('qa', {QVEC_SQL}), ('qb', {QVEC2_SQL})),

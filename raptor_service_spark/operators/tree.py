@@ -304,6 +304,125 @@ def build_tile_tree(spans_embedded: DataFrame, params: TreeParams | None = None)
     return TileTree(nodes=nodes, edges=edges, links=links, levels=top, stats=stats)
 
 
+def ingest_incremental(
+    new_spans_embedded: DataFrame,
+    catalog,
+    params: TreeParams | None = None,
+    prefix: str = "tree",
+) -> TileTree:
+    """Incremental rebuild-on-ingest (reference build_tree_service.py:85-161
+    re-run semantics, done without touching clean data): append the new
+    leaves, recompute ONLY the level-1 cells they land in (the filter on the
+    leaf table is a partition predicate on a cell-partitioned layout — old
+    leaves in clean cells are never read), then rebuild the upper ladder
+    (levels >= 2) from the merged level 1. Upper levels shrink 4^dres per
+    step, so they are a vanishing fraction of the corpus; the expensive
+    stage — leaves -> level 1 — is the one that stays incremental.
+
+    The result is IDENTICAL to a full rebuild over the union corpus
+    (pytest-pinned): node ids are deterministic per (tree, level, cell) and
+    each dirty cell re-aggregates its COMPLETE child set, so summaries,
+    token-budget packs, edges, and provenance links come out the same.
+
+    Precondition: level 1 is a genuine coarsening (no stall-forced single
+    group), which holds for any real geography; the restricted ascend
+    disables the stall guard explicitly.
+    """
+    p = params or TreeParams()
+    t_nodes, t_edges, t_links = f"{prefix}_nodes", f"{prefix}_edges", f"{prefix}_links"
+    ladder = list(p.res_ladder)
+
+    # 1. append new leaves + identity links at level 0
+    leaves_new = _leaf_nodes(new_spans_embedded, ladder[0]).persist()
+    links_new = leaves_new.select(
+        "tree_id", "node_id", "chunk_id", F.lit(0).alias("rank"), "dataset_id",
+        F.lit(0).alias("level"),
+    )
+    catalog.append(t_links, links_new, props={"level": 0, "op": "ingest"})
+    catalog.append(t_nodes, leaves_new.select(*NODE_COLS), props={"level": 0, "op": "ingest"})
+
+    # 2. dirty level-1 cells = parents of the new leaves (small driver list)
+    dirty = [
+        r.c
+        for r in leaves_new.select(
+            cell_parent_col(F.col("cell"), ladder[0], ladder[1]).alias("c")
+        )
+        .distinct()
+        .collect()
+    ]
+    leaves_new.unpersist()
+
+    # 3. restricted ascend over ALL leaves (old + new) in dirty cells
+    leaves_all = catalog.read(t_nodes).filter(F.col("level") == 0)
+    leaves_dirty = leaves_all.filter(
+        cell_parent_col(F.col("cell"), ladder[0], ladder[1]).isin(dirty)
+    ).persist()
+    links0 = catalog.read(t_links).filter(F.col("level") == 0)
+    n_guard = leaves_dirty.count() + 1  # stall guard disabled (see docstring)
+    parents, edges, links, _, forced = _ascend_one_level(
+        leaves_dirty, links0, 1, ladder[0], ladder[1], p, n_guard
+    )
+    assert not forced
+    # kind is decided globally below (the restricted set must not self-promote)
+    parents = parents.withColumn("kind", F.lit("summary")).persist()
+
+    # 4. merge level 1: recomputed ids are deterministic per cell, so the
+    # delete set is exactly the dirty cells / their parent ids
+    pid_sql = ",".join(f"'{r.node_id}'" for r in parents.select("node_id").collect())
+    cell_sql = ",".join(str(c) for c in dirty)
+    catalog.delete_where(t_nodes, f"level = 1 AND cell IN ({cell_sql})", props={"op": "ingest"})
+    catalog.append(t_nodes, parents.select(*NODE_COLS), props={"level": 1, "op": "ingest"})
+    if catalog.exists(t_edges):
+        catalog.delete_where(t_edges, f"level = 1 AND parent_id IN ({pid_sql})", props={"op": "ingest"})
+    catalog.append(t_edges, edges, props={"level": 1, "op": "ingest"})
+    catalog.delete_where(t_links, f"level = 1 AND node_id IN ({pid_sql})", props={"op": "ingest"})
+    catalog.append(t_links, links, props={"level": 1, "op": "ingest"})
+    leaves_dirty.unpersist()
+    parents.unpersist()
+
+    # 5. rebuild levels >= 2 from the merged level 1 (tiny tables)
+    for t in (t_edges, t_links, t_nodes):
+        if catalog.exists(t):
+            catalog.delete_where(t, "level >= 2", props={"op": "ingest"})
+    lvl1 = catalog.read(t_nodes).filter(F.col("level") == 1)
+    n1 = lvl1.count()
+    if n1 == 1:
+        # ladder ends at level 1: the single group is the root
+        catalog.merge(
+            t_nodes, lvl1.withColumn("kind", F.lit("root")), ["node_id"],
+            props={"op": "ingest"},
+        )
+        top = 1
+    else:
+        # demote a stale level-1 root left over from a smaller corpus
+        stale = lvl1.filter(F.col("kind") == "root")
+        if stale.limit(1).count():
+            catalog.merge(
+                t_nodes, stale.withColumn("kind", F.lit("summary")), ["node_id"],
+                props={"op": "ingest"},
+            )
+        lvl1 = catalog.read(t_nodes).filter(F.col("level") == 1).persist()
+        links1 = catalog.read(t_links).filter(F.col("level") == 1)
+
+        def sink(level, parents_l, edges_l, links_l):
+            catalog.append(t_links, links_l, props={"level": level, "op": "ingest"})
+            catalog.append(t_edges, edges_l, props={"level": level, "op": "ingest"})
+            catalog.append(t_nodes, parents_l.select(*NODE_COLS), props={"level": level, "op": "ingest"})
+
+        top, _ = _run_ladder(lvl1, links1, 1, n1, p, sink)
+
+    spark = new_spans_embedded.sparkSession
+    nodes = catalog.read(t_nodes)
+    edges = (
+        catalog.read(t_edges)
+        if catalog.exists(t_edges)
+        else spark.createDataFrame(
+            [], "tree_id string, parent_id string, child_id string, level int"
+        )
+    )
+    return TileTree(nodes=nodes, edges=edges, links=catalog.read(t_links), levels=top)
+
+
 def build_tile_tree_checkpointed(
     spans_embedded: DataFrame,
     params: TreeParams | None = None,

@@ -125,3 +125,52 @@ def test_resume_noop_when_complete(spark, spans, tmp_path):
     assert _tree_signature(first) == _tree_signature(again)
     # complete tree -> no new node snapshots beyond resume bookkeeping
     assert len(cat.snapshots("tree_nodes")) == n_snaps
+
+
+# ----------------------------------------------------- incremental ingest
+
+
+def _spans_for(spark, n, seed, dim=16):
+    from pyspark.sql import functions as F
+
+    docs = gen_documents_df(spark, n, seed=seed).withColumn(
+        "dataset_id", F.lit("ds-shared")
+    )
+    return embed_spans(explode_spans(docs), dim=dim)
+
+
+def test_ingest_incremental_matches_full_rebuild(spark, tmp_path):
+    """build(A) + ingest(B) == build(A ∪ B), table for table — summaries,
+    budget packs, edges, and provenance links included (deterministic ids +
+    complete re-aggregation of each dirty cell)."""
+    from raptor_service_spark.operators.tree import ingest_incremental
+
+    a = _spans_for(spark, 30, seed=70)
+    b = _spans_for(spark, 12, seed=71)
+
+    cat = SnapshotCatalog(str(tmp_path / "cat_inc"), spark)
+    build_tile_tree_checkpointed(a, PARAMS, catalog=cat, prefix="t", resume=False)
+    inc = ingest_incremental(b, cat, PARAMS, prefix="t")
+
+    full = build_tile_tree(a.unionByName(b), PARAMS)
+    assert _tree_signature(inc) == _tree_signature(full)
+    # dirty-cell recompute really fired: level-1 snapshots carry ingest ops
+    ops = [s["props"].get("op") for s in cat.snapshots("t_nodes")]
+    assert "ingest" in ops
+
+
+def test_ingest_incremental_demotes_stale_root(spark, tmp_path):
+    """A one-doc corpus roots at level 1; ingesting a far-away doc must
+    demote that root and grow the ladder exactly like a full rebuild."""
+    from raptor_service_spark.operators.tree import ingest_incremental
+
+    a = _spans_for(spark, 1, seed=72)
+    b = _spans_for(spark, 6, seed=73)
+
+    cat = SnapshotCatalog(str(tmp_path / "cat_root"), spark)
+    t0 = build_tile_tree_checkpointed(a, PARAMS, catalog=cat, prefix="t", resume=False)
+    inc = ingest_incremental(b, cat, PARAMS, prefix="t")
+    full = build_tile_tree(a.unionByName(b), PARAMS)
+    assert _tree_signature(inc) == _tree_signature(full)
+    roots = inc.nodes.filter(inc.nodes.kind == "root").collect()
+    assert len(roots) == 1
