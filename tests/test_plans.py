@@ -1,0 +1,101 @@
+"""Physical-plan regression tests — the PLANS.md claims as assertions.
+
+These don't check answers (the oracle battery does); they check the SHAPE
+Catalyst produces, which is what survives a 100x scale-up: filters reaching
+the parquet reader, column pruning, broadcast joins for small sides,
+map-side partial aggregation, and the single-exchange centroid aggregate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    return entry_mod.queries()
+
+
+def test_filtered_knn_pushes_predicate_and_prunes_columns(spark, qmap):
+    plan = _plan(qmap["knn_filtered"](spark, SF_DIR))
+    # metadata predicate reaches the documents scan
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(lang,en)" in plan or "lang" in plan.split("PushedFilters")[1][:200]
+    # documents scan reads only the needed columns, never text
+    docs_scans = [s for s in plan.split("Scan parquet")[1:] if "documents" in s[:400]]
+    assert docs_scans and all("text" not in s.split("ReadSchema")[1][:200] for s in docs_scans if "ReadSchema" in s)
+
+
+def test_revenue_joins_broadcast_dimensions(spark, qmap):
+    plan = _plan(qmap["revenue_by_nation"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rasterize_single_shuffle_grouped_map(spark, qmap):
+    """Tile rasterization: ONE exchange into the grouped-map Arrow kernel."""
+    plan = _plan(qmap["tile_histogram"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_groupby_count_is_partial_then_final(spark, qmap):
+    plan = _plan(qmap["orders_status_stats"](spark, SF_DIR))
+    assert "partial_count" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_centroid_agg_single_exchange_no_explode(spark):
+    """The flagship's per-cell centroid: 64 partial SUMs + COUNT, one
+    exchange, no generator (posexplode) anywhere in the aggregate path."""
+    from pyspark.sql import functions as F
+
+    from raptor_service_spark.geo.grid import cell_encode_col, cell_parent_col
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    lat, lng = entry_mod._latlng_cols(F.col("doc_id"))
+    leaves = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .withColumn("cell2", cell_parent_col(cell_encode_col(lat, lng, 4), 4, 2))
+        .select("embedding", "cell2")
+    )
+    cents = leaves.groupBy("cell2").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.sum(F.col("embedding")[i]).alias(f"s{i}") for i in range(64)],
+    )
+    plan = _plan(cents)
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") <= 2  # 1 agg exchange + possibly broadcast
+    assert "Generate" not in plan  # no explode in the aggregate path
+
+
+def test_ordered_scan_is_take_ordered_not_global_sort(spark, qmap):
+    """Top-100 ordered scan must be TakeOrderedAndProject (per-partition
+    top-k + merge), never a full sort + limit."""
+    plan = _plan(qmap["events_ordered_scan"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 0
+
+
+def test_sessions_filter_reaches_scan(spark, qmap):
+    plan = _plan(qmap["user_sessions"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters")[1][:200] if "PushedFilters" in plan else ""
+    assert "LessThan(user_id,100)" in pushed
+
+
+def test_radius_join_broadcasts_cells(spark, qmap):
+    plan = _plan(qmap["radius_join_docs"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
