@@ -277,6 +277,28 @@ def write_ann_index(
     )
 
 
+def append_ann_index(
+    new_index: DataFrame, path: str, npart: int | None = None, salts: int = 32
+) -> None:
+    """Incremental index ingest: append new vectors into the SAME pfx
+    directory layout (dynamic partition append — new files land inside the
+    existing coarse-cell directories, each internally sorted by (pfx,
+    ann_cell) so row-group pruning keeps working). Search results over the
+    appended index are identical to an index rebuilt from scratch on the
+    union (candidate scans are layout-independent); callers must append
+    NEW ids only — idempotent re-ingest goes through a catalog merge
+    instead."""
+    out = new_index
+    if npart:
+        out = out.repartition(npart, F.col("pfx"), F.pmod(F.xxhash64("id"), F.lit(salts)))
+    (
+        out.sortWithinPartitions("pfx", "ann_cell")
+        .write.mode("append")
+        .partitionBy("pfx")
+        .parquet(path)
+    )
+
+
 def plan_candidate_cells(
     cell_counts: dict[int, int],
     q: np.ndarray,

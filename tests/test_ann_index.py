@@ -123,3 +123,42 @@ def test_write_salting_spreads_hot_cell(spark, span_texts):
     counts = [r["count"] for r in parts]
     assert len(counts) >= 4, f"hot cell not spread: {counts}"
     assert max(counts) < len(hot), "all hot rows landed in one partition"
+
+
+def test_append_ann_index_equals_rebuild(spark, span_texts, tmp_path):
+    """Appending new vectors into the existing pfx layout gives IDENTICAL
+    search results to an index rebuilt from scratch on the union."""
+    from raptor_service_spark.operators.knn import append_ann_index, grid_knn_multi
+
+    half = len(span_texts) // 2
+    base_pd, delta_pd = span_texts.iloc[:half], span_texts.iloc[half:]
+
+    inc_path = str(tmp_path / "inc_index")
+    write_ann_index(
+        build_ann_index(spark.createDataFrame(base_pd), text_col="text",
+                        id_col="chunk_id", dim=DIM, res=5, vec_dtype="<f2"),
+        inc_path, npart=8,
+    )
+    append_ann_index(
+        build_ann_index(spark.createDataFrame(delta_pd), text_col="text",
+                        id_col="chunk_id", dim=DIM, res=5, vec_dtype="<f2"),
+        inc_path, npart=4,
+    )
+
+    full_path = str(tmp_path / "full_index")
+    write_ann_index(
+        build_ann_index(spark.createDataFrame(span_texts), text_col="text",
+                        id_col="chunk_id", dim=DIM, res=5, vec_dtype="<f2"),
+        full_path, npart=8,
+    )
+
+    inc = spark.read.parquet(inc_path)
+    full = spark.read.parquet(full_path)
+    assert inc.count() == full.count() == len(span_texts)
+
+    qs = gen_query_vectors(seed=77, n=3, dim=DIM)
+    got_inc = grid_knn_multi(inc, qs, ["q0", "q1", "q2"], k=8, res=5, vec_dtype="<f2")
+    got_full = grid_knn_multi(full, qs, ["q0", "q1", "q2"], k=8, res=5, vec_dtype="<f2")
+    rows_inc = sorted((r.qid, r.id, round(r.dist, 9)) for r in got_inc.collect())
+    rows_full = sorted((r.qid, r.id, round(r.dist, 9)) for r in got_full.collect())
+    assert rows_inc == rows_full
