@@ -570,6 +570,20 @@ def q_scalar_funcs(spark, sf_dir):
     )
 
 
+def q_events_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (continuous interpolation — matches DuckDB
+    quantile_cont bit-for-bit at 6 dp). Exact percentile buffers each
+    group's values; at 100 TB swap to approx_percentile (t-digest sketch,
+    mergeable partial agg) — the exact form is kept here because it is
+    oracle-checkable."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_query_normalize(spark, sf_dir):
     """Query length policy battery (query_rewrite_service.py:48-67): caps
     scaled to the driver docs' token range so all three branches fire —
@@ -1078,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "price_bucket_range_join": q_price_bucket_range_join,
         "scalar_funcs": q_scalar_funcs,
+        "events_quantiles": q_events_quantiles,
         "query_normalize": q_query_normalize,
         "event_type_setops": q_event_type_setops,
         # text analysis + dedup + similarity
@@ -1289,6 +1304,12 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, 1, 40) AS truncated,
                    length(text) AS n_chars
             FROM documents WHERE doc_id < 200
+        """,
+        "events_quantiles": """
+            SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
         """,
         "query_normalize": (
             lambda nq: f"""
