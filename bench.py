@@ -38,6 +38,8 @@ HEADLINE = [
     "doc_cells",
     "tile_histogram",
     "pip_docs",
+    "radius_join_docs",
+    "knn_filtered",
     "lineitem_agg",
     "sum_qty_per_segment",
     "latest_order_per_customer",
