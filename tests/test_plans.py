@@ -99,3 +99,34 @@ def test_radius_join_broadcasts_cells(spark, qmap):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Pre-bucketing both join sides on the key removes BOTH exchanges from
+    the join plan (co-located join — the pay-the-shuffle-once layout)."""
+    from pyspark.sql import functions as F
+
+    from raptor_service_spark.io.bucketing import bucketed_join, write_bucketed
+
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "lang"
+        )
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            F.col("vec_id").alias("doc_id"), "label"
+        )
+        write_bucketed(docs, "b_docs", "doc_id", n_buckets=8, path=wh + "/b_docs")
+        write_bucketed(emb, "b_emb", "doc_id", n_buckets=8, path=wh + "/b_emb")
+        joined = bucketed_join(spark, "b_docs", "b_emb", "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: neither side shuffles
+        assert plan.count("Bucketed: true") == 2
+        # and it is still a correct join
+        assert joined.count() == docs.join(emb, "doc_id").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_emb")
