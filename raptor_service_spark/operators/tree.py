@@ -163,7 +163,8 @@ def _ascend_one_level(
     n_groups = grouped.count()
 
     # stall guard (reference :109-114): coarsening guarantees progress, but if
-    # a level fails to shrink, collapse everything into one group.
+    # a level fails to shrink, collapse each tree into one group (grouping
+    # keys include tree_id, so the collapse stays per-dataset).
     forced_single = False
     if n_groups >= n_cur:
         forced_single = True
@@ -171,8 +172,12 @@ def _ascend_one_level(
         grouped = _salted_capped_collect(
             cur, p.summary_cap, p.salt_buckets, p.summary_token_budget
         )
-        n_groups = 1
+        n_groups = grouped.count()
 
+    # root promotion is PER TREE (reference :363-365 — one build per dataset
+    # there; here several datasets can share one pass): a tree whose level
+    # has exactly one group roots, while other trees keep ascending.
+    per_tree_groups = F.count("*").over(Window.partitionBy("tree_id", "dataset_id"))
     parents = (
         grouped.select(
             "tree_id",
@@ -187,9 +192,8 @@ def _ascend_one_level(
         )
         .withColumn("node_id", summary_node_id(F.col("tree_id"), F.col("level"), F.col("cell")))
         .withColumn(
-            # root promotion after counting the level (reference :363-365)
             "kind",
-            F.when(F.lit(n_groups == 1), F.lit("root")).otherwise(F.lit("summary")),
+            F.when(per_tree_groups == 1, F.lit("root")).otherwise(F.lit("summary")),
         )
         .withColumn("ord", F.concat_ws("#", F.lit(f"L{level}"), F.col("cell").cast("string")))
         .withColumn("v", embed(F.col("text")))
@@ -241,7 +245,13 @@ def _run_ladder(
     sink,
 ) -> tuple[int, list[dict]]:
     """Drive the ladder from start_level+1 upward; sink(level, parents, edges,
-    links) persists each level. Returns (top_level, stats)."""
+    links) persists each level. Returns (top_level, stats).
+
+    Trees that reach their root at a level leave the ascent (their single
+    node must never be re-aggregated into a phantom super-root); the loop
+    runs while any tree still has more than one group. With one dataset
+    this reduces to the classic stop-at-1 condition.
+    """
     ladder = list(p.res_ladder)
     stats: list[dict] = []
     level = start_level
@@ -257,9 +267,9 @@ def _run_ladder(
             {"level": level, "groups": n_groups, "children": n_cur, "forced_single": forced}
         )
         cur.unpersist() if level > start_level + 1 else None
-        cur = parents.select(*NODE_COLS)
+        cur = parents.select(*NODE_COLS).filter(F.col("kind") != "root")
         cur_links = links
-        n_cur = n_groups
+        n_cur = cur.count()
     return level, stats
 
 
@@ -451,7 +461,10 @@ def build_tile_tree_checkpointed(
         for t in (t_edges, t_links):
             if catalog.exists(t):
                 catalog.delete_where(t, f"level > {top}", props={"resume_cleanup": str(top)})
-        cur = nodes.filter(F.col("level") == top).persist()
+        # a complete tree's root never re-ascends (empty cur ends the ladder)
+        cur = nodes.filter(
+            (F.col("level") == top) & (F.col("kind") != "root")
+        ).persist()
         cur_links = catalog.read(t_links).filter(F.col("level") == top)
         n_cur = cur.count()
         start_level = int(top)

@@ -212,3 +212,40 @@ def test_token_budget_oversized_single_child(spark):
     )
     got = _salted_capped_collect(cur, cap=32, salt_buckets=4, token_budget=10).collect()
     assert len(got) == 1 and len(got[0].items) == 1  # still packs the child
+
+
+def test_multi_dataset_build_isolates_trees(spark):
+    """Two datasets in ONE build pass (groupBy includes tree_id/dataset_id):
+    each gets its own root; edges and links never cross datasets; each
+    dataset's subtree equals the tree built from its spans alone."""
+    from raptor_service_spark.operators.chunking import explode_spans
+    from raptor_service_spark.functions.vector import embed_spans
+
+    p = TreeParams(res_ladder=(6, 3, 0), summary_cap=16, salt_buckets=4, dim=16)
+    a = embed_spans(explode_spans(gen_documents_df(spark, 15, seed=81)), dim=16)
+    b = embed_spans(explode_spans(gen_documents_df(spark, 10, seed=82)), dim=16)
+    both = build_tile_tree(a.unionByName(b), p)
+
+    roots = both.nodes.filter(F.col("kind") == "root").select("dataset_id").collect()
+    assert sorted(r.dataset_id for r in roots) == ["ds-81", "ds-82"]
+
+    # no cross-dataset edges: parent and child resolve to the same dataset
+    nid = both.nodes.select("node_id", "dataset_id")
+    cross = (
+        both.edges
+        .join(nid.withColumnsRenamed({"node_id": "parent_id", "dataset_id": "ds_p"}), "parent_id")
+        .join(nid.withColumnsRenamed({"node_id": "child_id", "dataset_id": "ds_c"}), "child_id")
+        .filter(F.col("ds_p") != F.col("ds_c"))
+        .count()
+    )
+    assert cross == 0
+
+    # per-dataset subtree equality with a standalone build
+    solo = build_tile_tree(a, p)
+    def sig(tree, ds):
+        n = sorted(map(tuple, tree.nodes.filter(F.col("dataset_id") == ds)
+                       .select("node_id", "level", "kind", "cell", "text").collect()))
+        l = sorted(map(tuple, tree.links.filter(F.col("dataset_id") == ds)
+                       .select("node_id", "chunk_id", "rank").collect()))
+        return n, l
+    assert sig(both, "ds-81") == sig(solo, "ds-81")
