@@ -395,23 +395,29 @@ def ingest_incremental(
         if catalog.exists(t):
             catalog.delete_where(t, "level >= 2", props={"op": "ingest"})
     lvl1 = catalog.read(t_nodes).filter(F.col("level") == 1)
-    n1 = lvl1.count()
-    if n1 == 1:
-        # ladder ends at level 1: the single group is the root
+    # per-tree root promotion at level 1 (matches _ascend_one_level): a tree
+    # whose level 1 collapsed to one group roots there and leaves the
+    # ascent; a stale root in a tree that now has several groups demotes
+    per_tree = F.count("*").over(Window.partitionBy("tree_id", "dataset_id"))
+    rekinded = lvl1.withColumn(
+        "new_kind", F.when(per_tree == 1, F.lit("root")).otherwise(F.lit("summary"))
+    )
+    changed = rekinded.filter(F.col("kind") != F.col("new_kind"))
+    if changed.limit(1).count():
         catalog.merge(
-            t_nodes, lvl1.withColumn("kind", F.lit("root")), ["node_id"],
+            t_nodes,
+            changed.withColumn("kind", F.col("new_kind")).drop("new_kind"),
+            ["node_id"],
             props={"op": "ingest"},
         )
-        top = 1
-    else:
-        # demote a stale level-1 root left over from a smaller corpus
-        stale = lvl1.filter(F.col("kind") == "root")
-        if stale.limit(1).count():
-            catalog.merge(
-                t_nodes, stale.withColumn("kind", F.lit("summary")), ["node_id"],
-                props={"op": "ingest"},
-            )
-        lvl1 = catalog.read(t_nodes).filter(F.col("level") == 1).persist()
+    active = (
+        catalog.read(t_nodes)
+        .filter((F.col("level") == 1) & (F.col("kind") != "root"))
+        .persist()
+    )
+    n_active = active.count()
+    top = 1
+    if n_active:
         links1 = catalog.read(t_links).filter(F.col("level") == 1)
 
         def sink(level, parents_l, edges_l, links_l):
@@ -419,7 +425,7 @@ def ingest_incremental(
             catalog.append(t_edges, edges_l, props={"level": level, "op": "ingest"})
             catalog.append(t_nodes, parents_l.select(*NODE_COLS), props={"level": level, "op": "ingest"})
 
-        top, _ = _run_ladder(lvl1, links1, 1, n1, p, sink)
+        top, _ = _run_ladder(active, links1, 1, n_active, p, sink)
 
     spark = new_spans_embedded.sparkSession
     nodes = catalog.read(t_nodes)

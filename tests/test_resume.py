@@ -174,3 +174,26 @@ def test_ingest_incremental_demotes_stale_root(spark, tmp_path):
     assert _tree_signature(inc) == _tree_signature(full)
     roots = inc.nodes.filter(inc.nodes.kind == "root").collect()
     assert len(roots) == 1
+
+
+def test_ingest_incremental_multi_dataset(spark, tmp_path):
+    """Two datasets share the catalog; ingesting a delta into one of them
+    must leave the other tree untouched and still equal a full rebuild."""
+    from pyspark.sql import functions as F
+
+    from raptor_service_spark.operators.tree import ingest_incremental
+
+    a1 = embed_spans(explode_spans(gen_documents_df(spark, 18, seed=74)), dim=16)
+    a2 = embed_spans(explode_spans(gen_documents_df(spark, 10, seed=75)), dim=16)
+    b1 = embed_spans(explode_spans(gen_documents_df(spark, 8, seed=76))
+                     .withColumn("dataset_id", F.lit("ds-74")), dim=16)
+
+    cat = SnapshotCatalog(str(tmp_path / "cat_multi"), spark)
+    build_tile_tree_checkpointed(
+        a1.unionByName(a2), PARAMS, catalog=cat, prefix="t", resume=False
+    )
+    inc = ingest_incremental(b1, cat, PARAMS, prefix="t")
+    full = build_tile_tree(a1.unionByName(a2).unionByName(b1), PARAMS)
+    assert _tree_signature(inc) == _tree_signature(full)
+    roots = inc.nodes.filter(inc.nodes.kind == "root").select("dataset_id").collect()
+    assert sorted(r.dataset_id for r in roots) == ["ds-74", "ds-75"]
