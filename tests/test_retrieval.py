@@ -131,3 +131,28 @@ def test_unknown_dataset_returns_empty(world):
     q = gen_query_vectors(seed=8, n=1, dim=DIM)[0]
     got = collapsed_retrieve(world["tree"], world["chunks"], q, "nope", top_k=8).toPandas()
     assert len(got) == 0
+
+
+def test_multi_dataset_retrieval_isolation(spark):
+    """A two-dataset tree answers each dataset's retrieve from ITS OWN
+    subtree only (stage 1 filters dataset_id; chunks follow the node links),
+    and the ranked rows equal retrieval over that dataset's standalone tree."""
+    a = embed_spans(explode_spans(gen_documents_df(spark, 20, seed=21)), dim=DIM)
+    b = embed_spans(explode_spans(gen_documents_df(spark, 15, seed=22)), dim=DIM)
+    both_spans = a.unionByName(b).persist()
+    tree = build_tile_tree(both_spans, PARAMS)
+    chunks = both_spans.select("chunk_id", "doc_id", "idx", "text", "v")
+    q = gen_query_vectors(seed=23, n=1, dim=DIM)[0]
+
+    got_a = collapsed_retrieve(tree, chunks, q, "ds-21", top_k=6, expand_k=4)
+    rows_a = [tuple(r) for r in got_a.collect()]
+    a_doc_ids = {r.doc_id for r in a.select("doc_id").distinct().collect()}
+    assert rows_a and all(r[1] in a_doc_ids for r in rows_a)
+
+    solo_tree = build_tile_tree(a, PARAMS)
+    solo_chunks = a.select("chunk_id", "doc_id", "idx", "text", "v")
+    solo_rows = [tuple(r) for r in
+                 collapsed_retrieve(solo_tree, solo_chunks, q, "ds-21",
+                                    top_k=6, expand_k=4).collect()]
+    assert rows_a == solo_rows
+    both_spans.unpersist()
