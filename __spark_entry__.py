@@ -570,6 +570,57 @@ def q_scalar_funcs(spark, sf_dir):
     )
 
 
+def q_doc_winnow_fp(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing, the MOSS scheme):
+    per-doc distinct window-min gram hashes, aggregated to (n_fp, fp_min,
+    fp_sum) so the compare stays small. operators/dedup.winnow_fingerprints."""
+    from raptor_service_spark.operators.dedup import winnow_fingerprints
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fp = winnow_fingerprints(d)
+    return fp.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.sum("fp").alias("fp_sum"),
+    )
+
+
+def _doc_winnow_fp_sql() -> str:
+    from raptor_service_spark.operators.dedup import winnow_fingerprints_sql
+
+    inner = winnow_fingerprints_sql("(SELECT * FROM documents WHERE doc_id < 300) s")
+    return f"""
+        SELECT id AS doc_id, COUNT(*) AS n_fp, MIN(fp) AS fp_min,
+               CAST(SUM(fp) AS BIGINT) AS fp_sum
+        FROM ({inner}) GROUP BY 1
+    """
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """Both token counters from the brief — whitespace and BPE-ish regex —
+    per language."""
+    from raptor_service_spark.functions.text import token_count, token_count_bpe
+
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("ws_tokens"),
+        F.sum(token_count_bpe(F.col("text")).cast("long")).alias("bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def _doc_token_stats_sql() -> str:
+    from raptor_service_spark.functions.text import token_count_bpe_sql, token_count_sql
+
+    return f"""
+        SELECT lang,
+               CAST(SUM({token_count_sql('text')}) AS BIGINT) AS ws_tokens,
+               CAST(SUM({token_count_bpe_sql('text')}) AS BIGINT) AS bpe_tokens,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
+    """
+
+
 def q_events_quantiles(spark, sf_dir):
     """Exact per-group quantiles (continuous interpolation — matches DuckDB
     quantile_cont bit-for-bit at 6 dp). Exact percentile buffers each
@@ -1092,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "price_bucket_range_join": q_price_bucket_range_join,
         "scalar_funcs": q_scalar_funcs,
+        "doc_winnow_fp": q_doc_winnow_fp,
+        "doc_token_stats": q_doc_token_stats,
         "events_quantiles": q_events_quantiles,
         "query_normalize": q_query_normalize,
         "event_type_setops": q_event_type_setops,
@@ -1305,6 +1358,8 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars
             FROM documents WHERE doc_id < 200
         """,
+        "doc_winnow_fp": _doc_winnow_fp_sql(),
+        "doc_token_stats": _doc_token_stats_sql(),
         "events_quantiles": """
             SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50,
                    ROUND(quantile_cont(value, 0.9), 6) AS p90,

@@ -54,6 +54,24 @@ def token_count_sql(expr: str) -> str:
     )
 
 
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish regex token count (brief: whitespace + a BPE-ish regex):
+    letter runs, single digits, and punctuation each count as one token —
+    the GPT-2-style pre-tokenization shape, hermetic (no tokenizer model).
+    The pattern is Java/RE2-portable, so the DuckDB twin is bit-identical."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_PATTERN), F.lit(0))).cast("int")
+
+
+def token_count_bpe_sql(expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, "
+        f"'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER)"
+    )
+
+
 def truncate_to_tokens(text: Column, max_tokens: int, chars_per_token: float = 4.0) -> Column:
     """Char-ratio truncation to a token budget (reference utils/token.py:98-106)."""
     return F.substring(text, 1, int(max_tokens * chars_per_token))

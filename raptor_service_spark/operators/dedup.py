@@ -136,6 +136,95 @@ def jaccard_sql(a: str, b: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document fingerprinting, the MOSS
+# scheme: char k-gram hashes -> min per sliding window -> distinct set)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 6,
+) -> DataFrame:
+    """(id, fp) DISTINCT winnowing fingerprints per document.
+
+    Definition (shared verbatim by the SQL twin): normalize text (lower,
+    trim, collapse whitespace), hash every char k-gram (first 8 md5 hex
+    chars as an int), then keep the DISTINCT minima of every FULL window of
+    ``w`` consecutive gram hashes; a doc with fewer than ``w`` grams
+    contributes the single min over all of them. Guarantees of winnowing:
+    any shared substring of length >= k + w - 1 yields a shared
+    fingerprint, and at least one gram in every window is selected — the
+    standard local document-fingerprinting scheme. Fully relational:
+    explode positions, one window-min per doc, one distinct.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = docs.select(F.col(id_col).alias("id"), norm.alias("t"))
+    pos = base.select(
+        "id",
+        "t",
+        (F.length("t") - F.lit(k) + F.lit(1)).alias("n_grams"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.lit(0), F.length("t") - F.lit(k)))
+        ).alias("pos"),
+    )
+    hashed = pos.select(
+        "id",
+        "n_grams",
+        "pos",
+        F.conv(F.substring(F.md5(F.expr(f"substring(t, pos + 1, {k})")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = hashed.withColumn("fp", F.min("h").over(win)).filter(
+        (F.col("pos") <= F.col("n_grams") - w) | (F.col("n_grams") <= w)
+    )
+    # short docs: one window over all grams => keep only the global min
+    short = (
+        sel.filter(F.col("n_grams") <= w)
+        .groupBy("id")
+        .agg(F.min("h").alias("fp"))
+    )
+    longd = sel.filter(F.col("n_grams") > w).select("id", "fp")
+    return longd.unionByName(short.select("id", "fp")).dropDuplicates(["id", "fp"])
+
+
+def winnow_fingerprints_sql(
+    table: str, text_expr: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 6
+) -> str:
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id,
+                   regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g') AS t
+            FROM {table}
+        ),
+        pos AS (
+            SELECT id, t, length(t) - {k} + 1 AS n_grams, u.p AS pos
+            FROM base, UNNEST(generate_series(0, GREATEST(0, length(t) - {k}))) u(p)
+        ),
+        hashed AS (
+            SELECT id, n_grams, pos,
+                   CAST(CAST('0x' || substr(md5(substring(t, pos + 1, {k})), 1, 8)
+                        AS UBIGINT) AS BIGINT) AS h
+            FROM pos
+        ),
+        sel AS (
+            SELECT id, n_grams, pos,
+                   MIN(h) OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+                   h
+            FROM hashed
+        )
+        SELECT DISTINCT id, fp FROM sel WHERE pos <= n_grams - {w} AND n_grams > {w}
+        UNION
+        SELECT id, MIN(h) AS fp FROM sel WHERE n_grams <= {w} GROUP BY id
+    """
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 

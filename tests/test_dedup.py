@@ -177,3 +177,31 @@ def test_simhash_matches_naive_reference(spark, corpus_pd):
     )
     for _, row in sample.iterrows():
         assert got[row.doc_id] == naive(row.text), row.doc_id
+
+
+def test_winnowing_guarantee_and_oracle(spark):
+    """Winnowing property: docs sharing a substring of length >= k + w - 1
+    share at least one fingerprint; plus DuckDB twin parity on the corpus."""
+    from raptor_service_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_fingerprints_sql,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, "unrelated prefix text here " + shared),
+        (3, "completely different content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=8, w=6).toPandas()
+    s1 = set(fp[fp.id == 1].fp)
+    s2 = set(fp[fp.id == 2].fp)
+    s3 = set(fp[fp.id == 3].fp)
+    assert s1 & s2  # shared substring -> shared fingerprint
+    assert not (s1 & s3)
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exp = con.execute(winnow_fingerprints_sql("docs", k=8, w=6)).df()
+    assert _norm(fp) == _norm(exp)
