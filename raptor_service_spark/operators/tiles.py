@@ -67,6 +67,101 @@ def media_features(spans: DataFrame, dim: int = 8) -> DataFrame:
     )
 
 
+def decode_image_stub(media_refs: pd.Series, w: int = 16, h: int = 16) -> list:
+    """Deterministic fake image decode: an (h, w) uint8 raster whose bytes
+    derive from chained md5 of the ref. Swap for PIL decoding in the same
+    mapInPandas; schema/batch shape unchanged."""
+    out = []
+    for r in media_refs:
+        need = w * h
+        buf = b""
+        seed = str(r).encode()
+        while len(buf) < need:
+            seed = hashlib.md5(seed).digest()
+            buf += seed
+        out.append(np.frombuffer(buf[:need], dtype=np.uint8).reshape(h, w))
+    return out
+
+
+def resize_media(
+    spans: DataFrame, out_w: int = 4, out_h: int = 4, src_w: int = 16, src_h: int = 16
+) -> DataFrame:
+    """Resize media payloads (brief: multimodal resize as a Pandas UDF over
+    mapInPandas). Decode is the deterministic stub; the resize itself is a
+    REAL vectorized average-pool (block mean) per Arrow batch, emitting the
+    resized raster as a binary payload plus typed dimensions metadata.
+    """
+    fy, fx = src_h // out_h, src_w // out_w
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            imgs = decode_image_stub(pdf["media_ref"], src_w, src_h)
+            stack = np.stack(imgs).astype(np.float64)  # (n, h, w)
+            pooled = (
+                stack.reshape(len(imgs), out_h, fy, out_w, fx)
+                .mean(axis=(2, 4))
+                .round()
+                .astype(np.uint8)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "width": np.full(len(pdf), out_w, dtype=np.int32),
+                    "height": np.full(len(pdf), out_h, dtype=np.int32),
+                    "payload": [p.tobytes() for p in pooled],
+                }
+            )
+
+    media = spans.filter(F.col("media_ref") != "")
+    return media.select("doc_id", "media_ref").mapInPandas(
+        gen,
+        schema="doc_id string, media_ref string, width int, height int, payload binary",
+    )
+
+
+def sample_frames(spans: DataFrame, n_frames: int = 4, fps: float = 24.0) -> DataFrame:
+    """Frame-sample video media spans (brief: frame-sample as a Pandas UDF):
+    one row per sampled frame with (frame_idx, t_offset_sec, payload). The
+    per-frame payload is the deterministic decode stub keyed on
+    (media_ref, frame_idx) — real ffmpeg frame extraction drops into the
+    same kernel. Only 'video'-kind spans are sampled.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            refs = pdf["media_ref"].to_numpy()
+            doc = pdf["doc_id"].to_numpy()
+            frame_idx = np.tile(np.arange(n_frames), n)
+            keys = pd.Series(
+                [f"{r}#f{i}" for r in refs for i in range(n_frames)]
+            )
+            payloads = decode_media_stub(keys)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc, n_frames),
+                    "media_ref": np.repeat(refs, n_frames),
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "t_offset_sec": (frame_idx / fps).astype(np.float64),
+                    "payload": list(payloads),
+                }
+            )
+
+    media = spans.filter((F.col("media_ref") != "") & (F.col("kind") == "video"))
+    return media.select("doc_id", "media_ref").mapInPandas(
+        gen,
+        schema=(
+            "doc_id string, media_ref string, frame_idx int, "
+            "t_offset_sec double, payload binary"
+        ),
+    )
+
+
 def rasterize_points_to_tiles(
     points: DataFrame,
     res: int = 5,

@@ -148,3 +148,44 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
         spark.table("evt_stats").orderBy("window_start", "event_type").toPandas()
     )
     assert got.equals(expected)
+
+
+def test_resize_media_plumbing(spark):
+    """Resize: real average-pool over the stubbed decode; typed dims,
+    deterministic payloads, partition-invariant."""
+    from raptor_service_spark.datagen import gen_documents_df
+    from raptor_service_spark.operators.chunking import explode_spans
+    from raptor_service_spark.operators.tiles import resize_media
+
+    spans = explode_spans(gen_documents_df(spark, 30, seed=44))
+    out = resize_media(spans, out_w=4, out_h=4).toPandas()
+    assert len(out) == spans.filter("media_ref != ''").count()
+    assert (out.width == 4).all() and (out.height == 4).all()
+    assert out.payload.map(len).eq(16).all()
+    out2 = resize_media(spans.repartition(13), out_w=4, out_h=4).toPandas()
+    a = out.sort_values("media_ref").payload.map(bytes).tolist()
+    b = out2.sort_values("media_ref").payload.map(bytes).tolist()
+    assert a == b
+
+
+def test_sample_frames_plumbing(spark):
+    from raptor_service_spark.operators.tiles import sample_frames
+
+    rows = [
+        ("d1", "video", "media://d1/0"),
+        ("d1", "video", "media://d1/3"),
+        ("d2", "video", "media://d2/1"),
+        ("d2", "image", "media://d2/2"),  # non-video: not frame-sampled
+        ("d3", "text", ""),
+    ]
+    spans = spark.createDataFrame(rows, "doc_id string, kind string, media_ref string")
+    n_videos = 3
+    out = sample_frames(spans, n_frames=3, fps=24.0).toPandas()
+    assert len(out) == 3 * n_videos
+    assert set(out.frame_idx) <= {0, 1, 2}
+    per = out.groupby("media_ref").frame_idx.nunique()
+    assert (per == 3).all()
+    # frame payloads differ across frames of one ref, same across runs
+    one = out[out.media_ref == out.media_ref.iloc[0]].sort_values("frame_idx")
+    assert len({bytes(p) for p in one.payload}) == 3
+    assert abs(one.t_offset_sec.iloc[2] - 2 / 24.0) < 1e-12
