@@ -40,6 +40,11 @@ def main() -> None:
     ap.add_argument("--workdir", default="/tmp/spark_graft_pipeline")
     ap.add_argument("--tree", action="store_true", help="also build the tile tree (checkpointed)")
     ap.add_argument("--resume", action="store_true", help="resume tree build from catalog snapshots")
+    ap.add_argument(
+        "--ingest-delta", type=int, default=0, metavar="N",
+        help="after the tree exists in the workdir catalog, incrementally "
+             "ingest N new docs (only their dirty level-1 cells recompute)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -79,6 +84,31 @@ def main() -> None:
         metrics["tree_levels"] = tree.levels
         metrics["tree_level_stats"] = tree.stats
         metrics["snapshot_lineage"] = cat.snapshots("tree_nodes")
+
+    if args.ingest_delta:
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from raptor_service_spark.datagen import gen_documents_df
+        from raptor_service_spark.functions.vector import embed_spans
+        from raptor_service_spark.io.catalog import SnapshotCatalog
+        from raptor_service_spark.operators.chunking import explode_spans
+        from raptor_service_spark.operators.tree import TreeParams, ingest_incremental
+
+        cat = SnapshotCatalog(os.path.join(args.workdir, "catalog"), spark)
+        if not cat.exists("tree_nodes"):
+            raise SystemExit("--ingest-delta needs a prior --tree run in this workdir")
+        delta_docs = gen_documents_df(
+            spark, args.ingest_delta, seed=args.seed + 1_000_000
+        ).withColumn("dataset_id", F.lit(f"ds-{args.seed}"))
+        delta = embed_spans(explode_spans(delta_docs), dim=args.dim)
+        t0 = _time.perf_counter()
+        tree = ingest_incremental(delta, cat, TreeParams(dim=args.dim))
+        metrics["ingest_delta_docs"] = args.ingest_delta
+        metrics["ingest_sec"] = round(_time.perf_counter() - t0, 3)
+        metrics["tree_levels_after_ingest"] = tree.levels
+        metrics["ingest_lineage_tail"] = cat.snapshots("tree_nodes")[-3:]
 
     print(json.dumps(metrics, default=str))
     spark.stop()
