@@ -43,7 +43,9 @@ from raptor_service_spark.geo.grid import (
     cell_parent_col,
     cell_parent_sql,
 )
+from raptor_service_spark.operators.knn import grid_knn_sql
 from raptor_service_spark.operators.dedup import (
+    cosine_neardup_bucketed_sql,
     cosine_neardup_exact,
     cosine_neardup_exact_sql,
     exact_dedup,
@@ -199,6 +201,111 @@ def _grid_collapsed_retrieval_sql() -> str:
         SELECT l.doc_id,
                ROUND(1.0 - list_cosine_similarity({demb}, {QVEC_SQL}), 6) AS dist
         FROM leaves2 l JOIN s1 ON l.cell2 = s1.cell2
+        ORDER BY dist ASC, l.doc_id ASC LIMIT 8
+    """
+
+
+def grid_traversal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traversal beam retrieval over driver tables (R6 recast with a real
+    oracle): root -> res2 tile centroids -> res4 tile centroids -> leaves,
+    taking the GLOBAL top-beam ACROSS parents at each level (the reference
+    applies LIMIT :k globally, not per parent — SURVEY §2.5 parity; cites
+    /root/reference/repositories/retrieval_repo.py:350-436). Frontiers are
+    O(beam) driver lists -> literal IN filters (partition-prunable); each
+    level is one centroid agg + TakeOrderedAndProject."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    leaves = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .withColumn("cell4", cell_encode_col(lat, lng, 4))
+        .select("doc_id", "embedding", "cell4")
+    )
+    dim = 64
+
+    def _cents(df, cell_col):
+        return (
+            df.groupBy(cell_col)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(F.col("embedding")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .select(
+                cell_col,
+                F.array(*[F.col(f"s{i}") / F.col("cnt") for i in range(dim)]).alias(
+                    "centroid"
+                ),
+            )
+        )
+
+    cents4 = _cents(leaves, "cell4")
+    cents2 = _cents(
+        leaves.withColumn("cell2", cell_parent_col(F.col("cell4"), 4, 2)), "cell2"
+    )
+    f2 = [
+        r.cell2
+        for r in cents2.withColumn(
+            "d", F.round(cosine_dist_col(F.col("centroid"), QVEC2), 6)
+        )
+        .orderBy(F.col("d").asc(), F.col("cell2").asc())
+        .limit(3)
+        .collect()
+    ]
+    f1 = [
+        r.cell4
+        for r in cents4.filter(cell_parent_col(F.col("cell4"), 4, 2).isin(f2))
+        .withColumn("d", F.round(cosine_dist_col(F.col("centroid"), QVEC2), 6))
+        .orderBy(F.col("d").asc(), F.col("cell4").asc())
+        .limit(3)
+        .collect()
+    ]
+    return (
+        leaves.filter(F.col("cell4").isin(f1))
+        .withColumn("dist", F.round(cosine_dist_col(F.col("embedding"), QVEC2), 6))
+        .orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+        .limit(8)
+        .select("doc_id", "dist")
+    )
+
+
+def _grid_traversal_retrieval_sql() -> str:
+    lat, lng = _latlng_sql("d.doc_id")
+    cell4 = cell_encode_sql(lat, lng, 4)
+    demb = "list_transform(l.embedding, x -> CAST(x AS DOUBLE))"
+    parent = cell_parent_sql("cell4", 4, 2)
+    return f"""
+        WITH leaves AS (
+            SELECT d.doc_id, e.embedding, {cell4} AS cell4
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        ),
+        c4e AS (
+            SELECT cell4, t.i AS i, AVG(CAST(embedding[t.i] AS DOUBLE)) AS m
+            FROM leaves, UNNEST(generate_series(1, 64)) t(i)
+            GROUP BY cell4, t.i
+        ),
+        cents4 AS (SELECT cell4, list(m ORDER BY i) AS centroid FROM c4e GROUP BY cell4),
+        l2 AS (SELECT doc_id, embedding, {parent} AS cell2 FROM leaves),
+        c2e AS (
+            SELECT cell2, t.i AS i, AVG(CAST(embedding[t.i] AS DOUBLE)) AS m
+            FROM l2, UNNEST(generate_series(1, 64)) t(i)
+            GROUP BY cell2, t.i
+        ),
+        cents2 AS (SELECT cell2, list(m ORDER BY i) AS centroid FROM c2e GROUP BY cell2),
+        f2 AS (
+            SELECT cell2,
+                   ROUND(1.0 - list_cosine_similarity(centroid, {QVEC2_SQL}), 6) AS d
+            FROM cents2 ORDER BY d ASC, cell2 ASC LIMIT 3
+        ),
+        f1 AS (
+            SELECT cell4,
+                   ROUND(1.0 - list_cosine_similarity(centroid, {QVEC2_SQL}), 6) AS d
+            FROM cents4 WHERE {parent} IN (SELECT cell2 FROM f2)
+            ORDER BY d ASC, cell4 ASC LIMIT 3
+        )
+        SELECT l.doc_id,
+               ROUND(1.0 - list_cosine_similarity({demb}, {QVEC2_SQL}), 6) AS dist
+        FROM leaves l
+        WHERE l.cell4 IN (SELECT cell4 FROM f1)
         ORDER BY dist ASC, l.doc_id ASC LIMIT 8
     """
 
@@ -717,8 +824,10 @@ def q_cosine_neardup(spark, sf_dir):
 
 def q_cosine_neardup_lsh(spark, sf_dir):
     """Scale path: projection-cell bucketing prunes the pair space before
-    exact cosine (rows-only driver check; recall vs the exact variant is
-    pytest-asserted in tests/test_dedup.py)."""
+    exact cosine. Oracle-checked: the DuckDB twin reproduces the SAME bucket
+    candidacy via projected_cell_sql, so the approximate path's exact output
+    (not just recall) is verified; recall vs the exact variant is additionally
+    pytest-asserted in tests/test_dedup.py."""
     from raptor_service_spark.operators.dedup import cosine_neardup_bucketed
 
     return cosine_neardup_bucketed(_emb_with_dups(spark, sf_dir), threshold=0.5)
@@ -871,15 +980,23 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+QVEC3 = np.round(gen_query_vectors(seed=101, n=1, dim=64)[0], 6)
+
+
 def q_grid_knn_ann(spark, sf_dir):
+    """Grid-compacted ANN (J8 scale path). Oracle-checked: grid_knn_sql
+    replicates bucket cells AND the occupancy ring planner in DuckDB, so the
+    approximate path's exact candidate rule + output is verified (recall vs
+    brute force is additionally pytest-asserted in tests/test_ann_index.py)."""
     from raptor_service_spark.operators.knn import grid_knn, with_projected_cell
 
     e = _read(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("v")
     )
     cellified = with_projected_cell(e, res=4)
-    q = gen_query_vectors(seed=101, n=1, dim=64)[0]
-    return grid_knn(cellified, q, 10, res=4)
+    return grid_knn(cellified, QVEC3, 10, res=4).select(
+        "id", F.round("dist", 6).alias("dist")
+    )
 
 
 def q_ivf_knn_ann(spark, sf_dir):
@@ -1098,12 +1215,56 @@ def q_span_roundtrip_check(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction (UDF surface 7). Oracle-checked: the
+    corpus is deterministic from (seed, i) alone (datagen._gen_doc, pure
+    numpy), so the oracle embeds the expected media spans as VALUES and
+    recomputes the md5-derived feature INDEPENDENTLY in DuckDB SQL."""
     from raptor_service_spark.datagen import gen_documents_df
     from raptor_service_spark.operators.chunking import explode_spans
     from raptor_service_spark.operators.tiles import media_features
 
     docs = gen_documents_df(spark, 30, seed=61)
-    return media_features(explode_spans(docs), dim=8).select("doc_id", "media_ref", "kind")
+    return media_features(explode_spans(docs), dim=8).select(
+        "doc_id", "media_ref", "kind", "feature"
+    )
+
+
+def _media_features_sql(n_docs: int = 30, seed: int = 61, dim: int = 8) -> str:
+    """DuckDB twin of q_media_features: VALUES input from the deterministic
+    generator + an independent SQL recomputation of decode_media_stub's
+    feature (md5 bytes / 255)."""
+    from raptor_service_spark.datagen import _gen_doc
+
+    vals = []
+    for i in range(n_docs):
+        d = _gen_doc(seed, i)
+        for s in d["spans"]:
+            if s["media_ref"]:
+                vals.append(f"('{d['doc_id']}', '{s['media_ref']}', '{s['kind']}')")
+    feature = (
+        "list_transform(range(0, "
+        + str(dim)
+        + "), i -> CAST(('0x' || substr(md5(media_ref), 2 * i + 1, 2))::INTEGER AS DOUBLE)"
+        " / 255.0)"
+    )
+    return (
+        "SELECT doc_id, media_ref, kind, "
+        + feature
+        + " AS feature FROM (VALUES "
+        + ", ".join(vals)
+        + ") t(doc_id, media_ref, kind)"
+    )
+
+
+def _span_roundtrip_sql(n_docs: int = 50, seed: int = 60) -> str:
+    """Golden oracle for the span-sequence invariant: every deterministic doc
+    must round-trip explode->regroup equal (doc ids from the pure-Python
+    generator; any Spark-side ordering regression yields FALSE rows that
+    mismatch)."""
+    from raptor_service_spark.datagen import doc_id_for
+
+    vals = ", ".join(f"('{doc_id_for(seed, i)}', TRUE)" for i in range(n_docs))
+    return f"SELECT * FROM (VALUES {vals}) t(doc_id, spans_equal)"
 
 
 # ---------------------------------------------------------------------------
@@ -1115,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship + geo
         "grid_collapsed_retrieval": grid_collapsed_retrieval,
+        "grid_traversal_retrieval": grid_traversal_retrieval,
         "doc_cells": q_doc_cells,
         "tile_histogram": q_tile_histogram,
         "pip_docs": q_pip_docs,
@@ -1184,6 +1346,7 @@ def oracle_sql() -> dict[str, str]:
     rect_sql = _convex_pip_sql("rect", RECT)
     return {
         "grid_collapsed_retrieval": _grid_collapsed_retrieval_sql(),
+        "grid_traversal_retrieval": _grid_traversal_retrieval_sql(),
         "tree_build_docs": _tree_build_docs_sql(),
         "reranked_retrieval": _reranked_retrieval_sql(),
         "doc_cells": (
@@ -1407,6 +1570,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": simhash_pairs_sql(_DOCS_WITH_DUPS_SQL + " t", max_hamming=3),
         "ngram_jaccard": ngram_jaccard_pairs_sql(_DOCS_WITH_DUPS_SQL + " t", threshold=0.6),
         "cosine_neardup": cosine_neardup_exact_sql(_EMB_WITH_DUPS_SQL, threshold=0.5),
+        "cosine_neardup_lsh": cosine_neardup_bucketed_sql(_EMB_WITH_DUPS_SQL, threshold=0.5),
+        "grid_knn_ann": grid_knn_sql("embeddings", QVEC3, 10, res=4, dim=64),
+        "media_features": _media_features_sql(),
+        "span_roundtrip_check": _span_roundtrip_sql(),
         "knn_top10": f"""
             SELECT vec_id, label,
                    ROUND(1.0 - list_cosine_similarity(

