@@ -45,9 +45,11 @@ from raptor_service_spark.geo.grid import (
 )
 from raptor_service_spark.operators.knn import grid_knn_sql
 from raptor_service_spark.operators.dedup import (
+    canonical_docs_sql,
     cosine_neardup_bucketed_sql,
     cosine_neardup_exact,
     cosine_neardup_exact_sql,
+    repetition_scores_sql,
     exact_dedup,
     exact_dedup_sql,
     minhash_lsh_pairs,
@@ -222,25 +224,31 @@ def grid_traversal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "embedding", "cell4")
     )
     dim = 64
+    # ONE full-data aggregation: per-res4-cell partial sums + count. The res2
+    # level re-aggregates those partials (shuffle carries cells x (dim+1)
+    # doubles, not leaves) — the two-level rollup shape that survives 100x.
+    sums4 = leaves.groupBy("cell4").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.sum(F.col("embedding")[i]).alias(f"s{i}") for i in range(dim)],
+    )
 
-    def _cents(df, cell_col):
-        return (
-            df.groupBy(cell_col)
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                *[F.sum(F.col("embedding")[i]).alias(f"s{i}") for i in range(dim)],
-            )
-            .select(
-                cell_col,
-                F.array(*[F.col(f"s{i}") / F.col("cnt") for i in range(dim)]).alias(
-                    "centroid"
-                ),
-            )
+    def _to_centroid(df, cell_col):
+        return df.select(
+            cell_col,
+            F.array(*[F.col(f"s{i}") / F.col("cnt") for i in range(dim)]).alias(
+                "centroid"
+            ),
         )
 
-    cents4 = _cents(leaves, "cell4")
-    cents2 = _cents(
-        leaves.withColumn("cell2", cell_parent_col(F.col("cell4"), 4, 2)), "cell2"
+    cents4 = _to_centroid(sums4, "cell4")
+    cents2 = _to_centroid(
+        sums4.withColumn("cell2", cell_parent_col(F.col("cell4"), 4, 2))
+        .groupBy("cell2")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)],
+        ),
+        "cell2",
     )
     f2 = [
         r.cell2
@@ -814,6 +822,26 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), threshold=0.7, bands=8)
 
 
+def q_neardup_components(spark, sf_dir):
+    """Near-dup clustering: connected components over the MinHash pair list +
+    canonical (min-id) selection — the keep/drop verdict a training pipeline
+    materializes after pair generation. Spark side is iterative min-label
+    propagation (one shuffle per round, O(diameter) rounds); DuckDB oracle is
+    a recursive-CTE transitive closure."""
+    from raptor_service_spark.operators.dedup import canonical_docs
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.7, bands=8)
+    return canonical_docs(docs, pairs)
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Duplicate 3-gram fraction per doc (Gopher-style repetition filter)."""
+    from raptor_service_spark.operators.dedup import repetition_scores
+
+    return repetition_scores(_docs_with_dups(spark, sf_dir))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.6)
 
@@ -1317,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_dedup": q_doc_fingerprint_dedup,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "neardup_components": q_neardup_components,
+        "doc_repetition": q_doc_repetition,
         "cosine_neardup": q_cosine_neardup,
         "knn_top10": q_knn_top10,
         "knn_filtered": q_knn_filtered,
@@ -1569,6 +1599,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_pairs": simhash_pairs_sql(_DOCS_WITH_DUPS_SQL + " t", max_hamming=3),
         "ngram_jaccard": ngram_jaccard_pairs_sql(_DOCS_WITH_DUPS_SQL + " t", threshold=0.6),
+        "neardup_components": canonical_docs_sql(
+            _DOCS_WITH_DUPS_SQL,
+            minhash_lsh_pairs_sql(_DOCS_WITH_DUPS_SQL + " t", threshold=0.7, bands=8),
+        ),
+        "doc_repetition": repetition_scores_sql(_DOCS_WITH_DUPS_SQL + " t"),
         "cosine_neardup": cosine_neardup_exact_sql(_EMB_WITH_DUPS_SQL, threshold=0.5),
         "cosine_neardup_lsh": cosine_neardup_bucketed_sql(_EMB_WITH_DUPS_SQL, threshold=0.5),
         "grid_knn_ann": grid_knn_sql("embeddings", QVEC3, 10, res=4, dim=64),

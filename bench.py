@@ -35,6 +35,7 @@ sys.path.insert(0, REPO)
 
 HEADLINE = [
     "grid_collapsed_retrieval",
+    "grid_traversal_retrieval",
     "doc_cells",
     "tile_histogram",
     "pip_docs",
@@ -45,6 +46,7 @@ HEADLINE = [
     "latest_order_per_customer",
     "minhash_pairs",
     "ngram_jaccard",
+    "doc_repetition",
     "simhash_pairs",
     "cosine_neardup_lsh",
     "knn_top10",

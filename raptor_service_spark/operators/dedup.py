@@ -653,3 +653,167 @@ def cosine_neardup_bucketed(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components + canonical selection
+# ---------------------------------------------------------------------------
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair list -> (id, component).
+
+    The step a 100 TB dedup pipeline runs AFTER MinHash/SimHash pair
+    generation: pairs are transitive evidence ("A~B, B~C => keep one of
+    A,B,C"), so cluster them and pick a canonical member (min id). The
+    reference deletes duplicates one-at-a-time through Postgres FKs
+    (/root/reference/repositories/dataset_repo_pg.py:129-148); at corpus
+    scale the set-level equivalent is component labeling.
+
+    Algorithm: min-label propagation — every node starts labeled with its own
+    id; each round takes the min label over itself and its neighbors; stop
+    when no label changed. Rounds = graph diameter, which for LSH near-dup
+    clusters (dense clique-ish blobs) is 1-2; each round is ONE shuffled
+    groupBy over the (symmetrized) edge list plus a broadcast-size change
+    count — no driver-side graph, no collect of nodes. For adversarial
+    long-chain graphs swap in large-star/small-star (Kiveris et al., MR
+    connected components in O(log n) rounds); the per-round dataflow below is
+    the same building block.
+
+    ``localCheckpoint`` truncates the per-iteration lineage so the plan does
+    not grow superlinearly (the classic iterative-DataFrame trap).
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+                (F.least(F.col("comp"), F.coalesce("ncomp", "comp")) != F.col("comp"))
+                .cast("int")
+                .alias("chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.agg(F.sum("chg")).collect()[0][0] or 0
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    return labels.select("id", "comp")
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Canonical-member selection: every doc mapped to its cluster's min id
+    (itself when it has no near-dups) plus an ``is_dup`` drop flag — the
+    keep/drop verdict a training-data pipeline materializes."""
+    comp = dedup_components(pairs, id_a, id_b)
+    d = docs.select(id_col)
+    return (
+        d.join(comp, d[id_col] == comp.id, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("canonical"),
+            (F.coalesce("comp", F.col(id_col)) != F.col(id_col)).alias("is_dup"),
+        )
+    )
+
+
+def canonical_docs_sql(docs_table: str, pairs_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of canonical_docs: transitive closure via recursive CTE,
+    component = MIN reachable id."""
+    return f"""
+        WITH RECURSIVE pr AS ({pairs_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pr
+            UNION SELECT doc_b, doc_a FROM pr
+        ),
+        reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        ),
+        comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+        SELECT d.{id_col},
+               COALESCE(c.comp, d.{id_col}) AS canonical,
+               COALESCE(c.comp, d.{id_col}) != d.{id_col} AS is_dup
+        FROM {docs_table} d LEFT JOIN comp c ON d.{id_col} = c.id
+    """
+
+
+# ---------------------------------------------------------------------------
+# repetition ratio (duplicate n-gram fraction — the Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-doc duplicate k-gram fraction: 1 - distinct/total word k-grams.
+
+    The classic repetition quality filter for training corpora (boilerplate
+    and looping generations score high). Reuses the relational shingle
+    stream; count + count_distinct compile to two-phase hash aggregates on
+    the same (id) shuffle key."""
+    g = shingle_rows(docs, text_col, id_col, k)
+    return (
+        g.groupBy("id")
+        .agg(
+            F.count("g").alias("n_grams"),
+            F.countDistinct("g").alias("n_distinct"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams"), 6
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+def repetition_scores_sql(
+    table: str, text_expr: str = "text", id_col: str = "doc_id", k: int = 3
+) -> str:
+    w = words_sql(text_expr)
+    grams = (
+        f"CASE WHEN len({w}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({w}) - {k} + 1), "
+        f"i -> array_to_string(list_slice({w}, i, i + {k} - 1), ' ')) "
+        f"ELSE [array_to_string({w}, ' ')] END"
+    )
+    return f"""
+        WITH g AS (SELECT {id_col}, {grams} AS grams FROM {table})
+        SELECT {id_col},
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+               ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                   AS rep_ratio
+        FROM g
+    """

@@ -205,3 +205,50 @@ def test_winnowing_guarantee_and_oracle(spark):
     con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
     exp = con.execute(winnow_fingerprints_sql("docs", k=8, w=6)).df()
     assert _norm(fp) == _norm(exp)
+
+
+def test_dedup_components_chain_and_singletons(spark):
+    """A-B, B-C must land in ONE component (transitivity across pairs that
+    never co-occur in a bucket); D-E separate; F untouched singleton."""
+    from raptor_service_spark.operators.dedup import canonical_docs, dedup_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4)], "doc_a long, doc_b long"
+    )
+    comp = {r.id: r.comp for r in dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    out = {r.doc_id: (r.canonical, r.is_dup) for r in canonical_docs(docs, pairs).collect()}
+    assert out[1] == (1, False) and out[2] == (1, True) and out[3] == (1, True)
+    assert out[4] == (4, False) and out[5] == (4, True)
+    assert out[6] == (6, False)  # singleton: canonical self, not a dup
+
+
+def test_dedup_components_long_chain_converges(spark):
+    """Path graph 0-1-2-...-9: diameter 9 forces multiple propagation rounds."""
+    from raptor_service_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    comp = {r.id: r.comp for r in dedup_components(pairs).collect()}
+    assert set(comp) == set(range(10)) and set(comp.values()) == {0}
+
+
+def test_repetition_scores_known_values(spark):
+    from raptor_service_spark.operators.dedup import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # grams: 7 total, 3 distinct
+            (2, "one two three four"),  # all distinct
+            (3, "xy"),  # shorter than k: single whole-text gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    assert out[1].n_grams == 7 and out[1].n_distinct == 3
+    assert abs(out[1].rep_ratio - round(1 - 3 / 7, 6)) < 1e-9
+    assert out[2].rep_ratio == 0.0 and out[2].n_grams == 2
+    assert out[3].n_grams == 1 and out[3].rep_ratio == 0.0
