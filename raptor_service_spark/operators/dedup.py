@@ -693,6 +693,9 @@ def dedup_components(
         pairs.select(a.alias("src"), b.alias("dst"))
         .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
         .distinct()
+        # Materialize ONCE: without this every propagation round re-executes
+        # the upstream pair generation (e.g. the whole MinHash pipeline).
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "comp", F.col("id")

@@ -157,10 +157,45 @@ def _ascend_one_level(
     embed = hash_embed_udf(p.dim)
     cur = cur.withColumn("parent_cell", cell_parent_col(F.col("cell"), child_res, parent_res))
 
-    grouped = _salted_capped_collect(
-        cur, p.summary_cap, p.salt_buckets, p.summary_token_budget
-    )
-    n_groups = grouped.count()
+    # root promotion is PER TREE (reference :363-365 — one build per dataset
+    # there; here several datasets can share one pass): a tree whose level
+    # has exactly one group roots, while other trees keep ascending.
+    per_tree_groups = F.count("*").over(Window.partitionBy("tree_id", "dataset_id"))
+
+    def _make_parents(cur_df: DataFrame) -> DataFrame:
+        grouped = _salted_capped_collect(
+            cur_df, p.summary_cap, p.salt_buckets, p.summary_token_budget
+        )
+        return (
+            grouped.select(
+                "tree_id",
+                "dataset_id",
+                F.col("parent_cell").alias("cell"),
+                F.lit(level).alias("level"),
+                F.substring(
+                    F.concat_ws("\n", F.transform("items", lambda s: s["text"])),
+                    1,
+                    p.summary_max_chars,
+                ).alias("text"),
+            )
+            .withColumn(
+                "node_id", summary_node_id(F.col("tree_id"), F.col("level"), F.col("cell"))
+            )
+            .withColumn(
+                "kind",
+                F.when(per_tree_groups == 1, F.lit("root")).otherwise(F.lit("summary")),
+            )
+            .withColumn(
+                "ord", F.concat_ws("#", F.lit(f"L{level}"), F.col("cell").cast("string"))
+            )
+            .withColumn("v", embed(F.col("text")))
+        )
+
+    # Persist-then-count: one parent row per group, so the parents count IS
+    # the stall-guard statistic — the salted agg + embed run ONCE per level
+    # (previously the agg evaluated a second time when parents materialized).
+    parents = _make_parents(cur).persist()
+    n_groups = parents.count()
 
     # stall guard (reference :109-114): coarsening guarantees progress, but if
     # a level fails to shrink, collapse each tree into one group (grouping
@@ -168,36 +203,10 @@ def _ascend_one_level(
     forced_single = False
     if n_groups >= n_cur:
         forced_single = True
+        parents.unpersist()
         cur = cur.withColumn("parent_cell", F.lit(0).cast("long"))
-        grouped = _salted_capped_collect(
-            cur, p.summary_cap, p.salt_buckets, p.summary_token_budget
-        )
-        n_groups = grouped.count()
-
-    # root promotion is PER TREE (reference :363-365 — one build per dataset
-    # there; here several datasets can share one pass): a tree whose level
-    # has exactly one group roots, while other trees keep ascending.
-    per_tree_groups = F.count("*").over(Window.partitionBy("tree_id", "dataset_id"))
-    parents = (
-        grouped.select(
-            "tree_id",
-            "dataset_id",
-            F.col("parent_cell").alias("cell"),
-            F.lit(level).alias("level"),
-            F.substring(
-                F.concat_ws("\n", F.transform("items", lambda s: s["text"])),
-                1,
-                p.summary_max_chars,
-            ).alias("text"),
-        )
-        .withColumn("node_id", summary_node_id(F.col("tree_id"), F.col("level"), F.col("cell")))
-        .withColumn(
-            "kind",
-            F.when(per_tree_groups == 1, F.lit("root")).otherwise(F.lit("summary")),
-        )
-        .withColumn("ord", F.concat_ws("#", F.lit(f"L{level}"), F.col("cell").cast("string")))
-        .withColumn("v", embed(F.col("text")))
-    )
+        parents = _make_parents(cur).persist()
+        n_groups = parents.count()
 
     # edges: every child -> its parent (uncapped: caps affect only summary text;
     # provenance stays complete, mirroring A6/A7 semantics)
