@@ -1223,6 +1223,69 @@ def q_traversal_retrieval_synthetic(spark, sf_dir):
     return traversal_retrieve(tree, chunks, q, "ds-58", top_k=8)
 
 
+def q_asof_prior_click(spark, sf_dir):
+    """As-of join (graft-new §2.13): every purchase event gets the latest
+    click by the same user at or before its timestamp — union + per-key
+    ordered window fill (ONE shuffle, no range-join blowup); oracle is the
+    deterministic correlated form of DuckDB's ASOF JOIN."""
+    from raptor_service_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    out = asof_join(
+        ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        key="user_id",
+        ts="ts",
+        payload_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("prior_event_id").alias("click_id"),
+        F.round("prior_value", 6).alias("click_value"),
+    )
+
+
+_ASOF_PRIOR_CLICK_SQL = """
+    SELECT l.event_id, l.user_id,
+           (SELECT r.event_id FROM events r
+            WHERE r.user_id = l.user_id AND r.event_type = 'click'
+              AND r.ts <= l.ts
+            ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS click_id,
+           (SELECT ROUND(r.value, 6) FROM events r
+            WHERE r.user_id = l.user_id AND r.event_type = 'click'
+              AND r.ts <= l.ts
+            ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS click_value
+    FROM events l WHERE l.event_type = 'purchase'
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """ROLLUP grouping-sets aggregation: per (event_type, day), per
+    event_type, and grand total in one pass (Spark expands grouping sets
+    inside a single partial+final hash aggregate)."""
+    ev = _read(spark, sf_dir, "events")
+    d = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (
+        ev.select(F.col("event_type"), d.alias("day"), "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_EVENTS_ROLLUP_SQL = """
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY ROLLUP (event_type, day)
+"""
+
+
 def q_span_roundtrip_check(spark, sf_dir):
     """Span-sequence invariant as a query: rows violating equality (expect 0
     mismatches; returns per-doc ok flags)."""
@@ -1324,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_siblings": q_supplier_siblings,
         "top2_orders_per_customer": q_top2_orders_per_customer,
         "events_hourly_stats": q_events_hourly_stats,
+        "asof_prior_click": q_asof_prior_click,
+        "events_rollup": q_events_rollup,
         "json_props": q_json_props,
         "path_to_root": q_path_to_root,
         "user_sessions": q_user_sessions,
@@ -1456,6 +1521,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders WHERE o_custkey < 100)
             WHERE rn <= 2
         """,
+        "asof_prior_click": _ASOF_PRIOR_CLICK_SQL,
+        "events_rollup": _EVENTS_ROLLUP_SQL,
         "events_hourly_stats": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                    event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value,
