@@ -810,6 +810,44 @@ def q_doc_langid_counts(spark, sf_dir):
     )
 
 
+def q_doc_hash_split(spark, sf_dir):
+    """Deterministic md5-bucket train/valid/test split + per-split stats —
+    assignment depends only on doc_id (stable across re-runs/appends/
+    partitionings), the property RNG-based df.sample cannot give."""
+    from raptor_service_spark.functions.text import hash_split, token_count
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", hash_split(F.col("doc_id")))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+        )
+    )
+
+
+def q_top_terms_per_lang(spark, sf_dir):
+    """Per-language top-5 terms by frequency (explode -> two-phase count ->
+    per-group window top-k) — corpus summarization for dataset cards."""
+    d = _read(spark, sf_dir, "documents")
+    w = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    counts = (
+        d.select("lang", w)
+        .filter(F.col("term") != "")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "term", "n", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def q_doc_fingerprint_dedup(spark, sf_dir):
     return exact_dedup(_docs_with_dups(spark, sf_dir))
 
@@ -1405,6 +1443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_setops": q_event_type_setops,
         # text analysis + dedup + similarity
         "doc_tokens_by_lang": q_doc_tokens_by_lang,
+        "doc_hash_split": q_doc_hash_split,
+        "top_terms_per_lang": q_top_terms_per_lang,
         "doc_quality_top20": q_doc_quality_top20,
         "doc_langid_counts": q_doc_langid_counts,
         "doc_fingerprint_dedup": q_doc_fingerprint_dedup,
@@ -1433,7 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from raptor_service_spark.functions.text import token_count_sql
+    from raptor_service_spark.functions.text import hash_split_sql, token_count_sql
 
     lat, lng = _latlng_sql("doc_id")
     cell9 = cell_encode_sql(lat, lng, 9)
@@ -1652,6 +1692,24 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT lang, CAST(SUM({token_count_sql('text')}) AS BIGINT) AS total_tokens, "
             f"COUNT(*) AS n_docs FROM documents GROUP BY 1"
         ),
+        "doc_hash_split": (
+            f"SELECT {hash_split_sql('doc_id')} AS split, COUNT(*) AS n_docs, "
+            f"CAST(SUM({token_count_sql('text')}) AS BIGINT) AS n_tokens "
+            f"FROM documents GROUP BY 1"
+        ),
+        "top_terms_per_lang": """
+            SELECT lang, term, n, rk FROM (
+                SELECT lang, term, n,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY n DESC, term ASC) AS rk
+                FROM (
+                    SELECT lang, term, COUNT(*) AS n FROM (
+                        SELECT lang, unnest(regexp_split_to_array(
+                            lower(trim(text)), '\\s+')) AS term
+                        FROM documents)
+                    WHERE term <> '' GROUP BY 1, 2)
+            ) WHERE rk <= 5
+        """,
         "doc_quality_top20": (
             f"SELECT doc_id, {quality_score_sql('text')} AS quality FROM documents "
             f"ORDER BY quality DESC, doc_id ASC LIMIT 20"

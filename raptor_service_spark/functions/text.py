@@ -212,3 +212,37 @@ def fingerprint(text: Column) -> Column:
 
 def fingerprint_sql(expr: str) -> str:
     return f"md5(regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g'))"
+
+
+def hash_split(
+    key: Column, train_pct: int = 90, valid_pct: int = 5, buckets: int = 100
+) -> Column:
+    """Deterministic train/valid/test assignment by md5 bucket of the key.
+
+    The stable-split primitive every training pipeline needs: assignment
+    depends only on the key (never on partitioning, ordering, or sampling
+    RNG), so re-runs, appends, and engine changes keep every document on the
+    same side of the split. md5 is bit-identical across Spark and DuckDB ->
+    oracle-exact.
+    """
+    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % buckets
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def hash_split_sql(
+    key_expr: str, train_pct: int = 90, valid_pct: int = 5, buckets: int = 100
+) -> str:
+    bucket = (
+        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT % {buckets})"
+    )
+    return (
+        f"CASE WHEN {bucket} < {train_pct} THEN 'train' "
+        f"WHEN {bucket} < {train_pct + valid_pct} THEN 'valid' "
+        f"ELSE 'test' END"
+    )
