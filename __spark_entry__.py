@@ -56,6 +56,7 @@ from raptor_service_spark.operators.dedup import (
     minhash_lsh_pairs_sql,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_sql,
+    shingles_sql,
     simhash_pairs,
     simhash_pairs_sql,
 )
@@ -1324,6 +1325,154 @@ _EVENTS_ROLLUP_SQL = """
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot (long→wide reshape): per-day value sums with one column per
+    event type. The type list is supplied explicitly so Spark skips the
+    extra distinct-scan pass and plans ONE partial+final hash aggregate
+    (pivot_first, whole-stage codegen) — at scale the wide table is built
+    in the same single shuffle as a plain groupBy."""
+    ev = _read(spark, sf_dir, "events")
+    d = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (
+        ev.select(d.alias("day"), "event_type", "value")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 4))
+    )
+
+
+_EVENTS_PIVOT_SQL = (
+    "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+    + ", ".join(
+        f"ROUND(SUM(value) FILTER (WHERE event_type = '{t}'), 4) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1"
+)
+
+
+def q_events_sliding(spark, sf_dir):
+    """Hopping-window aggregation (2 h windows sliding 1 h): each event
+    lands in exactly two windows; Spark expands the membership inline (no
+    self-union) and aggregates in one shuffle. The identical window spec
+    drives the streaming path (streaming/events.py), so batch and stream
+    share window semantics."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_EVENTS_SLIDING_SQL = """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM (SELECT event_type, value,
+                 unnest([date_trunc('hour', ts),
+                         date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+          FROM events)
+    GROUP BY 1, 2
+"""
+
+
+def q_user_running_stats(spark, sf_dir):
+    """Window frames: per-user cumulative sum (UNBOUNDED PRECEDING) and
+    3-row moving average over the event stream ordered by (ts, event_id) —
+    the running-aggregate shape behind rate counters and drift monitors.
+    One shuffle on user_id serves both frames."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    ob = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(ob.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
+            "cum_value"
+        ),
+        F.round(F.avg("value").over(ob.rowsBetween(-2, 0)), 6).alias("mov_avg3"),
+    )
+
+
+_USER_RUNNING_SQL = """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 4) AS cum_value,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
+    FROM events WHERE user_id < 20
+"""
+
+
+def q_train_decontam(spark, sf_dir):
+    """Benchmark decontamination: train-split docs sharing any distinct word
+    5-gram with a held-out test-split doc — the n-gram-overlap contamination
+    check run before every training round. One equi-join on the relational
+    gram stream (same shingle machinery as MinHash); 5-word keys keep
+    per-gram fan-out bounded and the join is AQE-skew-splittable."""
+    from raptor_service_spark.functions.text import hash_split
+    from raptor_service_spark.operators.dedup import distinct_shingle_rows
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "split", hash_split(F.col("doc_id"))
+    )
+    tr = distinct_shingle_rows(d.filter(F.col("split") == "train"), k=5)
+    te = distinct_shingle_rows(d.filter(F.col("split") == "test"), k=5)
+    return (
+        tr.join(te.withColumnRenamed("id", "bench_id"), "g")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+QVEC_Q = np.round(
+    QVEC.astype(np.float64) * (127.0 / np.max(np.abs(QVEC.astype(np.float64))))
+).astype(np.int64)
+_QVEC_Q_SQL = "[" + ", ".join(f"{int(v)}.0" for v in QVEC_Q) + "]"
+_QVEC_Q_NORM = float(np.sqrt(np.sum(QVEC_Q.astype(np.float64) ** 2)))
+
+
+def q_knn_quantized(spark, sf_dir):
+    """Int8-quantized kNN: per-vector max-abs symmetric quantization
+    (embedding → integer codes, 4× memory/IO reduction at index time), then
+    exact dot-product cosine on the codes. All code arithmetic is
+    integer-in-double — exactly representable, so engine-order-independent
+    and oracle bit-exact. At scale the codes column replaces the float
+    vectors in the ANN index; this verifies the quantize + score path."""
+    e = _read(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    q = F.transform(xd, lambda x: F.round(x * F.lit(127.0) / mx))
+    qq = F.array(*[F.lit(float(v)) for v in QVEC_Q])
+    dot = F.aggregate(
+        F.zip_with(q, qq, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(
+        F.aggregate(F.transform(q, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    dist = F.lit(1.0) - dot / (nq * F.lit(_QVEC_Q_NORM))
+    return (
+        e.select("vec_id", F.round(dist, 6).alias("qdist"))
+        .orderBy(F.col("qdist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 def q_span_roundtrip_check(spark, sf_dir):
     """Span-sequence invariant as a query: rows violating equality (expect 0
     mismatches; returns per-doc ok flags)."""
@@ -1427,6 +1576,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stats": q_events_hourly_stats,
         "asof_prior_click": q_asof_prior_click,
         "events_rollup": q_events_rollup,
+        "events_pivot": q_events_pivot,
+        "events_sliding": q_events_sliding,
+        "user_running_stats": q_user_running_stats,
+        "train_decontam": q_train_decontam,
+        "knn_quantized": q_knn_quantized,
         "json_props": q_json_props,
         "path_to_root": q_path_to_root,
         "user_sessions": q_user_sessions,
@@ -1563,6 +1717,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "asof_prior_click": _ASOF_PRIOR_CLICK_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
+        "events_pivot": _EVENTS_PIVOT_SQL,
+        "events_sliding": _EVENTS_SLIDING_SQL,
+        "user_running_stats": _USER_RUNNING_SQL,
+        "train_decontam": f"""
+            WITH s AS (SELECT doc_id, text, {hash_split_sql("doc_id")} AS split
+                       FROM documents),
+            tr AS (SELECT doc_id AS id, unnest({shingles_sql("text", 5)}) AS g
+                   FROM s WHERE split = 'train'),
+            te AS (SELECT doc_id AS bench_id, unnest({shingles_sql("text", 5)}) AS g
+                   FROM s WHERE split = 'test')
+            SELECT tr.id AS doc_id, COUNT(DISTINCT tr.g) AS n_shared_grams,
+                   COUNT(DISTINCT te.bench_id) AS n_bench_docs
+            FROM tr JOIN te ON tr.g = te.g GROUP BY 1
+        """,
+        "knn_quantized": f"""
+            WITH qz AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0 /
+                           list_max(list_transform(embedding,
+                               y -> abs(CAST(y AS DOUBLE)))))) AS q
+                FROM embeddings)
+            SELECT vec_id,
+                   ROUND(1.0 - list_inner_product(q, {_QVEC_Q_SQL}) /
+                         (sqrt(list_inner_product(q, q)) * {_QVEC_Q_NORM!r}), 6) AS qdist
+            FROM qz ORDER BY qdist ASC, vec_id ASC LIMIT 10
+        """,
         "events_hourly_stats": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                    event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value,
