@@ -1302,6 +1302,31 @@ _ASOF_PRIOR_CLICK_SQL = """
 """
 
 
+def q_click_purchase_join(spark, sf_dir):
+    """Interval (attribution-window) join: every click by the same user in
+    the 30 min before each purchase. The SAME operator runs as a
+    watermarked stream-stream join (streaming/events.py — state expires by
+    the time bound); batch mode plans an equi-join on user_id with the
+    range as a join filter. Parity: tests/test_tiles_nav_streaming.py."""
+    from raptor_service_spark.streaming.events import click_purchase_interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    return click_purchase_interval_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+_CLICK_PURCHASE_SQL = """
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+           ROUND(c.value, 6) AS click_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """ROLLUP grouping-sets aggregation: per (event_type, day), per
     event_type, and grand total in one pass (Spark expands grouping sets
@@ -1575,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top2_orders_per_customer": q_top2_orders_per_customer,
         "events_hourly_stats": q_events_hourly_stats,
         "asof_prior_click": q_asof_prior_click,
+        "click_purchase_join": q_click_purchase_join,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "events_sliding": q_events_sliding,
@@ -1716,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 2
         """,
         "asof_prior_click": _ASOF_PRIOR_CLICK_SQL,
+        "click_purchase_join": _CLICK_PURCHASE_SQL,
         "events_rollup": _EVENTS_ROLLUP_SQL,
         "events_pivot": _EVENTS_PIVOT_SQL,
         "events_sliding": _EVENTS_SLIDING_SQL,

@@ -57,3 +57,37 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def click_purchase_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase paired with EVERY click by
+    the same user within the preceding ``lookback`` (the attribution-window
+    join; the as-of operator keeps only the latest).
+
+    Defined once for batch and streaming inputs. In streaming mode both
+    sides carry watermarks and the time-range bound is what lets Spark
+    expire buffered join state (without it, stream-stream inner join state
+    grows forever); with them, state is O(users active in the window).
+    Batch mode plans an equi-join on user_id with the range as a join
+    filter — no blowup beyond the output size.
+    """
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("ts", watermark)
+        clicks = clicks.withWatermark("ts", watermark)
+    p, c = purchases.alias("p"), clicks.alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.round(F.col("c.value"), 6).alias("click_value"),
+    )

@@ -189,3 +189,48 @@ def test_sample_frames_plumbing(spark):
     one = out[out.media_ref == out.media_ref.iloc[0]].sort_values("frame_idx")
     assert len({bytes(p) for p in one.payload}) == 3
     assert abs(one.t_offset_sec.iloc[2] - 2 / 24.0) < 1e-12
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join == batch interval join."""
+    import os
+    import shutil
+
+    from raptor_service_spark.streaming.events import (
+        click_purchase_interval_join,
+        stream_events_from_dir,
+    )
+
+    src = str(tmp_path / "events_src2")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/part-0.parquet")
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import pyspark.sql.functions as F
+
+    expected = (
+        click_purchase_interval_join(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "click"),
+        )
+        .orderBy("purchase_id", "click_id")
+        .toPandas()
+    )
+
+    s = stream_events_from_dir(spark, src)
+    assert s.isStreaming
+    joined = click_purchase_interval_join(
+        s.filter(F.col("event_type") == "purchase"),
+        s.filter(F.col("event_type") == "click"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("cp_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("cp_join").orderBy("purchase_id", "click_id").toPandas()
+    assert len(got) > 0
+    assert got.equals(expected)
