@@ -168,6 +168,69 @@ class SnapshotCatalog:
                     out.append(json.load(f))
         return out
 
+    def _data_files(self, dirs: list[str]) -> list[str]:
+        out = []
+        for d in dirs:
+            if os.path.isdir(d):
+                out += [
+                    os.path.join(d, n)
+                    for n in os.listdir(d)
+                    if n.endswith(".parquet")
+                ]
+        return out
+
+    def compact(self, table: str, target_file_bytes: int = 128 << 20,
+                props: dict | None = None) -> int:
+        """Bin-pack small files (Iceberg ``rewrite_data_files``).
+
+        Long-lived tables accumulate one data dir per commit; at 100 TB the
+        resulting small-file population dominates scan planning and open()
+        overhead. Rewrites the CURRENT snapshot into ceil(total_bytes /
+        target_file_bytes) files — rows unchanged, layout only; the commit
+        is atomic, so concurrent readers see the old or new snapshot, never
+        a mix. Older snapshots still time-travel to the pre-compaction
+        layout until expired.
+        """
+        import math
+
+        m = self._manifest(table)
+        files = self._data_files(m["files"])
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        df = self.read(table).repartition(n_out)
+        path, rows = self._write_data(table, df)
+        return self._commit(
+            table, [path], "compact", rows,
+            {"files_before": len(files), "files_after": n_out, **(props or {})},
+        )
+
+    def expire_snapshots(self, table: str, keep_last: int = 3) -> list[int]:
+        """Drop snapshots older than the newest ``keep_last`` and delete the
+        data dirs no retained snapshot references (Iceberg
+        ``expire_snapshots``) — bounds metadata and storage growth; time
+        travel stays available inside the retention window. Returns the
+        expired version numbers."""
+        import shutil
+
+        cur = self._current_version(table)
+        cutoff = cur - keep_last + 1
+        retained_files: set[str] = set()
+        expired: list[int] = []
+        for s in self.snapshots(table):
+            if s["version"] >= cutoff:
+                retained_files.update(s["files"])
+            else:
+                expired.append(s["version"])
+        for v in expired:
+            os.remove(os.path.join(self._snapdir(table), f"v{v:06d}.json"))
+        data_root = os.path.join(self._tdir(table), "data")
+        if os.path.isdir(data_root):
+            for name in os.listdir(data_root):
+                d = os.path.join(data_root, name)
+                if d not in retained_files:
+                    shutil.rmtree(d)
+        return expired
+
     def rollback(self, table: str, version: int) -> None:
         cur_tmp = os.path.join(self._snapdir(table), "CURRENT.tmp")
         with open(cur_tmp, "w") as f:

@@ -197,3 +197,42 @@ def test_ingest_incremental_multi_dataset(spark, tmp_path):
     assert _tree_signature(inc) == _tree_signature(full)
     roots = inc.nodes.filter(inc.nodes.kind == "root").select("dataset_id").collect()
     assert sorted(r.dataset_id for r in roots) == ["ds-74", "ds-75"]
+
+
+def test_compact_binpacks_files_and_preserves_rows(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    for i in range(5):  # 5 commits -> 5 data dirs of small files
+        cat.append("t", spark.createDataFrame([(i, f"s{i}")], "id int, s string"))
+    before = {(r.id, r.s) for r in cat.read("t").collect()}
+    v_pre = cat._current_version("t")
+    v = cat.compact("t", target_file_bytes=1 << 30)  # everything into 1 file
+    m = cat._manifest("t")
+    assert m["operation"] == "compact" and m["version"] == v
+    assert len(m["files"]) == 1
+    assert len(cat._data_files(m["files"])) == 1
+    assert {(r.id, r.s) for r in cat.read("t").collect()} == before
+    # pre-compaction snapshot still time-travels
+    assert cat.read("t", version=v_pre).count() == 5
+    assert m["props"]["files_before"] >= 5 and m["props"]["files_after"] == 1
+
+
+def test_expire_snapshots_bounds_storage(spark, tmp_path):
+    import os
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    for i in range(6):
+        cat.append("t", spark.createDataFrame([(i, "x")], "id int, s string"))
+    cat.compact("t", target_file_bytes=1 << 30)
+    expired = cat.expire_snapshots("t", keep_last=2)
+    assert expired == list(range(1, 6))  # v1..v5 dropped, v6 + v7(compact) kept
+    assert [s["version"] for s in cat.snapshots("t")] == [6, 7]
+    # current read unaffected; expired versions no longer readable
+    assert cat.read("t").count() == 6
+    with pytest.raises(FileNotFoundError):
+        cat._manifest("t", 3)
+    # unreferenced data dirs physically deleted, retained ones kept
+    data_root = os.path.join(cat._tdir("t"), "data")
+    live = set()
+    for s in cat.snapshots("t"):
+        live.update(s["files"])
+    assert {os.path.join(data_root, n) for n in os.listdir(data_root)} == live
