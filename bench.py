@@ -50,6 +50,8 @@ HEADLINE = [
     "simhash_pairs",
     "cosine_neardup_lsh",
     "knn_top10",
+    "knn_quantized",
+    "train_decontam",
     "grid_knn_ann",
     "reranked_retrieval",
     "tree_build_docs",
