@@ -102,12 +102,35 @@ class SnapshotCatalog:
     def exists(self, table: str) -> bool:
         return self._current_version(table) > 0
 
-    def append(self, table: str, df: DataFrame, props: dict | None = None) -> int:
+    def append(self, table: str, df: DataFrame, props: dict | None = None,
+               merge_schema: bool = False) -> int:
+        """AppendFiles commit. With ``merge_schema`` the append may ADD
+        columns (Iceberg add-column evolution): old data files stay as
+        written and their rows read back NULL for the new columns; columns
+        the append omits are filled with NULL. Without it, appends are
+        normalized to the exact table schema (column order included)."""
+        from pyspark.sql import functions as F
+
         prev = self._manifest(table)
-        # column order normalization: later appends reorder to the table schema
         if prev["files"]:
-            cols = self.spark.read.parquet(prev["files"][0]).columns
-            df = df.select(*cols)
+            # latest commit's schema = current table schema (post-evolution)
+            schema = self.spark.read.parquet(prev["files"][-1]).schema
+            cols = [f.name for f in schema.fields]
+            if merge_schema:
+                types = {f.name: f.dataType for f in schema.fields}
+                added = [c for c in df.columns if c not in cols]
+                df = df.select(
+                    *[
+                        df[c] if c in df.columns
+                        else F.lit(None).cast(types[c]).alias(c)
+                        for c in cols
+                    ],
+                    *added,
+                )
+                if added:
+                    props = {"schema_added_columns": added, **(props or {})}
+            else:
+                df = df.select(*cols)
         path, rows = self._write_data(table, df)
         return self._commit(table, prev["files"] + [path], "append", rows, props)
 
@@ -119,7 +142,10 @@ class SnapshotCatalog:
         m = self._manifest(table, version)
         if not m["files"]:
             raise FileNotFoundError(f"table {table} has no snapshot")
-        return self.spark.read.parquet(*m["files"])
+        # mergeSchema unions per-file schemas so add-column evolution reads
+        # NULL-filled history (Iceberg resolves this from table metadata; the
+        # parquet footer union is the local stand-in)
+        return self.spark.read.option("mergeSchema", "true").parquet(*m["files"])
 
     def merge(self, table: str, updates: DataFrame, key_cols: list[str],
               props: dict | None = None) -> int:

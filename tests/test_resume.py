@@ -236,3 +236,25 @@ def test_expire_snapshots_bounds_storage(spark, tmp_path):
     for s in cat.snapshots("t"):
         live.update(s["files"])
     assert {os.path.join(data_root, n) for n in os.listdir(data_root)} == live
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    cat.append("t", spark.createDataFrame([(1, "a")], "id int, s string"))
+    # add a column: old rows read back NULL for it
+    v2 = cat.append(
+        "t",
+        spark.createDataFrame([(2, "b", 9.5)], "id int, s string, score double"),
+        merge_schema=True,
+    )
+    got = {(r.id, r.s, r.score) for r in cat.read("t").collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+    assert cat._manifest("t")["props"]["schema_added_columns"] == ["score"]
+    # an append omitting an evolved column gets NULL-filled, not rejected
+    cat.append(
+        "t", spark.createDataFrame([(3, "c")], "id int, s string"), merge_schema=True
+    )
+    got = {(r.id, r.score) for r in cat.read("t").collect()}
+    assert got == {(1, None), (2, 9.5), (3, None)}
+    # pre-evolution snapshot time-travels WITHOUT the new column
+    assert "score" not in cat.read("t", version=v2 - 1).columns
