@@ -1015,6 +1015,72 @@ def _radius_join_docs_sql() -> str:
     """
 
 
+_GEOKNN_QUERIES = {"g1": (48.8, 2.3), "g2": (-33.8, 151.2), "g3": (40.7, -74.0)}
+
+
+def q_geo_knn_docs(spark, sf_dir):
+    """Spatial kNN join (operators/geo_knn.py): exact 5 nearest driver docs
+    per literal query point, candidates pruned to occupancy-planned k-rings,
+    refine is codegen sqrt + per-qid window top-k."""
+    from raptor_service_spark.operators.geo_knn import geo_knn_join
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng)
+    return geo_knn_join(
+        pts, _GEOKNN_QUERIES, k=5, res=6, payload_cols=("doc_id",)
+    )
+
+
+def _geo_knn_docs_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    vals = ", ".join(
+        f"('{q}', {la}, {ln})" for q, (la, ln) in _GEOKNN_QUERIES.items()
+    )
+    d = f"sqrt(({lat} - clat) * ({lat} - clat) + ({lng} - clng) * ({lng} - clng))"
+    return f"""
+        SELECT qid, doc_id, ROUND({d}, 6) AS dist
+        FROM documents CROSS JOIN (VALUES {vals}) q(qid, clat, clng)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY ROUND({d}, 6), doc_id) <= 5
+    """
+
+
+def q_cell_kring_smooth(spark, sf_dir):
+    """K-ring neighborhood smoothing (operators/neighborhood.py): per
+    occupied res-6 cell, own count + 1-ring summed count + occupied-ring
+    size. Ring expansion is a literal (dx, dy) array exploded JVM-side."""
+    from raptor_service_spark.operators.neighborhood import kring_smooth
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng)
+    return kring_smooth(pts, res=6, k=1)
+
+
+def _cell_kring_smooth_sql() -> str:
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell6 = cell_encode_sql(lat, lng, 6)
+    offs = ", ".join(
+        f"({dx}, {dy})" for dy in range(-1, 2) for dx in range(-1, 2)
+    )
+    nbr = kring_neighbor_sql("c.cell", 6, "o.dx", "o.dy")
+    return f"""
+        WITH c AS (SELECT {cell6} AS cell, COUNT(*) AS n_points
+                   FROM documents GROUP BY 1),
+        p AS (SELECT c.cell, c.n_points, {nbr} AS nbr
+              FROM c CROSS JOIN (VALUES {offs}) o(dx, dy)
+              WHERE {nbr} IS NOT NULL)
+        SELECT p.cell, MAX(p.n_points) AS n_points,
+               CAST(SUM(COALESCE(c2.n_points, 0)) AS BIGINT) AS ring_points,
+               COUNT(c2.cell) AS n_ring_cells
+        FROM p LEFT JOIN c c2 ON p.nbr = c2.cell
+        GROUP BY 1
+    """
+
+
 def q_spans_explode(spark, sf_dir):
     """Span pipeline on driver docs: split to 10-word spans, explode with
     ordered idx + chunk ids (S9/T4 invariant; chunk_service.py:27 id scheme)."""
@@ -1083,6 +1149,38 @@ def q_ivf_knn_ann(spark, sf_dir):
     listed = assign_ivf_lists(e, cents)
     q = gen_query_vectors(seed=103, n=1, dim=64)[0]
     return ivf_knn(listed, cents, q, 10, nprobe=8)
+
+
+QVEC_IVF = np.round(gen_query_vectors(seed=103, n=1, dim=64)[0], 6)
+QVEC_IVF_SQL = "[" + ", ".join(f"{x:.6f}" for x in QVEC_IVF) + "]"
+
+
+def q_ivf_knn_exact(spark, sf_dir):
+    """IVF ANN probed exhaustively (nprobe = n_lists): the probe set covers
+    every list, so the result is the EXACT cosine top-10 (the property
+    tests/test_ivf.py asserts) — which puts the full IVF dataflow (sampled
+    spherical k-means train, mapInPandas list assignment, probe filter,
+    in-list refine) under the driver's value-checked oracle gate, with a
+    plain brute-force SQL twin. 6-dp round + numeric-id tie-break per the
+    repo's cross-engine float convention."""
+    from raptor_service_spark.operators.ivf import (
+        assign_ivf_lists,
+        train_ivf_centroids,
+    )
+
+    e = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    cents = train_ivf_centroids(e, n_lists=16, sample_n=2000, iters=5)
+    listed = assign_ivf_lists(e, cents)
+    probe = list(range(len(cents)))  # exhaustive: nprobe = n_lists
+    cand = listed.filter(F.col("list_id").isin(probe))
+    return (
+        cand.withColumn("dist", F.round(cosine_dist_col(F.col("v"), QVEC_IVF), 6))
+        .orderBy(F.col("dist").asc(), F.col("id").asc())
+        .limit(10)
+        .select("id", "dist")
+    )
 
 
 def q_tree_build_synthetic(spark, sf_dir):
@@ -1584,6 +1682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_histogram": q_tile_histogram,
         "pip_docs": q_pip_docs,
         "radius_join_docs": q_radius_join_docs,
+        "geo_knn_docs": q_geo_knn_docs,
+        "cell_kring_smooth": q_cell_kring_smooth,
         # relational battery
         "lineitem_agg": q_lineitem_agg,
         "orders_status_stats": q_orders_status_stats,
@@ -1642,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "grid_knn_ann": q_grid_knn_ann,
         "ivf_knn_ann": q_ivf_knn_ann,
+        "ivf_knn_exact": q_ivf_knn_exact,
         "reranked_retrieval": q_reranked_retrieval,
         "tree_build_docs": q_tree_build_docs,
         "tree_build_synthetic": q_tree_build_synthetic,
@@ -1674,6 +1775,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pip_docs": f"{tri_sql} UNION ALL {rect_sql}",
         "radius_join_docs": _radius_join_docs_sql(),
+        "geo_knn_docs": _geo_knn_docs_sql(),
+        "cell_kring_smooth": _cell_kring_smooth_sql(),
+        "ivf_knn_exact": f"""
+            SELECT vec_id AS id,
+                   ROUND(1.0 - list_cosine_similarity(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       {QVEC_IVF_SQL}), 6) AS dist
+            FROM embeddings ORDER BY dist ASC, id ASC LIMIT 10
+        """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty,
                    ROUND(SUM(l_extendedprice), 2) AS sum_price,

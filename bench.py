@@ -40,6 +40,8 @@ HEADLINE = [
     "tile_histogram",
     "pip_docs",
     "radius_join_docs",
+    "geo_knn_docs",
+    "cell_kring_smooth",
     "knn_filtered",
     "lineitem_agg",
     "sum_qty_per_segment",

@@ -1,0 +1,136 @@
+"""Spatial (lat/lng) k-nearest-neighbor join with grid-pruned candidates.
+
+Geo twin of the embedding-space grid kNN (operators/knn.py): for each of a
+small set of query points, return the exact k nearest data points by
+euclidean degree-space distance, touching only the grid cells that can
+possibly contain them.
+
+Reference parity: this generalizes the reference's single-point retrieval
+fan-out (services/retrieval/retrieval_service.py:96-141 — query embedding →
+candidate cluster members → exact re-score) to geographic coordinates; the
+candidate expansion primitive is the same k-ring used by the tile tree
+(geo/grid.py kring_np) instead of GMM cluster membership.
+
+Scale shape (100 TB):
+  * one map-side-combinable ``groupBy(cell).count()`` over the points —
+    the occupancy histogram the driver plans rings with (O(occupied cells)
+    collected, never point rows);
+  * one candidate pass: broadcast (qid, cell) list joined against the
+    cell-encoded points — partition pruning when the table is written
+    partitionBy(cell prefix); candidate volume is bounded by ring occupancy,
+    not table size;
+  * exact refine is a codegen sqrt + per-qid window top-k (rows after the
+    window shuffle: O(n_queries * k)).
+
+Exactness: rings expand until the histogram shows >= k candidates inside
+ring r; every candidate in ring r lies within d_ub = (r+1) * hypot(ch, cw)
+degrees, so the k-th neighbor distance <= d_ub. The final ring
+R = floor((d_ub + ch) / ch) + 2 then covers every point at distance
+<= d_ub + ch: a point with |dlat| <= d sits within dy <= d/ch + 1 cells
+(worst case: query on a cell edge), and (R - 1) * ch >= d_ub + ch. The +ch
+guard also absorbs the repo's 6-dp rounded-distance tie convention.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from raptor_service_spark.geo.grid import RES_MULTIPLIER, cell_encode_col, cell_encode_np
+
+
+def _ring_cells(qx: int, qy: int, res: int, ring: int) -> np.ndarray:
+    """Cell ids within Chebyshev distance ``ring`` (lng wrap, lat clamp)."""
+    n = 1 << res
+    dxs, dys = np.meshgrid(np.arange(-ring, ring + 1), np.arange(-ring, ring + 1))
+    xs = (qx + dxs.ravel()) % n
+    ys = qy + dys.ravel()
+    ok = (ys >= 0) & (ys < n)
+    return np.unique(
+        np.int64(res) * RES_MULTIPLIER + ys[ok].astype(np.int64) * n + xs[ok].astype(np.int64)
+    )
+
+
+def geo_knn_join(
+    points: DataFrame,
+    queries: dict[str, tuple[float, float]],
+    k: int,
+    res: int = 6,
+    max_ring: int = 64,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact k nearest ``points`` per query, distance = degree-space euclid.
+
+    Output: (qid, <payload_cols>, dist) with dist rounded to 6 dp and rows
+    deterministically ordered by (round(dist, 6), first payload col) within
+    each qid — the repo's cross-engine float convention.
+    """
+    spark = points.sparkSession
+    n = 1 << res
+    ch = 180.0 / n  # cell height (lat degrees); width is 2 * ch
+
+    pts = points.withColumn(
+        "_cell", cell_encode_col(F.col(lat_col), F.col(lng_col), res)
+    )
+
+    # --- plan rings from the occupancy histogram (one agg, O(cells) driver)
+    qxy = {}
+    for qid, (la, ln) in queries.items():
+        cell = int(cell_encode_np(np.array([la]), np.array([ln]), res)[0])
+        rem = cell - res * RES_MULTIPLIER
+        qxy[qid] = (rem % n, rem // n)
+    probe_rows = [
+        (qid, int(c))
+        for qid, (qx, qy) in qxy.items()
+        for c in _ring_cells(qx, qy, res, max_ring)
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "qid string, cell long")
+    hist = (
+        pts.groupBy(F.col("_cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(probe_df.select("cell").distinct()), "cell")
+        .collect()
+    )
+    occ = {int(r["cell"]): int(r["cnt"]) for r in hist}
+
+    cand_rows: list[tuple[str, int]] = []
+    for qid, (qx, qy) in qxy.items():
+        ring, got = 0, 0
+        while ring < max_ring:
+            got = sum(occ.get(int(c), 0) for c in _ring_cells(qx, qy, res, ring))
+            if got >= k:
+                break
+            ring += 1
+        d_ub = (ring + 1) * math.hypot(ch, 2.0 * ch)
+        final_ring = min(max_ring, int(math.floor((d_ub + ch) / ch)) + 2)
+        cand_rows.extend(
+            (qid, int(c))
+            for c in _ring_cells(qx, qy, res, final_ring)
+            if int(c) in occ
+        )
+    cand_df = spark.createDataFrame(cand_rows, "qid string, cell long")
+
+    centers_df = spark.createDataFrame(
+        [(q, float(la), float(ln)) for q, (la, ln) in queries.items()],
+        "qid string, clat double, clng double",
+    )
+
+    # --- one candidate pass: broadcast cell list, codegen refine, window top-k
+    dla = F.col(lat_col) - F.col("clat")
+    dln = F.col(lng_col) - F.col("clng")
+    tie = payload_cols[0] if payload_cols else "_cell"
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col(tie).asc())
+    return (
+        pts.join(F.broadcast(cand_df), pts["_cell"] == cand_df["cell"], "inner")
+        .join(F.broadcast(centers_df), "qid")
+        .withColumn("dist", F.round(F.sqrt(dla * dla + dln * dln), 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", *payload_cols, "dist")
+    )

@@ -1,0 +1,111 @@
+"""Spatial kNN join (operators/geo_knn.py) and k-ring smoothing
+(operators/neighborhood.py) vs numpy brute force."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_service_spark.geo.grid import RES_MULTIPLIER, cell_encode_np
+from raptor_service_spark.operators.geo_knn import geo_knn_join
+from raptor_service_spark.operators.neighborhood import kring_smooth
+
+
+def _points_df(spark, n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-85, 85, n).round(4)
+    lng = rng.uniform(-179, 179, n).round(4)
+    rows = [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(lat, lng))]
+    return (
+        spark.createDataFrame(rows, "pid long, lat double, lng double"),
+        lat,
+        lng,
+    )
+
+
+QUERIES = {"qa": (10.0, 20.0), "qb": (-60.0, 150.0), "qc": (80.0, -170.0)}
+
+
+def _brute_topk(lat, lng, qla, qln, k):
+    d = np.round(np.sqrt((lat - qla) ** 2 + (lng - qln) ** 2), 6)
+    order = np.lexsort((np.arange(len(d)), d))[:k]
+    return [(int(i), float(d[i])) for i in order]
+
+
+@pytest.mark.parametrize("k", [1, 5, 17])
+def test_geo_knn_join_exact(spark, k):
+    df, lat, lng = _points_df(spark)
+    out = geo_knn_join(df, QUERIES, k=k, res=6, payload_cols=("pid",))
+    got = {
+        qid: sorted(
+            ((r["pid"], r["dist"]) for r in rows),
+            key=lambda t: (t[1], t[0]),
+        )
+        for qid, rows in _group(out.collect()).items()
+    }
+    for qid, (qla, qln) in QUERIES.items():
+        want = sorted(_brute_topk(lat, lng, qla, qln, k), key=lambda t: (t[1], t[0]))
+        assert got[qid] == want, qid
+
+
+def test_geo_knn_join_sparse_ring_expansion(spark):
+    # 6 points clustered far from the query: ring 0..n around the query cell
+    # are empty, so the planner must expand well past the first ring.
+    rows = [(i, 80.0 + i * 0.01, 170.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "pid long, lat double, lng double")
+    out = geo_knn_join(df, {"q": (-80.0, -170.0)}, k=3, res=6, payload_cols=("pid",))
+    lat = np.array([r[1] for r in rows])
+    lng = np.array([r[2] for r in rows])
+    want = _brute_topk(lat, lng, -80.0, -170.0, 3)
+    got = sorted(((r["pid"], r["dist"]) for r in out.collect()), key=lambda t: (t[1], t[0]))
+    assert got == sorted(want, key=lambda t: (t[1], t[0]))
+
+
+def _group(rows):
+    out: dict[str, list] = {}
+    for r in rows:
+        out.setdefault(r["qid"], []).append(r)
+    return out
+
+
+def test_kring_smooth_matches_numpy(spark):
+    df, lat, lng = _points_df(spark, n=300, seed=11)
+    res, k = 5, 1
+    out = {r["cell"]: r for r in kring_smooth(df, res=res, k=k).collect()}
+
+    cells = cell_encode_np(lat, lng, res)
+    counts: dict[int, int] = {}
+    for c in cells:
+        counts[int(c)] = counts.get(int(c), 0) + 1
+    n = 1 << res
+    for cell, cnt in counts.items():
+        rem = cell - res * RES_MULTIPLIER
+        x, y = rem % n, rem // n
+        ring_pts, ring_cells = 0, 0
+        for dy in range(-k, k + 1):
+            yy = y + dy
+            if not (0 <= yy < n):
+                continue
+            for dx in range(-k, k + 1):
+                nbr = res * RES_MULTIPLIER + yy * n + (x + dx) % n
+                if nbr in counts:
+                    ring_pts += counts[nbr]
+                    ring_cells += 1
+        row = out[cell]
+        assert row["n_points"] == cnt
+        assert row["ring_points"] == ring_pts
+        assert row["n_ring_cells"] == ring_cells
+    assert set(out) == set(counts)
+
+
+def test_kring_smooth_pole_clamp_and_wrap(spark):
+    # two points in the same lat band at lng extremes: at res 2 (n=4) the
+    # x=0 and x=3 cells are 1-ring neighbors through the antimeridian wrap.
+    rows = [(0, 89.0, -179.9), (1, 89.0, 179.9)]
+    df = spark.createDataFrame(rows, "pid long, lat double, lng double")
+    out = {r["cell"]: r for r in kring_smooth(df, res=2, k=1).collect()}
+    assert len(out) == 2
+    for r in out.values():
+        assert r["n_points"] == 1
+        assert r["ring_points"] == 2  # sees itself + the wrapped neighbor
+        assert r["n_ring_cells"] == 2
