@@ -1046,6 +1046,66 @@ def _geo_knn_docs_sql() -> str:
     """
 
 
+_KM_CENTERS = {"k1": (48.8, 2.3), "k2": (-33.8, 151.2), "k3": (75.0, -40.0)}
+_KM_RADIUS = 900.0
+
+
+def q_radius_km_docs(spark, sf_dir):
+    """Great-circle within-900-km join (operators/pip_join.radius_join_km):
+    wrap-aware bbox candidate cells + codegen haversine refine; k3 sits at
+    75°N where the 1/cos lng widening matters."""
+    from raptor_service_spark.operators.pip_join import radius_join_km
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng)
+    return radius_join_km(pts, _KM_CENTERS, _KM_RADIUS, res=5).select(
+        "qid", "doc_id", "dist_km"
+    )
+
+
+def _radius_km_docs_sql() -> str:
+    from raptor_service_spark.geo.distance import haversine_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    vals = ", ".join(
+        f"('{q}', {la}, {ln})" for q, (la, ln) in _KM_CENTERS.items()
+    )
+    d = haversine_sql(lat, lng, "clat", "clng")
+    return f"""
+        SELECT qid, doc_id, ROUND({d}, 6) AS dist_km
+        FROM documents CROSS JOIN (VALUES {vals}) q(qid, clat, clng)
+        WHERE ROUND({d}, 6) <= {_KM_RADIUS}
+    """
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Multi-resolution rollup (operators/tiles.tile_pyramid): counts at res
+    6/4/2 from ONE scan + ONE shuffle (exploded parent ladder, partial agg
+    map-side)."""
+    from raptor_service_spark.operators.tiles import tile_pyramid
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng)
+    return tile_pyramid(pts, resolutions=(6, 4, 2))
+
+
+def _tile_pyramid_sql() -> str:
+    from raptor_service_spark.geo.grid import RES_MULTIPLIER
+
+    lat, lng = _latlng_sql("doc_id")
+    cell6 = cell_encode_sql(lat, lng, 6)
+    p4 = cell_parent_sql(cell6, 6, 4)
+    p2 = cell_parent_sql(cell6, 6, 2)
+    return f"""
+        SELECT CAST(FLOOR(cell / {RES_MULTIPLIER}) AS BIGINT) AS res,
+               cell, COUNT(*) AS n_points
+        FROM (SELECT unnest([{cell6}, {p4}, {p2}]) AS cell FROM documents)
+        GROUP BY 1, 2
+    """
+
+
 def q_cell_kring_smooth(spark, sf_dir):
     """K-ring neighborhood smoothing (operators/neighborhood.py): per
     occupied res-6 cell, own count + 1-ring summed count + occupied-ring
@@ -1682,8 +1742,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_histogram": q_tile_histogram,
         "pip_docs": q_pip_docs,
         "radius_join_docs": q_radius_join_docs,
+        "radius_km_docs": q_radius_km_docs,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
+        "tile_pyramid": q_tile_pyramid,
         # relational battery
         "lineitem_agg": q_lineitem_agg,
         "orders_status_stats": q_orders_status_stats,
@@ -1775,8 +1837,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pip_docs": f"{tri_sql} UNION ALL {rect_sql}",
         "radius_join_docs": _radius_join_docs_sql(),
+        "radius_km_docs": _radius_km_docs_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
+        "tile_pyramid": _tile_pyramid_sql(),
         "ivf_knn_exact": f"""
             SELECT vec_id AS id,
                    ROUND(1.0 - list_cosine_similarity(

@@ -41,7 +41,9 @@ HEADLINE = [
     "pip_docs",
     "radius_join_docs",
     "geo_knn_docs",
+    "radius_km_docs",
     "cell_kring_smooth",
+    "tile_pyramid",
     "knn_filtered",
     "lineitem_agg",
     "sum_qty_per_segment",

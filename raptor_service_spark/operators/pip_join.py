@@ -187,3 +187,90 @@ def radius_join(
     return accepted.withColumn("dist", dist).drop(
         "_cell", "cell", "is_boundary", "clat", "clng"
     )
+
+
+def bbox_cells_df(
+    spark,
+    boxes: dict[str, tuple[float, float, float, float]],
+    res: int,
+) -> DataFrame:
+    """qid -> (qid, cell) rows for every cell intersecting each
+    (lat_lo, lat_hi, lng_lo, lng_hi) box, WRAPPING the antimeridian when
+    lng_lo < -180 or lng_hi > 180 (circle_cells_df clips instead — fine for
+    its degree-space euclid callers, wrong for great-circle ones). Latitude
+    clamps at the poles. O(cells) driver rows, broadcast downstream."""
+    from raptor_service_spark.geo.grid import RES_MULTIPLIER
+
+    n = 1 << res
+    rows = []
+    for qid, (lat_lo, lat_hi, lng_lo, lng_hi) in boxes.items():
+        y0 = int(np.clip(np.floor((lat_lo + 90.0) / 180.0 * n), 0, n - 1))
+        y1 = int(np.clip(np.floor((lat_hi + 90.0) / 180.0 * n), 0, n - 1))
+        if lng_hi - lng_lo >= 360.0:
+            xs = list(range(n))
+        else:
+            x0 = int(np.floor((lng_lo + 180.0) / 360.0 * n))
+            x1 = int(np.floor((lng_hi + 180.0) / 360.0 * n))
+            xs = sorted({x % n for x in range(x0, x1 + 1)})
+        for y in range(y0, y1 + 1):
+            for x in xs:
+                rows.append((qid, res * RES_MULTIPLIER + y * n + x))
+    return spark.createDataFrame(rows, "qid string, cell long")
+
+
+def radius_join_km(
+    points: DataFrame,
+    centers: dict[str, tuple[float, float]],
+    radius_km: float,
+    res: int = 6,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Great-circle within-distance join: (center qid, point) pairs with
+    haversine distance <= radius_km (compared ROUNDED to 6 dp, the repo's
+    cross-engine float convention).
+
+    Filter-refine: candidates come from a conservative degree-space bounding
+    box per center (lat pad r/110 km-per-deg lower bound; lng pad widened by
+    1/cos at the box's extreme latitude, full band within 2 degrees of a
+    pole), wrap-aware via bbox_cells_df — a tiny broadcast cell list, so a
+    cell-partitioned table prunes partitions. Refine is the codegen
+    haversine expression (geo/distance.py) — no UDF anywhere.
+    """
+    from raptor_service_spark.geo.distance import (
+        KM_PER_DEG_LAT_MIN,
+        haversine_col,
+    )
+
+    spark = points.sparkSession
+    lat_pad = radius_km / KM_PER_DEG_LAT_MIN
+    boxes = {}
+    for qid, (clat, clng) in centers.items():
+        lat_lo, lat_hi = clat - lat_pad, clat + lat_pad
+        phi_w = min(89.9, max(abs(lat_lo), abs(lat_hi)))
+        if phi_w >= 88.0:
+            lng_lo, lng_hi = -180.0, 180.0
+        else:
+            lng_pad = lat_pad / np.cos(np.radians(phi_w))
+            lng_lo, lng_hi = clng - lng_pad, clng + lng_pad
+        boxes[qid] = (lat_lo, lat_hi, lng_lo, lng_hi)
+
+    cells_df = bbox_cells_df(spark, boxes, res)
+    centers_df = spark.createDataFrame(
+        [(q, float(la), float(ln)) for q, (la, ln) in centers.items()],
+        "qid string, clat double, clng double",
+    )
+    pts = points.withColumn(
+        "_cell", cell_encode_col(F.col(lat_col), F.col(lng_col), res)
+    )
+    dist = F.round(
+        haversine_col(F.col(lat_col), F.col(lng_col), F.col("clat"), F.col("clng")),
+        6,
+    )
+    return (
+        pts.join(F.broadcast(cells_df), pts["_cell"] == cells_df["cell"], "inner")
+        .join(F.broadcast(centers_df), "qid")
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= F.lit(radius_km))
+        .drop("_cell", "cell", "clat", "clng")
+    )

@@ -241,3 +241,45 @@ def vectorize_tiles(tiles: DataFrame) -> DataFrame:
                 yield pd.concat(outs, ignore_index=True)
 
     return tiles.mapInPandas(vectorize, schema=FEATURE_SCHEMA)
+
+
+def tile_pyramid(
+    points: DataFrame,
+    resolutions: tuple[int, ...] = (6, 4, 2),
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Per-cell point counts at EVERY resolution in ONE pass.
+
+    Encodes the finest cell once, derives each coarser cell with the packed
+    parent arithmetic, explodes the ladder array, and runs a single
+    partial+final hash aggregation — one point-row shuffle for ALL levels
+    (the shuffle payload shrinks to occupied cells map-side), instead of
+    len(resolutions) separate scans+aggs. This is the rollup that feeds every
+    zoom level of a tile server from the same scan.
+
+    Reference parity: materializes the per-level tile occupancy the tree
+    build walks (services/core/build_tree_service.py:85-161 per-level
+    cluster sizes), as a queryable table. Output: (res, cell, n_points).
+    """
+    from raptor_service_spark.geo.grid import (
+        RES_MULTIPLIER,
+        cell_encode_col,
+        cell_parent_col,
+    )
+
+    finest = max(resolutions)
+    cell = cell_encode_col(F.col(lat_col), F.col(lng_col), finest)
+    ladder = F.array(
+        *[
+            cell if r == finest else cell_parent_col(cell, finest, r)
+            for r in sorted(resolutions, reverse=True)
+        ]
+    )
+    return (
+        points.select(F.explode(ladder).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .withColumn("res", F.floor(F.col("cell") / F.lit(RES_MULTIPLIER)).cast("long"))
+        .select("res", "cell", "n_points")
+    )

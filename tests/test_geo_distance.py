@@ -1,0 +1,82 @@
+"""Haversine km-radius join and one-pass tile pyramid vs brute force."""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from raptor_service_spark.geo.distance import haversine_np
+from raptor_service_spark.operators.pip_join import radius_join_km
+from raptor_service_spark.operators.tiles import tile_pyramid
+
+
+def _pts(spark, n=500, seed=3):
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-85, 85, n).round(4)
+    lng = rng.uniform(-180, 180, n).round(4)
+    rows = [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(lat, lng))]
+    return spark.createDataFrame(rows, "pid long, lat double, lng double"), lat, lng
+
+
+def _brute(lat, lng, centers, r):
+    out = set()
+    for qid, (cla, cln) in centers.items():
+        d = np.round(haversine_np(lat, lng, cla, cln), 6)
+        out |= {(qid, int(i)) for i in np.flatnonzero(d <= r)}
+    return out
+
+
+def test_radius_join_km_matches_bruteforce(spark):
+    df, lat, lng = _pts(spark)
+    centers = {"a": (40.0, -74.0), "b": (-35.0, 149.0)}
+    got = {
+        (r["qid"], r["pid"])
+        for r in radius_join_km(df, centers, 1200.0, res=5).collect()
+    }
+    assert got == _brute(lat, lng, centers, 1200.0)
+
+
+def test_radius_join_km_polar_lng_widening(spark):
+    # at 80°N a 900 km circle spans ~47° of longitude — the flat lat-pad-only
+    # bbox would clip it; the 1/cos widening must not.
+    df, lat, lng = _pts(spark, n=800, seed=9)
+    centers = {"p": (80.0, 30.0)}
+    got = {
+        (r["qid"], r["pid"])
+        for r in radius_join_km(df, centers, 900.0, res=5).collect()
+    }
+    assert got == _brute(lat, lng, centers, 900.0)
+    assert got  # non-vacuous
+
+
+def test_radius_join_km_antimeridian_wrap(spark):
+    rows = [(0, 10.0, 179.5), (1, 10.0, -179.5), (2, 10.0, 170.0), (3, 10.0, 0.0)]
+    df = spark.createDataFrame(rows, "pid long, lat double, lng double")
+    lat = np.array([r[1] for r in rows])
+    lng = np.array([r[2] for r in rows])
+    centers = {"w": (10.0, 179.9)}
+    got = {
+        (r["qid"], r["pid"])
+        for r in radius_join_km(df, centers, 300.0, res=6).collect()
+    }
+    want = _brute(lat, lng, centers, 300.0)
+    assert (("w", 1) in got) and got == want  # point across the line found
+
+
+def test_tile_pyramid_equals_per_res_aggs(spark):
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    df, _, _ = _pts(spark, n=400, seed=5)
+    got = {
+        (r["res"], r["cell"]): r["n_points"]
+        for r in tile_pyramid(df, resolutions=(6, 4, 2)).collect()
+    }
+    want = {}
+    for res in (6, 4, 2):
+        rows = (
+            df.groupBy(cell_encode_col(F.col("lat"), F.col("lng"), res).alias("cell"))
+            .count()
+            .collect()
+        )
+        for r in rows:
+            want[(res, r["cell"])] = r["count"]
+    assert got == want
