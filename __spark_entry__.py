@@ -1046,6 +1046,53 @@ def _geo_knn_docs_sql() -> str:
     """
 
 
+def _doc_boxes(spark, sf_dir) -> DataFrame:
+    """Deterministic per-doc boxes: center at the doc's geo anchor, half
+    sizes 1..5 deg lat / 1..7 deg lng from the id (same arithmetic in SQL)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    hlat = (F.pmod(F.col("doc_id"), F.lit(5)) + F.lit(1)).cast("double")
+    hlng = (F.pmod(F.floor(F.col("doc_id") / F.lit(5)), F.lit(7)) + F.lit(1)).cast(
+        "double"
+    )
+    return d.select(
+        "doc_id",
+        (lat - hlat).alias("lat_lo"),
+        (lat + hlat).alias("lat_hi"),
+        (lng - hlng).alias("lng_lo"),
+        (lng + hlng).alias("lng_hi"),
+    )
+
+
+def q_bbox_overlap_docs(spark, sf_dir):
+    """Rectangle spatial self-join (operators/bbox_join.py): overlapping
+    doc-box pairs via grid cover-cell equi-join; duplicates suppressed at
+    the canonical intersection-corner cell (no distinct shuffle)."""
+    from raptor_service_spark.operators.bbox_join import bbox_self_join
+
+    return bbox_self_join(_doc_boxes(spark, sf_dir), res=5, id_col="doc_id")
+
+
+def _bbox_overlap_docs_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    return f"""
+        WITH b AS (
+            SELECT doc_id,
+                   {lat} - h1 AS lat_lo, {lat} + h1 AS lat_hi,
+                   {lng} - h2 AS lng_lo, {lng} + h2 AS lng_hi
+            FROM (SELECT doc_id,
+                         CAST(doc_id % 5 + 1 AS DOUBLE) AS h1,
+                         CAST(CAST(FLOOR(doc_id / 5) AS BIGINT) % 7 + 1
+                              AS DOUBLE) AS h2
+                  FROM documents))
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM b a JOIN b c
+          ON a.doc_id < c.doc_id
+         AND a.lat_lo <= c.lat_hi AND c.lat_lo <= a.lat_hi
+         AND a.lng_lo <= c.lng_hi AND c.lng_lo <= a.lng_hi
+    """
+
+
 _KM_CENTERS = {"k1": (48.8, 2.3), "k2": (-33.8, 151.2), "k3": (75.0, -40.0)}
 _KM_RADIUS = 900.0
 
@@ -1743,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_docs": q_pip_docs,
         "radius_join_docs": q_radius_join_docs,
         "radius_km_docs": q_radius_km_docs,
+        "bbox_overlap_docs": q_bbox_overlap_docs,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -1838,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_docs": f"{tri_sql} UNION ALL {rect_sql}",
         "radius_join_docs": _radius_join_docs_sql(),
         "radius_km_docs": _radius_km_docs_sql(),
+        "bbox_overlap_docs": _bbox_overlap_docs_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),

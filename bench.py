@@ -42,6 +42,7 @@ HEADLINE = [
     "radius_join_docs",
     "geo_knn_docs",
     "radius_km_docs",
+    "bbox_overlap_docs",
     "cell_kring_smooth",
     "tile_pyramid",
     "knn_filtered",

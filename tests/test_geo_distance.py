@@ -80,3 +80,48 @@ def test_tile_pyramid_equals_per_res_aggs(spark):
         for r in rows:
             want[(res, r["cell"])] = r["count"]
     assert got == want
+
+
+def test_bbox_self_join_matches_bruteforce(spark):
+    from raptor_service_spark.operators.bbox_join import bbox_self_join
+
+    rng = np.random.default_rng(21)
+    n = 200
+    clat = rng.uniform(-80, 80, n)
+    clng = rng.uniform(-170, 170, n)
+    hlat = rng.uniform(0.5, 8.0, n)
+    hlng = rng.uniform(0.5, 8.0, n)
+    rows = [
+        (int(i), float(clat[i] - hlat[i]), float(clat[i] + hlat[i]),
+         float(clng[i] - hlng[i]), float(clng[i] + hlng[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, lat_lo double, lat_hi double, lng_lo double, lng_hi double"
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in bbox_self_join(df, res=5).collect())
+    want = sorted(
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if rows[i][1] <= rows[j][2] and rows[j][1] <= rows[i][2]
+        and rows[i][3] <= rows[j][4] and rows[j][3] <= rows[i][4]
+    )
+    assert got == want
+    # duplicates must be suppressed even though wide boxes share many cells
+    assert len(got) == len(set(got))
+
+
+def test_bbox_self_join_edge_touch_counts(spark):
+    from raptor_service_spark.operators.bbox_join import bbox_self_join
+
+    rows = [
+        (0, 0.0, 10.0, 0.0, 10.0),
+        (1, 10.0, 20.0, 0.0, 10.0),   # touches box 0 along lat=10 edge
+        (2, 30.0, 40.0, 50.0, 60.0),  # disjoint
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, lat_lo double, lat_hi double, lng_lo double, lng_hi double"
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in bbox_self_join(df, res=6).collect())
+    assert got == [(0, 1)]
