@@ -1093,6 +1093,61 @@ def _bbox_overlap_docs_sql() -> str:
     """
 
 
+def _tri_param_cols():
+    """Five 1..4-degree params from the id (same arithmetic in SQL)."""
+    d = F.col("doc_id")
+    return [
+        (F.pmod(F.floor(d / F.lit(4**i)), F.lit(4)) + F.lit(1)).cast("double")
+        for i in range(5)
+    ]
+
+
+def q_tri_overlap_docs(spark, sf_dir):
+    """Exact polygon∩polygon join (operators/polygon_join.py): per-doc CCW
+    triangles (apex-up construction guarantees winding), bbox cover-cell
+    candidates, codegen SAT refine — same generated expression as the SQL
+    oracle."""
+    from raptor_service_spark.operators.polygon_join import triangle_self_join
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    a, b, c, e, g = _tri_param_cols()
+    tris = d.select(
+        "doc_id",
+        lng.alias("x1"),
+        (lat + a).alias("y1"),
+        (lng - b).alias("x2"),
+        (lat - c).alias("y2"),
+        (lng + e).alias("x3"),
+        (lat - g).alias("y3"),
+    )
+    return triangle_self_join(tris, res=5, id_col="doc_id")
+
+
+def _tri_overlap_docs_sql() -> str:
+    from raptor_service_spark.operators.polygon_join import sat_intersect_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    params = [
+        f"(CAST(FLOOR(doc_id / {4**i}) AS BIGINT) % 4 + 1)" for i in range(5)
+    ]
+    a, b, c, e, g = params
+    verts = (
+        f"{lng} AS x1, {lat} + {a} AS y1, "
+        f"{lng} - {b} AS x2, {lat} - {c} AS y2, "
+        f"{lng} + {e} AS x3, {lat} - {g} AS y3"
+    )
+    ren_a = ", ".join(f"x{i} AS a_x{i}, y{i} AS a_y{i}" for i in (1, 2, 3))
+    ren_b = ", ".join(f"x{i} AS b_x{i}, y{i} AS b_y{i}" for i in (1, 2, 3))
+    return f"""
+        WITH t AS (SELECT doc_id, {verts} FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM (SELECT doc_id, {ren_a} FROM t) a
+        JOIN (SELECT doc_id, {ren_b} FROM t) b
+          ON a.doc_id < b.doc_id AND {sat_intersect_sql("a", "b")}
+    """
+
+
 _KM_CENTERS = {"k1": (48.8, 2.3), "k2": (-33.8, 151.2), "k3": (75.0, -40.0)}
 _KM_RADIUS = 900.0
 
@@ -1791,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join_docs": q_radius_join_docs,
         "radius_km_docs": q_radius_km_docs,
         "bbox_overlap_docs": q_bbox_overlap_docs,
+        "tri_overlap_docs": q_tri_overlap_docs,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -1887,6 +1943,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_join_docs": _radius_join_docs_sql(),
         "radius_km_docs": _radius_km_docs_sql(),
         "bbox_overlap_docs": _bbox_overlap_docs_sql(),
+        "tri_overlap_docs": _tri_overlap_docs_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),

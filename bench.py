@@ -43,6 +43,7 @@ HEADLINE = [
     "geo_knn_docs",
     "radius_km_docs",
     "bbox_overlap_docs",
+    "tri_overlap_docs",
     "cell_kring_smooth",
     "tile_pyramid",
     "knn_filtered",

@@ -125,3 +125,69 @@ def test_bbox_self_join_edge_touch_counts(spark):
     )
     got = sorted((r["id_a"], r["id_b"]) for r in bbox_self_join(df, res=6).collect())
     assert got == [(0, 1)]
+
+
+def _sat_np(A, B):
+    # numpy twin of operators/polygon_join.sat_intersect_sql (CCW, closed)
+    def separated(P, Q):
+        for i in range(3):
+            p, q = P[i], P[(i + 1) % 3]
+            e = q - p
+            if all((e[0] * (r[1] - p[1]) - e[1] * (r[0] - p[0])) < 0 for r in Q):
+                return True
+        return False
+    return not separated(A, B) and not separated(B, A)
+
+
+def _ccw_tri(rng):
+    cx, cy = rng.uniform(-60, 60), rng.uniform(-60, 60)
+    a, b, c, d, e = rng.uniform(0.5, 6.0, 5)
+    return np.array([[cx, cy + a], [cx - b, cy - c], [cx + d, cy - e]])
+
+
+def test_triangle_self_join_matches_numpy_sat(spark):
+    from raptor_service_spark.operators.polygon_join import triangle_self_join
+
+    rng = np.random.default_rng(31)
+    tris = [_ccw_tri(rng) for _ in range(120)]
+    rows = [
+        (i, *(float(v) for p in t for v in p)) for i, t in enumerate(tris)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, x1 double, y1 double, x2 double, y2 double, x3 double, y3 double"
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in triangle_self_join(df, res=5).collect())
+    want = sorted(
+        (i, j)
+        for i in range(len(tris))
+        for j in range(i + 1, len(tris))
+        if _sat_np(tris[i], tris[j])
+    )
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_triangle_self_join_containment_and_disjoint_bbox_overlap(spark):
+    from raptor_service_spark.operators.polygon_join import triangle_self_join
+
+    rows = [
+        # big triangle containing the small one (no edge crossings)
+        (0, 0.0, 10.0, -10.0, -10.0, 10.0, -10.0),
+        (1, 0.0, 1.0, -1.0, -1.0, 1.0, -1.0),
+        # bboxes overlap triangle 0's but the triangle itself is outside
+        # (tucked into the bbox corner past the hypotenuse-side edge)
+        (2, -9.8, 9.8, -9.9, 9.0, -9.0, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, x1 double, y1 double, x2 double, y2 double, x3 double, y3 double"
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in triangle_self_join(df, res=6).collect())
+    tris = [np.array(r[1:]).reshape(3, 2) for r in rows]
+    want = sorted(
+        (i, j)
+        for i in range(3)
+        for j in range(i + 1, 3)
+        if _sat_np(tris[i], tris[j])
+    )
+    assert got == want
+    assert (0, 1) in got  # containment counts as intersecting
