@@ -1093,6 +1093,34 @@ def _bbox_overlap_docs_sql() -> str:
     """
 
 
+def q_events_tile_hourly(spark, sf_dir):
+    """Batch twin of the streaming tile-count aggregation (streaming/geo.py
+    windowed_tile_counts — ONE definition for both modes; stream/batch
+    parity is pytest-asserted in tests/test_streaming_geo.py). Points =
+    events with the user's hash geo anchor."""
+    from raptor_service_spark.streaming.geo import windowed_tile_counts
+
+    ev = _read(spark, sf_dir, "events").select("ts", "user_id")
+    lat, lng = _latlng_cols(F.col("user_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    out = windowed_tile_counts(pts, res=4, window="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "cell",
+        "n_points",
+    )
+
+
+def _events_tile_hourly_sql() -> str:
+    lat, lng = _latlng_sql("user_id")
+    cell4 = cell_encode_sql(lat, lng, 4)
+    return f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               {cell4} AS cell, COUNT(*) AS n_points
+        FROM events GROUP BY 1, 2
+    """
+
+
 def _tri_param_cols():
     """Five 1..4-degree params from the id (same arithmetic in SQL)."""
     d = F.col("doc_id")
@@ -1847,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_km_docs": q_radius_km_docs,
         "bbox_overlap_docs": q_bbox_overlap_docs,
         "tri_overlap_docs": q_tri_overlap_docs,
+        "events_tile_hourly": q_events_tile_hourly,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -1944,6 +1973,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_km_docs": _radius_km_docs_sql(),
         "bbox_overlap_docs": _bbox_overlap_docs_sql(),
         "tri_overlap_docs": _tri_overlap_docs_sql(),
+        "events_tile_hourly": _events_tile_hourly_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
