@@ -1093,6 +1093,60 @@ def _bbox_overlap_docs_sql() -> str:
     """
 
 
+def q_doc_scrub(spark, sf_dir):
+    """Training-data scrub stage (functions/text.py redact_pii +
+    strip_markup): PII is injected deterministically per doc (the driver
+    corpus has none), then redacted and markup-stripped; the output is the
+    scrubbed-text fingerprint + per-token redaction counts — all chained
+    codegen regexp_replace, no UDF."""
+    from raptor_service_spark.functions.text import redact_pii, strip_markup
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = F.concat(
+        F.format_string(
+            "Contact u%d@mail.example.com or +1 555-000-1234 ref 123-45-6789 "
+            "at 10.0.0.%d <b>now</b> &amp; done. ",
+            F.col("doc_id"),
+            F.pmod(F.col("doc_id"), F.lit(200)),
+        ),
+        F.col("text"),
+    )
+    red = strip_markup(redact_pii(dirty))
+
+    def _count(tok: str):
+        return (F.size(F.split(red, f"\\[{tok}\\]")) - 1).cast("long")
+
+    return d.select(
+        "doc_id",
+        F.md5(red).alias("scrub_fp"),
+        _count("EMAIL").alias("n_emails"),
+        _count("PHONE").alias("n_phones"),
+        _count("ID").alias("n_ids"),
+        _count("IP").alias("n_ips"),
+    )
+
+
+def _doc_scrub_sql() -> str:
+    from raptor_service_spark.functions.text import redact_pii_sql, strip_markup_sql
+
+    dirty = (
+        "('Contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com or "
+        "+1 555-000-1234 ref 123-45-6789 at 10.0.0.' || "
+        "CAST(doc_id % 200 AS VARCHAR) || ' <b>now</b> &amp; done. ' || text)"
+    )
+    red = strip_markup_sql(redact_pii_sql(dirty))
+    counts = ", ".join(
+        f"CAST(len(string_split({red}, '[{tok}]')) - 1 AS BIGINT) AS n_{name}"
+        for tok, name in (
+            ("EMAIL", "emails"),
+            ("PHONE", "phones"),
+            ("ID", "ids"),
+            ("IP", "ips"),
+        )
+    )
+    return f"SELECT doc_id, md5({red}) AS scrub_fp, {counts} FROM documents"
+
+
 def q_events_tile_hourly(spark, sf_dir):
     """Batch twin of the streaming tile-count aggregation (streaming/geo.py
     windowed_tile_counts — ONE definition for both modes; stream/batch
@@ -1876,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_overlap_docs": q_bbox_overlap_docs,
         "tri_overlap_docs": q_tri_overlap_docs,
         "events_tile_hourly": q_events_tile_hourly,
+        "doc_scrub": q_doc_scrub,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -1974,6 +2029,7 @@ def oracle_sql() -> dict[str, str]:
         "bbox_overlap_docs": _bbox_overlap_docs_sql(),
         "tri_overlap_docs": _tri_overlap_docs_sql(),
         "events_tile_hourly": _events_tile_hourly_sql(),
+        "doc_scrub": _doc_scrub_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),

@@ -246,3 +246,49 @@ def hash_split_sql(
         f"WHEN {bucket} < {train_pct + valid_pct} THEN 'valid' "
         f"ELSE 'test' END"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + markup stripping (training-data scrub stage)
+# ---------------------------------------------------------------------------
+
+# ordered: IDs before phones (an SSN-shaped string also matches the phone
+# charset), emails before anything that could eat their digits. Patterns are
+# deliberately restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): char classes, \b, greedy {n,} — no backrefs,
+# no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[ID]"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "[PHONE]"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / SSN-shaped ids / IPv4s / phone runs with bracket
+    tokens — chained JVM regexp_replace, whole-stage codegen, no UDF."""
+    out = text
+    for _, pat, tok in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
+def redact_pii_sql(expr: str) -> str:
+    out = expr
+    for _, pat, tok in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{tok}', 'g')"
+    return out
+
+
+def strip_markup(text: Column) -> Column:
+    """Boilerplate scrub: drop tags + HTML entities, collapse whitespace."""
+    out = F.regexp_replace(text, r"<[^>]+>", " ")
+    out = F.regexp_replace(out, r"&[A-Za-z]+;", " ")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def strip_markup_sql(expr: str) -> str:
+    out = f"regexp_replace({expr}, '<[^>]+>', ' ', 'g')"
+    out = f"regexp_replace({out}, '&[A-Za-z]+;', ' ', 'g')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

@@ -191,3 +191,23 @@ def test_triangle_self_join_containment_and_disjoint_bbox_overlap(spark):
     )
     assert got == want
     assert (0, 1) in got  # containment counts as intersecting
+
+
+def test_redact_pii_and_strip_markup(spark):
+    from raptor_service_spark.functions.text import redact_pii, strip_markup
+
+    cases = [
+        (0, "mail a.b+c@x-y.co.uk and d@e.io now"),
+        (1, "ssn 123-45-6789 then call +1 (555) 123-4567 ok"),
+        (2, "<div class='x'><b>hi</b></div> &nbsp; 10.20.30.40 end"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(cases, "id long, t string")
+    out = {
+        r["id"]: r["s"]
+        for r in df.select("id", strip_markup(redact_pii(F.col("t"))).alias("s")).collect()
+    }
+    assert out[0] == "mail [EMAIL] and [EMAIL] now"
+    assert out[1] == "ssn [ID] then call [PHONE] ok"
+    assert out[2] == "hi [IP] end"
+    assert out[3] == "no pii here at all"
