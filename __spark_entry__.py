@@ -1093,6 +1093,27 @@ def _bbox_overlap_docs_sql() -> str:
     """
 
 
+def q_compact_cover(spark, sf_dir):
+    """Minimal multi-res cover of the occupied res-4 doc cells
+    (operators/compact_cells.py — H3 `compact` analog): complete sibling
+    quads promoted to parents down to res 1; each ladder step is one agg +
+    one anti-join on the occupied-cell set."""
+    from raptor_service_spark.operators.compact_cells import compact_cells
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    cells = d.select(cell_encode_col(lat, lng, 4).alias("cell"))
+    return compact_cells(cells, res=4, min_res=1)
+
+
+def _compact_cover_sql() -> str:
+    from raptor_service_spark.operators.compact_cells import compact_cells_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    base = f"SELECT {cell_encode_sql(lat, lng, 4)} AS cell FROM documents"
+    return compact_cells_sql(base, res=4, min_res=1)
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -1931,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tri_overlap_docs": q_tri_overlap_docs,
         "events_tile_hourly": q_events_tile_hourly,
         "doc_scrub": q_doc_scrub,
+        "compact_cover": q_compact_cover,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -2030,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
         "tri_overlap_docs": _tri_overlap_docs_sql(),
         "events_tile_hourly": _events_tile_hourly_sql(),
         "doc_scrub": _doc_scrub_sql(),
+        "compact_cover": _compact_cover_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),

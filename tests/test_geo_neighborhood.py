@@ -109,3 +109,56 @@ def test_kring_smooth_pole_clamp_and_wrap(spark):
         assert r["n_points"] == 1
         assert r["ring_points"] == 2  # sees itself + the wrapped neighbor
         assert r["n_ring_cells"] == 2
+
+
+def test_compact_cells_cover_and_minimality(spark):
+    from raptor_service_spark.geo.grid import RES_MULTIPLIER, cell_parent_np
+    from raptor_service_spark.operators.compact_cells import compact_cells
+
+    rng = np.random.default_rng(41)
+    res = 4
+    n = 1 << res
+    # dense-ish occupied set so full quads exist at several levels
+    occupied = sorted(
+        set(
+            int(res * RES_MULTIPLIER + y * n + x)
+            for x, y in zip(rng.integers(0, n, 900), rng.integers(0, n, 900))
+        )
+    )
+    df = spark.createDataFrame([(c,) for c in occupied], "cell long")
+    cover = [r["cell"] for r in compact_cells(df, res=res, min_res=1).collect()]
+
+    # 1. disjoint + exact cover: expanding every cover cell to res-4
+    #    descendants reproduces the occupied set exactly
+    expanded = []
+    for c in cover:
+        r = c // RES_MULTIPLIER
+        cells = [c]
+        for rr in range(r, res):
+            nxt = []
+            nn = 1 << (rr + 1)
+            for cc in cells:
+                rem = cc - rr * RES_MULTIPLIER
+                y, x = rem // (1 << rr), rem % (1 << rr)
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        nxt.append(
+                            (rr + 1) * RES_MULTIPLIER + (2 * y + dy) * nn + (2 * x + dx)
+                        )
+            cells = nxt
+        expanded.extend(cells)
+    assert sorted(expanded) == occupied
+    assert len(expanded) == len(set(expanded))
+
+    # 2. minimality: no complete sibling quad remains at any resolution > 1
+    from collections import Counter
+
+    by_res: dict[int, list[int]] = {}
+    for c in cover:
+        by_res.setdefault(int(c // RES_MULTIPLIER), []).append(c)
+    for r, cs in by_res.items():
+        if r <= 1:
+            continue
+        parents = Counter(int(p) for p in cell_parent_np(np.array(cs), r - 1))
+        assert max(parents.values()) < 4
+    assert len(cover) < len(occupied)  # actually compacted something
