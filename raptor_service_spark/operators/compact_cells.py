@@ -27,7 +27,12 @@ def compact_cells(cells: DataFrame, res: int, min_res: int = 0) -> DataFrame:
     """cells: one ``cell`` column at resolution ``res`` (distinct not
     required). Output: minimal cover, one ``cell`` column, mixed
     resolutions in [min_res, res]."""
-    cur = cells.select("cell").distinct()
+    # Materialize the occupied-cell set ONCE: every ladder level and every
+    # union branch below re-reads these blocks instead of re-scanning the
+    # source (the naive plan scans the point table once per output branch —
+    # N full corpus scans at 100 TB). localCheckpoint (not persist) ties the
+    # blocks' lifetime to the RDD, same convention as dedup.py components.
+    cur = cells.select("cell").distinct().localCheckpoint(eager=False)
     kept: list[DataFrame] = []
     for r in range(res, min_res, -1):
         withp = cur.withColumn("p", cell_parent_col("cell", r, r - 1))
