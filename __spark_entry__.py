@@ -1114,6 +1114,102 @@ def _compact_cover_sql() -> str:
     return compact_cells_sql(base, res=4, min_res=1)
 
 
+def q_cover_uncompact_roundtrip(spark, sf_dir):
+    """compact → uncompact == identity (operators/compact_cells.py): the
+    compacted multi-res cover of the occupied res-4 cells, expanded back to
+    res 4 with the closed-form block expansion. The oracle is simply the
+    DISTINCT res-4 cell set — a strong semantic check of both directions."""
+    from raptor_service_spark.operators.compact_cells import (
+        compact_cells,
+        uncompact_cells_col,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    cells = d.select(cell_encode_col(lat, lng, 4).alias("cell"))
+    cover = compact_cells(cells, res=4, min_res=1)
+    return cover.select(
+        F.explode(uncompact_cells_col("cell", 4)).alias("cell")
+    )
+
+
+def _cover_uncompact_roundtrip_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    cell4 = cell_encode_sql(lat, lng, 4)
+    return f"SELECT DISTINCT {cell4} AS cell FROM documents"
+
+
+_EPS_DEG = 8.0
+
+
+def q_doc_pairs_within(spark, sf_dir):
+    """ε-distance self-join (operators/pip_join.within_distance_join): doc
+    pairs within 8° (the driver corpus is ~6° sparse, so this is
+    non-vacuous); 3x3 neighbor-cell equi-join at the auto-picked res finds
+    each pair exactly once (no dedup shuffle)."""
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng)
+    out = within_distance_join(pts, pts, eps=_EPS_DEG)
+    return (
+        out.filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            "dist",
+        )
+    )
+
+
+def _doc_pairs_within_sql() -> str:
+    lat_a, lng_a = _latlng_sql("a.doc_id")
+    lat_b, lng_b = _latlng_sql("b.doc_id")
+    d = (
+        f"sqrt(({lat_a} - {lat_b}) * ({lat_a} - {lat_b}) + "
+        f"({lng_a} - {lng_b}) * ({lng_a} - {lng_b}))"
+    )
+    return f"""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({d}, 6) AS dist
+        FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        WHERE ROUND({d}, 6) <= {_EPS_DEG}
+    """
+
+
+def q_pip_zonal_stats(spark, sf_dir):
+    """Zonal statistics: per query polygon, count + token stats of the docs
+    inside (PIP join → one partial+final agg)."""
+    from raptor_service_spark.functions.text import token_count
+    from raptor_service_spark.operators.pip_join import point_in_polygon_join
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng)
+    polys = {"tri": np.array(TRI), "rect": np.array(RECT)}
+    hits = point_in_polygon_join(pts, polys, res=6)
+    return hits.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+def _pip_zonal_stats_sql() -> str:
+    from raptor_service_spark.functions.text import token_count_sql
+
+    tri_sql = _convex_pip_sql("tri", TRI)
+    rect_sql = _convex_pip_sql("rect", RECT)
+    return f"""
+        SELECT qid, COUNT(*) AS n_docs,
+               CAST(SUM({token_count_sql("d.text")}) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS min_doc
+        FROM ({tri_sql} UNION ALL {rect_sql}) h
+        JOIN documents d USING (doc_id)
+        GROUP BY 1
+    """
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -1953,6 +2049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tile_hourly": q_events_tile_hourly,
         "doc_scrub": q_doc_scrub,
         "compact_cover": q_compact_cover,
+        "cover_uncompact_roundtrip": q_cover_uncompact_roundtrip,
+        "doc_pairs_within": q_doc_pairs_within,
+        "pip_zonal_stats": q_pip_zonal_stats,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -2053,6 +2152,9 @@ def oracle_sql() -> dict[str, str]:
         "events_tile_hourly": _events_tile_hourly_sql(),
         "doc_scrub": _doc_scrub_sql(),
         "compact_cover": _compact_cover_sql(),
+        "cover_uncompact_roundtrip": _cover_uncompact_roundtrip_sql(),
+        "doc_pairs_within": _doc_pairs_within_sql(),
+        "pip_zonal_stats": _pip_zonal_stats_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),

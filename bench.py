@@ -44,6 +44,7 @@ HEADLINE = [
     "radius_km_docs",
     "bbox_overlap_docs",
     "tri_overlap_docs",
+    "doc_pairs_within",
     "cell_kring_smooth",
     "tile_pyramid",
     "knn_filtered",

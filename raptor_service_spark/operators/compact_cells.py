@@ -70,3 +70,51 @@ def compact_cells_sql(base_cells_sql: str, res: int, min_res: int = 0) -> str:
         selects.append(f"SELECT cell FROM k{r}")
     selects.append(f"SELECT cell FROM c{min_res}")
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def uncompact_cells_col(cell: F.Column | str, target_res: int) -> F.Column:
+    """array<long> of ``target_res`` descendants of a MIXED-resolution cell
+    column (each row's resolution read from the packed id) — closed-form
+    sequence x sequence block expansion, codegen, no iteration.
+
+    Inverse of compact_cells: uncompact(compact(S), r) == S for any cell
+    set S at resolution r.
+    """
+    from raptor_service_spark.geo.grid import RES_MULTIPLIER
+
+    if isinstance(cell, str):
+        cell = F.col(cell)
+    tn = 2**target_res
+    r = F.floor(cell / F.lit(RES_MULTIPLIER)).cast("long")
+    n = F.pow(F.lit(2.0), r.cast("double")).cast("long")
+    shift = F.pow(F.lit(2.0), (F.lit(target_res) - r).cast("double")).cast("long")
+    rem = cell - r * F.lit(RES_MULTIPLIER)
+    y = F.floor(rem / n).cast("long")
+    x = (rem - y * n).cast("long")
+    return F.flatten(
+        F.transform(
+            F.sequence(y * shift, (y + F.lit(1)) * shift - F.lit(1)),
+            lambda yy: F.transform(
+                F.sequence(x * shift, (x + F.lit(1)) * shift - F.lit(1)),
+                lambda xx: F.lit(target_res * RES_MULTIPLIER) + yy * F.lit(tn) + xx,
+            ),
+        )
+    )
+
+
+def uncompact_cells_sql(cell_expr: str, target_res: int) -> str:
+    """DuckDB twin of uncompact_cells_col (unnest of the generated block)."""
+    from raptor_service_spark.geo.grid import RES_MULTIPLIER
+
+    tn = 2**target_res
+    r = f"CAST(FLOOR({cell_expr} / {RES_MULTIPLIER}) AS BIGINT)"
+    n = f"CAST(power(2.0, {r}) AS BIGINT)"
+    shift = f"CAST(power(2.0, {target_res} - {r}) AS BIGINT)"
+    rem = f"({cell_expr} - {r} * {RES_MULTIPLIER})"
+    y = f"CAST(FLOOR({rem} / {n}) AS BIGINT)"
+    x = f"({rem} - {y} * {n})"
+    return (
+        f"(SELECT {target_res * RES_MULTIPLIER} + yy * {tn} + xx "
+        f" FROM generate_series({y} * {shift}, ({y} + 1) * {shift} - 1) g1(yy),"
+        f"      generate_series({x} * {shift}, ({x} + 1) * {shift} - 1) g2(xx))"
+    )

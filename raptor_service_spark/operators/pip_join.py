@@ -274,3 +274,70 @@ def radius_join_km(
         .filter(F.col("dist_km") <= F.lit(radius_km))
         .drop("_cell", "cell", "clat", "clng")
     )
+
+
+def within_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    eps: float,
+    res: int | None = None,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Table-to-table distance join: every (left, right) pair with euclidean
+    degree-space distance <= eps (ROUNDED to 6 dp, the repo convention) —
+    the ε-join primitive under geo entity dedup and spatial clustering.
+
+    Grid strategy: pick ``res`` so the cell HEIGHT (180/2^res, the smaller
+    dimension) is >= eps; then any qualifying pair sits within one cell of
+    each other in both axes, so exploding the RIGHT side to its 3x3
+    neighbor cells (lng wrap / lat clamp via kring_neighbor_col) and
+    equi-joining on the left's single cell finds every pair EXACTLY ONCE —
+    no dedup pass (the left point has one cell; the right ring contains it
+    at most once). One shuffle, codegen refine, no UDF.
+
+    Degree space is planar: a pair straddling the antimeridian has a large
+    |Δlng| and does not qualify — same semantics as radius_join and the SQL
+    oracle. Use radius_join_km/haversine when spherical wrap matters.
+    """
+    import math as _math
+
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_col
+
+    if res is None:
+        res = max(0, int(_math.floor(_math.log2(180.0 / eps))))
+    assert 180.0 / (1 << res) >= eps, "cell height must cover eps"
+
+    lcell = cell_encode_col(F.col(f"l.{lat_col}"), F.col(f"l.{lng_col}"), res)
+    rcell = cell_encode_col(F.col(f"r.{lat_col}"), F.col(f"r.{lng_col}"), res)
+    l = left.alias("l").withColumn("_cell", lcell)
+    r = (
+        right.alias("r")
+        .withColumn("_rc", rcell)
+        .withColumn(
+            "_cell",
+            F.explode(
+                F.filter(
+                    F.array_distinct(
+                        F.array(
+                            *[
+                                kring_neighbor_col("_rc", res, dx, dy)
+                                for dx in (-1, 0, 1)
+                                for dy in (-1, 0, 1)
+                            ]
+                        )
+                    ),
+                    lambda c: c.isNotNull(),
+                )
+            ),
+        )
+    )
+    dla = F.col(f"l.{lat_col}") - F.col(f"r.{lat_col}")
+    dln = F.col(f"l.{lng_col}") - F.col(f"r.{lng_col}")
+    dist = F.round(F.sqrt(dla * dla + dln * dln), 6)
+    return (
+        l.join(r, "_cell")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= F.lit(eps))
+        .drop("_cell", "_rc")
+    )

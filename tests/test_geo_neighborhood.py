@@ -162,3 +162,59 @@ def test_compact_cells_cover_and_minimality(spark):
         parents = Counter(int(p) for p in cell_parent_np(np.array(cs), r - 1))
         assert max(parents.values()) < 4
     assert len(cover) < len(occupied)  # actually compacted something
+
+
+def test_uncompact_inverts_compact(spark):
+    from raptor_service_spark.operators.compact_cells import (
+        compact_cells,
+        uncompact_cells_col,
+    )
+
+    rng = np.random.default_rng(43)
+    res = 5
+    n = 1 << res
+    occupied = sorted(
+        set(
+            int(res * RES_MULTIPLIER + y * n + x)
+            for x, y in zip(rng.integers(0, n, 2500), rng.integers(0, n, 2500))
+        )
+    )
+    df = spark.createDataFrame([(c,) for c in occupied], "cell long")
+    cover = compact_cells(df, res=res, min_res=0)
+    back = sorted(
+        r["c"]
+        for r in cover.select(
+            F.explode(uncompact_cells_col("cell", res)).alias("c")
+        ).collect()
+    )
+    assert back == occupied
+
+
+def test_within_distance_join_matches_bruteforce(spark):
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    rng = np.random.default_rng(47)
+    n = 250
+    lat = rng.uniform(-85, 85, n).round(3)
+    lng = rng.uniform(-180, 180, n).round(3)
+    rows = [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(lat, lng))]
+    df = spark.createDataFrame(rows, "pid long, lat double, lng double")
+    eps = 10.0
+    out = within_distance_join(df, df, eps=eps)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in out.filter(F.col("l.pid") < F.col("r.pid"))
+        .select(F.col("l.pid").alias("id_a"), F.col("r.pid").alias("id_b"))
+        .collect()
+    )
+    d = np.round(
+        np.sqrt(
+            (lat[:, None] - lat[None, :]) ** 2 + (lng[:, None] - lng[None, :]) ** 2
+        ),
+        6,
+    )
+    want = sorted(
+        (i, j) for i in range(n) for j in range(i + 1, n) if d[i, j] <= eps
+    )
+    assert got == want
+    assert got  # non-vacuous
