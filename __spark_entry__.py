@@ -1210,6 +1210,150 @@ def _pip_zonal_stats_sql() -> str:
     """
 
 
+_BM25_TERMS = ["vector", "merge", "stream"]
+_RRF_K = 60
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (operators/bm25.py): relational postings →
+    broadcast idf → codegen score → top-10. The keyword leg the reference
+    lacks (vector-only retrieve, retrieval_service.py:96-141)."""
+    from raptor_service_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        _BM25_TERMS,
+        10,
+    )
+
+
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid keyword+vector retrieval with reciprocal-rank fusion:
+    RRF(d) = Σ_legs 1/(60 + rank_leg(d)) over the BM25 top-50 and the
+    cosine top-50 — the standard fusion that needs no score calibration;
+    pure rank arithmetic, so exactly reproducible in SQL."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.bm25 import bm25_topk
+
+    kw = bm25_topk(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        _BM25_TERMS,
+        50,
+    ).withColumn(
+        "kw_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ),
+    )
+    e = _read(spark, sf_dir, "embeddings")
+    vec = (
+        e.withColumn("dist", F.round(cosine_dist_col(F.col("embedding"), QVEC), 6))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(50)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "vec_rank")
+    )
+    fused = (
+        kw.select("doc_id", "kw_rank")
+        .join(vec, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("kw_rank")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)
+                ),
+                9,
+            ),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "rrf")
+    )
+
+
+def _bm25_sql_entry(k: int) -> str:
+    from raptor_service_spark.operators.bm25 import bm25_sql
+
+    return bm25_sql("documents", _BM25_TERMS, k)
+
+
+def _hybrid_retrieval_sql() -> str:
+    return f"""
+        WITH kw AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS kw_rank
+            FROM ({_bm25_sql_entry(50)})),
+        vec AS (
+            SELECT vec_id AS doc_id,
+                   ROW_NUMBER() OVER (ORDER BY dist ASC, vec_id ASC) AS vec_rank
+            FROM (SELECT vec_id,
+                         ROUND(1.0 - list_cosine_similarity(
+                             list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             {QVEC_SQL}), 6) AS dist
+                  FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 50))
+        SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / ({_RRF_K} + kw_rank), 0.0)
+                     + COALESCE(1.0 / ({_RRF_K} + vec_rank), 0.0), 9) AS rrf
+        FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+        ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """
+
+
+def q_user_travel(spark, sf_dir):
+    """Trajectory length per user: events ordered by (ts, event_id), each
+    event anchored via the hash geo anchor of its event_id, consecutive-leg
+    haversine summed — one window shuffle + one agg."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.distance import haversine_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng).filter(
+        F.col("user_id") < 50
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    leg = haversine_col(
+        F.lag("lat").over(w), F.lag("lng").over(w), F.col("lat"), F.col("lng")
+    )
+    return (
+        pts.withColumn("leg_km", leg)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("leg_km"), 6).alias("travel_km"),
+        )
+    )
+
+
+def _user_travel_sql() -> str:
+    from raptor_service_spark.geo.distance import haversine_sql
+
+    lat, lng = _latlng_sql("event_id")
+    d = haversine_sql("plat", "plng", "lat", "lng")
+    return f"""
+        WITH p AS (
+            SELECT user_id, {lat} AS lat, {lng} AS lng,
+                   LAG({lat}) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS plat,
+                   LAG({lng}) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS plng
+            FROM events WHERE user_id < 50)
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM({d}), 6) AS travel_km
+        FROM p GROUP BY 1
+    """
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -2052,6 +2196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_uncompact_roundtrip": q_cover_uncompact_roundtrip,
         "doc_pairs_within": q_doc_pairs_within,
         "pip_zonal_stats": q_pip_zonal_stats,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_retrieval": q_hybrid_retrieval,
+        "user_travel": q_user_travel,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -2155,6 +2302,9 @@ def oracle_sql() -> dict[str, str]:
         "cover_uncompact_roundtrip": _cover_uncompact_roundtrip_sql(),
         "doc_pairs_within": _doc_pairs_within_sql(),
         "pip_zonal_stats": _pip_zonal_stats_sql(),
+        "bm25_topk": _bm25_sql_entry(10),
+        "hybrid_retrieval": _hybrid_retrieval_sql(),
+        "user_travel": _user_travel_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),

@@ -45,6 +45,8 @@ HEADLINE = [
     "bbox_overlap_docs",
     "tri_overlap_docs",
     "doc_pairs_within",
+    "bm25_topk",
+    "hybrid_retrieval",
     "cell_kring_smooth",
     "tile_pyramid",
     "knn_filtered",
