@@ -1354,6 +1354,58 @@ def _user_travel_sql() -> str:
     """
 
 
+def q_geo_clusters(spark, sf_dir):
+    """DBSCAN-style spatial clustering (ε-graph connected components):
+    pairs from within_distance_join (each pair found once, no dedup pass)
+    → min-label propagation (operators/dedup.dedup_components, one shuffle
+    per round) → per-doc cluster label + cluster size. The geo twin of the
+    near-dup component labeling."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.dedup import dedup_components
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng)
+    pairs = (
+        within_distance_join(pts, pts, eps=_EPS_DEG)
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+    )
+    comp = dedup_components(pairs)
+    out = d.join(comp, d["doc_id"] == comp["id"], "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("cluster")
+    )
+    return out.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    )
+
+
+def _geo_clusters_sql() -> str:
+    pairs = f"SELECT id_a AS doc_a, id_b AS doc_b FROM ({_doc_pairs_within_sql()})"
+    return f"""
+        WITH RECURSIVE pr AS ({pairs}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pr
+            UNION SELECT doc_b, doc_a FROM pr
+        ),
+        reach(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        ),
+        comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+        sel AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        SELECT doc_id, cluster,
+               COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+        FROM sel
+    """
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -2199,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "hybrid_retrieval": q_hybrid_retrieval,
         "user_travel": q_user_travel,
+        "geo_clusters": q_geo_clusters,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -2305,6 +2358,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql_entry(10),
         "hybrid_retrieval": _hybrid_retrieval_sql(),
         "user_travel": _user_travel_sql(),
+        "geo_clusters": _geo_clusters_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
