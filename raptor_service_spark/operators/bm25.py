@@ -56,7 +56,12 @@ def bm25_topk(
 ) -> DataFrame:
     """Exact BM25 top-k: (doc_id, score) with score rounded to 6 dp and
     (score DESC, id ASC) deterministic order."""
-    post = doc_postings(docs, id_col, text_col)
+    # Materialize the postings ONCE: dlen / corpus stats / df / the query
+    # probe all derive from it, and without the checkpoint Catalyst re-runs
+    # the corpus explode+agg per branch (4 full scans at 100 TB). In a
+    # deployed engine this is the persisted index table; here the
+    # localCheckpoint (dedup.py convention) stands in for it.
+    post = doc_postings(docs, id_col, text_col).localCheckpoint(eager=False)
     dlen = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dlen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_dl")
