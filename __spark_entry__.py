@@ -1406,6 +1406,51 @@ def _geo_clusters_sql() -> str:
     """
 
 
+def q_geofence_transitions(spark, sf_dir):
+    """Geofence enter/exit detection: per-user event stream, membership in
+    the TRI fence as the codegen convex cross-product boolean (the same
+    generated string runs in the oracle), transitions via lag over the
+    (ts, event_id) order — one window shuffle."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = (
+        ev.filter(F.col("user_id") < 30)
+        .withColumn("lat", lat)
+        .withColumn("lng", lng)
+        .withColumn("inside", F.expr(_convex_inside_expr(TRI, "lat", "lng")))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = pts.withColumn("prev", F.lag("inside").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("prev") != F.col("inside"))
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("at"),
+        F.when(F.col("inside"), F.lit("enter")).otherwise(F.lit("exit")).alias(
+            "direction"
+        ),
+    )
+
+
+def _geofence_transitions_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    inside = _convex_inside_expr(TRI, lat, lng)
+    return f"""
+        WITH m AS (
+            SELECT user_id, event_id, ts, {inside} AS inside,
+                   LAG({inside}) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+            FROM events WHERE user_id < 30)
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS at,
+               CASE WHEN inside THEN 'enter' ELSE 'exit' END AS direction
+        FROM m WHERE prev IS NOT NULL AND prev != inside
+    """
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -2252,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": q_hybrid_retrieval,
         "user_travel": q_user_travel,
         "geo_clusters": q_geo_clusters,
+        "geofence_transitions": q_geofence_transitions,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -2359,6 +2405,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_retrieval": _hybrid_retrieval_sql(),
         "user_travel": _user_travel_sql(),
         "geo_clusters": _geo_clusters_sql(),
+        "geofence_transitions": _geofence_transitions_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
@@ -2676,9 +2723,11 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _convex_pip_sql(qid: str, poly: list[tuple[float, float]]) -> str:
-    """Convex-polygon PIP as same-sign cross products (exact, SQL-only)."""
-    lat, lng = _latlng_sql("doc_id")
+def _convex_inside_expr(
+    poly: list[tuple[float, float]], lat: str, lng: str
+) -> str:
+    """Convex-polygon strict-inside test as same-sign cross products — one
+    arithmetic boolean string valid in BOTH Spark SQL (F.expr) and DuckDB."""
     conds_pos, conds_neg = [], []
     m = len(poly)
     for i in range(m):
@@ -2686,5 +2735,11 @@ def _convex_pip_sql(qid: str, poly: list[tuple[float, float]]) -> str:
         cross = f"(({bx} - {ax}) * (({lat}) - {ay}) - ({by} - {ay}) * (({lng}) - {ax}))"
         conds_pos.append(f"{cross} > 0")
         conds_neg.append(f"{cross} < 0")
-    inside = f"(({' AND '.join(conds_pos)}) OR ({' AND '.join(conds_neg)}))"
+    return f"(({' AND '.join(conds_pos)}) OR ({' AND '.join(conds_neg)}))"
+
+
+def _convex_pip_sql(qid: str, poly: list[tuple[float, float]]) -> str:
+    """Convex-polygon PIP as same-sign cross products (exact, SQL-only)."""
+    lat, lng = _latlng_sql("doc_id")
+    inside = _convex_inside_expr(poly, lat, lng)
     return f"SELECT '{qid}' AS qid, doc_id FROM documents WHERE {inside}"
