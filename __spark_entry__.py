@@ -1451,6 +1451,270 @@ def _geofence_transitions_sql() -> str:
     """
 
 
+def q_user_od_flows(spark, sf_dir):
+    """Origin-destination flow matrix: per-user consecutive event pairs,
+    each end encoded to its res-3 grid cell, cross-cell transitions counted
+    per (cell_from, cell_to). One window shuffle + one partial+final agg —
+    the standard trajectory-analytics rollup over the tile grid."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("cell", cell_encode_col(lat, lng, 3))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flows = pts.withColumn("prev_cell", F.lag("cell").over(w)).filter(
+        F.col("prev_cell").isNotNull() & (F.col("prev_cell") != F.col("cell"))
+    )
+    return (
+        flows.groupBy(
+            F.col("prev_cell").alias("cell_from"), F.col("cell").alias("cell_to")
+        )
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+        .filter(F.col("n_trips") >= 3)
+    )
+
+
+def _user_od_flows_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH p AS (
+            SELECT user_id, ts, event_id, {cell} AS cell FROM events),
+        f AS (
+            SELECT cell,
+                   LAG(cell) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_cell
+            FROM p)
+        SELECT prev_cell AS cell_from, cell AS cell_to, COUNT(*) AS n_trips
+        FROM f WHERE prev_cell IS NOT NULL AND prev_cell != cell
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """
+
+
+def q_user_stay_points(spark, sf_dir):
+    """Stay-point (dwell) detection: per-user runs of consecutive events in
+    the same res-2 cell, gaps-and-islands run ids from a windowed running
+    sum of cell-change flags, dwell = microsecond span of the run. Two
+    window passes over one user-partitioned shuffle + one agg."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("cell", cell_encode_col(lat, lng, 2))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("cell").over(w).isNull() | (F.lag("cell").over(w) != F.col("cell")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        pts.withColumn("run", run)
+        .groupBy("user_id", "run", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            )
+            .cast("long")
+            .alias("dwell_us"),
+        )
+        .filter(F.col("n_events") >= 2)
+        .drop("run")
+    )
+
+
+def _user_stay_points_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 2)
+    return f"""
+        WITH p AS (
+            SELECT user_id, ts, event_id, {cell} AS cell FROM events),
+        c AS (
+            SELECT *, CASE WHEN LAG(cell) OVER w IS NULL
+                            OR LAG(cell) OVER w != cell
+                      THEN 1 ELSE 0 END AS chg
+            FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        r AS (
+            SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS BIGINT) AS run
+            FROM c)
+        SELECT user_id, cell, COUNT(*) AS n_events,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS dwell_us
+        FROM r GROUP BY user_id, run, cell HAVING COUNT(*) >= 2
+    """
+
+
+def q_traj_cells(spark, sf_dir):
+    """Trajectory rasterization (vector→raster): each consecutive event
+    pair per user is a segment; 9 evenly-spaced interpolation points along
+    it are cell-encoded at res 3 and the per-user covered-cell set is the
+    distinct union. Window lag + JVM sequence explode + distinct — the
+    cheap deterministic supercover used to burn GPS tracks onto the tile
+    grid. Interpolation arithmetic is the identical double formula in both
+    engines."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = (
+        ev.filter(F.col("user_id") < 20)
+        .withColumn("lat", lat)
+        .withColumn("lng", lng)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.withColumn("plat", F.lag("lat").over(w))
+        .withColumn("plng", F.lag("lng").over(w))
+        .filter(F.col("plat").isNotNull())
+    )
+    t = F.col("i") / F.lit(8.0)
+    ilat = F.col("plat") + (F.col("lat") - F.col("plat")) * t
+    ilng = F.col("plng") + (F.col("lng") - F.col("plng")) * t
+    return (
+        seg.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(8))))
+        .select("user_id", cell_encode_col(ilat, ilng, 3).alias("cell"))
+        .distinct()
+    )
+
+
+def _traj_cells_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    ilat = "(plat + (lat - plat) * (i / 8.0))"
+    ilng = "(plng + (lng - plng) * (i / 8.0))"
+    cell = cell_encode_sql(ilat, ilng, 3)
+    return f"""
+        WITH p AS (
+            SELECT user_id, ts, event_id, {lat} AS lat, {lng} AS lng
+            FROM events WHERE user_id < 20),
+        s AS (
+            SELECT user_id, lat, lng,
+                   LAG(lat) OVER w AS plat, LAG(lng) OVER w AS plng
+            FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT DISTINCT user_id, {cell} AS cell
+        FROM s CROSS JOIN generate_series(0, 8) g(i)
+        WHERE plat IS NOT NULL
+    """
+
+
+def q_hot_cells(spark, sf_dir):
+    """Hot-cell skew diagnostic over the SKEWED synthetic corpus (datagen
+    hotspots): res-4 occupancy counts, global share, top 20. The agg output
+    is tiny (≤ occupied cells), so the global-total window runs on the
+    aggregated table — one partial+final agg plus an O(cells) window. This
+    is the planner input for salting factors (operators/tree.py skew
+    handling)."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.datagen import gen_documents_df
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    docs = gen_documents_df(spark, 300, seed=62).select("doc_id", "lat", "lng")
+    counts = docs.groupBy(
+        cell_encode_col(F.col("lat"), F.col("lng"), 4).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return (
+        counts.withColumn("share", F.round(F.col("n_docs") / total, 6))
+        .orderBy(F.col("n_docs").desc(), F.col("cell").asc())
+        .limit(20)
+    )
+
+
+def _hot_cells_sql(n_docs: int = 300, seed: int = 62) -> str:
+    """VALUES oracle from the deterministic local generator (same rows as
+    the distributed mapInPandas path), independent SQL recount."""
+    from raptor_service_spark.datagen import _gen_doc
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    vals = ", ".join(
+        f"({_gen_doc(seed, i)['lat']!r}, {_gen_doc(seed, i)['lng']!r})"
+        for i in range(n_docs)
+    )
+    cell = cell_encode_sql("lat", "lng", 4)
+    return f"""
+        WITH d AS (SELECT * FROM (VALUES {vals}) t(lat, lng)),
+        c AS (
+            SELECT {cell} AS cell, COUNT(*) AS n_docs FROM d GROUP BY 1)
+        SELECT cell, n_docs,
+               ROUND(n_docs / (SELECT CAST(SUM(n_docs) AS DOUBLE) FROM c), 6)
+                   AS share
+        FROM c ORDER BY n_docs DESC, cell ASC LIMIT 20
+    """
+
+
+def q_media_caption_attach(spark, sf_dir):
+    """Interleaved caption attachment: each media span is paired with the
+    nearest PRECEDING text span of the same document (offset order) — the
+    alignment step a multimodal training pipeline runs before captioned
+    image export. One doc-partitioned window over the exploded spans; the
+    span-sequence invariant (kind, text, media_ref, order) guarantees the
+    window order is the authoring order."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.datagen import gen_documents_df
+    from raptor_service_spark.operators.chunking import explode_spans
+
+    docs = gen_documents_df(spark, 30, seed=61)
+    sp = explode_spans(docs).select("doc_id", "kind", "text", "media_ref", "offset")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cap = F.last(
+        F.when(F.col("media_ref") == "", F.col("text")), ignorenulls=True
+    ).over(w)
+    return (
+        sp.withColumn("caption", cap)
+        .filter(F.col("media_ref") != "")
+        .select(
+            "doc_id",
+            "media_ref",
+            "kind",
+            F.coalesce("caption", F.lit("")).alias("caption"),
+        )
+    )
+
+
+def _media_caption_attach_sql(n_docs: int = 30, seed: int = 61) -> str:
+    """VALUES oracle: full interleaved span rows from the deterministic
+    generator; DuckDB recomputes the preceding-text window independently."""
+    from raptor_service_spark.datagen import _gen_doc
+
+    vals = []
+    for i in range(n_docs):
+        d = _gen_doc(seed, i)
+        for s in d["spans"]:
+            vals.append(
+                f"('{d['doc_id']}', '{s['kind']}', '{s['text']}', "
+                f"'{s['media_ref']}', {s['offset']})"
+            )
+    return (
+        "WITH s AS (SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ') t(doc_id, kind, text, media_ref, "offset")), '
+        "m AS (SELECT doc_id, kind, media_ref, "
+        "LAST_VALUE(CASE WHEN media_ref = '' THEN text END IGNORE NULLS) "
+        'OVER (PARTITION BY doc_id ORDER BY "offset" '
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS caption FROM s) "
+        "SELECT doc_id, media_ref, kind, COALESCE(caption, '') AS caption "
+        "FROM m WHERE media_ref != ''"
+    )
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -2298,6 +2562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_travel": q_user_travel,
         "geo_clusters": q_geo_clusters,
         "geofence_transitions": q_geofence_transitions,
+        "user_od_flows": q_user_od_flows,
+        "user_stay_points": q_user_stay_points,
+        "traj_cells": q_traj_cells,
+        "hot_cells": q_hot_cells,
+        "media_caption_attach": q_media_caption_attach,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -2406,6 +2675,11 @@ def oracle_sql() -> dict[str, str]:
         "user_travel": _user_travel_sql(),
         "geo_clusters": _geo_clusters_sql(),
         "geofence_transitions": _geofence_transitions_sql(),
+        "user_od_flows": _user_od_flows_sql(),
+        "user_stay_points": _user_stay_points_sql(),
+        "traj_cells": _traj_cells_sql(),
+        "hot_cells": _hot_cells_sql(),
+        "media_caption_attach": _media_caption_attach_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
