@@ -1715,6 +1715,80 @@ def _media_caption_attach_sql(n_docs: int = 30, seed: int = 61) -> str:
     )
 
 
+def q_tile_topk_docs(spark, sf_dir):
+    """Per-tile ranking (tile-server op): top-3 documents by quality score
+    inside every occupied res-2 cell. WindowGroupLimit pushes the rank<=3
+    cut below the exchange, so the shuffle carries at most 3 rows per cell
+    per map task — the per-group top-k the reference's per-cluster summary
+    selection needs at serving time."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.functions.text import quality_score
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    scored = d.withColumn("cell", cell_encode_col(lat, lng, 2)).withColumn(
+        "quality", quality_score(F.col("text"))
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("cell", F.col("rk").cast("long").alias("rk"), "doc_id", "quality")
+    )
+
+
+def _tile_topk_docs_sql() -> str:
+    from raptor_service_spark.functions.text import quality_score_sql
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, 2)
+    qual = quality_score_sql("text")
+    return f"""
+        WITH s AS (
+            SELECT doc_id, {cell} AS cell, {qual} AS quality FROM documents)
+        SELECT cell,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cell
+                                       ORDER BY quality DESC, doc_id ASC)
+                    AS BIGINT) AS rk,
+               doc_id, quality
+        FROM s QUALIFY rk <= 3
+    """
+
+
+def q_cell_coverage_gap(spark, sf_dir):
+    """Coverage-gap audit: res-4 cells that receive event traffic but hold
+    no indexed documents — the tile tree's 'demand without supply' set.
+    Two map-side-combined distincts + one EXCEPT on O(occupied cells)."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat_e, lng_e = _latlng_cols(F.col("event_id"))
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat_d, lng_d = _latlng_cols(F.col("doc_id"))
+    ecells = ev.select(cell_encode_col(lat_e, lng_e, 4).alias("cell")).distinct()
+    dcells = d.select(cell_encode_col(lat_d, lng_d, 4).alias("cell")).distinct()
+    return ecells.subtract(dcells)
+
+
+def _cell_coverage_gap_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat_e, lng_e = _latlng_sql("event_id")
+    lat_d, lng_d = _latlng_sql("doc_id")
+    ce = cell_encode_sql(lat_e, lng_e, 4)
+    cd = cell_encode_sql(lat_d, lng_d, 4)
+    return f"""
+        SELECT DISTINCT {ce} AS cell FROM events
+        EXCEPT
+        SELECT DISTINCT {cd} AS cell FROM documents
+    """
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -2567,6 +2641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_cells": q_traj_cells,
         "hot_cells": q_hot_cells,
         "media_caption_attach": q_media_caption_attach,
+        "tile_topk_docs": q_tile_topk_docs,
+        "cell_coverage_gap": q_cell_coverage_gap,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -2680,6 +2756,8 @@ def oracle_sql() -> dict[str, str]:
         "traj_cells": _traj_cells_sql(),
         "hot_cells": _hot_cells_sql(),
         "media_caption_attach": _media_caption_attach_sql(),
+        "tile_topk_docs": _tile_topk_docs_sql(),
+        "cell_coverage_gap": _cell_coverage_gap_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),

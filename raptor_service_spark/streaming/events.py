@@ -47,13 +47,16 @@ def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
 
 
-def run_stream_to_memory(stream_df: DataFrame, query_name: str):
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+):
     """availableNow trigger: process everything currently in the source, then
-    stop — the batch-parity harness for streaming tests."""
+    stop — the batch-parity harness for streaming tests. ``output_mode``
+    must be "append" for stateful operators that emit rows incrementally."""
     return (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
