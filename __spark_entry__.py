@@ -1789,6 +1789,101 @@ def _cell_coverage_gap_sql() -> str:
     """
 
 
+def q_trending_cells(spark, sf_dir):
+    """Spatio-temporal change detection: per-cell hourly event counts, then
+    hour-over-hour delta via a cell-partitioned lag window; top 15 rises.
+    Two shuffles — the (cell, hour) partial+final count and the per-cell
+    window — both on aggregated (occupied cell × hour) rows, never points."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    hourly = (
+        ev.withColumn("cell", cell_encode_col(lat, lng, 3))
+        .groupBy("cell", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cell").orderBy("hr")
+    return (
+        hourly.withColumn("delta", F.col("n") - F.lag("n").over(w))
+        .filter(F.col("delta").isNotNull())
+        .orderBy(F.col("delta").desc(), F.col("cell").asc(), F.col("hr").asc())
+        .limit(15)
+        .select(
+            "cell",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            "delta",
+        )
+    )
+
+
+def _trending_cells_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH h AS (
+            SELECT {cell} AS cell, date_trunc('hour', ts) AS hr,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        d AS (
+            SELECT cell, hr, n,
+                   n - LAG(n) OVER (PARTITION BY cell ORDER BY hr) AS delta
+            FROM h)
+        SELECT cell, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, n, delta
+        FROM d WHERE delta IS NOT NULL
+        ORDER BY delta DESC, cell ASC, hr ASC LIMIT 15
+    """
+
+
+_IDW_CENTERS = {"c1": (12.0, 30.0), "c2": (-25.0, -100.0), "c3": (48.0, 110.0)}
+_IDW_RADIUS = 25.0
+
+
+def q_idw_interpolation(spark, sf_dir):
+    """Inverse-distance-weighted field estimate at query centers: the
+    filter-refine radius join (broadcast candidate cells, codegen sqrt)
+    feeds a per-center weighted mean of event values — the spatial
+    interpolation a tile-level heat layer needs. One partial+final agg
+    after a shuffle-free join."""
+    from raptor_service_spark.operators.pip_join import radius_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    hits = radius_join(pts, _IDW_CENTERS, _IDW_RADIUS, res=4)
+    wgt = F.lit(1.0) / (F.col("dist") + F.lit(0.001))
+    return hits.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum(F.col("value") * wgt) / F.sum(wgt), 6).alias("idw_value"),
+    )
+
+
+def _idw_interpolation_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    centers = ", ".join(
+        f"('{q}', {la!r}, {ln!r})" for q, (la, ln) in _IDW_CENTERS.items()
+    )
+    return f"""
+        WITH p AS (
+            SELECT value, {lat} AS lat, {lng} AS lng FROM events),
+        c AS (SELECT * FROM (VALUES {centers}) t(qid, clat, clng)),
+        h AS (
+            SELECT qid, value,
+                   ROUND(SQRT((lat - clat) * (lat - clat)
+                              + (lng - clng) * (lng - clng)), 6) AS dist
+            FROM p CROSS JOIN c)
+        SELECT qid, COUNT(*) AS n_points,
+               ROUND(SUM(value * (1.0 / (dist + 0.001)))
+                     / SUM(1.0 / (dist + 0.001)), 6) AS idw_value
+        FROM h WHERE dist <= {_IDW_RADIUS!r} GROUP BY qid
+    """
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -2643,6 +2738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_caption_attach": q_media_caption_attach,
         "tile_topk_docs": q_tile_topk_docs,
         "cell_coverage_gap": q_cell_coverage_gap,
+        "trending_cells": q_trending_cells,
+        "idw_interpolation": q_idw_interpolation,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -2758,6 +2855,8 @@ def oracle_sql() -> dict[str, str]:
         "media_caption_attach": _media_caption_attach_sql(),
         "tile_topk_docs": _tile_topk_docs_sql(),
         "cell_coverage_gap": _cell_coverage_gap_sql(),
+        "trending_cells": _trending_cells_sql(),
+        "idw_interpolation": _idw_interpolation_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
