@@ -49,6 +49,11 @@ HEADLINE = [
     "hybrid_retrieval",
     "cell_kring_smooth",
     "tile_pyramid",
+    "user_stay_points",
+    "trending_cells",
+    "traj_cells",
+    "tile_topk_docs",
+    "idw_interpolation",
     "knn_filtered",
     "lineitem_agg",
     "sum_qty_per_segment",
