@@ -1884,6 +1884,45 @@ def _idw_interpolation_sql() -> str:
     """
 
 
+def q_cell_boundaries(spark, sf_dir):
+    """Raster morphology over the doc-occupancy raster: boundary vs interior
+    cells of the occupied region at res 4 (operators/neighborhood.py
+    boundary_cells — ring explode + self-join on the occupied-CELL table,
+    one point shuffle total)."""
+    from raptor_service_spark.operators.neighborhood import boundary_cells
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng)
+    return boundary_cells(pts, res=4)
+
+
+def _cell_boundaries_sql() -> str:
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell4 = cell_encode_sql(lat, lng, 4)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dy in range(-1, 2)
+        for dx in range(-1, 2)
+        if (dx, dy) != (0, 0)
+    )
+    nbr = kring_neighbor_sql("c.cell", 4, "o.dx", "o.dy")
+    return f"""
+        WITH c AS (SELECT {cell4} AS cell, COUNT(*) AS n_points
+                   FROM documents GROUP BY 1),
+        p AS (SELECT c.cell, c.n_points, {nbr} AS nbr
+              FROM c CROSS JOIN (VALUES {offs}) o(dx, dy)
+              WHERE {nbr} IS NOT NULL)
+        SELECT p.cell, MAX(p.n_points) AS n_points,
+               COUNT(c2.cell) AS n_occ_nbrs,
+               COUNT(c2.cell) < 8 AS is_boundary
+        FROM p LEFT JOIN c c2 ON p.nbr = c2.cell
+        GROUP BY 1
+    """
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -2740,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_coverage_gap": q_cell_coverage_gap,
         "trending_cells": q_trending_cells,
         "idw_interpolation": q_idw_interpolation,
+        "cell_boundaries": q_cell_boundaries,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -2857,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_coverage_gap": _cell_coverage_gap_sql(),
         "trending_cells": _trending_cells_sql(),
         "idw_interpolation": _idw_interpolation_sql(),
+        "cell_boundaries": _cell_boundaries_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),

@@ -86,6 +86,46 @@ def kring_smooth(
     )
 
 
+def boundary_cells(
+    points: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Raster morphology (edge extraction): classify every occupied cell as
+    boundary or interior of the occupied region. Interior = all 8 Chebyshev
+    neighbors exist (not clamped off the poles) and are occupied; anything
+    less is boundary — the region outline a tile renderer draws.
+
+    Same scale shape as kring_smooth: one point shuffle into the occupancy
+    count, then the 8× ring explode and the self-join operate on the
+    O(occupied cells) table only. Assumes res >= 2 so the 8 ring offsets
+    are distinct cells (at res 1 longitude wrap aliases them).
+
+    Output: (cell, n_points, n_occ_nbrs, is_boundary).
+    """
+    occ = points.groupBy(
+        cell_encode_col(F.col(lat_col), F.col(lng_col), res).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+
+    ring = [(dx, dy) for dx, dy in _offsets(1) if (dx, dy) != (0, 0)]
+    nbrs = F.filter(
+        F.array(*[kring_neighbor_col("cell", res, dx, dy) for dx, dy in ring]),
+        lambda c: c.isNotNull(),
+    )
+    pairs = occ.select("cell", "n_points", F.explode(nbrs).alias("nbr"))
+    hits = pairs.join(
+        occ.select(F.col("cell").alias("nbr"), F.lit(1).alias("occ_nbr")),
+        "nbr",
+        "left",
+    )
+    return hits.groupBy("cell").agg(
+        F.max("n_points").alias("n_points"),
+        F.count("occ_nbr").alias("n_occ_nbrs"),
+        (F.count("occ_nbr") < 8).alias("is_boundary"),
+    )
+
+
 def kring_neighbor_sql(cell_expr: str, res: int, dx_expr: str, dy_expr: str) -> str:
     """DuckDB fragment mirroring kring_neighbor_col (NULL when off-pole)."""
     n = 2**res

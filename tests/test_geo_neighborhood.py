@@ -218,3 +218,64 @@ def test_within_distance_join_matches_bruteforce(spark):
     )
     assert got == want
     assert got  # non-vacuous
+
+
+def test_boundary_cells_matches_numpy(spark):
+    from raptor_service_spark.operators.neighborhood import boundary_cells
+
+    df, lat, lng = _points_df(spark, n=500, seed=11)
+    res = 4
+    got = {
+        r["cell"]: (r["n_points"], r["n_occ_nbrs"], r["is_boundary"])
+        for r in boundary_cells(df, res=res).collect()
+    }
+
+    cells = cell_encode_np(lat, lng, res)
+    occ = {}
+    for c in cells:
+        occ[int(c)] = occ.get(int(c), 0) + 1
+    n = 2**res
+    base = res * RES_MULTIPLIER
+    expected = {}
+    for c, cnt in occ.items():
+        rem = c - base
+        y, x = divmod(rem, n)
+        n_occ = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                yy = y + dy
+                if not (0 <= yy < n):
+                    continue  # pole clamp
+                xx = (x + dx) % n  # lng wrap
+                if base + yy * n + xx in occ:
+                    n_occ += 1
+        expected[c] = (cnt, n_occ, n_occ < 8)
+    assert got == expected
+    assert any(v[2] for v in got.values())  # sparse raster has boundary
+    assert any(not v[2] for v in got.values())  # and interior
+
+
+def test_boundary_cells_full_raster_interior_except_poles(spark):
+    # every cell at res 3 occupied -> only the pole rows are boundary
+    from raptor_service_spark.operators.neighborhood import boundary_cells
+
+    res, n = 3, 8
+    rows = []
+    for y in range(n):
+        for x in range(n):
+            rows.append(
+                (
+                    y * n + x,
+                    -90.0 + 180.0 * (y + 0.5) / n,
+                    -180.0 + 360.0 * (x + 0.5) / n,
+                )
+            )
+    df = spark.createDataFrame(rows, "pid long, lat double, lng double")
+    out = boundary_cells(df, res=res).collect()
+    assert len(out) == n * n
+    base = res * RES_MULTIPLIER
+    for r in out:
+        y = (r["cell"] - base) // n
+        assert r["is_boundary"] == (y in (0, n - 1))
