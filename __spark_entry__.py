@@ -1923,6 +1923,92 @@ def _cell_boundaries_sql() -> str:
     """
 
 
+_HEAT_REF_US = 1706659200 * 1_000_000  # 2024-01-31 00:00:00 UTC
+_HEAT_TAU_US = 7 * 86400 * 1_000_000.0  # 7-day decay constant
+
+
+def q_cell_heat_decay(spark, sf_dir):
+    """Time-decayed heat layer: per res-3 cell, sum of exp(-age/τ) event
+    weights relative to a fixed reference instant — the freshness-weighted
+    occupancy a live tile heatmap serves. One partial+final agg; the decay
+    weight is codegen arithmetic (exp parity with DuckDB is the same IEEE
+    contract the haversine queries already rely on)."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    age_us = F.lit(_HEAT_REF_US) - F.unix_micros(F.col("ts").cast("timestamp"))
+    w = F.exp(-age_us / F.lit(_HEAT_TAU_US))
+    return (
+        ev.withColumn("cell", cell_encode_col(lat, lng, 3))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(w), 6).alias("heat"),
+        )
+    )
+
+
+def _cell_heat_decay_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    w = f"EXP(-({_HEAT_REF_US} - epoch_us(ts)) / {_HEAT_TAU_US!r})"
+    return f"""
+        SELECT {cell} AS cell, COUNT(*) AS n_events,
+               ROUND(SUM({w}), 6) AS heat
+        FROM events GROUP BY 1
+    """
+
+
+def q_cell_top_terms(spark, sf_dir):
+    """Geo-text crossover: per res-2 cell, top-3 terms across the documents
+    anchored there — the regional vocabulary summary a dataset card shows
+    per map region. Explode → two-phase (cell, term) count → per-cell
+    window top-k (WindowGroupLimit cuts below the exchange)."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    terms = d.withColumn("cell", cell_encode_col(lat, lng, 2)).select(
+        "cell", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    counts = (
+        terms.filter(F.col("term") != "")
+        .groupBy("cell", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.partitionBy("cell").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .select("cell", "term", "n", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _cell_top_terms_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, 2)
+    return f"""
+        WITH t AS (
+            SELECT {cell} AS cell,
+                   UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM documents),
+        c AS (
+            SELECT cell, term, COUNT(*) AS n FROM t
+            WHERE term != '' GROUP BY 1, 2)
+        SELECT cell, term, n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY cell
+                                       ORDER BY n DESC, term ASC) AS BIGINT) AS rk
+        FROM c QUALIFY rk <= 3
+    """
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -2780,6 +2866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_cells": q_trending_cells,
         "idw_interpolation": q_idw_interpolation,
         "cell_boundaries": q_cell_boundaries,
+        "cell_heat_decay": q_cell_heat_decay,
+        "cell_top_terms": q_cell_top_terms,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -2898,6 +2986,8 @@ def oracle_sql() -> dict[str, str]:
         "trending_cells": _trending_cells_sql(),
         "idw_interpolation": _idw_interpolation_sql(),
         "cell_boundaries": _cell_boundaries_sql(),
+        "cell_heat_decay": _cell_heat_decay_sql(),
+        "cell_top_terms": _cell_top_terms_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
