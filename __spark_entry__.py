@@ -2009,6 +2009,100 @@ def _cell_top_terms_sql() -> str:
     """
 
 
+_ASSIGN_EPS = 5.0
+
+
+def q_nearest_doc_assignment(spark, sf_dir):
+    """Bounded-ε nearest-neighbor assignment (visit attribution): each event
+    is attributed to its closest document within ε degrees — the table×table
+    k=1 spatial join. The ε-bound is what makes it scale: candidates come
+    from the one-shuffle cell/ring equi-join (each pair found exactly once),
+    then a per-event WindowGroupLimit keeps the minimum. Events with no doc
+    within ε drop out (same rule in the oracle)."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id").filter(
+        F.col("event_id") < 2000
+    )
+    lat_e, lng_e = _latlng_cols(F.col("event_id"))
+    epts = ev.withColumn("lat", lat_e).withColumn("lng", lng_e)
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat_d, lng_d = _latlng_cols(F.col("doc_id"))
+    dpts = d.withColumn("lat", lat_d).withColumn("lng", lng_d)
+    pairs = within_distance_join(epts, dpts, eps=_ASSIGN_EPS).select(
+        F.col("l.event_id").alias("event_id"),
+        F.col("r.doc_id").alias("doc_id"),
+        "dist",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("dist").asc(), F.col("doc_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_id", "doc_id", "dist")
+    )
+
+
+def _nearest_doc_assignment_sql() -> str:
+    lat_e, lng_e = _latlng_sql("e.event_id")
+    lat_d, lng_d = _latlng_sql("d.doc_id")
+    dist = (
+        f"ROUND(SQRT(({lat_e} - {lat_d}) * ({lat_e} - {lat_d})"
+        f" + ({lng_e} - {lng_d}) * ({lng_e} - {lng_d})), 6)"
+    )
+    return f"""
+        SELECT e.event_id, d.doc_id, {dist} AS dist
+        FROM events e CROSS JOIN documents d
+        WHERE e.event_id < 2000 AND {dist} <= {_ASSIGN_EPS!r}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                   ORDER BY dist ASC, d.doc_id ASC) = 1
+    """
+
+
+def q_user_home_cells(spark, sf_dir):
+    """Per-user home cell: the res-3 cell where the user has the most
+    events (ties broken by cell id) — the anchor-location primitive of
+    trajectory analytics. Two-phase (user, cell) count, then a per-user
+    WindowGroupLimit argmax."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    counts = (
+        ev.withColumn("cell", cell_encode_col(lat, lng, 3))
+        .groupBy("user_id", "cell")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("cell").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "cell", "n_events")
+    )
+
+
+def _user_home_cells_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH c AS (
+            SELECT user_id, {cell} AS cell, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2)
+        SELECT user_id, cell, n_events
+        FROM c QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY n_events DESC, cell ASC) = 1
+    """
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -2868,6 +2962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_boundaries": q_cell_boundaries,
         "cell_heat_decay": q_cell_heat_decay,
         "cell_top_terms": q_cell_top_terms,
+        "nearest_doc_assignment": q_nearest_doc_assignment,
+        "user_home_cells": q_user_home_cells,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -2988,6 +3084,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_boundaries": _cell_boundaries_sql(),
         "cell_heat_decay": _cell_heat_decay_sql(),
         "cell_top_terms": _cell_top_terms_sql(),
+        "nearest_doc_assignment": _nearest_doc_assignment_sql(),
+        "user_home_cells": _user_home_cells_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
