@@ -2103,6 +2103,31 @@ def _user_home_cells_sql() -> str:
     """
 
 
+def q_events_value_histogram(spark, sf_dir):
+    """Equi-width histogram of event values (width 25, clamped to 20 bins):
+    one codegen bin Project + one partial+final agg — the profiling scan a
+    pipeline runs before choosing quantization/binning constants."""
+    ev = _read(spark, sf_dir, "events").select("value")
+    bin_ = F.least(F.lit(19), F.floor(F.col("value") / F.lit(25.0))).cast("long")
+    return (
+        ev.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+def _events_value_histogram_sql() -> str:
+    return """
+        SELECT LEAST(19, CAST(FLOOR(value / 25.0) AS BIGINT)) AS bin,
+               COUNT(*) AS n,
+               ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+        FROM events GROUP BY 1
+    """
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -2964,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_top_terms": q_cell_top_terms,
         "nearest_doc_assignment": q_nearest_doc_assignment,
         "user_home_cells": q_user_home_cells,
+        "events_value_histogram": q_events_value_histogram,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -3086,6 +3112,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_top_terms": _cell_top_terms_sql(),
         "nearest_doc_assignment": _nearest_doc_assignment_sql(),
         "user_home_cells": _user_home_cells_sql(),
+        "events_value_histogram": _events_value_histogram_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
