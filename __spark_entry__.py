@@ -2875,6 +2875,66 @@ def q_knn_quantized(spark, sf_dir):
     )
 
 
+QVEC_PQ = np.round(gen_query_vectors(seed=107, n=1, dim=64)[0], 6)
+
+
+def q_pq_knn(spark, sf_dir):
+    """Product-quantization kNN with codegen ADC scoring (operators/pq.py):
+    codebooks trained driver-side (deterministic numpy Lloyd, O(m·k·dsub)
+    driver state), then encode (literal-arithmetic argmin) AND score
+    (literal ADC table lookup) run as whole-stage-codegen expressions — a
+    lossy ANN path whose oracle is bit-exact because the identical
+    generated strings execute in DuckDB."""
+    from raptor_service_spark.operators.pq import (
+        adc_score_expr,
+        adc_tables,
+        pq_code_expr,
+        pq_dist_array_exprs,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks()
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for s, ds in enumerate(pq_dist_array_exprs(books, "embedding", "spark")):
+        e = e.withColumn(f"ds{s}", F.expr(ds))
+    for s in range(books.shape[0]):
+        e = e.withColumn(f"pc{s}", F.expr(pq_code_expr(f"ds{s}", "spark")))
+    tables = adc_tables(books, QVEC_PQ)
+    score = F.expr(
+        adc_score_expr(tables, [f"pc{s}" for s in range(books.shape[0])], "spark")
+    )
+    return (
+        e.select("vec_id", F.round(score, 6).alias("pqdist"))
+        .orderBy(F.col("pqdist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _pq_knn_sql() -> str:
+    from raptor_service_spark.operators.pq import (
+        adc_score_expr,
+        adc_tables,
+        pq_code_expr,
+        pq_dist_array_exprs,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks()
+    m = books.shape[0]
+    ds = pq_dist_array_exprs(books, "embedding", "duckdb")
+    ds_cols = ", ".join(f"{d} AS ds{s}" for s, d in enumerate(ds))
+    pc_cols = ", ".join(
+        f"{pq_code_expr(f'ds{s}', 'duckdb')} AS pc{s}" for s in range(m)
+    )
+    adc = adc_score_expr(adc_tables(books, QVEC_PQ), [f"pc{s}" for s in range(m)], "duckdb")
+    return f"""
+        WITH d AS (SELECT vec_id, {ds_cols} FROM embeddings),
+        c AS (SELECT vec_id, {pc_cols} FROM d)
+        SELECT vec_id, ROUND({adc}, 6) AS pqdist
+        FROM c ORDER BY pqdist ASC, vec_id ASC LIMIT 10
+    """
+
+
 def q_span_roundtrip_check(spark, sf_dir):
     """Span-sequence invariant as a query: rows violating equality (expect 0
     mismatches; returns per-doc ok flags)."""
@@ -3016,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_stats": q_user_running_stats,
         "train_decontam": q_train_decontam,
         "knn_quantized": q_knn_quantized,
+        "pq_knn": q_pq_knn,
         "json_props": q_json_props,
         "path_to_root": q_path_to_root,
         "user_sessions": q_user_sessions,
@@ -3219,6 +3280,7 @@ def oracle_sql() -> dict[str, str]:
                          (sqrt(list_inner_product(q, q)) * {_QVEC_Q_NORM!r}), 6) AS qdist
             FROM qz ORDER BY qdist ASC, vec_id ASC LIMIT 10
         """,
+        "pq_knn": _pq_knn_sql(),
         "events_hourly_stats": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                    event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value,

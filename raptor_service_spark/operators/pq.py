@@ -1,0 +1,131 @@
+"""Product-Quantization ANN with pure-codegen ADC scoring.
+
+The third compression point on the repo's ANN ladder (f32 → f16 packing in
+the grid index, int8 max-abs codes in knn_quantized, and now m×4-bit PQ
+codes): vectors are split into ``m`` subspaces, each subvector is snapped to
+the nearest of ``k`` codebook centroids, and a query is scored against the
+codes via an Asymmetric Distance Computation (ADC) lookup table — at 100 TB
+the codes column is dim·4/ (m·log2 k) × smaller than the float vectors and
+the scan IS the cost, exactly the argument knn_quantized documents.
+
+Spark-first construction — NO Python in the data path:
+
+  * the codebooks are trained driver-side on a deterministic synthetic
+    sample (numpy Lloyd, fixed seed/iterations — O(k·dim) driver state,
+    the same posture as IVF training);
+  * the trained centroids are embedded as LITERAL arithmetic in generated
+    expression strings: per subspace, a literal array of k squared
+    distances, ``array_position(ds, array_min(ds))`` for the code, and a
+    literal ADC table lookup ``element_at(table, code)`` for the score —
+    the whole encode+score pipeline is whole-stage codegen;
+  * the SAME generated strings (modulo dialect: ``array(..)``/``[..]``,
+    0/1-based element access, array_position/list_position) run in the
+    DuckDB oracle, so code assignment and ADC score match the engine
+    EXACTLY by construction — identical literals, identical left-fold
+    float op order, identical first-min tie rule. A lossy ANN path with a
+    bit-exact oracle.
+
+Reference anchor: this generalizes the collapsed-tree kNN compression the
+reference delegates to pgvector HNSW over halfvec (alembic 7c8c20d23172
+init_schema halfvec cosine index) — recast per the graft as explicit
+code columns + codegen scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Literal form valid AND double-typed in BOTH engines: Spark SQL parses a
+# bare `0.123456` as DECIMAL (exact decimal arithmetic — different results
+# than DuckDB's double), so every embedded constant is CAST to DOUBLE.
+_FMT = "CAST({:.6f} AS DOUBLE)"
+
+
+def train_pq_codebooks(
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 133,
+    n_sample: int = 2048,
+    iters: int = 10,
+) -> np.ndarray:
+    """Deterministic per-subspace Lloyd k-means on a synthetic unit-norm
+    sample. Returns (m, k, dim//m) float64 ROUNDED to 6 dp — the rounding is
+    what lets the centroids be embedded as identical literals in Spark and
+    DuckDB expression text."""
+    assert dim % m == 0
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n_sample, dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        cent = xs[:k].copy()  # deterministic init: first k sample rows
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                sel = xs[assign == j]
+                if len(sel):
+                    cent[j] = sel.mean(axis=0)
+        books[s] = cent
+    return np.round(books, 6)
+
+
+def _sq_dist_literal(centroid: np.ndarray, elem_exprs: list[str]) -> str:
+    """Literal squared-distance string: identical text (and so identical
+    IEEE left-fold order) in both engines."""
+    terms = [
+        f"({e} - {_FMT.format(c)}) * ({e} - {_FMT.format(c)})"
+        for e, c in zip(elem_exprs, centroid)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def pq_dist_array_exprs(
+    books: np.ndarray, vec_col: str, dialect: str
+) -> list[str]:
+    """Per subspace: the literal array of k centroid distances for this
+    row's subvector. dialect: 'spark' (0-based access, array(..)) or
+    'duckdb' (1-based access, [..])."""
+    m, k, dsub = books.shape
+    out = []
+    for s in range(m):
+        if dialect == "spark":
+            elems = [f"{vec_col}[{s * dsub + d}]" for d in range(dsub)]
+        else:
+            elems = [f"{vec_col}[{s * dsub + d + 1}]" for d in range(dsub)]
+        dists = [_sq_dist_literal(books[s, j], elems) for j in range(k)]
+        body = ", ".join(dists)
+        out.append(f"array({body})" if dialect == "spark" else f"[{body}]")
+    return out
+
+
+def pq_code_expr(ds_col: str, dialect: str) -> str:
+    """1-based index of the first minimum — the same tie rule both engines."""
+    if dialect == "spark":
+        return f"array_position({ds_col}, array_min({ds_col}))"
+    return f"list_position({ds_col}, list_min({ds_col}))"
+
+
+def adc_tables(books: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """(m, k) ADC lookup tables: squared distance from each query subvector
+    to each centroid, rounded to 6 dp so both engines see identical
+    literals. Computed ONCE driver-side — O(m·k·dsub)."""
+    m, k, dsub = books.shape
+    q = np.asarray(query, dtype=np.float64)
+    t = ((q.reshape(m, 1, dsub) - books) ** 2).sum(axis=2)
+    return np.round(t, 6)
+
+
+def adc_score_expr(tables: np.ndarray, code_cols: list[str], dialect: str) -> str:
+    """Sum of per-subspace table lookups — literal tables, codegen lookups."""
+    parts = []
+    for s, codes in enumerate(code_cols):
+        lits = ", ".join(_FMT.format(v) for v in tables[s])
+        if dialect == "spark":
+            parts.append(f"element_at(array({lits}), cast({codes} as int))")
+        else:
+            parts.append(f"([{lits}])[{codes}]")
+    return "(" + " + ".join(parts) + ")"
