@@ -65,6 +65,7 @@ HEADLINE = [
     "cosine_neardup_lsh",
     "knn_top10",
     "knn_quantized",
+    "pq_knn",
     "train_decontam",
     "grid_knn_ann",
     "reranked_retrieval",
