@@ -129,3 +129,47 @@ def adc_score_expr(tables: np.ndarray, code_cols: list[str], dialect: str) -> st
         else:
             parts.append(f"([{lits}])[{codes}]")
     return "(" + " + ".join(parts) + ")"
+
+
+def ivf_pq_knn(
+    df_with_list,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    q: np.ndarray,
+    k: int,
+    nprobe: int = 8,
+    vec_col: str = "v",
+    id_col: str = "id",
+):
+    """IVF-PQ: probe the nprobe nearest inverted lists (the partition-pruning
+    half, operators/ivf.py), then rank candidates by codegen ADC score (the
+    compression half above) — the classic two-level ANN layout where at
+    100 TB the probed fraction is read as m×4-bit codes instead of floats.
+
+    Driver state: IVF centroids + PQ codebooks (both O(KB)); data path:
+    `list_id IN (...)` literal filter → generated encode/ADC Project →
+    TakeOrderedAndProject. Recall/rerank behavior pytest-asserted in
+    tests/test_pq.py; the two halves are independently oracle-checked by
+    `ivf_knn_exact` (probe rule) and `pq_knn` (ADC scoring).
+    """
+    from pyspark.sql import functions as F
+
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qn = np.asarray(q, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    order = np.argsort(-(cn @ qn), kind="stable")
+    probe = [int(i) for i in order[: min(nprobe, len(cn))]]
+    e = df_with_list.filter(F.col("list_id").isin(probe))
+    m = books.shape[0]
+    for s, ds in enumerate(pq_dist_array_exprs(books, vec_col, "spark")):
+        e = e.withColumn(f"_ds{s}", F.expr(ds))
+    for s in range(m):
+        e = e.withColumn(f"_pc{s}", F.expr(pq_code_expr(f"_ds{s}", "spark")))
+    score = F.expr(
+        adc_score_expr(adc_tables(books, q), [f"_pc{s}" for s in range(m)], "spark")
+    )
+    return (
+        e.select(id_col, F.round(score, 6).alias("pqdist"))
+        .orderBy(F.col("pqdist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

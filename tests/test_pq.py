@@ -99,3 +99,42 @@ def test_pq_training_deterministic():
     b = train_pq_codebooks()
     assert np.array_equal(a, b)
     assert a.shape == (8, 16, 8)
+
+
+def test_ivf_pq_composition(spark):
+    from raptor_service_spark.operators.ivf import (
+        assign_ivf_lists,
+        train_ivf_centroids,
+    )
+    from raptor_service_spark.operators.pq import ivf_pq_knn
+
+    rng = np.random.default_rng(41)
+    centers = rng.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    idx = rng.integers(0, 8, size=400)
+    x = centers[idx] + rng.normal(scale=0.03, size=(400, 64))
+    x = np.round(x / np.linalg.norm(x, axis=1, keepdims=True), 6)
+    q = np.round(
+        (centers[3] + rng.normal(scale=0.03, size=64))
+        / np.linalg.norm(centers[3]), 6
+    )
+
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    cents = train_ivf_centroids(df, n_lists=8, seed=7)
+    assigned = assign_ivf_lists(df, cents).localCheckpoint()
+    books = train_pq_codebooks()
+
+    # probe-all == plain PQ ranking over the full table (pruning is lossless
+    # at nprobe=n_lists)
+    full = ivf_pq_knn(assigned, cents, books, q, k=10, nprobe=8).collect()
+    scores = _numpy_codes_scores(x, books, q)
+    want = sorted(scores, key=lambda i: (scores[i][1], i))[:10]
+    assert [r["id"] for r in full] == want
+    for r in full:
+        assert abs(float(r["pqdist"]) - scores[r["id"]][1]) < 1e-6
+
+    # narrow probe must still return the query's cluster
+    narrow = ivf_pq_knn(assigned, cents, books, q, k=10, nprobe=2).collect()
+    assert len(narrow) == 10
+    assert all(idx[r["id"]] == 3 for r in narrow)
