@@ -2128,6 +2128,37 @@ def _events_value_histogram_sql() -> str:
     """
 
 
+def q_cell_value_median(spark, sf_dir):
+    """Exact per-cell median of event values (res 3): Spark's exact
+    `percentile` aggregate (sort-based within the group) vs DuckDB
+    `median` — both interpolate the even-count midpoint. Group cardinality
+    is O(occupied cells), so the sort cost is per-cell, never global."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    return (
+        ev.withColumn("cell", cell_encode_col(lat, lng, 3))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        )
+    )
+
+
+def _cell_value_median_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        SELECT {cell} AS cell, COUNT(*) AS n_events,
+               ROUND(MEDIAN(value), 6) AS median_value
+        FROM events GROUP BY 1
+    """
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -3050,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_doc_assignment": q_nearest_doc_assignment,
         "user_home_cells": q_user_home_cells,
         "events_value_histogram": q_events_value_histogram,
+        "cell_value_median": q_cell_value_median,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -3174,6 +3206,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_doc_assignment": _nearest_doc_assignment_sql(),
         "user_home_cells": _user_home_cells_sql(),
         "events_value_histogram": _events_value_histogram_sql(),
+        "cell_value_median": _cell_value_median_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
