@@ -130,3 +130,51 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_emb")
+
+
+def test_stay_points_single_exchange(spark, qmap):
+    """Gaps-and-islands: both windows AND the run aggregate reuse ONE
+    user_id exchange (PLANS.md claim)."""
+    plan = _plan(qmap["user_stay_points"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 2
+
+
+def test_tile_topk_rank_cut_below_exchange(spark, qmap):
+    """Per-tile top-k: a Partial WindowGroupLimit bounds the shuffle at
+    <=3 rows per cell per map task."""
+    plan = _plan(qmap["tile_topk_docs"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    first_wgl = plan.index("WindowGroupLimit")
+    assert "Partial" in plan[first_wgl:].split("\n")[0] or plan.count("WindowGroupLimit") == 2
+
+
+def test_traj_cells_explodes_after_shuffle(spark, qmap):
+    """The 9x interpolation Generate sits ABOVE the (single) exchange, so
+    the shuffle carries one row per event."""
+    plan = _plan(qmap["traj_cells"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    # executedPlan prints top-down: Generate must appear BEFORE Exchange
+    assert plan.index("Generate") < plan.index("Exchange")
+    assert "PushedFilters: [IsNotNull(user_id), LessThan(user_id,20)]" in plan
+
+
+def test_pq_knn_zero_shuffles_whole_stage_codegen(spark, qmap):
+    """PQ encode+ADC: no exchange anywhere; the generated 1024-term
+    expression stays inside WholeStageCodegen (no interpreted fallback)."""
+    plan = _plan(qmap["pq_knn"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "*(1) Project" in plan  # the codegen marker — no interpreted fallback
+
+
+def test_heat_decay_partial_final_only(spark, qmap):
+    plan = _plan(qmap["cell_heat_decay"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2
+
+
+def test_coverage_gap_broadcasts_doc_cells(spark, qmap):
+    plan = _plan(qmap["cell_coverage_gap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
