@@ -1639,8 +1639,12 @@ def _hot_cells_sql(n_docs: int = 300, seed: int = 62) -> str:
     from raptor_service_spark.datagen import _gen_doc
     from raptor_service_spark.geo.grid import cell_encode_sql
 
+    # CAST AS DOUBLE: a bare 16-digit repr parses as DECIMAL in DuckDB,
+    # which can overflow DECIMAL(18) in (lat + 90.0) and would in any case
+    # use exact-decimal arithmetic where Spark uses IEEE doubles
     vals = ", ".join(
-        f"({_gen_doc(seed, i)['lat']!r}, {_gen_doc(seed, i)['lng']!r})"
+        f"(CAST({_gen_doc(seed, i)['lat']!r} AS DOUBLE),"
+        f" CAST({_gen_doc(seed, i)['lng']!r} AS DOUBLE))"
         for i in range(n_docs)
     )
     cell = cell_encode_sql("lat", "lng", 4)
@@ -2156,6 +2160,56 @@ def _cell_value_median_sql() -> str:
         SELECT {cell} AS cell, COUNT(*) AS n_events,
                ROUND(MEDIAN(value), 6) AS median_value
         FROM events GROUP BY 1
+    """
+
+
+def q_media_density_per_cell(spark, sf_dir):
+    """Interleaved × spatial crossover: per res-2 cell, the media-span
+    share of the synthetic corpus anchored there — the modality-mix map a
+    multimodal training pipeline balances against. Span counting is a JVM
+    higher-order filter on the spans array (no explode, no Python); one
+    partial+final agg."""
+    from raptor_service_spark.datagen import gen_documents_df
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    docs = gen_documents_df(spark, 200, seed=63)
+    per_doc = docs.select(
+        cell_encode_col(F.col("lat"), F.col("lng"), 2).alias("cell"),
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["media_ref"] != "")).alias("n_media"),
+    )
+    return per_doc.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.sum("n_media").cast("long").alias("n_media"),
+        F.round(F.sum("n_media") / F.sum("n_spans"), 6).alias("media_frac"),
+    )
+
+
+def _media_density_per_cell_sql(n_docs: int = 200, seed: int = 63) -> str:
+    """VALUES oracle: per-doc ground truth from the deterministic generator
+    (lat, lng, span counts); DuckDB recomputes the spatial aggregation
+    independently."""
+    from raptor_service_spark.datagen import _gen_doc
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    vals = []
+    for i in range(n_docs):
+        d = _gen_doc(seed, i)
+        n_media = sum(1 for s in d["spans"] if s["media_ref"])
+        vals.append(
+            f"(CAST({d['lat']!r} AS DOUBLE), CAST({d['lng']!r} AS DOUBLE), "
+            f"{len(d['spans'])}, {n_media})"
+        )
+    cell = cell_encode_sql("lat", "lng", 2)
+    return f"""
+        WITH d AS (SELECT * FROM (VALUES {', '.join(vals)})
+                   t(lat, lng, n_spans, n_media))
+        SELECT {cell} AS cell, COUNT(*) AS n_docs,
+               CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+               CAST(SUM(n_media) AS BIGINT) AS n_media,
+               ROUND(SUM(n_media) / CAST(SUM(n_spans) AS DOUBLE), 6) AS media_frac
+        FROM d GROUP BY 1
     """
 
 
@@ -3082,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_home_cells": q_user_home_cells,
         "events_value_histogram": q_events_value_histogram,
         "cell_value_median": q_cell_value_median,
+        "media_density_per_cell": q_media_density_per_cell,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -3207,6 +3262,7 @@ def oracle_sql() -> dict[str, str]:
         "user_home_cells": _user_home_cells_sql(),
         "events_value_histogram": _events_value_histogram_sql(),
         "cell_value_median": _cell_value_median_sql(),
+        "media_density_per_cell": _media_density_per_cell_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
