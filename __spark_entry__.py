@@ -2213,6 +2213,91 @@ def _media_density_per_cell_sql(n_docs: int = 200, seed: int = 63) -> str:
     """
 
 
+def q_user_gyration(spark, sf_dir):
+    """Radius of gyration per user (mobility dispersion): RMS distance from
+    the user's own centroid, in the algebraic one-pass form
+    sqrt(E[lat²]−E[lat]² + E[lng²]−E[lng]²) — ONE partial+final agg, no
+    second pass over the events. Degree-space euclid (the repo's planar
+    convention); greatest(0, ·) guards the tiny negative residue float
+    cancellation can leave."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    var = (
+        F.avg(F.col("lat") * F.col("lat"))
+        - F.avg("lat") * F.avg("lat")
+        + F.avg(F.col("lng") * F.col("lng"))
+        - F.avg("lng") * F.avg("lng")
+    )
+    return pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), var)), 6).alias("gyration_deg"),
+    )
+
+
+def _user_gyration_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    return f"""
+        WITH p AS (SELECT user_id, {lat} AS lat, {lng} AS lng FROM events)
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SQRT(GREATEST(0.0,
+                   AVG(lat * lat) - AVG(lat) * AVG(lat)
+                   + AVG(lng * lng) - AVG(lng) * AVG(lng))), 6) AS gyration_deg
+        FROM p GROUP BY 1
+    """
+
+
+def q_user_cell_entropy(spark, sf_dir):
+    """Exploration diversity per user: Shannon entropy of the user's res-3
+    cell-visit distribution, −Σ p·ln p. Two-phase (user, cell) count, then
+    a per-user agg that reuses the same partitioning — the standard
+    mobility-predictability feature."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    counts = (
+        ev.withColumn("cell", cell_encode_col(lat, lng, 3))
+        .groupBy("user_id", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n")
+    ent = -F.sum(F.col("sn") * F.log(F.col("sn")))
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            tot.cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            (F.sum(F.col("n") * F.log("n")) / tot).alias("_snlogn"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_cells",
+            F.round(
+                F.log(F.col("n_events")) - F.col("_snlogn"), 6
+            ).alias("entropy"),
+        )
+    )
+
+
+def _user_cell_entropy_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH c AS (
+            SELECT user_id, {cell} AS cell, COUNT(*) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+               COUNT(*) AS n_cells,
+               ROUND(LN(CAST(SUM(n) AS BIGINT))
+                     - SUM(n * LN(n)) / SUM(n), 6) AS entropy
+        FROM c GROUP BY 1
+    """
+
+
 def q_doc_scrub(spark, sf_dir):
     """Training-data scrub stage (functions/text.py redact_pii +
     strip_markup): PII is injected deterministically per doc (the driver
@@ -3137,6 +3222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_histogram": q_events_value_histogram,
         "cell_value_median": q_cell_value_median,
         "media_density_per_cell": q_media_density_per_cell,
+        "user_gyration": q_user_gyration,
+        "user_cell_entropy": q_user_cell_entropy,
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
@@ -3263,6 +3350,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram": _events_value_histogram_sql(),
         "cell_value_median": _cell_value_median_sql(),
         "media_density_per_cell": _media_density_per_cell_sql(),
+        "user_gyration": _user_gyration_sql(),
+        "user_cell_entropy": _user_cell_entropy_sql(),
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
