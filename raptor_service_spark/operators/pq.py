@@ -173,3 +173,30 @@ def ivf_pq_knn(
         .orderBy(F.col("pqdist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pq_encode_cols(books: np.ndarray, vec_col: str):
+    """Index-time code materialization: the (1-based) PQ code per subspace
+    as a compact array<int> column — write this next to (or instead of) the
+    float vectors and the scan for every later query shrinks ~32×. Same
+    generated argmin arithmetic as the inline path, so codes are identical
+    by construction (pytest-asserted)."""
+    from pyspark.sql import functions as F
+
+    m = books.shape[0]
+    ds = pq_dist_array_exprs(books, vec_col, "spark")
+    codes = [
+        f"cast(array_position({d}, array_min({d})) as int)" for d in ds
+    ]
+    return F.expr("array(" + ", ".join(codes) + ")")
+
+
+def adc_score_from_codes_expr(tables: np.ndarray, codes_col: str) -> str:
+    """Query-time scoring over MATERIALIZED codes: m literal-table lookups —
+    the expression is O(m·k) literals regardless of dim, so the codegen
+    compile cost the inline path pays per query disappears."""
+    parts = []
+    for s in range(tables.shape[0]):
+        lits = ", ".join(_FMT.format(v) for v in tables[s])
+        parts.append(f"element_at(array({lits}), {codes_col}[{s}])")
+    return "(" + " + ".join(parts) + ")"

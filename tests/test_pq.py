@@ -138,3 +138,41 @@ def test_ivf_pq_composition(spark):
     narrow = ivf_pq_knn(assigned, cents, books, q, k=10, nprobe=2).collect()
     assert len(narrow) == 10
     assert all(idx[r["id"]] == 3 for r in narrow)
+
+
+def test_pq_codes_materialization_equivalent(spark):
+    """Index-time codes + from-codes ADC == inline encode+score."""
+    from pyspark.sql import functions as F
+
+    from raptor_service_spark.operators.pq import (
+        adc_score_from_codes_expr,
+        pq_encode_cols,
+    )
+
+    x = _vectors(n=200, seed=61)
+    books = train_pq_codebooks()
+    q = _vectors(n=1, seed=62)[0]
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(len(x))]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # "index time": materialize codes, drop the vectors
+    coded = e.select(
+        "vec_id", pq_encode_cols(books, "embedding").alias("codes")
+    ).localCheckpoint()
+    assert dict(coded.dtypes)["codes"] == "array<int>"
+
+    # "query time": score from codes only
+    tables = adc_tables(books, q)
+    got = {
+        r["vec_id"]: r["pqdist"]
+        for r in coded.select(
+            "vec_id",
+            F.round(F.expr(adc_score_from_codes_expr(tables, "codes")), 6).alias(
+                "pqdist"
+            ),
+        ).collect()
+    }
+    want = {i: s for i, (_, s) in _numpy_codes_scores(x, books, q).items()}
+    assert got.keys() == want.keys()
+    for i in got:
+        assert abs(float(got[i]) - want[i]) < 1e-6
