@@ -1406,6 +1406,107 @@ def _geo_clusters_sql() -> str:
     """
 
 
+_DBSCAN_EPS, _DBSCAN_MINPTS = 12.0, 4
+
+
+def q_geo_dbscan(spark, sf_dir):
+    """Full DBSCAN semantics (extends q_geo_clusters' minPts=1 case): core
+    points have ≥ minPts neighbors within ε (self included), clusters are
+    components of the core-core ε-graph, border points adopt the smallest
+    cluster label among their core neighbors, the rest is noise. All inputs
+    come from ONE ε-join pass (within_distance_join — each ordered pair
+    found exactly once); labeling is the O(edges) min-label loop."""
+    from raptor_service_spark.operators.dedup import dedup_components
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng)
+    pairs = within_distance_join(pts, pts, eps=_DBSCAN_EPS).select(
+        F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+    )
+    # neighbor counts INCLUDE the self-pair the ε-join emits at dist 0
+    core = (
+        pairs.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _DBSCAN_MINPTS)
+        .select(F.col("a").alias("id"))
+    )
+    core_edges = (
+        pairs.filter(F.col("a") < F.col("b"))
+        .join(core.select(F.col("id").alias("a")), "a")
+        .join(core.select(F.col("id").alias("b")), "b")
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+    )
+    comp = dedup_components(core_edges)
+    core_lab = core.join(comp, "id", "left").select(
+        "id", F.coalesce("comp", "id").alias("cluster")
+    )
+    border_lab = (
+        pairs.join(core_lab.withColumnRenamed("id", "b"), "b")
+        .join(core.withColumnRenamed("id", "a"), "a", "left_anti")
+        .groupBy("a")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    out = (
+        d.join(core_lab.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumnRenamed("cluster", "core_cluster")
+        .join(border_lab.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.when(F.col("core_cluster").isNotNull(), F.lit("core"))
+        .when(F.col("cluster").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("role"),
+        F.coalesce("core_cluster", "cluster").alias("cluster"),
+    )
+
+
+def _geo_dbscan_sql() -> str:
+    lat_a, lng_a = _latlng_sql("a.doc_id")
+    lat_b, lng_b = _latlng_sql("b.doc_id")
+    dd = (
+        f"sqrt(({lat_a} - {lat_b}) * ({lat_a} - {lat_b}) + "
+        f"({lng_a} - {lng_b}) * ({lng_a} - {lng_b}))"
+    )
+    return f"""
+        WITH RECURSIVE pr AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+            WHERE ROUND({dd}, 6) <= {_DBSCAN_EPS!r}),
+        sym AS (SELECT id_a AS a, id_b AS b FROM pr
+                UNION ALL SELECT id_b, id_a FROM pr),
+        cnt AS (SELECT d.doc_id, 1 + COUNT(s.b) AS n
+                FROM documents d LEFT JOIN sym s ON s.a = d.doc_id
+                GROUP BY 1),
+        core AS (SELECT doc_id FROM cnt WHERE n >= {_DBSCAN_MINPTS}),
+        ce AS (SELECT a, b FROM sym
+               WHERE a IN (SELECT doc_id FROM core)
+                 AND b IN (SELECT doc_id FROM core)),
+        reach(id, r) AS (
+            SELECT a, a FROM ce
+            UNION
+            SELECT e.a, reach.r FROM ce e JOIN reach ON e.b = reach.id),
+        comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+        core_lab AS (SELECT c.doc_id AS id, COALESCE(m.comp, c.doc_id) AS cluster
+                     FROM core c LEFT JOIN comp m ON m.id = c.doc_id),
+        border_lab AS (
+            SELECT s.a AS id, MIN(cl.cluster) AS cluster
+            FROM sym s JOIN core_lab cl ON s.b = cl.id
+            WHERE s.a NOT IN (SELECT doc_id FROM core)
+            GROUP BY 1)
+        SELECT d.doc_id,
+               CASE WHEN c.cluster IS NOT NULL THEN 'core'
+                    WHEN b.cluster IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               COALESCE(c.cluster, b.cluster) AS cluster
+        FROM documents d
+        LEFT JOIN core_lab c ON c.id = d.doc_id
+        LEFT JOIN border_lab b ON b.id = d.doc_id
+    """
+
+
 def q_geofence_transitions(spark, sf_dir):
     """Geofence enter/exit detection: per-user event stream, membership in
     the TRI fence as the codegen convex cross-product boolean (the same
@@ -3204,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": q_hybrid_retrieval,
         "user_travel": q_user_travel,
         "geo_clusters": q_geo_clusters,
+        "geo_dbscan": q_geo_dbscan,
         "geofence_transitions": q_geofence_transitions,
         "user_od_flows": q_user_od_flows,
         "user_stay_points": q_user_stay_points,
@@ -3332,6 +3434,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_retrieval": _hybrid_retrieval_sql(),
         "user_travel": _user_travel_sql(),
         "geo_clusters": _geo_clusters_sql(),
+        "geo_dbscan": _geo_dbscan_sql(),
         "geofence_transitions": _geofence_transitions_sql(),
         "user_od_flows": _user_od_flows_sql(),
         "user_stay_points": _user_stay_points_sql(),
