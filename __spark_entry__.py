@@ -3279,6 +3279,298 @@ def _span_roundtrip_sql(n_docs: int = 50, seed: int = 60) -> str:
 
 
 # ---------------------------------------------------------------------------
+# spatial statistics: Moran's I, Getis-Ord Gi* (operators/spatial_stats.py)
+# ---------------------------------------------------------------------------
+
+
+def q_morans_i(spark, sf_dir):
+    """Global spatial autocorrelation of the res-5 document density surface
+    (queen 1-ring weights over occupied cells). One point shuffle, then
+    O(occupied cells) ring join — scale notes in operators/spatial_stats.py."""
+    from raptor_service_spark.operators.spatial_stats import morans_i
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    return morans_i(d.withColumn("lat", lat).withColumn("lng", lng), res=5)
+
+
+def _morans_i_sql() -> str:
+    from raptor_service_spark.operators.spatial_stats import morans_i_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    return morans_i_sql("documents", lat, lng, res=5)
+
+
+def q_getis_hotspots(spark, sf_dir):
+    """Getis-Ord Gi* hot-spot z-scores per occupied res-4 cell, 20 hottest.
+    Same ring algebra as morans_i; z rounded to 6 dp, tie-broken on cell."""
+    from raptor_service_spark.operators.spatial_stats import getis_gi_star
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    return getis_gi_star(
+        d.withColumn("lat", lat).withColumn("lng", lng), res=4, top_k=20
+    )
+
+
+def _getis_hotspots_sql() -> str:
+    from raptor_service_spark.operators.spatial_stats import getis_gi_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    return getis_gi_sql("documents", lat, lng, res=4, top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# trajectory-similarity join: users whose visited-cell sets match
+# ---------------------------------------------------------------------------
+
+
+def q_similar_users(spark, sf_dir):
+    """Exact trajectory-similarity join: Jaccard >= 0.5 between per-user
+    visited res-4 cell SETS, via the generic prefix-filtered set-similarity
+    join (operators/dedup.py set_jaccard_pairs — ids are users, elements are
+    cells; candidacy bound and exactness argument identical to
+    ngram_jaccard_pairs). A twin cohort (user_id + 1000, same events) is
+    unioned in so the expected output provably contains J=1.0 pairs. Scale:
+    no all-pairs anywhere — the inverted index is frequency-pruned, hot cells
+    fall outside every prefix."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+    from raptor_service_spark.operators.dedup import set_jaccard_pairs
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .filter(F.col("user_id") < 50)
+    )
+    ev = ev.unionByName(
+        ev.select("event_id", (F.col("user_id") + F.lit(1000)).alias("user_id"))
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    cells = ev.select(
+        F.col("user_id").alias("id"), cell_encode_col(lat, lng, 4).alias("g")
+    ).dropDuplicates(["id", "g"])
+    pairs = set_jaccard_pairs(cells, threshold=0.5)
+    return pairs.select(
+        F.col("doc_a").alias("user_a"), F.col("doc_b").alias("user_b"), "jaccard"
+    )
+
+
+def _similar_users_sql() -> str:
+    from raptor_service_spark.operators.dedup import jaccard_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell4 = cell_encode_sql(lat, lng, 4)
+    jac = jaccard_sql("a.gs", "b.gs")
+    return f"""
+        WITH e AS (SELECT event_id, user_id FROM events WHERE user_id < 50
+                   UNION ALL
+                   SELECT event_id, user_id + 1000 FROM events WHERE user_id < 50),
+        c AS (SELECT DISTINCT user_id AS id, {cell4} AS g FROM e),
+        s AS (SELECT id, list(g) AS gs FROM c GROUP BY 1)
+        SELECT a.id AS user_a, b.id AS user_b, ROUND({jac}, 6) AS jaccard
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE ROUND({jac}, 6) >= 0.5
+    """
+
+
+# ---------------------------------------------------------------------------
+# boilerplate profile: corpus-frequent n-gram fraction per document
+# ---------------------------------------------------------------------------
+
+
+def q_doc_boilerplate(spark, sf_dir):
+    """Boilerplate signal for training-data curation: per document, the
+    fraction of its distinct word bigrams that are corpus-common (document
+    frequency >= 5% of docs), histogrammed into 10 buckets. Scale shape: the
+    gram stream shuffles once into the df agg (map-side combinable) and once
+    into the per-doc fraction agg; the df table joins back gram-to-gram —
+    no doc x doc pairs anywhere. The bucket is a single double division in
+    both engines, so parity is exact."""
+    from raptor_service_spark.operators.dedup import distinct_shingle_rows
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    dg = distinct_shingle_rows(d, "text", "doc_id", k=2)
+    freq = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        dg.join(freq, "g")
+        .crossJoin(n_docs)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # df >= 5% of docs as EXACT integer math (df * 20 >= n_docs):
+            # a float 0.05 * n literal is DECIMAL in DuckDB but double in
+            # Spark and the two can disagree at the boundary.
+            F.sum(
+                (F.col("df") * F.lit(20) >= F.col("n_docs")).cast("long")
+            ).alias("n_common"),
+        )
+    )
+    bucket = F.floor((F.col("n_common") * F.lit(10.0)) / F.col("n")).cast("long")
+    return (
+        per_doc.groupBy(F.least(bucket, F.lit(9)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_common") / F.col("n")), 6).alias("avg_frac"),
+        )
+    )
+
+
+def _doc_boilerplate_sql() -> str:
+    from raptor_service_spark.operators.dedup import shingles_sql
+
+    sh = shingles_sql("text", 2)
+    return f"""
+        WITH d AS (SELECT doc_id AS id, {sh} AS sh FROM documents),
+        t AS (SELECT COUNT(*) AS n_docs FROM documents),
+        g AS (SELECT id, UNNEST(sh) AS g FROM d),
+        f AS (SELECT g, COUNT(*) AS df FROM g GROUP BY 1),
+        p AS (SELECT g.id, COUNT(*) AS n,
+                     SUM(CASE WHEN f.df * 20 >= t.n_docs THEN 1 ELSE 0 END) AS n_common
+              FROM g JOIN f USING (g) CROSS JOIN t
+              GROUP BY 1)
+        SELECT LEAST(CAST(FLOOR((n_common * 10.0) / n) AS BIGINT), 9) AS bucket,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(CAST(n_common AS DOUBLE) / n), 6) AS avg_frac
+        FROM p GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout: space-filling-curve bucketing for scan locality
+# ---------------------------------------------------------------------------
+
+
+def _morton_sql(x: str, y: str, bits: int = 8) -> str:
+    """Morton interleave of two < 2**bits ints as pure +/floor/% arithmetic
+    (no bitwise ops), one shared string for Spark F.expr AND DuckDB —
+    parity by construction."""
+    terms = [
+        f"((CAST(FLOOR({x} / {2 ** b}) AS BIGINT) % 2) * {4 ** b} "
+        f"+ (CAST(FLOOR({y} / {2 ** b}) AS BIGINT) % 2) * {2 * 4 ** b})"
+        for b in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order data layout audit (the Delta/Iceberg OPTIMIZE ZORDER analog):
+    docs are Morton-encoded on their res-8 grid (x, y), hashed into 16
+    contiguous z-ranges, and each range reports its (x, y) bounding box —
+    tight boxes are WHY a z-sorted file layout prunes 2-D range scans: a
+    z-range bucket of 4096 codes can only span a 64x64 block. At 100 TB this
+    is the write-side `sortWithinPartitions(z)` recipe; the audit itself is
+    two codegen projections and one agg."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    n = 256
+    x = F.least(
+        F.greatest(F.floor((lng + 180.0) / 360.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    y = F.least(
+        F.greatest(F.floor((lat + 90.0) / 180.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    pts = d.select(x.alias("x"), y.alias("y"))
+    z = F.expr(_morton_sql("x", "y"))
+    return (
+        pts.select("x", "y", F.floor(z / F.lit(4096)).cast("long").alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+def _zorder_layout_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    n = 256
+    x = f"LEAST(GREATEST(CAST(FLOOR(({lng} + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
+    y = f"LEAST(GREATEST(CAST(FLOOR(({lat} + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1})"
+    z = _morton_sql("x", "y")
+    return f"""
+        WITH p AS (SELECT {x} AS x, {y} AS y FROM documents)
+        SELECT CAST(FLOOR({z} / 4096) AS BIGINT) AS zbucket,
+               COUNT(*) AS n_docs,
+               MIN(x) AS min_x, MAX(x) AS max_x,
+               MIN(y) AS min_y, MAX(y) AS max_y
+        FROM p GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# movement compass rose: octant histogram of per-user displacement vectors
+# ---------------------------------------------------------------------------
+
+# Octant of a nonzero (dlat, dlng) displacement by EXACT sign/magnitude
+# comparisons — no atan2 (libm results are not bit-guaranteed across
+# engines; comparisons on identical doubles are). Sectors clockwise from
+# north: 0=N..NE(incl 45), 1=NE..E, 2=E..SE(incl 135), 3=SE..S, 4=S..SW
+# (incl 225), 5=SW..W, 6=W..NW(incl 315), 7=NW..N. One shared CASE string
+# for Spark F.expr and DuckDB.
+_OCTANT_SQL = """CASE
+    WHEN dlng >= 0 AND dlat > 0 AND dlat >= dlng THEN 0
+    WHEN dlng > 0 AND dlat > 0 AND dlng > dlat THEN 1
+    WHEN dlng > 0 AND dlat <= 0 AND dlng >= -dlat THEN 2
+    WHEN dlng > 0 AND dlat < 0 AND -dlat > dlng THEN 3
+    WHEN dlng <= 0 AND dlat < 0 AND -dlat >= -dlng THEN 4
+    WHEN dlng < 0 AND dlat < 0 AND -dlng > -dlat THEN 5
+    WHEN dlng < 0 AND dlat >= 0 AND -dlng >= dlat THEN 6
+    ELSE 7 END"""
+
+
+def q_bearing_rose(spark, sf_dir):
+    """Per-user movement-direction histogram: each consecutive event pair is
+    a displacement vector, classified into one of 8 compass octants by exact
+    comparisons (shared CASE string — no libm). Window lag on (user, ts) is
+    the only shuffle; zero-displacement pairs are dropped."""
+    from pyspark.sql import Window
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < 30)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.withColumn("dlat", F.col("lat") - F.lag("lat").over(w))
+        .withColumn("dlng", F.col("lng") - F.lag("lng").over(w))
+        .filter(
+            F.col("dlat").isNotNull() & ((F.col("dlat") != 0) | (F.col("dlng") != 0))
+        )
+    )
+    return (
+        seg.select("user_id", F.expr(_OCTANT_SQL).cast("long").alias("sector"))
+        .groupBy("user_id", "sector")
+        .agg(F.count(F.lit(1)).alias("n_moves"))
+    )
+
+
+def _bearing_rose_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    return f"""
+        WITH p AS (SELECT user_id, ts, event_id, {lat} AS lat, {lng} AS lng
+                   FROM events WHERE user_id < 30),
+        s AS (SELECT user_id,
+                     lat - LAG(lat) OVER w AS dlat,
+                     lng - LAG(lng) OVER w AS dlng
+              FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, CAST(({_OCTANT_SQL}) AS BIGINT) AS sector,
+               COUNT(*) AS n_moves
+        FROM s
+        WHERE dlat IS NOT NULL AND (dlat != 0 OR dlng != 0)
+        GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3329,6 +3621,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn_docs": q_geo_knn_docs,
         "cell_kring_smooth": q_cell_kring_smooth,
         "tile_pyramid": q_tile_pyramid,
+        "morans_i": q_morans_i,
+        "getis_hotspots": q_getis_hotspots,
+        "similar_users": q_similar_users,
+        "doc_boilerplate": q_doc_boilerplate,
+        "zorder_layout": q_zorder_layout,
+        "bearing_rose": q_bearing_rose,
         # relational battery
         "lineitem_agg": q_lineitem_agg,
         "orders_status_stats": q_orders_status_stats,
@@ -3458,6 +3756,12 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn_docs": _geo_knn_docs_sql(),
         "cell_kring_smooth": _cell_kring_smooth_sql(),
         "tile_pyramid": _tile_pyramid_sql(),
+        "morans_i": _morans_i_sql(),
+        "getis_hotspots": _getis_hotspots_sql(),
+        "similar_users": _similar_users_sql(),
+        "doc_boilerplate": _doc_boilerplate_sql(),
+        "zorder_layout": _zorder_layout_sql(),
+        "bearing_rose": _bearing_rose_sql(),
         "ivf_knn_exact": f"""
             SELECT vec_id AS id,
                    ROUND(1.0 - list_cosine_similarity(

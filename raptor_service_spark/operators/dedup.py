@@ -346,14 +346,26 @@ def ngram_jaccard_pairs(
     final filter compares jaccard ROUNDED to 6 dp (a true jaccard just
     under t can round up to t).
     """
+    dg = distinct_shingle_rows(docs, text_col, id_col, k)
+    return set_jaccard_pairs(dg, threshold)
+
+
+def set_jaccard_pairs(dg: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard similarity join over arbitrary (id, g) element rows.
+
+    ``dg`` must hold DISTINCT (id, g) pairs — one row per element of each
+    id's set. This is the generic core behind ngram_jaccard_pairs and the
+    trajectory-similarity join (ids = users, elements = visited cells);
+    candidacy and exactness arguments are in ngram_jaccard_pairs' docstring.
+    """
     t_margin = threshold - 1e-6
-    # One materialization of the deduplicated gram stream: the frequency
+    # One materialization of the deduplicated element stream: the frequency
     # agg, size/rank windows, prefix self-join, and verification arrays
-    # would otherwise each recompute the split/window/dedup pipeline.
+    # would otherwise each recompute the upstream pipeline.
     # localCheckpoint (not persist) ties the cached blocks' lifetime to the
     # returned plan — the ContextCleaner frees them when the result is
     # dropped, so nothing leaks for the session lifetime.
-    dg = distinct_shingle_rows(docs, text_col, id_col, k).localCheckpoint(eager=False)
+    dg = dg.localCheckpoint(eager=False)
     sized = dg.withColumn("s", F.count("*").over(Window.partitionBy("id")))
     freq = dg.groupBy("g").agg(F.count("*").alias("df"))
     ranked = sized.join(freq, "g").withColumn(
