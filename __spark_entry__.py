@@ -3571,6 +3571,92 @@ def _bearing_rose_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# cell-graph algorithms: BFS isochrone, PageRank (operators/cell_graph.py)
+# ---------------------------------------------------------------------------
+
+_ISO_RES, _ISO_HOPS = 5, 6
+
+
+def _iso_seed_cell() -> int:
+    """Cell of doc_id=1's synthetic position — identical constant for both
+    engines (Python replica of _latlng_cols + the numpy grid encoder)."""
+    from raptor_service_spark.geo.grid import cell_encode_np
+
+    h = (1 * _HM) % _HMOD
+    lat = (h % 1700) / 10.0 - 85.0 + 0.05
+    lng = ((h // 1700) % 3580) / 10.0 - 179.0 + 0.05
+    return int(cell_encode_np([lat], [lng], _ISO_RES)[0])
+
+
+def q_cell_isochrone(spark, sf_dir):
+    """BFS hop-distance rings (isochrone) from doc 1's cell over the
+    occupied res-5 document cells, 8-adjacency, <= 6 hops. Iterative
+    frontier expansion — one equi-join + anti-join per round over the
+    O(occupied cells) table; the recursive-CTE oracle proves the loop."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+    from raptor_service_spark.operators.cell_graph import bfs_hops
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    occ = d.select(cell_encode_col(lat, lng, _ISO_RES).alias("cell"))
+    return bfs_hops(occ, _iso_seed_cell(), res=_ISO_RES, max_hops=_ISO_HOPS)
+
+
+def _cell_isochrone_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import bfs_hops_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, _ISO_RES)
+    return bfs_hops_sql(
+        f"SELECT {cell} AS cell FROM documents",
+        _iso_seed_cell(),
+        res=_ISO_RES,
+        max_hops=_ISO_HOPS,
+    )
+
+
+def q_cell_pagerank(spark, sf_dir):
+    """PageRank over the res-3 OD cell-transition graph (edge weight =
+    transition count): which tiles do trajectories flow INTO. Fixed 5
+    damped iterations, per-iteration 9-dp rounding for cross-engine
+    determinism; the oracle unrolls the identical iterations as a CTE
+    chain. Points are touched once (the OD window + count); every
+    iteration joins/aggregates the O(cells) tables only."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+    from raptor_service_spark.operators.cell_graph import pagerank
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("cell", cell_encode_col(lat, lng, 3))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        pts.withColumn("prev_cell", F.lag("cell").over(w))
+        .filter(F.col("prev_cell").isNotNull() & (F.col("prev_cell") != F.col("cell")))
+        .groupBy(F.col("prev_cell").alias("src"), F.col("cell").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return pagerank(edges, n_iters=5, damping=0.85)
+
+
+def _cell_pagerank_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import pagerank_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    edges = f"""
+        SELECT prev_cell AS src, cell AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+        FROM (SELECT cell, LAG(cell) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_cell
+              FROM (SELECT user_id, ts, event_id, {cell} AS cell FROM events))
+        WHERE prev_cell IS NOT NULL AND prev_cell != cell
+        GROUP BY 1, 2
+    """
+    return pagerank_sql(edges, n_iters=5, damping=0.85)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3627,6 +3713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate": q_doc_boilerplate,
         "zorder_layout": q_zorder_layout,
         "bearing_rose": q_bearing_rose,
+        "cell_isochrone": q_cell_isochrone,
+        "cell_pagerank": q_cell_pagerank,
         # relational battery
         "lineitem_agg": q_lineitem_agg,
         "orders_status_stats": q_orders_status_stats,
@@ -3762,6 +3850,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate": _doc_boilerplate_sql(),
         "zorder_layout": _zorder_layout_sql(),
         "bearing_rose": _bearing_rose_sql(),
+        "cell_isochrone": _cell_isochrone_sql(),
+        "cell_pagerank": _cell_pagerank_sql(),
         "ivf_knn_exact": f"""
             SELECT vec_id AS id,
                    ROUND(1.0 - list_cosine_similarity(

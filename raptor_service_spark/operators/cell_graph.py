@@ -1,0 +1,218 @@
+"""Graph algorithms over the occupied-cell lattice: BFS hop distance
+(isochrone rings) and PageRank over the OD cell-transition graph.
+
+The reference's tree traversal walks parent/child edges level by level
+(services/retrieval/retrieval_service.py traversal mode; repositories/
+node_repo_pg.py children/parent lookups); the grid analogs of "walk the
+graph outward from a seed" and "rank nodes by incoming flow" are BFS hop
+labeling over cell adjacency and PageRank over the origin-destination
+transition graph. Both are ITERATIVE DataFrame loops — the pattern that
+cannot be one SQL statement — with per-round ``localCheckpoint`` lineage
+cuts (same convention as dedup_components).
+
+Scale shape at 100 TB:
+
+  * point rows are touched exactly once, by the occupancy / OD-flow
+    aggregation that builds the node/edge tables (map-side combinable);
+  * every BFS/PageRank round is ONE shuffled join + ONE agg over the
+    O(occupied cells) table — never the points;
+  * the frontier/rank tables are O(cells); nothing is collected to the
+    driver except the loop-termination count (a scalar).
+
+Cross-engine parity: BFS is integer arithmetic end to end (exact); PageRank
+rounds each iteration's rank vector to 9 dp in BOTH engines, so the engines
+iterate from identical inputs and float-sum-order noise (~1e-16) cannot
+accumulate; the final output rounds to 6 dp. The DuckDB oracle runs BFS as a
+recursive CTE and PageRank as the same iterations unrolled into a CTE chain.
+
+Dangling nodes (no outgoing flow) intentionally leak their mass — the
+"simple PageRank" variant — so the formula stays one join + one agg per
+round in both engines; ranks still order nodes by incoming flow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raptor_service_spark.operators.neighborhood import (
+    _offsets,
+    kring_neighbor_col,
+    kring_neighbor_sql,
+)
+
+_RING = [(dx, dy) for dx, dy in _offsets(1) if (dx, dy) != (0, 0)]
+
+
+def _adjacency(occ: DataFrame, res: int) -> DataFrame:
+    """Directed (src, dst) edges between OCCUPIED 8-neighbors."""
+    nbrs = F.filter(
+        F.array(*[kring_neighbor_col("cell", res, dx, dy) for dx, dy in _RING]),
+        lambda c: c.isNotNull(),
+    )
+    cand = occ.select(F.col("cell").alias("src"), F.explode(nbrs).alias("dst"))
+    return cand.join(occ.select(F.col("cell").alias("dst")), "dst")
+
+
+def bfs_hops(
+    occ: DataFrame,
+    seed_cell: int,
+    res: int,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Hop distance from ``seed_cell`` over occupied-cell 8-adjacency.
+
+    ``occ`` must hold one row per occupied cell (column ``cell``). Returns
+    (cell, hops) for every cell within ``max_hops`` of the seed (seed
+    included at 0; empty if the seed cell is not occupied). Each round is
+    one equi-join frontier expansion + one anti-join against the visited
+    set — O(frontier * 8) rows, never the full graph.
+    """
+    occ = occ.select("cell").distinct().localCheckpoint(eager=True)
+    edges = _adjacency(occ, res).localCheckpoint(eager=True)
+    visited = (
+        occ.filter(F.col("cell") == F.lit(seed_cell))
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.cell == edges.src)
+            .select(F.col("dst").alias("cell"))
+            .distinct()
+            .join(visited, "cell", "left_anti")
+            .withColumn("hops", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def bfs_hops_sql(
+    base_cells_sql: str,
+    seed_cell: int,
+    res: int,
+    max_hops: int = 6,
+) -> str:
+    """DuckDB recursive-CTE twin of bfs_hops.
+
+    ``base_cells_sql`` must yield one column ``cell`` (duplicates fine).
+    """
+    nbr = kring_neighbor_sql("o.cell", res, "v.dx", "v.dy")
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _RING)
+    return f"""
+        WITH RECURSIVE occ AS (
+            SELECT DISTINCT cell FROM ({base_cells_sql})
+        ),
+        e AS (
+            SELECT o.cell AS src, {nbr} AS dst
+            FROM occ o CROSS JOIN (VALUES {offs}) v(dx, dy)
+            WHERE {nbr} IS NOT NULL
+              AND {nbr} IN (SELECT cell FROM occ)
+        ),
+        r(cell, hops) AS (
+            SELECT cell, 0 FROM occ WHERE cell = {seed_cell}
+            UNION
+            SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.cell
+            WHERE r.hops < {max_hops}
+        )
+        SELECT cell, CAST(MIN(hops) AS BIGINT) AS hops FROM r GROUP BY 1
+    """
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list, fixed iteration count.
+
+    pr_{t+1}(v) = (1-d)/N + d * sum_{u->v} pr_t(u) * w(u,v) / outw(u),
+    pr_0 = 1/N, each iteration rounded to 9 dp (cross-engine determinism);
+    output (cell, pr) with pr rounded to 6 dp. Every round is one join of
+    the O(nodes) rank table into the edge list + one partial+final agg; AQE
+    broadcasts the rank side while it fits and shuffles on src/dst (the
+    co-partition a bucketed edge table preserves) when it does not.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(w).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("cell"))
+        .unionByName(e.select(F.col("dst").alias("cell")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = (
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("share"))
+        .localCheckpoint(eager=True)
+    )
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(n_iters):
+        contrib = (
+            ew.join(pr.withColumnRenamed("cell", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("share")).alias("inflow"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.cell == contrib.dst, "left")
+            .select(
+                "cell",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)), 9
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("cell", F.round("pr", 6).alias("pr"))
+
+
+def pagerank_sql(
+    edges_sql: str,
+    n_iters: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB twin of pagerank: the same iterations unrolled as a CTE chain.
+
+    ``edges_sql`` must yield (src, dst, w).
+    """
+    d = f"CAST({damping!r} AS DOUBLE)"
+    steps = []
+    for t in range(1, n_iters + 1):
+        steps.append(
+            f"""p{t} AS (
+            SELECT n.cell,
+                   ROUND((1.0 - {d}) / s.n + {d} * COALESCE(i.inflow, 0.0), 9) AS pr
+            FROM nodes n CROSS JOIN sz s
+            LEFT JOIN (
+                SELECT ew.dst, SUM(p.pr * ew.share) AS inflow
+                FROM ew JOIN p{t - 1} p ON ew.src = p.cell
+                GROUP BY ew.dst
+            ) i ON n.cell = i.dst
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH e AS ({edges_sql}),
+        nodes AS (SELECT DISTINCT src AS cell FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        sz AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        ow AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+        ew AS (SELECT e.src, e.dst, e.w / ow.outw AS share
+               FROM e JOIN ow USING (src)),
+        p0 AS (SELECT n.cell, 1.0 / s.n AS pr FROM nodes n CROSS JOIN sz s),
+        {chain}
+        SELECT cell, ROUND(pr, 6) AS pr FROM p{n_iters}
+    """

@@ -1,0 +1,96 @@
+"""BFS hop distance and PageRank (operators/cell_graph.py) vs pure-Python
+references on random graphs."""
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+from raptor_service_spark.geo.grid import RES_MULTIPLIER
+from raptor_service_spark.operators.cell_graph import bfs_hops, pagerank
+
+RES = 5
+N = 2**RES
+BASE = RES * RES_MULTIPLIER
+
+
+def _occ_cells(seed=3, frac=0.45):
+    rng = np.random.default_rng(seed)
+    mask = rng.random((N, N)) < frac
+    return {int(BASE + y * N + x) for y in range(N) for x in range(N) if mask[y, x]}
+
+
+def _nbrs(cell):
+    rem = cell - BASE
+    y, x = rem // N, rem % N
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if (dx, dy) == (0, 0):
+                continue
+            yy = y + dy
+            if 0 <= yy < N:
+                yield BASE + yy * N + ((x + dx) % N + N) % N
+
+
+def _py_bfs(occ, seed_cell, max_hops):
+    if seed_cell not in occ:
+        return {}
+    dist = {seed_cell: 0}
+    q = deque([seed_cell])
+    while q:
+        c = q.popleft()
+        if dist[c] >= max_hops:
+            continue
+        for nb in _nbrs(c):
+            if nb in occ and nb not in dist:
+                dist[nb] = dist[c] + 1
+                q.append(nb)
+    return dist
+
+
+def test_bfs_matches_python_bfs(spark):
+    occ = _occ_cells()
+    seed_cell = min(occ)
+    df = spark.createDataFrame([(c,) for c in occ], "cell long")
+    got = {r["cell"]: r["hops"] for r in bfs_hops(df, seed_cell, RES, 4).collect()}
+    want = _py_bfs(occ, seed_cell, 4)
+    assert got == want
+    assert got[seed_cell] == 0 and max(got.values()) <= 4
+    assert len(got) > 1  # the seed's component actually expanded
+
+
+def test_bfs_unoccupied_seed_is_empty(spark):
+    occ = _occ_cells()
+    dead = next(c for c in range(BASE, BASE + N * N) if c not in occ)
+    df = spark.createDataFrame([(c,) for c in occ], "cell long")
+    assert bfs_hops(df, dead, RES, 3).count() == 0
+
+
+def test_pagerank_matches_numpy(spark):
+    rng = np.random.default_rng(9)
+    n_nodes = 40
+    edges = []
+    for _ in range(160):
+        s, d = rng.integers(0, n_nodes, 2)
+        if s != d:
+            edges.append((int(s), int(d), float(rng.integers(1, 6))))
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r["cell"]: r["pr"] for r in pagerank(df, n_iters=5, damping=0.85).collect()}
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outw = np.zeros(n)
+    for s, _, w in edges:
+        outw[idx[s]] += w
+    pr = np.full(n, 1.0 / n)
+    for _ in range(5):
+        inflow = np.zeros(n)
+        for s, d, w in edges:
+            inflow[idx[d]] += pr[idx[s]] * (w / outw[idx[s]])
+        pr = np.round(0.15 / n + 0.85 * inflow, 9)
+    want = {v: round(float(pr[idx[v]]), 6) for v in nodes}
+    assert got == want
+    # total rank stays <= 1 (dangling leak) and ranks discriminate
+    assert sum(got.values()) <= 1.0 + 1e-6
+    assert len(set(got.values())) > 5
