@@ -3571,6 +3571,80 @@ def _bearing_rose_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# spatio-temporal joins: co-location, segment crossings
+# ---------------------------------------------------------------------------
+
+_COLOC_EPS, _COLOC_TAU_US = 15.0, 6 * 3600 * 1_000_000
+_XING_SPAN, _XING_RES = 30.0, 3
+
+
+def q_user_colocation(spark, sf_dir):
+    """Co-location (contact) join: event pairs of different users within 15
+    degrees AND 6 hours of each other, counted per user pair. ONE composite
+    (cell, time-bucket) equi-join — the right side rings out 3x3 cells x 3
+    buckets so each pair is found exactly once; refine is shared codegen
+    arithmetic. The exhaustive-oracle equality proves the candidacy cover."""
+    from raptor_service_spark.operators.spatiotemporal import colocation_pairs
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < 40)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    return colocation_pairs(pts, eps=_COLOC_EPS, tau_us=_COLOC_TAU_US)
+
+
+def _user_colocation_sql() -> str:
+    from raptor_service_spark.operators.spatiotemporal import colocation_sql
+
+    lat, lng = _latlng_sql("event_id")
+    return colocation_sql(
+        "(SELECT * FROM events WHERE user_id < 40) ev",
+        eps=_COLOC_EPS,
+        tau_us=_COLOC_TAU_US,
+        lat_expr=lat,
+        lng_expr=lng,
+    )
+
+
+def q_traj_crossings(spark, sf_dir):
+    """Trajectory-crossing join: per user pair, how many of their movement
+    segments physically intersect (closed semantics). Cover-cell candidates
+    + reference-point dedup (pair emitted only in its intersection bbox's
+    corner cell — no distinct shuffle); the exact test is the shared CLRS
+    straddle arithmetic. Teleport segments (> 30 deg span) are dropped to
+    bound the cover factor."""
+    from raptor_service_spark.operators.spatiotemporal import (
+        segment_crossings,
+        user_segments,
+    )
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < 25)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    segs = user_segments(pts, max_span=_XING_SPAN)
+    return segment_crossings(segs, res=_XING_RES)
+
+
+def _traj_crossings_sql() -> str:
+    from raptor_service_spark.operators.spatiotemporal import segment_crossings_sql
+
+    lat, lng = _latlng_sql("event_id")
+    return segment_crossings_sql(
+        "(SELECT * FROM events WHERE user_id < 25) ev",
+        max_span=_XING_SPAN,
+        lat_expr=lat,
+        lng_expr=lng,
+    )
+
+
+# ---------------------------------------------------------------------------
 # cell-graph algorithms: BFS isochrone, PageRank (operators/cell_graph.py)
 # ---------------------------------------------------------------------------
 
@@ -3715,6 +3789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
+        "user_colocation": q_user_colocation,
+        "traj_crossings": q_traj_crossings,
         # relational battery
         "lineitem_agg": q_lineitem_agg,
         "orders_status_stats": q_orders_status_stats,
@@ -3852,6 +3928,8 @@ def oracle_sql() -> dict[str, str]:
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),
+        "user_colocation": _user_colocation_sql(),
+        "traj_crossings": _traj_crossings_sql(),
         "ivf_knn_exact": f"""
             SELECT vec_id AS id,
                    ROUND(1.0 - list_cosine_similarity(

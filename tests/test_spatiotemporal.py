@@ -1,0 +1,126 @@
+"""Co-location join and segment-crossing join (operators/spatiotemporal.py)
+vs brute force, plus adversarial segment-intersection geometry."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from raptor_service_spark.operators.spatiotemporal import (
+    colocation_pairs,
+    seg_intersect_sql,
+    segment_crossings,
+    user_segments,
+)
+
+
+def _events(spark, n=500, n_users=12, seed=5):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (
+            int(rng.integers(0, n_users)),
+            int(i),
+            float(rng.uniform(-80, 80)),
+            float(rng.uniform(-170, 170)),
+            int(rng.integers(0, 3_000_000)) * 1_000_000,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, lat double, lng double, us long"
+    ).withColumn("ts", F.timestamp_micros(F.col("us")).cast("timestamp_ntz"))
+    return df.drop("us"), rows
+
+
+def test_colocation_matches_brute_force(spark):
+    eps, tau_us = 12.0, 400_000 * 1_000_000
+    df, rows = _events(spark)
+    got = {
+        (r["user_a"], r["user_b"]): r["n_contacts"]
+        for r in colocation_pairs(df, eps=eps, tau_us=tau_us).collect()
+    }
+    want: dict[tuple[int, int], int] = {}
+    for ua, _, la, ga, ta in rows:
+        for ub, _, lb, gb, tb in rows:
+            if ua < ub and abs(ta - tb) <= tau_us:
+                if round(np.sqrt((la - lb) ** 2 + (ga - gb) ** 2), 6) <= eps:
+                    want[(ua, ub)] = want.get((ua, ub), 0) + 1
+    assert got == want and len(want) > 10
+
+
+def test_segment_crossings_match_brute_force(spark):
+    df, rows = _events(spark, n=400, n_users=10, seed=8)
+    segs = user_segments(df, max_span=40.0)
+    got = {
+        (r["user_a"], r["user_b"]): r["n_crossings"]
+        for r in segment_crossings(segs, res=3).collect()
+    }
+    # brute force: rebuild segments per user in (ts, event_id) order
+    per_user: dict[int, list] = {}
+    for u, eid, la, gn, ts in sorted(rows, key=lambda r: (r[0], r[4], r[1])):
+        per_user.setdefault(u, []).append((gn, la))
+    seg_list = []
+    for u, pts in per_user.items():
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+            if (x1, y1) != (x2, y2) and abs(x1 - x2) <= 40 and abs(y1 - y2) <= 40:
+                seg_list.append((u, x1, y1, x2, y2))
+    want: dict[tuple[int, int], int] = {}
+    for sa in seg_list:
+        for sb in seg_list:
+            if sa[0] < sb[0] and _py_intersect(sa[1:], sb[1:]):
+                k = (sa[0], sb[0])
+                want[k] = want.get(k, 0) + 1
+    assert got == want and len(want) >= 1
+
+
+def _py_intersect(a, b):
+    ax1, ay1, ax2, ay2 = a
+    bx1, by1, bx2, by2 = b
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    if not (
+        max(ax1, ax2) >= min(bx1, bx2)
+        and max(bx1, bx2) >= min(ax1, ax2)
+        and max(ay1, ay2) >= min(by1, by2)
+        and max(by1, by2) >= min(ay1, ay2)
+    ):
+        return False
+    d1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    d3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    d4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    return d1 * d2 <= 0 and d3 * d4 <= 0
+
+
+CASES = [
+    # proper crossing
+    ((0, 0, 2, 2), (0, 2, 2, 0), True),
+    # endpoint touch
+    ((0, 0, 2, 0), (2, 0, 3, 5), True),
+    # T-touch (endpoint on interior)
+    ((0, 0, 4, 0), (2, 0, 2, 3), True),
+    # collinear overlapping
+    ((0, 0, 3, 0), (2, 0, 5, 0), True),
+    # collinear disjoint — bbox clause must reject
+    ((0, 0, 1, 0), (2, 0, 3, 0), False),
+    # parallel, never meet
+    ((0, 0, 3, 0), (0, 1, 3, 1), False),
+    # one endpoint on the other's support line but OUTSIDE the segment
+    ((0, 0, 2, 0), (3, 0, 3, 4), False),
+    # near miss
+    ((0, 0, 2, 2), (2.01, 0, 4, -2), False),
+]
+
+
+@pytest.mark.parametrize("a,b,want", CASES)
+def test_seg_intersect_predicate_cases(spark, a, b, want):
+    df = spark.createDataFrame(
+        [tuple(float(v) for v in (*a, *b))],
+        "ax1 double, ay1 double, ax2 double, ay2 double, "
+        "bx1 double, by1 double, bx2 double, by2 double",
+    )
+    got = df.select(F.expr(seg_intersect_sql("a", "b")).alias("hit")).collect()[0][0]
+    assert got is want
+    assert _py_intersect(a, b) is want  # the python twin agrees
