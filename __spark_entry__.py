@@ -3571,6 +3571,107 @@ def _bearing_rose_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# stratified deterministic sampling + activity bitmask profiling
+# ---------------------------------------------------------------------------
+
+_STRAT_QUOTA = 30
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: the first 30 docs per language in
+    md5(doc_id) order — the reproducible per-stratum quota sampler a
+    training-data pipeline uses for balanced eval sets (stable under
+    re-runs, appends, and repartitioning).
+
+    Scale shape: ranking the FULL table in one per-language window is a
+    skew hazard (one reducer per stratum), so the window runs only on
+    survivors of an exact histogram pre-prune: a 256-bucket count per
+    (lang, first-md5-byte) — tiny, map-side combinable — yields the first
+    bucket whose running total covers the quota; only rows at-or-below
+    that bucket (about quota + one bucket width per stratum) reach the
+    window. Bucket order equals md5-string order (fixed-width lowercase
+    hex), so the prune is exact, proven by the QUALIFY oracle over the
+    full table."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.functions.text import lang_id
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = d.select(
+        "doc_id", lang_id(F.col("text")).alias("lang"), h.alias("h")
+    ).withColumn("b", F.conv(F.substring("h", 1, 2), 16, 10).cast("long"))
+    hist = base.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cut = (
+        hist.withColumn("cum", F.sum("n").over(wcum))
+        .filter(F.col("cum") >= _STRAT_QUOTA)
+        .groupBy("lang")
+        .agg(F.min("b").alias("cutoff"))
+    )
+    survivors = base.join(F.broadcast(cut), "lang", "left").filter(
+        F.col("b") <= F.coalesce("cutoff", F.lit(255))
+    )
+    wrk = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= _STRAT_QUOTA)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _doc_stratified_sample_sql() -> str:
+    from raptor_service_spark.functions.text import lang_id_sql
+
+    lang = lang_id_sql("text")
+    return f"""
+        WITH d AS (SELECT doc_id, {lang} AS lang,
+                          md5(CAST(doc_id AS VARCHAR)) AS h
+                   FROM documents)
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                    AS BIGINT) AS rk
+        FROM d
+        QUALIFY rk <= {_STRAT_QUOTA}
+    """
+
+
+def q_user_activity_mask(spark, sf_dir):
+    """Per-user hour-of-day activity bitmask (bit h set = any event in hour
+    h) — the compact temporal fingerprint behind bot/shift detection. The
+    mask is SUM(DISTINCT 2^hour): exact integer arithmetic in both engines
+    (POWER is exact for 2^0..2^23), one partial+final distinct agg."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    hr = F.hour(F.col("ts").cast("timestamp"))
+    bit = F.expr("CAST(POWER(2, hour(CAST(ts AS TIMESTAMP))) AS BIGINT)")
+    return (
+        ev.withColumn("hr", hr)
+        .withColumn("bit", bit)
+        .groupBy("user_id")
+        .agg(
+            F.sum_distinct("bit").alias("hour_mask"),
+            F.count_distinct("hr").alias("n_active_hours"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def _user_activity_mask_sql() -> str:
+    return """
+        SELECT user_id,
+               CAST(SUM(DISTINCT CAST(POWER(2, hour(ts)) AS BIGINT)) AS BIGINT)
+                   AS hour_mask,
+               CAST(COUNT(DISTINCT hour(ts)) AS BIGINT) AS n_active_hours,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # spatio-temporal joins: co-location, segment crossings
 # ---------------------------------------------------------------------------
 
@@ -3791,6 +3892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_pagerank": q_cell_pagerank,
         "user_colocation": q_user_colocation,
         "traj_crossings": q_traj_crossings,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "user_activity_mask": q_user_activity_mask,
         # relational battery
         "lineitem_agg": q_lineitem_agg,
         "orders_status_stats": q_orders_status_stats,
@@ -3930,6 +4033,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_pagerank": _cell_pagerank_sql(),
         "user_colocation": _user_colocation_sql(),
         "traj_crossings": _traj_crossings_sql(),
+        "doc_stratified_sample": _doc_stratified_sample_sql(),
+        "user_activity_mask": _user_activity_mask_sql(),
         "ivf_knn_exact": f"""
             SELECT vec_id AS id,
                    ROUND(1.0 - list_cosine_similarity(
