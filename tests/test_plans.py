@@ -178,3 +178,47 @@ def test_coverage_gap_broadcasts_doc_cells(spark, qmap):
     plan = _plan(qmap["cell_coverage_gap"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_layout_single_exchange_pure_codegen(spark, qmap):
+    """Morton interleave is a codegen Project: one partial+final agg, no
+    generator, no join."""
+    plan = _plan(qmap["zorder_layout"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "Generate" not in plan and "Join" not in plan
+
+
+def test_colocation_no_cartesian_composite_key_join(spark, qmap):
+    """Contact join: candidates come from the (cell, bucket) equi-join —
+    never a cross product; the ring/bucket Generate feeds the join."""
+    plan = _plan(qmap["user_colocation"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_stratified_sample_window_only_on_survivors(spark, qmap):
+    """The per-stratum rank window must consume the cutoff-filtered join
+    output (survivors), not the raw scan: top-down, the window appears
+    BEFORE (above) the broadcast cutoff join feeding it."""
+    plan = _plan(qmap["doc_stratified_sample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    w = plan.index("Window")
+    assert plan.index("BroadcastHashJoin") > w  # join is below the window
+    assert "CartesianProduct" not in plan
+
+
+def test_morans_i_points_shuffle_once(spark, qmap):
+    """Autocorrelation: exactly one aggregate keyed by the raw point cell;
+    everything after runs on occupied-cell rows (ring join broadcastable)."""
+    plan = _plan(qmap["morans_i"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the 1-row global-stats side is the only nested-loop join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_activity_mask_single_distinct_agg(spark, qmap):
+    plan = _plan(qmap["user_activity_mask"](spark, SF_DIR))
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
