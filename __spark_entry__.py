@@ -3571,6 +3571,159 @@ def _bearing_rose_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# time-series resampling: hourly gap-fill + forward fill; per-cell trend slope
+# ---------------------------------------------------------------------------
+
+
+def q_user_hourly_fill(spark, sf_dir):
+    """Per-user hourly resample with gap-fill and forward fill: a dense
+    hour grid from each user's first to last event hour, event counts per
+    hour (0 on gaps), and the last-known cell carried forward — the
+    trajectory regularization step upstream of any fixed-step model.
+
+    Scale shape: one (user, hour) partial+final agg over events (with the
+    per-hour last-event pick as a max(struct) — no second window over raw
+    events), then a per-user sequence explode bounded by the span in hours
+    and one user-partitioned fill window over the AGGREGATED grid."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < 10)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.select(
+        "user_id",
+        (F.floor(us / F.lit(3_600_000_000)).cast("long")).alias("hr"),
+        F.struct(
+            us.alias("us"),
+            F.col("event_id").alias("eid"),
+            cell_encode_col(lat, lng, 4).alias("cell"),
+        ).alias("pick"),
+    )
+    hourly = pts.groupBy("user_id", "hr").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pick").getField("cell").alias("cell")
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("cell", ignorenulls=True).over(w).alias("cell_filled"),
+        )
+    )
+
+
+def _user_hourly_fill_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 4)
+    return f"""
+        WITH e AS (SELECT user_id, event_id,
+                          CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+                          epoch_us(ts) AS us, {cell} AS cell
+                   FROM events WHERE user_id < 10),
+        last_ev AS (
+            SELECT user_id, hr, cell FROM e
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, hr
+                                       ORDER BY us DESC, event_id DESC) = 1),
+        hourly AS (
+            SELECT c.user_id, c.hr, c.n, l.cell
+            FROM (SELECT user_id, hr, COUNT(*) AS n FROM e GROUP BY 1, 2) c
+            JOIN last_ev l USING (user_id, hr)),
+        spans AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1
+                  FROM hourly GROUP BY 1),
+        grid AS (SELECT s.user_id, UNNEST(generate_series(s.h0, s.h1)) AS hr
+                 FROM spans s)
+        SELECT g.user_id, g.hr, COALESCE(h.n, 0) AS n_events,
+               last_value(h.cell IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hr
+                   ROWS UNBOUNDED PRECEDING) AS cell_filled
+        FROM grid g LEFT JOIN hourly h USING (user_id, hr)
+    """
+
+
+_TREND_BASE_HR = 473352  # floor(epoch('2024-01-01') / 3600): keeps x tiny/exact
+
+
+def q_cell_trend_slope(spark, sf_dir):
+    """Emerging-hotspot detection: per res-4 cell, the OLS slope of hourly
+    event counts over the hour index. x (hour index) and y (counts) are
+    small integers, so every sum in the closed-form slope is an EXACTLY
+    representable double — cross-engine parity is exact, not rounded.
+    Two partial+final aggs on aggregated rows ((cell,hour) then cell);
+    top-20 by |slope| via TakeOrderedAndProject."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hc = ev.select(
+        cell_encode_col(lat, lng, 4).alias("cell"),
+        (F.floor(us / F.lit(3_600_000_000)).cast("long") - F.lit(_TREND_BASE_HR)).alias(
+            "x"
+        ),
+    ).groupBy("cell", "x").agg(F.count(F.lit(1)).alias("y"))
+    stats = hc.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return (
+        stats.filter(F.col("n_hours") >= 2)
+        .select("cell", "n_hours", F.round(slope, 9).alias("slope"))
+        .orderBy(F.desc(F.abs(F.col("slope"))), "cell")
+        .limit(20)
+    )
+
+
+def _cell_trend_slope_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 4)
+    return f"""
+        WITH hc AS (
+            SELECT {cell} AS cell,
+                   CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT)
+                       - {_TREND_BASE_HR} AS x,
+                   COUNT(*) AS y
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT cell, COUNT(*) AS n_hours,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM hc GROUP BY 1)
+        SELECT cell, CAST(n_hours AS BIGINT) AS n_hours,
+               ROUND(CAST(n_hours * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_hours * sxx - sx * sx AS DOUBLE), 9) AS slope
+        FROM s WHERE n_hours >= 2
+        ORDER BY ABS(ROUND(CAST(n_hours * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_hours * sxx - sx * sx AS DOUBLE), 9)) DESC, cell
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
 # stratified deterministic sampling + activity bitmask profiling
 # ---------------------------------------------------------------------------
 
@@ -3894,6 +4047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_crossings": q_traj_crossings,
         "doc_stratified_sample": q_doc_stratified_sample,
         "user_activity_mask": q_user_activity_mask,
+        "user_hourly_fill": q_user_hourly_fill,
+        "cell_trend_slope": q_cell_trend_slope,
         # relational battery
         "lineitem_agg": q_lineitem_agg,
         "orders_status_stats": q_orders_status_stats,
@@ -4035,6 +4190,8 @@ def oracle_sql() -> dict[str, str]:
         "traj_crossings": _traj_crossings_sql(),
         "doc_stratified_sample": _doc_stratified_sample_sql(),
         "user_activity_mask": _user_activity_mask_sql(),
+        "user_hourly_fill": _user_hourly_fill_sql(),
+        "cell_trend_slope": _cell_trend_slope_sql(),
         "ivf_knn_exact": f"""
             SELECT vec_id AS id,
                    ROUND(1.0 - list_cosine_similarity(

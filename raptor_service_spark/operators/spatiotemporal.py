@@ -286,8 +286,14 @@ def segment_crossings(
 def segment_crossings_sql(events_sql: str, max_span: float, lat_expr: str, lng_expr: str) -> str:
     """Brute-force DuckDB twin: same window segment build, same predicate,
     exhaustive pair join — equality proves the cover-cell candidacy and the
-    reference-point dedup."""
-    pred = seg_intersect_sql("a.", "b.")
+    reference-point dedup.
+
+    ``g`` is AS MATERIALIZED and the orientation products are computed in a
+    projection level above the join: letting DuckDB inline the window CTE
+    into both join sides and push the straddle arithmetic into the join
+    filter trips an internal "flat vector" assertion (DuckDB 1.x bug) that
+    invalidates the whole connection — which would cascade-fail every
+    later oracle in the driver's single-connection sweep."""
     return f"""
         WITH p AS (SELECT user_id AS uid, ts, event_id,
                           {lng_expr} AS x, {lat_expr} AS y
@@ -295,11 +301,24 @@ def segment_crossings_sql(events_sql: str, max_span: float, lat_expr: str, lng_e
         s AS (SELECT uid, x AS x2, y AS y2,
                      LAG(x) OVER w AS x1, LAG(y) OVER w AS y1
               FROM p WINDOW w AS (PARTITION BY uid ORDER BY ts, event_id)),
-        g AS (SELECT * FROM s
+        g AS MATERIALIZED (SELECT * FROM s
               WHERE x1 IS NOT NULL AND (x1 != x2 OR y1 != y2)
-                AND ABS(x1 - x2) <= {max_span!r} AND ABS(y1 - y2) <= {max_span!r})
-        SELECT a.uid AS user_a, b.uid AS user_b, COUNT(*) AS n_crossings
-        FROM g a JOIN g b ON a.uid < b.uid
-        WHERE {pred}
+                AND ABS(x1 - x2) <= {max_span!r} AND ABS(y1 - y2) <= {max_span!r}),
+        j AS (SELECT a.uid AS ua, b.uid AS ub,
+                 ((a.x2 - a.x1) * (b.y1 - a.y1)
+                  - (a.y2 - a.y1) * (b.x1 - a.x1)) AS d1,
+                 ((a.x2 - a.x1) * (b.y2 - a.y1)
+                  - (a.y2 - a.y1) * (b.x2 - a.x1)) AS d2,
+                 ((b.x2 - b.x1) * (a.y1 - b.y1)
+                  - (b.y2 - b.y1) * (a.x1 - b.x1)) AS d3,
+                 ((b.x2 - b.x1) * (a.y2 - b.y1)
+                  - (b.y2 - b.y1) * (a.x2 - b.x1)) AS d4
+              FROM g a JOIN g b ON a.uid < b.uid
+              WHERE GREATEST(a.x1, a.x2) >= LEAST(b.x1, b.x2)
+                AND GREATEST(b.x1, b.x2) >= LEAST(a.x1, a.x2)
+                AND GREATEST(a.y1, a.y2) >= LEAST(b.y1, b.y2)
+                AND GREATEST(b.y1, b.y2) >= LEAST(a.y1, a.y2))
+        SELECT ua AS user_a, ub AS user_b, COUNT(*) AS n_crossings
+        FROM j WHERE d1 * d2 <= 0 AND d3 * d4 <= 0
         GROUP BY 1, 2
     """
