@@ -3571,6 +3571,98 @@ def _bearing_rose_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# skyline (Pareto front) + per-stratum percentile-rank normalization
+# ---------------------------------------------------------------------------
+
+
+def q_doc_skyline(spark, sf_dir):
+    """Pareto-front extraction over (quality, token_count): docs no other
+    doc strictly dominates — the multi-objective shortlist a curation
+    pipeline keeps when two metrics cannot be traded off a priori.
+    Domination: q' >= q AND t' >= t AND (q' > q OR t' > t); duplicate
+    (q, t) points are mutually non-dominating and all survive.
+
+    Distributed 2-D skyline WITHOUT the O(n^2) anti-join: per-q max t
+    (partial+final agg), then ONE running-max window over the DISTINCT-q
+    table (bounded by metric cardinality, never the corpus — the same
+    SinglePartition-on-aggregated-rows posture as hot_cells); a doc is on
+    the front iff it carries its q-group's max t and beats every
+    strictly-higher-q group's max. The brute-force NOT EXISTS oracle
+    proves the window formulation."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.functions.text import quality_score, token_count
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).cast("long").alias("t"),
+    )
+    gmax = base.groupBy("q").agg(F.max("t").alias("gmax_t"))
+    w = Window.orderBy(F.desc("q")).rowsBetween(Window.unboundedPreceding, -1)
+    front_q = gmax.withColumn("prev_max", F.max("gmax_t").over(w)).filter(
+        F.col("prev_max").isNull() | (F.col("prev_max") < F.col("gmax_t"))
+    )
+    return (
+        base.join(F.broadcast(front_q), "q")
+        .filter(F.col("t") == F.col("gmax_t"))
+        .select("doc_id", "q", "t")
+    )
+
+
+def _doc_skyline_sql() -> str:
+    from raptor_service_spark.functions.text import quality_score_sql, token_count_sql
+
+    q = quality_score_sql("text")
+    t = token_count_sql("text")
+    return f"""
+        WITH b AS (SELECT doc_id, {q} AS q, CAST({t} AS BIGINT) AS t
+                   FROM documents)
+        SELECT doc_id, q, t FROM b a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM b o
+            WHERE o.q >= a.q AND o.t >= a.t AND (o.q > a.q OR o.t > a.t))
+    """
+
+
+def q_doc_quality_percentile(spark, sf_dir):
+    """Per-language percentile-rank normalization of the quality score —
+    the cross-stratum calibration step before global threshold filtering
+    (a 0.6 in one language is not a 0.6 in another). percent_rank ties
+    depend only on the score, so the value is deterministic without a
+    tie-break column; one window per stratum over (lang) partitions."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.functions.text import lang_id, quality_score
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    w = Window.partitionBy("lang").orderBy("q")
+    return base.select(
+        "doc_id", "lang", "q", F.round(F.percent_rank().over(w), 6).alias("q_pct")
+    )
+
+
+def _doc_quality_percentile_sql() -> str:
+    from raptor_service_spark.functions.text import lang_id_sql, quality_score_sql
+
+    lang = lang_id_sql("text")
+    q = quality_score_sql("text")
+    return f"""
+        WITH b AS (SELECT doc_id, {lang} AS lang, {q} AS q FROM documents)
+        SELECT doc_id, lang, q,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY q), 6)
+                   AS q_pct
+        FROM b
+    """
+
+
+# ---------------------------------------------------------------------------
 # time-series resampling: hourly gap-fill + forward fill; per-cell trend slope
 # ---------------------------------------------------------------------------
 
@@ -4049,6 +4141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity_mask": q_user_activity_mask,
         "user_hourly_fill": q_user_hourly_fill,
         "cell_trend_slope": q_cell_trend_slope,
+        "doc_skyline": q_doc_skyline,
+        "doc_quality_percentile": q_doc_quality_percentile,
         # relational battery
         "lineitem_agg": q_lineitem_agg,
         "orders_status_stats": q_orders_status_stats,
@@ -4192,6 +4286,8 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_mask": _user_activity_mask_sql(),
         "user_hourly_fill": _user_hourly_fill_sql(),
         "cell_trend_slope": _cell_trend_slope_sql(),
+        "doc_skyline": _doc_skyline_sql(),
+        "doc_quality_percentile": _doc_quality_percentile_sql(),
         "ivf_knn_exact": f"""
             SELECT vec_id AS id,
                    ROUND(1.0 - list_cosine_similarity(
