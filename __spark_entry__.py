@@ -3571,6 +3571,82 @@ def _bearing_rose_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# co-visitation (association) mining over cells
+# ---------------------------------------------------------------------------
+
+
+def q_cell_covisit(spark, sf_dir):
+    """Market-basket mining over the tile grid: pairs of res-3 cells
+    visited by the same user (support >= 3 users), with lift =
+    n_users_both * n_users_total / (n_users_a * n_users_b), rounded 6 dp —
+    the location co-occurrence signal behind 'people who go here also go
+    there'. Scale shape: the distinct (user, cell) basket table is the only
+    point-derived shuffle; the per-user pair explode is bounded by
+    cells-per-user squared (baskets are small by construction — res-3 has
+    64 cells); per-cell and total supports broadcast back onto the
+    aggregated pair table."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    basket = ev.select(
+        "user_id", cell_encode_col(lat, lng, 3).alias("cell")
+    ).dropDuplicates(["user_id", "cell"])
+    tot = F.broadcast(
+        basket.agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    supp = basket.groupBy("cell").agg(F.count(F.lit(1)).alias("s"))
+    a = basket.select("user_id", F.col("cell").alias("cell_a"))
+    b = basket.select("user_id", F.col("cell").alias("cell_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("cell_a") < F.col("cell_b"))
+        .groupBy("cell_a", "cell_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    sa = supp.select(F.col("cell").alias("cell_a"), F.col("s").alias("s_a"))
+    sb = supp.select(F.col("cell").alias("cell_b"), F.col("s").alias("s_b"))
+    return (
+        pairs.join(F.broadcast(sa), "cell_a")
+        .join(F.broadcast(sb), "cell_b")
+        .crossJoin(tot)
+        .select(
+            "cell_a",
+            "cell_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.col("n_users")).cast("double")
+                / (F.col("s_a") * F.col("s_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def _cell_covisit_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH basket AS (SELECT DISTINCT user_id, {cell} AS cell FROM events),
+        tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM basket),
+        supp AS (SELECT cell, COUNT(*) AS s FROM basket GROUP BY 1),
+        pairs AS (
+            SELECT a.cell AS cell_a, b.cell AS cell_b, COUNT(*) AS n_both
+            FROM basket a JOIN basket b
+              ON a.user_id = b.user_id AND a.cell < b.cell
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        SELECT p.cell_a, p.cell_b, p.n_both,
+               ROUND(CAST(p.n_both * t.n_users AS DOUBLE)
+                     / CAST(sa.s * sb.s AS DOUBLE), 6) AS lift
+        FROM pairs p
+        JOIN supp sa ON p.cell_a = sa.cell
+        JOIN supp sb ON p.cell_b = sb.cell
+        CROSS JOIN tot t
+    """
+
+
+# ---------------------------------------------------------------------------
 # skyline (Pareto front) + per-stratum percentile-rank normalization
 # ---------------------------------------------------------------------------
 
@@ -4143,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_trend_slope": q_cell_trend_slope,
         "doc_skyline": q_doc_skyline,
         "doc_quality_percentile": q_doc_quality_percentile,
+        "cell_covisit": q_cell_covisit,
         # relational battery
         "lineitem_agg": q_lineitem_agg,
         "orders_status_stats": q_orders_status_stats,
@@ -4288,6 +4365,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_trend_slope": _cell_trend_slope_sql(),
         "doc_skyline": _doc_skyline_sql(),
         "doc_quality_percentile": _doc_quality_percentile_sql(),
+        "cell_covisit": _cell_covisit_sql(),
         "ivf_knn_exact": f"""
             SELECT vec_id AS id,
                    ROUND(1.0 - list_cosine_similarity(

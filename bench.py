@@ -72,6 +72,13 @@ HEADLINE = [
     "tree_build_docs",
     "tree_build_synthetic",
     "collapsed_retrieval_synthetic",
+    # session-3 additions: spatial statistics, spatio-temporal joins,
+    # graph iteration, and the curation/profiling block
+    "morans_i",
+    "user_colocation",
+    "cell_pagerank",
+    "cell_trend_slope",
+    "doc_stratified_sample",
 ]
 
 SEED = 77

@@ -14,7 +14,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from raptor_service_spark.session import get_spark
 
-    s = get_spark(app_name="raptor-tests", master="local[4]", shuffle_partitions=8)
+    # North-rule verification runs the suite at two cluster sizes
+    # (e.g. SPARK_GRAFT_TEST_CPUS=2 and =8); results must be identical —
+    # every assertion is on deterministic values, never on partitioning.
+    cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "4")
+    s = get_spark(
+        app_name="raptor-tests", master=f"local[{cpus}]", shuffle_partitions=8
+    )
     yield s
     s.stop()
 
