@@ -4153,6 +4153,210 @@ def _cell_pagerank_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# end-to-end curation pipeline: quality → lang → dedup → split → stats
+# ---------------------------------------------------------------------------
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The full training-data curation chain as ONE declarative plan:
+    quality-score filter (>= 0.5) → language-ID filter (drop 'und') →
+    whole-doc exact dedup (first occurrence by fingerprint) → deterministic
+    md5 train/valid/test split → per (split, lang) corpus stats. Every stage
+    is codegen expressions over one scan; dedup is the only extra shuffle
+    (window on the fingerprint); stats are one partial+final agg. This is
+    the composition the individual oracle-checked stages exist FOR."""
+    from raptor_service_spark.functions.text import hash_split, token_count
+
+    d = _docs_with_dups(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang"),
+        token_count(F.col("text")).alias("toks"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).filter((F.col("q") >= 0.5) & (F.col("lang") != "und"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("fp").orderBy("doc_id")
+    kept = scored.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") == 1)
+    out = (
+        kept.withColumn("split", hash_split(F.col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+    )
+    return out.orderBy("split", "lang")
+
+
+def _curation_pipeline_sql() -> str:
+    from raptor_service_spark.functions.text import (
+        fingerprint_sql,
+        hash_split_sql,
+        token_count_sql,
+    )
+
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   {quality_score_sql('text')} AS q,
+                   {lang_id_sql('text')} AS lang,
+                   {token_count_sql('text')} AS toks,
+                   {fingerprint_sql('text')} AS fp
+            FROM {_DOCS_WITH_DUPS_SQL}
+        ),
+        f AS (SELECT * FROM scored WHERE q >= 0.5 AND lang != 'und'),
+        kept AS (SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+                                                 ORDER BY doc_id) AS rn
+                    FROM f) WHERE rn = 1)
+        SELECT {hash_split_sql('doc_id')} AS split, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               ROUND(AVG(q), 6) AS avg_quality
+        FROM kept
+        GROUP BY 1, 2
+        ORDER BY split, lang
+    """
+
+
+# ---------------------------------------------------------------------------
+# web-Mercator XYZ / quadkey tiling (the map-serving address space)
+# ---------------------------------------------------------------------------
+
+_QK_ZOOM = 5
+
+
+def q_quadkey_tiles(spark, sf_dir):
+    """Occupied web-Mercator tiles at zoom 5 with doc counts and the zoom-3
+    parent quadkey — the slippy-map/XYZ address space a tile server fetches,
+    alongside the engine's native equirectangular grid. Encode is ONE
+    generated arithmetic string (geo/mercator.py) run as F.expr here and
+    verbatim in the oracle; the rollup groups on the BIGINT (x, y) pair and
+    renders quadkey strings only per OUTPUT group."""
+    from raptor_service_spark.geo.mercator import (
+        quadkey_parent_sql,
+        quadkey_sql,
+        xtile_sql,
+        ytile_sql,
+    )
+
+    lat_s, lng_s = _latlng_sql("doc_id")
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    tiles = d.select(
+        F.expr(xtile_sql(lng_s, _QK_ZOOM)).alias("x"),
+        F.expr(ytile_sql(lat_s, _QK_ZOOM)).alias("y"),
+    )
+    agg = tiles.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_docs"))
+    qk = quadkey_sql("x", "y", _QK_ZOOM)
+    return agg.select(
+        F.expr(qk).alias("quadkey"),
+        F.expr(quadkey_parent_sql(qk, 2)).alias("quadkey_z3"),
+        "x",
+        "y",
+        "n_docs",
+    ).orderBy("quadkey")
+
+
+def _quadkey_tiles_sql() -> str:
+    from raptor_service_spark.geo.mercator import (
+        quadkey_parent_sql,
+        quadkey_sql,
+        xtile_sql,
+        ytile_sql,
+    )
+
+    lat_s, lng_s = _latlng_sql("doc_id")
+    qk = quadkey_sql("x", "y", _QK_ZOOM)
+    return f"""
+        WITH t AS (SELECT {xtile_sql(lng_s, _QK_ZOOM)} AS x,
+                          {ytile_sql(lat_s, _QK_ZOOM)} AS y
+                   FROM documents),
+        a AS (SELECT x, y, COUNT(*) AS n_docs FROM t GROUP BY 1, 2)
+        SELECT {qk} AS quadkey, {quadkey_parent_sql(qk, 2)} AS quadkey_z3,
+               x, y, n_docs
+        FROM a ORDER BY quadkey
+    """
+
+
+# ---------------------------------------------------------------------------
+# sub-document dedup: span-level first-occurrence + reassembly
+# ---------------------------------------------------------------------------
+
+
+def q_span_dedup(spark, sf_dir):
+    """Paragraph-level (span) exact dedup with document reassembly over the
+    duplicated corpus — the sub-document pass a training pipeline runs after
+    whole-doc dedup (twin docs keep 0 spans; genuinely repeated 10-word
+    windows inside originals dedup too). One window shuffle on the span
+    hash + one reassembly agg (operators/dedup.py:span_dedup_reassemble)."""
+    from raptor_service_spark.operators.dedup import span_dedup_reassemble
+
+    return span_dedup_reassemble(_docs_with_dups(spark, sf_dir))
+
+
+def _span_dedup_sql() -> str:
+    from raptor_service_spark.operators.dedup import span_dedup_sql
+
+    return span_dedup_sql(_DOCS_WITH_DUPS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# point-pattern statistics: Ripley's K and Mann-Kendall emerging hotspots
+# ---------------------------------------------------------------------------
+
+_RIPLEY_BANDS = [0.5, 1.0, 2.0]
+
+
+def q_ripley_k(spark, sf_dir):
+    """Multi-band Ripley's K / L over the document point pattern (degree
+    space, naive edge handling): is the corpus spatially clustered, and at
+    what scale? Pairs come from ONE grid ε-join at the widest band — no
+    all-pairs join (operators/spatial_stats.py:ripley_k scale notes)."""
+    from raptor_service_spark.operators.spatial_stats import ripley_k
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.select(F.col("doc_id").alias("id"), lat.alias("lat"), lng.alias("lng"))
+    return ripley_k(pts, bands=_RIPLEY_BANDS)
+
+
+def _ripley_k_sql() -> str:
+    from raptor_service_spark.operators.spatial_stats import ripley_k_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    return ripley_k_sql("documents", "doc_id", lat, lng, bands=_RIPLEY_BANDS)
+
+
+def q_emerging_hotspots(spark, sf_dir):
+    """Space-time-cube trend classification: per res-3 cell, the Mann-Kendall
+    z over the daily event-count series labels the cell increasing /
+    decreasing / flat — the 'emerging hot spot' companion of the static
+    Getis-Ord Gi*. Event rows see exactly one shuffle (the (cell, day)
+    cube agg); the day-pair join is bounded by the calendar, not the data
+    (operators/spatial_stats.py:mann_kendall_cells scale notes)."""
+    from raptor_service_spark.operators.spatial_stats import mann_kendall_cells
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(
+        F.col("ts"), lat.alias("lat"), lng.alias("lng")
+    )
+    return mann_kendall_cells(pts, res=3, min_days=8)
+
+
+def _emerging_hotspots_sql() -> str:
+    from raptor_service_spark.operators.spatial_stats import mann_kendall_sql
+
+    lat, lng = _latlng_sql("event_id")
+    return mann_kendall_sql(
+        "(SELECT event_id, ts FROM events)", lat, lng, res=3, min_days=8
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4274,6 +4478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered": q_knn_filtered,
         "knn_multi": q_knn_multi,
         "spans_explode": q_spans_explode,
+        "span_dedup": q_span_dedup,
+        "curation_pipeline": q_curation_pipeline,
+        "quadkey_tiles": q_quadkey_tiles,
+        "ripley_k": q_ripley_k,
+        "emerging_hotspots": q_emerging_hotspots,
         # engine-native (rows-only driver check; pytest covers semantics)
         "simhash_pairs": q_simhash_pairs,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
@@ -4351,6 +4560,11 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": _tile_pyramid_sql(),
         "morans_i": _morans_i_sql(),
         "getis_hotspots": _getis_hotspots_sql(),
+        "span_dedup": _span_dedup_sql(),
+        "curation_pipeline": _curation_pipeline_sql(),
+        "quadkey_tiles": _quadkey_tiles_sql(),
+        "ripley_k": _ripley_k_sql(),
+        "emerging_hotspots": _emerging_hotspots_sql(),
         "similar_users": _similar_users_sql(),
         "doc_boilerplate": _doc_boilerplate_sql(),
         "zorder_layout": _zorder_layout_sql(),

@@ -832,3 +832,82 @@ def repetition_scores_sql(
                    AS rep_ratio
         FROM g
     """
+
+
+# ---------------------------------------------------------------------------
+# sub-document (span-level) exact dedup with document reassembly
+# ---------------------------------------------------------------------------
+
+
+def span_dedup_reassemble(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet-style sub-document pass): split
+    each document into fixed ``span_words``-word spans (the engine's chunk
+    scheme, chunk_service.py:27 analog), md5 each span, keep only the FIRST
+    occurrence of each hash corpus-wide (ordered by (doc_id, idx) — stable
+    under re-runs), and reassemble every document from its surviving spans.
+
+    Output: (doc_id, n_spans, n_kept, kept_text) — kept_text is '' when the
+    whole document was already seen earlier.
+
+    Scale shape at 100 TB: the span stream is generated JVM-side
+    (sequence/slice, no Python); first-occurrence selection is ONE window
+    shuffle partitioned by the span hash (each hash group holds only that
+    span's duplicates — the skew bound is the duplication factor, the
+    quantity being removed); reassembly is ONE groupBy(doc_id) with an
+    ordered in-group sort of O(spans-per-doc) structs. No pairwise joins.
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(w)
+    spans = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / span_words).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(w, i * span_words + 1, span_words)),
+    )
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(spans).alias("idx", "span_text")
+    ).withColumn("h", F.md5("span_text"))
+    win = Window.partitionBy("h").orderBy("doc_id", "idx")
+    flagged = ex.withColumn(
+        "keep", (F.row_number().over(win) == 1).cast("int")
+    )
+    kept_struct = F.when(
+        F.col("keep") == 1, F.struct(F.col("idx"), F.col("span_text"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["span_text"]
+            ),
+        ).alias("kept_text"),
+    )
+
+
+def span_dedup_sql(docs_sql: str, span_words: int = 10) -> str:
+    """DuckDB twin of span_dedup_reassemble (same split scheme, same
+    first-occurrence rule, ordered string_agg reassembly)."""
+    return f"""
+        WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                   FROM {docs_sql}),
+        sp AS (SELECT doc_id, i AS idx,
+                      array_to_string(list_slice(words, i * {span_words} + 1,
+                                                 i * {span_words} + {span_words}), ' ')
+                        AS span_text
+               FROM w, UNNEST(generate_series(0,
+                    CAST(FLOOR((len(words) - 1) / {span_words}) AS BIGINT))) t(i)),
+        r AS (SELECT doc_id, idx, span_text,
+                     ROW_NUMBER() OVER (PARTITION BY md5(span_text)
+                                        ORDER BY doc_id, idx) AS rn
+              FROM sp)
+        SELECT doc_id, COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END, ' '
+                                   ORDER BY idx), '') AS kept_text
+        FROM r GROUP BY doc_id
+    """

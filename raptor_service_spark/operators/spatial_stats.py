@@ -202,3 +202,226 @@ def getis_gi_sql(points_sql: str, lat: str, lng: str, res: int, top_k: int = 20)
         ORDER BY gi_z DESC, cell
         LIMIT {top_k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Ripley's K — multi-band point-pattern clustering statistic
+# ---------------------------------------------------------------------------
+
+
+def ripley_k(
+    points: DataFrame,
+    bands: list[float],
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Naive (no edge correction) Ripley's K over degree-space points.
+
+    K(d) = A * 2 * |{(i,j): i<j, dist<=d}| / (n * (n-1)), L(d) = sqrt(K/pi);
+    A is the bounding-box area of the observed points (exact min/max
+    arithmetic, identical in both engines). A clustered pattern shows
+    K(d) above pi*d^2; CSR sits on it — the multi-scale companion of the
+    single-ring Moran's I above.
+
+    Scale shape at 100 TB: pair candidates come from ONE grid ε-join at the
+    LARGEST band (within_distance_join: 3x3 neighbor-ring explode on the
+    build side, cell equi-join, codegen sqrt refine — every qualifying pair
+    produced exactly once, no dedup pass); all bands are conditional SUM
+    aggs over that single pair stream (one pass, map-side combinable).
+    Global n / bbox is a scalar agg crossJoined back (1 row). No all-pairs
+    join anywhere — the ε-join output is |pairs(d_max)|, the quantity the
+    statistic itself needs.
+    """
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    bands = sorted(bands)
+    base = points.select(
+        F.col(id_col).alias("pid"), F.col(lat_col).alias("lat"), F.col(lng_col).alias("lng")
+    )
+    left = base.select(F.col("pid").alias("id_a"), "lat", "lng")
+    right = base.select(F.col("pid").alias("id_b"), "lat", "lng")
+    pairs = within_distance_join(left, right, eps=bands[-1]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    counts = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("dist") <= F.lit(d)).cast("long")), F.lit(0).cast("long")
+            ).alias(f"c{i}")
+            for i, d in enumerate(bands)
+        ]
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        ((F.max("lat") - F.min("lat")) * (F.max("lng") - F.min("lng"))).alias("area"),
+    )
+    rows = counts.crossJoin(F.broadcast(stats)).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(d)).alias("d"), F.col(f"c{i}").alias("n_pairs")
+                    )
+                    for i, d in enumerate(bands)
+                ]
+            )
+        ).alias("b"),
+        "n",
+        "area",
+    )
+    k = F.col("area") * F.lit(2.0) * F.col("b.n_pairs") / (F.col("n") * (F.col("n") - 1))
+    import math as _math
+
+    return rows.select(
+        F.col("b.d").alias("d"),
+        F.col("b.n_pairs").alias("n_pairs"),
+        F.round(k, 6).alias("k_hat"),
+        F.round(F.sqrt(k / F.lit(_math.pi)), 6).alias("l_hat"),
+    ).orderBy("d")
+
+
+def ripley_k_sql(points_sql: str, id_expr: str, lat: str, lng: str, bands: list[float]) -> str:
+    """DuckDB twin of ripley_k. The oracle may use the all-pairs form — the
+    gate runs at small SF; parity is on values, not on the plan."""
+    bands = sorted(bands)
+    dmax = f"CAST({bands[-1]!r} AS DOUBLE)"
+    vals = ", ".join(f"(CAST({d!r} AS DOUBLE))" for d in bands)
+    return f"""
+        WITH p AS (SELECT {id_expr} AS pid, {lat} AS lat, {lng} AS lng
+                   FROM {points_sql}),
+        pr AS (SELECT ROUND(SQRT((a.lat - b.lat) * (a.lat - b.lat)
+                               + (a.lng - b.lng) * (a.lng - b.lng)), 6) AS dist
+               FROM p a JOIN p b ON a.pid < b.pid),
+        s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     (MAX(lat) - MIN(lat)) * (MAX(lng) - MIN(lng)) AS area
+              FROM p),
+        c AS (SELECT bd.d, CAST(COUNT(pr.dist) AS BIGINT) AS n_pairs
+              FROM (VALUES {vals}) bd(d)
+              LEFT JOIN pr ON pr.dist <= bd.d AND pr.dist <= {dmax}
+              GROUP BY bd.d)
+        SELECT c.d AS d, c.n_pairs AS n_pairs,
+               ROUND(s.area * 2.0 * c.n_pairs / (s.n * (s.n - 1)), 6) AS k_hat,
+               ROUND(SQRT(s.area * 2.0 * c.n_pairs / (s.n * (s.n - 1)) / PI()), 6) AS l_hat
+        FROM c CROSS JOIN s
+        ORDER BY d
+    """
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend per cell — the "emerging hot spot" time dimension
+# ---------------------------------------------------------------------------
+
+
+def mann_kendall_cells(
+    events: DataFrame,
+    res: int,
+    min_days: int = 8,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-cell Mann-Kendall trend test over the daily event-count series —
+    the statistic behind "emerging hot spot" analysis in space-time cubes.
+
+    Per occupied cell, the daily series x_1..x_n (occupied days only) gives
+        S    = sum over day pairs (t1 < t2) of sign(x_2 - x_1)
+        Var  = (n(n-1)(2n+5) - sum_ties t(t-1)(2t+5)) / 18
+        z    = (S-1)/sqrt(Var) if S>0; (S+1)/sqrt(Var) if S<0; else 0
+    and the cell is classified increasing / decreasing / flat at |z|>=1.96.
+
+    Scale shape at 100 TB: event rows are seen by exactly ONE shuffle, the
+    (cell, day) count agg (map-side combinable). Everything after runs on
+    the aggregated cube: the day-pair self-join is per-cell over a series
+    bounded by the TIME RANGE (days), not by data volume — at 30 days that
+    is <= 435 pair rows per cell regardless of corpus size; the tie table is
+    a second agg of the same cube. All sign/variance algebra is exact
+    integer arithmetic in codegen; only z divides into doubles (rounded
+    6 dp both engines).
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / F.lit(86400))
+    cube = (
+        events.groupBy(
+            cell_encode_col(F.col(lat_col), F.col(lng_col), res).alias("cell"),
+            day.alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    a, b = cube.alias("a"), cube.alias("b")
+    s = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.day") < F.col("b.day")))
+        .groupBy(F.col("a.cell").alias("cell"))
+        .agg(F.sum(F.signum(F.col("b.x") - F.col("a.x")).cast("long")).alias("s"))
+    )
+    per_cell = cube.groupBy("cell").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        cube.groupBy("cell", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("cell")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias("tie_sum")
+        )
+    )
+    n = F.col("n_days").cast("double")
+    var = (n * (n - 1) * (2 * n + 5) - F.col("tie_sum").cast("double")) / F.lit(18.0)
+    z = (
+        F.when((F.col("s") > 0) & (var > 0), (F.col("s") - 1) / F.sqrt(var))
+        .when((F.col("s") < 0) & (var > 0), (F.col("s") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    out = (
+        per_cell.join(s, "cell")
+        .join(ties, "cell")
+        .filter(F.col("n_days") >= min_days)
+        .select(
+            "cell",
+            "n_days",
+            "s",
+            F.round(z, 6).alias("mk_z"),
+            F.when(F.round(z, 6) >= 1.96, F.lit("increasing"))
+            .when(F.round(z, 6) <= -1.96, F.lit("decreasing"))
+            .otherwise(F.lit("flat"))
+            .alias("trend"),
+        )
+    )
+    return out.orderBy("cell")
+
+
+def mann_kendall_sql(
+    events_sql: str, lat: str, lng: str, res: int, min_days: int = 8, ts_expr: str = "ts"
+) -> str:
+    """DuckDB twin of mann_kendall_cells (identical algebra, epoch-day bins)."""
+    cell = cell_encode_sql(lat, lng, res)
+    return f"""
+        WITH cube AS (
+            SELECT {cell} AS cell,
+                   CAST(FLOOR(epoch({ts_expr}) / 86400) AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM {events_sql} GROUP BY 1, 2),
+        s AS (SELECT a.cell, CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS s
+              FROM cube a JOIN cube b ON a.cell = b.cell AND a.day < b.day
+              GROUP BY a.cell),
+        pc AS (SELECT cell, COUNT(*) AS n_days FROM cube GROUP BY 1),
+        ties AS (SELECT cell, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+                 FROM (SELECT cell, x, COUNT(*) AS t FROM cube GROUP BY 1, 2)
+                 GROUP BY 1),
+        j AS (SELECT pc.cell, pc.n_days, s.s,
+                     (CAST(pc.n_days AS DOUBLE) * (pc.n_days - 1) * (2 * pc.n_days + 5)
+                      - ties.tie_sum) / 18.0 AS var
+              FROM pc JOIN s ON pc.cell = s.cell
+              JOIN ties ON pc.cell = ties.cell
+              WHERE pc.n_days >= {min_days})
+        SELECT cell, n_days, s,
+               ROUND(CASE WHEN s > 0 AND var > 0 THEN (s - 1) / SQRT(var)
+                          WHEN s < 0 AND var > 0 THEN (s + 1) / SQRT(var)
+                          ELSE 0.0 END, 6) AS mk_z,
+               CASE WHEN ROUND(CASE WHEN s > 0 AND var > 0 THEN (s - 1) / SQRT(var)
+                                    WHEN s < 0 AND var > 0 THEN (s + 1) / SQRT(var)
+                                    ELSE 0.0 END, 6) >= 1.96 THEN 'increasing'
+                    WHEN ROUND(CASE WHEN s > 0 AND var > 0 THEN (s - 1) / SQRT(var)
+                                    WHEN s < 0 AND var > 0 THEN (s + 1) / SQRT(var)
+                                    ELSE 0.0 END, 6) <= -1.96 THEN 'decreasing'
+                    ELSE 'flat' END AS trend
+        FROM j
+        ORDER BY cell
+    """

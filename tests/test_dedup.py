@@ -289,3 +289,62 @@ def test_asof_join_semantics(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+# ---------------------------------------------------------------------------
+# span-level dedup + reassembly
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_drops_twin_docs_entirely(spark):
+    from raptor_service_spark.operators.dedup import span_dedup_reassemble
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten alpha beta"),
+            (2, "totally different words here that never repeat anywhere else"),
+        ],
+        "doc_id long, text string",
+    )
+    dup = docs.unionByName(
+        docs.selectExpr("doc_id + 100 AS doc_id", "text")
+    )
+    out = {r["doc_id"]: r for r in span_dedup_reassemble(dup).collect()}
+    assert out[1]["n_kept"] == out[1]["n_spans"] == 2
+    assert out[1]["kept_text"] == (
+        "one two three four five six seven eight nine ten alpha beta"
+    )
+    assert out[101]["n_kept"] == 0 and out[101]["kept_text"] == ""
+    assert out[102]["n_kept"] == 0
+    assert out[2]["n_kept"] == out[2]["n_spans"] == 1
+
+
+def test_span_dedup_within_doc_repeats(spark):
+    from raptor_service_spark.operators.dedup import span_dedup_reassemble
+
+    span = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(7, f"{span} {span} {span}")], "doc_id long, text string"
+    )
+    out = span_dedup_reassemble(docs).collect()[0]
+    assert out["n_spans"] == 3
+    assert out["n_kept"] == 1
+    assert out["kept_text"] == span
+
+
+def test_span_dedup_keeps_first_occurrence_order(spark):
+    from raptor_service_spark.operators.dedup import span_dedup_reassemble
+
+    shared = "k l m n o p q r s t"
+    docs = spark.createDataFrame(
+        [
+            (5, f"{shared} unique five words tail one two three four x"),
+            (3, f"{shared} another completely distinct continuation words y z w v"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup_reassemble(docs).collect()}
+    # doc 3 is the earlier doc_id -> it keeps the shared span, doc 5 loses it
+    assert out[3]["n_kept"] == out[3]["n_spans"]
+    assert out[5]["n_kept"] == out[5]["n_spans"] - 1
+    assert not out[5]["kept_text"].startswith(shared)

@@ -99,3 +99,123 @@ def test_getis_gi_star_matches_numpy(spark):
     y, x = rem // nn, rem % nn
     assert abs((y + 0.5) / nn * 180.0 - 90.0 - 40.0) < 25
     assert abs((x + 0.5) / nn * 360.0 - 180.0 - (-74.0)) < 35
+
+
+# ---------------------------------------------------------------------------
+# Ripley's K vs brute-force numpy pairs
+# ---------------------------------------------------------------------------
+
+
+def test_ripley_k_matches_bruteforce(spark):
+    from raptor_service_spark.operators.spatial_stats import ripley_k
+
+    rng = np.random.default_rng(7)
+    n = 400
+    lat = np.concatenate(
+        [rng.uniform(-60, 60, n // 2), rng.normal(10.0, 1.0, n - n // 2)]
+    ).clip(-84, 84)
+    lng = np.concatenate(
+        [rng.uniform(-170, 170, n // 2), rng.normal(30.0, 1.0, n - n // 2)]
+    ).clip(-179, 179)
+    rows = [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lat, lng))]
+    df = spark.createDataFrame(rows, "id long, lat double, lng double")
+    bands = [0.5, 1.5, 3.0]
+    got = {r["d"]: r for r in ripley_k(df, bands).collect()}
+
+    d2 = (lat[:, None] - lat[None, :]) ** 2 + (lng[:, None] - lng[None, :]) ** 2
+    dist = np.round(np.sqrt(d2), 6)
+    area = (lat.max() - lat.min()) * (lng.max() - lng.min())
+    for d in bands:
+        n_pairs = int((np.triu(dist <= d, k=1)).sum())
+        assert got[d]["n_pairs"] == n_pairs
+        k_hat = area * 2.0 * n_pairs / (n * (n - 1))
+        assert got[d]["k_hat"] == round(k_hat, 6)
+        assert got[d]["l_hat"] == round(math.sqrt(k_hat / math.pi), 6)
+    # the clustered half must push K above the CSR expectation pi*d^2
+    assert got[1.5]["k_hat"] > math.pi * 1.5**2
+
+
+def test_ripley_k_monotone_in_d(spark):
+    from raptor_service_spark.operators.spatial_stats import ripley_k
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (i, float(a), float(b))
+        for i, (a, b) in enumerate(
+            zip(rng.uniform(-40, 40, 300), rng.uniform(-40, 40, 300))
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lng double")
+    out = ripley_k(df, [0.5, 1.0, 2.0, 4.0]).collect()
+    ks = [r["k_hat"] for r in sorted(out, key=lambda r: r["d"])]
+    assert ks == sorted(ks)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall vs a direct python evaluation
+# ---------------------------------------------------------------------------
+
+
+def _mk_reference(series: list[int]) -> tuple[int, float]:
+    n = len(series)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += (series[j] > series[i]) - (series[j] < series[i])
+    ties: dict[int, int] = {}
+    for x in series:
+        ties[x] = ties.get(x, 0) + 1
+    tie_sum = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var = (n * (n - 1) * (2 * n + 5) - tie_sum) / 18.0
+    if var <= 0:
+        return s, 0.0
+    if s > 0:
+        return s, (s - 1) / math.sqrt(var)
+    if s < 0:
+        return s, (s + 1) / math.sqrt(var)
+    return s, 0.0
+
+
+def test_mann_kendall_matches_reference(spark):
+    from raptor_service_spark.operators.spatial_stats import mann_kendall_cells
+
+    # three cells: strictly increasing, strictly decreasing, tie-heavy flat
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    series = {
+        (45.0, 45.0): [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],   # increasing
+        (-45.0, -45.0): [10, 9, 8, 7, 6, 5, 4, 3, 2, 1], # decreasing
+        (45.0, -120.0): [3, 3, 3, 3, 3, 3, 3, 3, 3, 3],  # all tied
+    }
+    for (la, ln), xs in series.items():
+        for day, cnt in enumerate(xs):
+            for _ in range(cnt):
+                rows.append((base + dt.timedelta(days=day), la, ln))
+    df = spark.createDataFrame(rows, "ts timestamp, lat double, lng double")
+    out = {r["cell"]: r for r in mann_kendall_cells(df, res=2, min_days=8).collect()}
+    assert len(out) == 3
+
+    from raptor_service_spark.geo.grid import cell_encode_np
+
+    for (la, ln), xs in series.items():
+        cell = int(cell_encode_np(np.array([la]), np.array([ln]), 2)[0])
+        s, z = _mk_reference(xs)
+        r = out[cell]
+        assert r["s"] == s
+        assert r["mk_z"] == round(z, 6)
+        assert r["n_days"] == len(xs)
+    labels = {r["trend"] for r in out.values()}
+    assert labels == {"increasing", "decreasing", "flat"}
+
+
+def test_mann_kendall_min_days_filter(spark):
+    from raptor_service_spark.operators.spatial_stats import mann_kendall_cells
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(days=d), 10.0, 10.0) for d in range(3)]
+    df = spark.createDataFrame(rows, "ts timestamp, lat double, lng double")
+    assert mann_kendall_cells(df, res=2, min_days=8).count() == 0
