@@ -4153,6 +4153,148 @@ def _cell_pagerank_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# LISA: local Moran's I cluster/outlier map
+# ---------------------------------------------------------------------------
+
+
+def q_local_moran(spark, sf_dir):
+    """Anselin local Moran's I per occupied res-5 cell with HH/LL/HL/LH
+    quadrant labels — the per-cell decomposition of the global morans_i
+    query: where the hot clusters, cold clusters, and spatial outliers sit.
+    Same one-point-shuffle + O(cells) ring-join shape as morans_i."""
+    from raptor_service_spark.operators.spatial_stats import local_morans_i
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    return local_morans_i(
+        d.withColumn("lat", lat).withColumn("lng", lng), res=5
+    )
+
+
+def _local_moran_sql() -> str:
+    from raptor_service_spark.operators.spatial_stats import local_morans_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    return local_morans_sql("documents", lat, lng, res=5)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM perplexity quality filter (the rare-word outlier detector)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_perplexity(spark, sf_dir):
+    """Per-document unigram negative log-likelihood against the corpus's own
+    unigram model — the perplexity filter every LM data pipeline runs (docs
+    whose words are corpus-rare score high and get reviewed/dropped). Top-20
+    most-perplexing docs. Scale shape: the token stream shuffles once into
+    the corpus count agg (map-side combinable) and once joining counts back
+    token-to-token (AQE-handled; never doc x doc); the scalar total
+    broadcasts. NLL is avg(-ln p) rounded 6 dp in both engines."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    cnts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = cnts.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = (
+        toks.join(cnts, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.ln(F.col("cnt") / F.col("total"))), 6).alias("nll"),
+        )
+    )
+    return scored.orderBy(F.desc("nll"), "doc_id").limit(20)
+
+
+def _doc_perplexity_sql() -> str:
+    return """
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents),
+        cnts AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM cnts)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(-LN(cnt / total)), 6) AS nll
+        FROM toks JOIN cnts USING (w) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY nll DESC, doc_id
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# trajectory simplification: one-pass Visvalingam-Whyatt area filter
+# ---------------------------------------------------------------------------
+
+_VW_TAU = 25.0  # degree² effective-area threshold
+
+
+def q_trajectory_simplify(spark, sf_dir):
+    """Per-user trajectory simplification summary: one-pass Visvalingam-
+    Whyatt — each interior point's effective triangle area against its
+    ordered neighbors (lag/lead), dropped when below τ; endpoints always
+    survive. Output per user: point count, kept count, 6-dp compression
+    ratio. ONE window shuffle (partitionBy user, orderBy ts); the area is
+    a codegen cross product — no Python, no self-join. The iterative VW
+    refinement would re-run this pass; a single pass is the standard
+    streaming variant."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(
+        "user_id", "ts", "event_id", lat.alias("lat"), lng.alias("lng")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        pts.withColumn("lat0", F.lag("lat").over(w))
+        .withColumn("lng0", F.lag("lng").over(w))
+        .withColumn("lat2", F.lead("lat").over(w))
+        .withColumn("lng2", F.lead("lng").over(w))
+    )
+    area = F.abs(
+        (F.col("lat") - F.col("lat0")) * (F.col("lng2") - F.col("lng0"))
+        - (F.col("lat2") - F.col("lat0")) * (F.col("lng") - F.col("lng0"))
+    ) / F.lit(2.0)
+    keep = (
+        F.col("lat0").isNull() | F.col("lat2").isNull() | (area >= F.lit(_VW_TAU))
+    ).cast("int")
+    out = p.withColumn("keep", keep).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.round(F.sum("keep") / F.count(F.lit(1)), 6).alias("keep_ratio"),
+    )
+    return out.orderBy("user_id")
+
+
+def _trajectory_simplify_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    return f"""
+        WITH pts AS (SELECT user_id, ts, event_id, {lat} AS lat, {lng} AS lng
+                     FROM events),
+        p AS (SELECT user_id, lat, lng,
+                     LAG(lat)  OVER w AS lat0, LAG(lng)  OVER w AS lng0,
+                     LEAD(lat) OVER w AS lat2, LEAD(lng) OVER w AS lng2
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        k AS (SELECT user_id,
+                     CASE WHEN lat0 IS NULL OR lat2 IS NULL
+                               OR ABS((lat - lat0) * (lng2 - lng0)
+                                    - (lat2 - lat0) * (lng - lng0)) / 2.0
+                                  >= {_VW_TAU!r} THEN 1 ELSE 0 END AS keep
+              FROM p)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(keep) AS BIGINT) AS n_kept,
+               ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_ratio
+        FROM k GROUP BY user_id
+        ORDER BY user_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # end-to-end curation pipeline: quality → lang → dedup → split → stats
 # ---------------------------------------------------------------------------
 
@@ -4480,6 +4622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_explode": q_spans_explode,
         "span_dedup": q_span_dedup,
         "curation_pipeline": q_curation_pipeline,
+        "local_moran": q_local_moran,
+        "doc_perplexity": q_doc_perplexity,
+        "trajectory_simplify": q_trajectory_simplify,
         "quadkey_tiles": q_quadkey_tiles,
         "ripley_k": q_ripley_k,
         "emerging_hotspots": q_emerging_hotspots,
@@ -4562,6 +4707,9 @@ def oracle_sql() -> dict[str, str]:
         "getis_hotspots": _getis_hotspots_sql(),
         "span_dedup": _span_dedup_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
+        "local_moran": _local_moran_sql(),
+        "doc_perplexity": _doc_perplexity_sql(),
+        "trajectory_simplify": _trajectory_simplify_sql(),
         "quadkey_tiles": _quadkey_tiles_sql(),
         "ripley_k": _ripley_k_sql(),
         "emerging_hotspots": _emerging_hotspots_sql(),

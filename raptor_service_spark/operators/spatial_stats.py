@@ -425,3 +425,101 @@ def mann_kendall_sql(
         FROM j
         ORDER BY cell
     """
+
+
+# ---------------------------------------------------------------------------
+# Local Moran's I (LISA) — per-cell cluster/outlier classification
+# ---------------------------------------------------------------------------
+
+
+def local_morans_i(
+    points: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Anselin's Local Moran I_i per occupied cell, queen 1-ring weights:
+
+        I_i = (x_i - m) * sum_j w_ij (x_j - m) / (sum_k (x_k - m)^2 / n)
+
+    with the HH / LL / HL / LH quadrant label (sign of the focal deviation
+    vs the sign of the neighbor-lag sum) — the per-cell decomposition of the
+    global Moran's I above: hot clusters (HH), cold clusters (LL), and the
+    spatial OUTLIERS (HL/LH) the global statistic cannot show.
+
+    Scale shape: identical to morans_i — one point shuffle into the cell
+    counts, scalar moments broadcast back, the 8x ring join on the
+    O(occupied cells) table; all algebra codegen. Output ordered by cell.
+    """
+    cnt = _cell_counts(points, res, lat_col, lng_col)
+    stats = cnt.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.avg("x").alias("m"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("x").alias("sx"),
+    ).select(
+        "n_cells",
+        "m",
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_cells")) / F.col("n_cells")).alias(
+            "m2"
+        ),
+    )
+    lag = (
+        _ring_joined(cnt, res)
+        .groupBy("cell")
+        .agg(F.max("x").alias("x"), F.sum("nbr_x").alias("lag_sum"), F.count(F.lit(1)).alias("k"))
+    )
+    out = lag.crossJoin(F.broadcast(stats)).select(
+        "cell",
+        F.col("x").cast("long").alias("n_points"),
+        F.col("k").cast("long").alias("k_ring"),
+        F.round(
+            (F.col("x") - F.col("m"))
+            * (F.col("lag_sum") - F.col("k") * F.col("m"))
+            / F.col("m2"),
+            6,
+        ).alias("local_i"),
+        F.when(
+            (F.col("x") >= F.col("m")) & (F.col("lag_sum") >= F.col("k") * F.col("m")),
+            F.lit("HH"),
+        )
+        .when(
+            (F.col("x") < F.col("m")) & (F.col("lag_sum") < F.col("k") * F.col("m")),
+            F.lit("LL"),
+        )
+        .when(F.col("x") >= F.col("m"), F.lit("HL"))
+        .otherwise(F.lit("LH"))
+        .alias("quadrant"),
+    )
+    return out.orderBy("cell")
+
+
+def local_morans_sql(points_sql: str, lat: str, lng: str, res: int) -> str:
+    """DuckDB twin of local_morans_i."""
+    cell = cell_encode_sql(lat, lng, res)
+    nbr = kring_neighbor_sql("c.cell", res, "o.dx", "o.dy")
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _RING)
+    return f"""
+        WITH c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS DOUBLE) AS x
+                   FROM {points_sql} GROUP BY 1),
+        s AS (SELECT COUNT(*) AS n_cells, AVG(x) AS m,
+                     (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)) / COUNT(*) AS m2
+              FROM c),
+        p AS (SELECT c.cell, c.x, {nbr} AS nbr
+              FROM c CROSS JOIN (VALUES {offs}) o(dx, dy)
+              WHERE {nbr} IS NOT NULL),
+        lg AS (SELECT p.cell, MAX(p.x) AS x, SUM(c2.x) AS lag_sum,
+                      COUNT(*) AS k
+               FROM p JOIN c c2 ON p.nbr = c2.cell
+               GROUP BY p.cell)
+        SELECT lg.cell AS cell, CAST(lg.x AS BIGINT) AS n_points,
+               CAST(lg.k AS BIGINT) AS k_ring,
+               ROUND((lg.x - s.m) * (lg.lag_sum - lg.k * s.m) / s.m2, 6)
+                 AS local_i,
+               CASE WHEN lg.x >= s.m AND lg.lag_sum >= lg.k * s.m THEN 'HH'
+                    WHEN lg.x < s.m AND lg.lag_sum < lg.k * s.m THEN 'LL'
+                    WHEN lg.x >= s.m THEN 'HL'
+                    ELSE 'LH' END AS quadrant
+        FROM lg CROSS JOIN s
+        ORDER BY cell
+    """

@@ -219,3 +219,54 @@ def test_mann_kendall_min_days_filter(spark):
     rows = [(base + dt.timedelta(days=d), 10.0, 10.0) for d in range(3)]
     df = spark.createDataFrame(rows, "ts timestamp, lat double, lng double")
     assert mann_kendall_cells(df, res=2, min_days=8).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Local Moran's I (LISA)
+# ---------------------------------------------------------------------------
+
+
+def test_local_moran_matches_numpy(spark):
+    from raptor_service_spark.operators.spatial_stats import local_morans_i
+
+    df, lat, lng = _points(spark, n=1200, seed=21)
+    occ = _cell_counts(lat, lng)
+    xs = np.array(list(occ.values()))
+    m = xs.mean()
+    m2 = ((xs - m) ** 2).sum() / len(occ)
+    got = {r["cell"]: r for r in local_morans_i(df, res=RES).collect()}
+    checked = 0
+    for c, x in occ.items():
+        nbrs = [
+            occ[nb]
+            for dx, dy in _RING
+            if (nb := _nbr(c, RES, dx, dy)) is not None and nb in occ
+        ]
+        if not nbrs:
+            assert c not in got
+            continue
+        lag = sum(nbrs)
+        k = len(nbrs)
+        expect = (x - m) * (lag - k * m) / m2
+        r = got[c]
+        assert r["local_i"] == round(expect, 6)
+        if x >= m and lag >= k * m:
+            assert r["quadrant"] == "HH"
+        elif x < m and lag < k * m:
+            assert r["quadrant"] == "LL"
+        checked += 1
+    assert checked > 50
+
+
+def test_local_moran_sums_to_global(spark):
+    from raptor_service_spark.operators.spatial_stats import (
+        local_morans_i,
+        morans_i,
+    )
+
+    df, _, _ = _points(spark, n=1000, seed=31)
+    g = morans_i(df, res=RES).collect()[0]
+    local = local_morans_i(df, res=RES).collect()
+    s_local = sum(r["local_i"] for r in local)
+    # sum of LISA == global I * S0 (Anselin decomposition), up to 6-dp rounding
+    assert abs(s_local - g["morans_i"] * g["s0"]) < 2e-6 * len(local) + 1e-3

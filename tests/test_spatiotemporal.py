@@ -124,3 +124,55 @@ def test_seg_intersect_predicate_cases(spark, a, b, want):
     got = df.select(F.expr(seg_intersect_sql("a", "b")).alias("hit")).collect()[0][0]
     assert got is want
     assert _py_intersect(a, b) is want  # the python twin agrees
+
+
+# ---------------------------------------------------------------------------
+# one-pass Visvalingam-Whyatt simplification (q_trajectory_simplify kernel)
+# ---------------------------------------------------------------------------
+
+
+def test_vw_one_pass_semantics(spark):
+    """Collinear interior points (zero triangle area) drop; a sharp corner
+    and both endpoints survive — the kernel under q_trajectory_simplify."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1: straight line of 5 points (3 interior collinear -> dropped)
+    # user 2: right-angle corner with a huge triangle at index 1 -> kept
+    rows = []
+    line = [(0.0, 0.0), (0.0, 1.0), (0.0, 2.0), (0.0, 3.0), (0.0, 4.0)]
+    corner = [(0.0, 0.0), (0.0, 20.0), (20.0, 20.0)]
+    for i, (la, ln) in enumerate(line):
+        rows.append((1, base + dt.timedelta(minutes=i), i, la, ln))
+    for i, (la, ln) in enumerate(corner):
+        rows.append((2, base + dt.timedelta(minutes=i), i, la, ln))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, lat double, lng double"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tau = 25.0
+    p = (
+        df.withColumn("lat0", F.lag("lat").over(w))
+        .withColumn("lng0", F.lag("lng").over(w))
+        .withColumn("lat2", F.lead("lat").over(w))
+        .withColumn("lng2", F.lead("lng").over(w))
+    )
+    area = F.abs(
+        (F.col("lat") - F.col("lat0")) * (F.col("lng2") - F.col("lng0"))
+        - (F.col("lat2") - F.col("lat0")) * (F.col("lng") - F.col("lng0"))
+    ) / F.lit(2.0)
+    keep = (
+        F.col("lat0").isNull() | F.col("lat2").isNull() | (area >= F.lit(tau))
+    ).cast("int")
+    got = {
+        r["user_id"]: (r["n"], r["k"])
+        for r in p.withColumn("keep", keep)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("keep").alias("k"))
+        .collect()
+    }
+    assert got[1] == (5, 2)  # only the endpoints
+    assert got[2] == (3, 3)  # corner area = 200 >= tau -> all survive
