@@ -222,3 +222,69 @@ def test_activity_mask_single_distinct_agg(spark, qmap):
     plan = _plan(qmap["user_activity_mask"](spark, SF_DIR))
     assert plan.count("Exchange") <= 2
     assert "Join" not in plan
+
+
+def test_ripley_k_no_cartesian_one_pair_pass(spark, qmap):
+    """Pairs come from the grid ε-join (cell equi-join), never a cross
+    product; all bands fold into ONE aggregate over that stream."""
+    plan = _plan(qmap["ripley_k"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row stats crossJoin only
+    assert plan.count("Generate") <= 2  # the 3x3 ring explode + band explode
+
+
+def test_mann_kendall_event_rows_shuffle_once(spark, qmap):
+    """Event rows are seen by exactly one exchange (the (cell, day) cube);
+    the day-pair join runs on aggregated rows only."""
+    plan = _plan(qmap["emerging_hotspots"](spark, SF_DIR))
+    ev_scans = plan.count("Scan parquet") and [
+        s for s in plan.split("Scan parquet")[1:] if "events" in s[:300]
+    ]
+    assert ev_scans  # reads events
+    assert "partial_count" in plan  # cube agg is map-side combinable
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_one_window_one_reassembly_agg(spark, qmap):
+    plan = _plan(qmap["span_dedup"](spark, SF_DIR))
+    assert plan.count("Window") == 1
+    assert "FlatMapGroupsInPandas" not in plan  # reassembly is JVM collect_list
+    assert "CartesianProduct" not in plan
+
+
+def test_quadkey_rollup_groups_on_bigint_pair(spark, qmap):
+    """Quadkey strings are rendered after aggregation: the exchange key is
+    the (x, y) BIGINT pair, and string concat appears only above the agg."""
+    plan = _plan(qmap["quadkey_tiles"](spark, SF_DIR))
+    assert plan.count("Exchange") <= 2  # agg shuffle + final orderBy
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_single_scan_one_dedup_window(spark, qmap):
+    plan = _plan(qmap["curation_pipeline"](spark, SF_DIR))
+    # exactly one logical window (the dedup row_number), and Catalyst cuts
+    # the rank below the exchange (partial+final WindowGroupLimit)
+    assert plan.count("Window [") == 1
+    assert plan.count("WindowGroupLimit") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_local_moran_points_shuffle_once(spark, qmap):
+    plan = _plan(qmap["local_moran"](spark, SF_DIR))
+    # identical shape claim as morans_i: one partial+final count over points
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_perplexity_never_doc_by_doc(spark, qmap):
+    plan = _plan(qmap["doc_perplexity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+
+
+def test_trajectory_simplify_one_window_shuffle(spark, qmap):
+    plan = _plan(qmap["trajectory_simplify"](spark, SF_DIR))
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
