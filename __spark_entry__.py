@@ -4153,6 +4153,101 @@ def _cell_pagerank_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# MMR diversification re-rank (diversity-aware retrieval, grouped kernel)
+# ---------------------------------------------------------------------------
+
+_MMR_N, _MMR_K, _MMR_LAM = 15, 5, 0.7
+
+
+def _cos_cols(va, vb):
+    """Cosine between two vector COLUMNS — the same sequential zip_with fold
+    as functions/vector.cosine_sim_col (proven 6-dp DuckDB parity)."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(va, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(vb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def q_mmr_retrieval(spark, sf_dir):
+    """Diversity-aware retrieval: per query, top-15 cosine candidates are
+    greedily re-ranked by Maximal Marginal Relevance (k=5, λ=0.7) — relevance
+    minus redundancy against what's already picked. Relevance and pairwise
+    sims are 6-dp JVM folds; the sequential selection (inexpressible as a
+    window/join) runs as ONE grouped Arrow kernel over per-query O(N²) pair
+    rows, shuffling once on qid regardless of corpus or query count
+    (operators/mmr.py scale notes)."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.mmr import mmr_select
+
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cands = []
+    for qid, qv in (("qa", QVEC), ("qb", QVEC3)):
+        from raptor_service_spark.functions.vector import cosine_sim_col
+
+        rel = F.round(cosine_sim_col(F.col("embedding"), qv), 6)
+        cands.append(
+            e.select(
+                F.lit(qid).alias("qid"),
+                F.col("vec_id").alias("id"),
+                rel.alias("rel"),
+                F.col("embedding").alias("v"),
+            )
+            .orderBy(F.desc("rel"), F.asc("id"))
+            .limit(_MMR_N)
+        )
+    cand = cands[0].unionByName(cands[1])
+    a = cand.select("qid", F.col("id").alias("id_a"), F.col("rel").alias("rel_a"), F.col("v").alias("va"))
+    b = cand.select("qid", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, "qid").select(
+        "qid",
+        "id_a",
+        "rel_a",
+        "id_b",
+        F.round(_cos_cols(F.col("va"), F.col("vb")), 6).alias("sim"),
+    )
+    return mmr_select(pairs, k=_MMR_K, lam=_MMR_LAM)
+
+
+def _mmr_retrieval_sql() -> str:
+    from raptor_service_spark.operators.mmr import mmr_oracle_sql
+
+    qvec3_sql = "[" + ", ".join(f"{x:.6f}" for x in QVEC3) + "]"
+    cand_sql = f"""
+        SELECT qid, id, rel FROM (
+            SELECT q.qid, e.vec_id AS id,
+                   ROUND(list_cosine_similarity(
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS rel,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND(list_cosine_similarity(
+                           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                       e.vec_id) AS rn
+            FROM embeddings e
+            CROSS JOIN (VALUES ('qa', {QVEC_SQL}), ('qb', {qvec3_sql})) q(qid, qv))
+        WHERE rn <= {_MMR_N}
+    """
+    sims_sql = f"""
+        SELECT a.qid, a.id AS id_a, b.id AS id_b,
+               ROUND(list_cosine_similarity(
+                   list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(eb.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim
+        FROM cand a JOIN cand b ON a.qid = b.qid
+        JOIN embeddings ea ON ea.vec_id = a.id
+        JOIN embeddings eb ON eb.vec_id = b.id
+    """
+    return mmr_oracle_sql(cand_sql, sims_sql, k=_MMR_K, lam=_MMR_LAM)
+
+
+# ---------------------------------------------------------------------------
 # LISA: local Moran's I cluster/outlier map
 # ---------------------------------------------------------------------------
 
@@ -4623,6 +4718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "curation_pipeline": q_curation_pipeline,
         "local_moran": q_local_moran,
+        "mmr_retrieval": q_mmr_retrieval,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
         "quadkey_tiles": q_quadkey_tiles,
@@ -4708,6 +4804,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _span_dedup_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
         "local_moran": _local_moran_sql(),
+        "mmr_retrieval": _mmr_retrieval_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
         "quadkey_tiles": _quadkey_tiles_sql(),

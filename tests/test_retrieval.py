@@ -156,3 +156,58 @@ def test_multi_dataset_retrieval_isolation(spark):
                                     top_k=6, expand_k=4).collect()]
     assert rows_a == solo_rows
     both_spans.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (operators/mmr.py)
+# ---------------------------------------------------------------------------
+
+
+def _mmr_pairs(spark, rel: dict[int, float], sim: dict[tuple[int, int], float]):
+    rows = []
+    for a in rel:
+        for b in rel:
+            s = 1.0 if a == b else sim.get((a, b), sim.get((b, a), 0.0))
+            rows.append(("q1", a, rel[a], b, s))
+    return spark.createDataFrame(
+        rows, "qid string, id_a long, rel_a double, id_b long, sim double"
+    )
+
+
+def test_mmr_first_pick_is_max_relevance(spark):
+    from raptor_service_spark.operators.mmr import mmr_select
+
+    pairs = _mmr_pairs(spark, {1: 0.5, 2: 0.9, 3: 0.7}, {})
+    out = mmr_select(pairs, k=3, lam=0.7).collect()
+    assert out[0]["id"] == 2
+    assert out[0]["rank"] == 1
+    assert out[0]["mmr_score"] == round(0.7 * 0.9, 6)
+
+
+def test_mmr_penalizes_redundancy(spark):
+    from raptor_service_spark.operators.mmr import mmr_select
+
+    # 2 is most relevant; 3 is a near-duplicate of 2 with higher rel than 4;
+    # plain top-3 would be (2, 3, 4) by rel — MMR must pick diverse 4 second.
+    rel = {2: 0.9, 3: 0.85, 4: 0.6, 5: 0.3}
+    sim = {(2, 3): 0.99, (2, 4): 0.0, (3, 4): 0.0, (2, 5): 0.0, (3, 5): 0.0, (4, 5): 0.0}
+    out = mmr_select(_mmr_pairs(spark, rel, sim), k=3, lam=0.7).collect()
+    ids = [r["id"] for r in out]
+    assert ids[0] == 2
+    assert ids[1] == 4  # 0.7*0.85 - 0.3*0.99 = 0.298 < 0.7*0.6 - 0.3*0.0 = 0.42
+    assert ids[2] == 3
+
+
+def test_mmr_k_exceeding_candidates_returns_all(spark):
+    from raptor_service_spark.operators.mmr import mmr_select
+
+    out = mmr_select(_mmr_pairs(spark, {1: 0.4, 2: 0.6}, {}), k=5, lam=0.7).collect()
+    assert [r["rank"] for r in out] == [1, 2]
+    assert {r["id"] for r in out} == {1, 2}
+
+
+def test_mmr_tie_breaks_on_ascending_id(spark):
+    from raptor_service_spark.operators.mmr import mmr_select
+
+    out = mmr_select(_mmr_pairs(spark, {7: 0.5, 3: 0.5}, {}), k=2, lam=0.7).collect()
+    assert out[0]["id"] == 3
