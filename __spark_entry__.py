@@ -4153,6 +4153,81 @@ def _cell_pagerank_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# triangle counting on the OD cell graph (mobility-graph cohesion)
+# ---------------------------------------------------------------------------
+
+
+def q_od_triangles(spark, sf_dir):
+    """Per-cell triangle participation on the undirected OD graph: distinct
+    movement edges → oriented (a < b) edge list → the standard two-join
+    triangle enumeration (each triangle found exactly once as a < b < c) →
+    per-node counts. The classic graph-cohesion statistic over the same
+    mobility edges as cell_pagerank. Scale shape: event rows cross ONE
+    window shuffle into the edge agg; triangle joins run on the O(occupied
+    cells²)-bounded DISTINCT edge table — never on raw events; the a < b < c
+    orientation makes dedup free."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("cell", cell_encode_col(lat, lng, 3))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    moves = pts.withColumn("prev_cell", F.lag("cell").over(w)).filter(
+        F.col("prev_cell").isNotNull() & (F.col("prev_cell") != F.col("cell"))
+    )
+    edges = (
+        moves.select(
+            F.least("prev_cell", "cell").alias("a"),
+            F.greatest("prev_cell", "cell").alias("b"),
+        )
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e1.b") == F.col("e2.a")))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("cell")
+    )
+
+
+def _od_triangles_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH pts AS (SELECT user_id, ts, event_id, {cell} AS cell FROM events),
+        mv AS (SELECT cell, LAG(cell) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_cell
+               FROM pts),
+        edges AS (SELECT DISTINCT LEAST(prev_cell, cell) AS a,
+                                  GREATEST(prev_cell, cell) AS b
+                  FROM mv WHERE prev_cell IS NOT NULL AND prev_cell != cell),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM edges e1
+                JOIN edges e2 ON e1.b = e2.a
+                JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT cell, COUNT(*) AS n_triangles
+        FROM (SELECT x AS cell FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY cell
+        ORDER BY cell
+    """
+
+
+# ---------------------------------------------------------------------------
 # MMR diversification re-rank (diversity-aware retrieval, grouped kernel)
 # ---------------------------------------------------------------------------
 
@@ -4719,6 +4794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "local_moran": q_local_moran,
         "mmr_retrieval": q_mmr_retrieval,
+        "od_triangles": q_od_triangles,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
         "quadkey_tiles": q_quadkey_tiles,
@@ -4805,6 +4881,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_pipeline_sql(),
         "local_moran": _local_moran_sql(),
         "mmr_retrieval": _mmr_retrieval_sql(),
+        "od_triangles": _od_triangles_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
         "quadkey_tiles": _quadkey_tiles_sql(),

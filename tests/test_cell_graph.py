@@ -94,3 +94,36 @@ def test_pagerank_matches_numpy(spark):
     # total rank stays <= 1 (dangling leak) and ranks discriminate
     assert sum(got.values()) <= 1.0 + 1e-6
     assert len(set(got.values())) > 5
+
+
+# ---------------------------------------------------------------------------
+# triangle enumeration (q_od_triangles kernel): a<b<c finds each exactly once
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_enumeration_counts(spark):
+    from pyspark.sql import functions as F
+
+    # K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant 4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "a long, b long",
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    rows = tri.collect()
+    assert len(rows) == 4  # C(4,3) triangles in K4, each exactly once
+    for r in rows:
+        assert r["x"] < r["y"] < r["z"]
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("n"))
+        .groupBy("n")
+        .count()
+        .collect()
+    )
+    got = {r["n"]: r["count"] for r in per_node}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # node 5 in none
