@@ -4153,6 +4153,29 @@ def _cell_pagerank_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# sorted-neighborhood dedup (the record-linkage classic, 6th dedup family)
+# ---------------------------------------------------------------------------
+
+
+def q_snm_pairs(spark, sf_dir):
+    """Blocked sorted-neighborhood near-dup join over the duplicated corpus:
+    sort by normalized text key per block, compare each record with its 3
+    successors only (O(n·w) candidates — no hashing, no inverted index),
+    exact word-set Jaccard >= 0.6 verify. Twin docs have identical keys, so
+    they are adjacent and surface at jaccard 1.0
+    (operators/dedup.py:snm_pairs scale + miss-model notes)."""
+    from raptor_service_spark.operators.dedup import snm_pairs
+
+    return snm_pairs(_docs_with_dups(spark, sf_dir), window=3, threshold=0.6)
+
+
+def _snm_pairs_sql() -> str:
+    from raptor_service_spark.operators.dedup import snm_pairs_sql
+
+    return snm_pairs_sql(_DOCS_WITH_DUPS_SQL, window=3, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
 # triangle counting on the OD cell graph (mobility-graph cohesion)
 # ---------------------------------------------------------------------------
 
@@ -4795,6 +4818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_moran": q_local_moran,
         "mmr_retrieval": q_mmr_retrieval,
         "od_triangles": q_od_triangles,
+        "snm_pairs": q_snm_pairs,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
         "quadkey_tiles": q_quadkey_tiles,
@@ -4882,6 +4906,7 @@ def oracle_sql() -> dict[str, str]:
         "local_moran": _local_moran_sql(),
         "mmr_retrieval": _mmr_retrieval_sql(),
         "od_triangles": _od_triangles_sql(),
+        "snm_pairs": _snm_pairs_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
         "quadkey_tiles": _quadkey_tiles_sql(),

@@ -79,6 +79,18 @@ HEADLINE = [
     "cell_pagerank",
     "cell_trend_slope",
     "doc_stratified_sample",
+    # session-4 additions: point-pattern stats, sub-document dedup,
+    # mercator tiling, curation composition, and diversity re-rank
+    "ripley_k",
+    "emerging_hotspots",
+    "local_moran",
+    "span_dedup",
+    "quadkey_tiles",
+    "curation_pipeline",
+    "doc_perplexity",
+    "trajectory_simplify",
+    "mmr_retrieval",
+    "od_triangles",
 ]
 
 SEED = 77

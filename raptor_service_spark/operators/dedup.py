@@ -911,3 +911,114 @@ def span_dedup_sql(docs_sql: str, span_words: int = 10) -> str:
                                    ORDER BY idx), '') AS kept_text
         FROM r GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# blocked sorted-neighborhood (SNM) dedup — the record-linkage classic
+# ---------------------------------------------------------------------------
+
+
+def snm_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    threshold: float = 0.6,
+    block_chars: int = 8,
+) -> DataFrame:
+    """Blocked sorted-neighborhood near-dup join (Hernández-Stolfo SNM):
+    sort records by a normalized key, compare each record only against its
+    ``window`` successors in that order, verify candidates with exact
+    word-set Jaccard >= threshold.
+
+    The block = the key's first ``block_chars`` chars, so the sort + window
+    run PER BLOCK (one shuffle, no single-reducer global window). Like all
+    blocked SNM, a near-dup pair whose keys differ within the block prefix
+    is missed — the standard multi-pass answer is a second key; here the
+    MinHash/SimHash/ngram families cover that, and SNM contributes the
+    cheap O(n·w) candidate pass sharing none of their hashing cost.
+
+    Scale shape at 100 TB: ONE shuffle partitioned by block (skew bound =
+    block size, itself bounded by key-prefix cardinality over the data);
+    candidate count is exactly n·window rows; Jaccard verify is array
+    intersect/union on the two word sets in codegen. Output: (doc_a, doc_b,
+    jaccard) with doc_a < doc_b numerically when ids collide in key order,
+    6-dp rounded.
+    """
+    key = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        key.alias("k"),
+        F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "ws"
+        ),
+    ).withColumn("blk", F.substring("k", 1, block_chars))
+    w = Window.partitionBy("blk").orderBy("k", "id")
+    lagged = base.select(
+        "id",
+        "ws",
+        *[
+            F.lag(F.struct("id", "ws"), off).over(w).alias(f"p{off}")
+            for off in range(1, window + 1)
+        ],
+    )
+    pairs = lagged.select(
+        "id",
+        "ws",
+        F.explode(
+            F.filter(
+                F.array(*[F.col(f"p{off}") for off in range(1, window + 1)]),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("p"),
+    )
+    inter = F.size(F.array_intersect(F.col("ws"), F.col("p.ws")))
+    union = F.size("ws") + F.size("p.ws") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        pairs.select(
+            F.least(F.col("p.id"), F.col("id")).alias("doc_a"),
+            F.greatest(F.col("p.id"), F.col("id")).alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def snm_pairs_sql(
+    docs_sql: str,
+    window: int = 3,
+    threshold: float = 0.6,
+    block_chars: int = 8,
+) -> str:
+    """DuckDB twin of snm_pairs (same key, same block, same lags)."""
+    lags = ",\n                     ".join(
+        f"LAG(struct_pack(id := id, ws := ws), {off}) OVER "
+        f"(PARTITION BY blk ORDER BY k, id) AS p{off}"
+        for off in range(1, window + 1)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT id, ws, p{off} AS p FROM lagged WHERE p{off} IS NOT NULL"
+        for off in range(1, window + 1)
+    )
+    jac = (
+        "ROUND(CAST(len(list_intersect(ws, p.ws)) AS DOUBLE) / "
+        "(len(ws) + len(p.ws) - len(list_intersect(ws, p.ws))), 6)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id AS id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS k,
+                   list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ws
+            FROM {docs_sql}),
+        blocked AS (SELECT *, substr(k, 1, {block_chars}) AS blk FROM base),
+        lagged AS (SELECT id, ws,
+                     {lags}
+                   FROM blocked),
+        cand AS ({branches})
+        SELECT DISTINCT LEAST(p.id, id) AS doc_a, GREATEST(p.id, id) AS doc_b,
+               {jac} AS jaccard
+        FROM cand
+        WHERE {jac} >= CAST({threshold!r} AS DOUBLE)
+    """

@@ -348,3 +348,57 @@ def test_span_dedup_keeps_first_occurrence_order(spark):
     assert out[3]["n_kept"] == out[3]["n_spans"]
     assert out[5]["n_kept"] == out[5]["n_spans"] - 1
     assert not out[5]["kept_text"].startswith(shared)
+
+
+# ---------------------------------------------------------------------------
+# blocked sorted-neighborhood (SNM)
+# ---------------------------------------------------------------------------
+
+
+def test_snm_finds_adjacent_near_dups(spark):
+    from raptor_service_spark.operators.dedup import snm_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry date elderberry fig grape"),
+            (2, "apple banana cherry date elderberry fig grape"),   # exact dup
+            (3, "apple banana cherry date elderberry fig zebra"),   # near dup
+            (4, "zzz completely unrelated words nothing shared at"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in snm_pairs(docs, window=3, threshold=0.6).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.6 <= got[(1, 3)] < 1.0
+    assert not any(4 in p for p in got)
+
+
+def test_snm_candidates_bounded_by_window(spark):
+    from raptor_service_spark.operators.dedup import snm_pairs
+
+    # 5 identical docs: window=1 compares only adjacent pairs in key order,
+    # so exactly 4 pairs surface (not C(5,2)=10)
+    docs = spark.createDataFrame(
+        [(i, "same same same same same") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = snm_pairs(docs, window=1, threshold=0.9).collect()
+    assert len(out) == 4
+
+
+def test_snm_block_prefix_miss_is_documented_semantics(spark):
+    from raptor_service_spark.operators.dedup import snm_pairs
+
+    # identical tails but different FIRST words -> different blocks -> the
+    # designed miss (multi-pass / hash families cover it)
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaa shared tail words one two three four"),
+            (2, "zzzzzzzzzz shared tail words one two three four"),
+        ],
+        "doc_id long, text string",
+    )
+    assert snm_pairs(docs, window=3, threshold=0.5).count() == 0
