@@ -3503,6 +3503,60 @@ def _zorder_layout_sql() -> str:
     """
 
 
+def q_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve data layout audit — the locality-superior sibling of
+    `q_zorder_layout` (same res-8 grid, same 4096-code buckets) for the
+    OPTIMIZE-by-curve write recipe. Unlike Morton, EVERY consecutive pair of
+    Hilbert codes is a grid-adjacent cell (verified exhaustively in
+    tests/test_geo.py), so bucket bounding boxes have no seam jumps. The
+    whole encode is one codegen Project (order=8 levels of +,*,floor,%
+    CASE arithmetic, shared verbatim with the DuckDB oracle); the audit is
+    one partial+final agg — zero extra shuffles at 100 TB."""
+    from raptor_service_spark.geo.hilbert import hilbert_withcolumns
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    n = 256
+    x = F.least(
+        F.greatest(F.floor((lng + 180.0) / 360.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    y = F.least(
+        F.greatest(F.floor((lat + 90.0) / 180.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    pts = hilbert_withcolumns(d.select(x.alias("x"), y.alias("y")), 8)
+    return (
+        pts.select("x", "y", F.floor(F.col("hd") / F.lit(4096)).cast("long").alias("hbucket"))
+        .groupBy("hbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+def _hilbert_layout_sql() -> str:
+    from raptor_service_spark.geo.hilbert import hilbert_sql_chain
+
+    lat, lng = _latlng_sql("doc_id")
+    n = 256
+    x = f"LEAST(GREATEST(CAST(FLOOR(({lng} + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
+    y = f"LEAST(GREATEST(CAST(FLOOR(({lat} + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1})"
+    chain = hilbert_sql_chain(8, f"(SELECT {x} AS x, {y} AS y FROM documents)")
+    return f"""
+        WITH {chain}
+        SELECT CAST(FLOOR(hd / 4096) AS BIGINT) AS hbucket,
+               COUNT(*) AS n_docs,
+               MIN(x) AS min_x, MAX(x) AS max_x,
+               MIN(y) AS min_y, MAX(y) AS max_y
+        FROM h GROUP BY 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # movement compass rose: octant histogram of per-user displacement vectors
 # ---------------------------------------------------------------------------
@@ -4747,6 +4801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_users": q_similar_users,
         "doc_boilerplate": q_doc_boilerplate,
         "zorder_layout": q_zorder_layout,
+        "hilbert_layout": q_hilbert_layout,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -4915,6 +4970,7 @@ def oracle_sql() -> dict[str, str]:
         "similar_users": _similar_users_sql(),
         "doc_boilerplate": _doc_boilerplate_sql(),
         "zorder_layout": _zorder_layout_sql(),
+        "hilbert_layout": _hilbert_layout_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

@@ -167,3 +167,42 @@ def test_xy_decode():
     res, x, y = cell_xy_np(cells)
     recon = res * 2**54 + y * (np.int64(1) << 11) + x
     assert (recon == cells).all()
+
+
+def test_hilbert_bijection_and_adjacency(spark):
+    """Exhaustive order-4 check of the shared-arithmetic Hilbert encode: the
+    256 cells map to a permutation of 0..255 AND every consecutive pair of
+    codes is a grid-adjacent cell (Manhattan distance 1) — the locality
+    property Morton lacks and the reason the layout audit exists."""
+    from raptor_service_spark.geo.hilbert import hilbert_withcolumns
+
+    n = 16
+    pdf = spark.createDataFrame(
+        [(i % n, i // n) for i in range(n * n)], "x int, y int"
+    )
+    rows = hilbert_withcolumns(pdf, 4).orderBy("hd").collect()
+    codes = [r.hd for r in rows]
+    assert sorted(codes) == list(range(n * n))
+    for a, b in zip(rows, rows[1:]):
+        assert abs(a.x - b.x) + abs(a.y - b.y) == 1
+
+
+def test_hilbert_spark_duckdb_parity(spark):
+    """Same codes from the Spark column chain and the DuckDB CTE chain."""
+    from raptor_service_spark.geo.hilbert import hilbert_sql_chain, hilbert_withcolumns
+
+    n = 32
+    pdf = spark.createDataFrame(
+        [(i % n, (i * 7) % n) for i in range(n * n)], "x int, y int"
+    )
+    got = {
+        (r.x, r.y): r.hd for r in hilbert_withcolumns(pdf, 5).collect()
+    }
+    chain = hilbert_sql_chain(
+        5, f"(SELECT (i % {n}) AS x, ((i * 7) % {n}) AS y FROM range({n * n}) t(i))"
+    )
+    want = {
+        (x, y): hd
+        for x, y, hd in duckdb.sql(f"WITH {chain} SELECT x, y, hd FROM h").fetchall()
+    }
+    assert got == want

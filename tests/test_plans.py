@@ -188,6 +188,15 @@ def test_zorder_layout_single_exchange_pure_codegen(spark, qmap):
     assert "Generate" not in plan and "Join" not in plan
 
 
+def test_hilbert_layout_single_exchange_pure_codegen(spark, qmap):
+    """The 8-level Hilbert rotate-reflect chain flattens into codegen
+    Projects: one partial+final agg, no generator, no join, no fallback."""
+    plan = _plan(qmap["hilbert_layout"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "Generate" not in plan and "Join" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
 def test_colocation_no_cartesian_composite_key_join(spark, qmap):
     """Contact join: candidates come from the (cell, bucket) equi-join —
     never a cross product; the ring/bucket Generate feeds the join."""
