@@ -3557,6 +3557,54 @@ def _hilbert_layout_sql() -> str:
     """
 
 
+def q_hex_density(spark, sf_dir):
+    """H3-style hexagonal density map: docs are binned into 0.5-degree
+    pointy-top hexes (axial coords via the cube-round walk, `geo/hexgrid.py`
+    — shared arithmetic with the oracle), counted per hex, and the top-20
+    densest hexes report their integer hex-ring distance from the global
+    peak. Scale shape: encode is a codegen Project; the density map is one
+    partial+final agg on (hq, hr); the peak is a 1-row broadcast (the hex
+    table is O(occupied hexes), never O(rows))."""
+    from raptor_service_spark.geo.hexgrid import hex_dist_sql, hex_withcolumns
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.select(lng.alias("x"), lat.alias("y"))
+    hexes = (
+        hex_withcolumns(pts, 0.5, "x", "y")
+        .groupBy("hq", "hr")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    peak = (
+        hexes.orderBy(F.desc("n_docs"), "hq", "hr")
+        .limit(1)
+        .select(F.col("hq").alias("pq"), F.col("hr").alias("pr"))
+    )
+    dist = hex_dist_sql("hq", "hr", "pq", "pr")
+    return (
+        hexes.join(F.broadcast(peak))
+        .select("hq", "hr", "n_docs", F.expr(dist).alias("ring_from_peak"))
+        .orderBy(F.desc("n_docs"), "hq", "hr")
+        .limit(20)
+    )
+
+
+def _hex_density_sql() -> str:
+    from raptor_service_spark.geo.hexgrid import hex_cte_sql, hex_dist_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    chain = hex_cte_sql(f"(SELECT {lng} AS x, {lat} AS y FROM documents)", 0.5, "x", "y")
+    dist = hex_dist_sql("hq", "hr", "pq", "pr")
+    return f"""
+        WITH {chain},
+        c AS (SELECT hq, hr, COUNT(*) AS n_docs FROM hx GROUP BY 1, 2),
+        p AS (SELECT hq AS pq, hr AS pr FROM c ORDER BY n_docs DESC, hq, hr LIMIT 1)
+        SELECT hq, hr, n_docs, {dist} AS ring_from_peak
+        FROM c CROSS JOIN p
+        ORDER BY n_docs DESC, hq, hr LIMIT 20
+    """
+
+
 # ---------------------------------------------------------------------------
 # movement compass rose: octant histogram of per-user displacement vectors
 # ---------------------------------------------------------------------------
@@ -4802,6 +4850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate": q_doc_boilerplate,
         "zorder_layout": q_zorder_layout,
         "hilbert_layout": q_hilbert_layout,
+        "hex_density": q_hex_density,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -4971,6 +5020,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate": _doc_boilerplate_sql(),
         "zorder_layout": _zorder_layout_sql(),
         "hilbert_layout": _hilbert_layout_sql(),
+        "hex_density": _hex_density_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

@@ -206,3 +206,56 @@ def test_hilbert_spark_duckdb_parity(spark):
         for x, y, hd in duckdb.sql(f"WITH {chain} SELECT x, y, hd FROM h").fetchall()
     }
     assert got == want
+
+
+def test_hex_binning_nearest_center_property(spark):
+    """Each point's assigned hex center is at least as close as all six
+    1-ring neighbor centers — the defining Voronoi property of hex binning
+    (checked with a strict margin to dodge float-ambiguous boundaries)."""
+    from raptor_service_spark.geo.hexgrid import hex_withcolumns
+
+    size = 0.5
+    pdf = spark.createDataFrame(
+        [
+            (((i * 2654435761) % 100000) / 2500.0 - 20, ((i * 40503) % 100000) / 2500.0 - 20)
+            for i in range(4000)
+        ],
+        "x double, y double",
+    )
+    rows = hex_withcolumns(pdf, size, "x", "y").collect()
+    s3 = 1.7320508075688772
+    for r in rows:
+        cx = size * s3 * (r.hq + r.hr / 2.0)
+        cy = size * 1.5 * r.hr
+        own = (r.x - cx) ** 2 + (r.y - cy) ** 2
+        for dq, dr in ((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)):
+            nx = size * s3 * (r.hq + dq + (r.hr + dr) / 2.0)
+            ny = size * 1.5 * (r.hr + dr)
+            assert own <= (r.x - nx) ** 2 + (r.y - ny) ** 2 + 1e-12
+
+
+def test_hex_binning_spark_duckdb_parity(spark):
+    from raptor_service_spark.geo.hexgrid import hex_cte_sql, hex_withcolumns
+
+    src = (
+        "(SELECT ((i*2654435761 % 100000) / 2500.0 - 20) AS x, "
+        "((i*40503 % 100000) / 2500.0 - 20) AS y FROM range(4000) t(i))"
+    )
+    want = {
+        (x, y): (q, r)
+        for x, y, q, r in duckdb.sql(
+            f"WITH {hex_cte_sql(src, 0.5, 'x', 'y')} SELECT x, y, hq, hr FROM hx"
+        ).fetchall()
+    }
+    pdf = spark.createDataFrame(
+        [
+            (((i * 2654435761) % 100000) / 2500.0 - 20, ((i * 40503) % 100000) / 2500.0 - 20)
+            for i in range(4000)
+        ],
+        "x double, y double",
+    )
+    got = {
+        (r.x, r.y): (r.hq, r.hr)
+        for r in hex_withcolumns(pdf, 0.5, "x", "y").collect()
+    }
+    assert got == want

@@ -197,6 +197,15 @@ def test_hilbert_layout_single_exchange_pure_codegen(spark, qmap):
     assert plan.count("HashAggregate") == 2  # partial + final
 
 
+def test_hex_density_agg_then_broadcast_peak(spark, qmap):
+    """Hex encode is a codegen Project; density is one partial+final agg;
+    the 1-row peak joins by broadcast — never a sort-merge join."""
+    plan = _plan(qmap["hex_density"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_colocation_no_cartesian_composite_key_join(spark, qmap):
     """Contact join: candidates come from the (cell, bucket) equi-join —
     never a cross product; the ring/bucket Generate feeds the join."""
