@@ -3605,6 +3605,50 @@ def _hex_density_sql() -> str:
     """
 
 
+def q_geohash_coverage(spark, sf_dir):
+    """Geohash coverage map (ST_GeoHash analog): docs are geohash6-encoded
+    (base32 via pure-arithmetic bit interleave, `geo/geohash.py`, verified
+    char-exact against the canonical subdivision algorithm), then rolled up
+    by their geohash4 prefix — prefix truncation IS spatial containment, so
+    this is the layout/bbox-predicate story in string form. Top-30 prefixes
+    report doc count and distinct-gh6 sub-cell coverage. One codegen Project
+    + one agg (count-distinct expands to the standard two-phase plan)."""
+    from raptor_service_spark.geo.geohash import geohash_withcolumn
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = geohash_withcolumn(
+        d.select(lat.alias("glat"), lng.alias("glng")), "glat", "glng", "gh6", 6
+    )
+    return (
+        pts.groupBy(F.substring("gh6", 1, 4).alias("gh4"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("gh6").alias("n_gh6"),
+        )
+        .orderBy(F.desc("n_docs"), "gh4")
+        .limit(30)
+    )
+
+
+def _geohash_coverage_sql() -> str:
+    from raptor_service_spark.geo.geohash import geohash_cte_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    chain = geohash_cte_sql(
+        f"(SELECT {lat} AS glat, {lng} AS glng FROM documents)",
+        "glat", "glng", "gh6", 6,
+    )
+    return f"""
+        WITH {chain}
+        SELECT SUBSTRING(gh6, 1, 4) AS gh4,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT gh6) AS n_gh6
+        FROM gh GROUP BY 1
+        ORDER BY n_docs DESC, gh4 LIMIT 30
+    """
+
+
 # ---------------------------------------------------------------------------
 # movement compass rose: octant histogram of per-user displacement vectors
 # ---------------------------------------------------------------------------
@@ -4851,6 +4895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "hilbert_layout": q_hilbert_layout,
         "hex_density": q_hex_density,
+        "geohash_coverage": q_geohash_coverage,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5021,6 +5066,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _zorder_layout_sql(),
         "hilbert_layout": _hilbert_layout_sql(),
         "hex_density": _hex_density_sql(),
+        "geohash_coverage": _geohash_coverage_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

@@ -259,3 +259,81 @@ def test_hex_binning_spark_duckdb_parity(spark):
         for r in hex_withcolumns(pdf, 0.5, "x", "y").collect()
     }
     assert got == want
+
+
+def _ref_geohash(lat: float, lng: float, chars: int) -> str:
+    """Canonical binary-subdivision geohash (the public-domain definition)."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi, lng_lo, lng_hi = -90.0, 90.0, -180.0, 180.0
+    bits, out, even, ch = 0, [], True, 0
+    while len(out) < chars:
+        if even:
+            mid = (lng_lo + lng_hi) / 2
+            if lng >= mid:
+                ch, lng_lo = ch * 2 + 1, mid
+            else:
+                ch, lng_hi = ch * 2, mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch, lat_lo = ch * 2 + 1, mid
+            else:
+                ch, lat_hi = ch * 2, mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(alphabet[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_matches_canonical_subdivision(spark):
+    """The arithmetic interleave must be char-exact vs the textbook
+    algorithm — including the classic (57.64911, 10.40744) -> u4pruy."""
+    from raptor_service_spark.geo.geohash import geohash_withcolumn
+
+    assert _ref_geohash(57.64911, 10.40744, 6) == "u4pruy"
+    pts = [
+        (((i * 2654435761) % 171000) / 1000.0 - 85.5,
+         ((i * 40503) % 359000) / 1000.0 - 179.5)
+        for i in range(3000)
+    ] + [(57.64911, 10.40744), (-90.0, -180.0), (89.999, 179.999), (0.0, 0.0)]
+    pdf = spark.createDataFrame(pts, "glat double, glng double")
+    rows = geohash_withcolumn(pdf, "glat", "glng", "gh6", 6).collect()
+    for r in rows:
+        assert r.gh6 == _ref_geohash(r.glat, r.glng, 6)
+
+
+def test_geohash_spark_duckdb_parity_and_prefix_property(spark):
+    from raptor_service_spark.geo.geohash import geohash_cte_sql, geohash_withcolumn
+
+    src = (
+        "(SELECT ((i*2654435761 % 171000) / 1000.0 - 85.5) AS glat, "
+        "((i*40503 % 359000) / 1000.0 - 179.5) AS glng FROM range(2000) t(i))"
+    )
+    want = {
+        (la, ln): g
+        for la, ln, g in duckdb.sql(
+            f"WITH {geohash_cte_sql(src, 'glat', 'glng', 'gh6', 6)} "
+            "SELECT glat, glng, gh6 FROM gh"
+        ).fetchall()
+    }
+    pdf = spark.createDataFrame(
+        [
+            (((i * 2654435761) % 171000) / 1000.0 - 85.5,
+             ((i * 40503) % 359000) / 1000.0 - 179.5)
+            for i in range(2000)
+        ],
+        "glat double, glng double",
+    )
+    got4 = {}
+    got = {}
+    df6 = geohash_withcolumn(pdf, "glat", "glng", "gh6", 6)
+    df46 = geohash_withcolumn(df6, "glat", "glng", "gh4", 4)
+    for r in df46.collect():
+        got[(r.glat, r.glng)] = r.gh6
+        got4[(r.glat, r.glng)] = r.gh4
+    assert got == want
+    # prefix truncation == coarser geohash (spatial containment)
+    for k, g6 in got.items():
+        assert g6[:4] == got4[k]
