@@ -3649,6 +3649,30 @@ def _geohash_coverage_sql() -> str:
     """
 
 
+def q_kmeans_geo(spark, sf_dir):
+    """Deterministic Lloyd's k-means (k=8, 4 rounds) over doc (lng, lat)
+    points — the iterative-ML dataflow check alongside PageRank. The engine
+    path is the MLlib recipe: O(k) centroids on the driver, each round ONE
+    codegen argmin projection over the points (no join, no point shuffle)
+    + a partial+final agg to k rows; the oracle unrolls the same rounds as
+    CTEs with per-round 9 dp centroid rounding (cross-engine determinism,
+    PageRank precedent). See `operators/clustering.py`."""
+    from raptor_service_spark.operators.clustering import kmeans
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.select(F.col("doc_id").alias("id"), lng.alias("x"), lat.alias("y"))
+    return kmeans(pts, k=8, n_iters=4)
+
+
+def _kmeans_geo_sql() -> str:
+    from raptor_service_spark.operators.clustering import kmeans_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    src = f"(SELECT doc_id AS id, {lng} AS x, {lat} AS y FROM documents)"
+    return kmeans_sql(src, k=8, n_iters=4)
+
+
 # ---------------------------------------------------------------------------
 # movement compass rose: octant histogram of per-user displacement vectors
 # ---------------------------------------------------------------------------
@@ -4896,6 +4920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout": q_hilbert_layout,
         "hex_density": q_hex_density,
         "geohash_coverage": q_geohash_coverage,
+        "kmeans_geo": q_kmeans_geo,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5067,6 +5092,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_layout": _hilbert_layout_sql(),
         "hex_density": _hex_density_sql(),
         "geohash_coverage": _geohash_coverage_sql(),
+        "kmeans_geo": _kmeans_geo_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),
