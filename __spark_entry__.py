@@ -4236,6 +4236,48 @@ def _traj_crossings_sql() -> str:
     )
 
 
+_SNAP_SPAN, _SNAP_DIST, _SNAP_RES = 30.0, 5.0, 4
+
+
+def q_snap_points(spark, sf_dir):
+    """Map-matching primitive: snap each ping of one user cohort (user_id %
+    5 == 1) to the nearest trajectory segment of another (user_id % 5 == 3)
+    within 5 degrees — clamped point-to-line projection as ONE shared
+    arithmetic string. Candidates via max_dist-expanded cover cells (each
+    point has one cell, so pairs never duplicate and the per-point argmin
+    is a plain struct-min agg); the exhaustive-join oracle proves the
+    candidacy complete. See `operators/spatiotemporal.py`."""
+    from raptor_service_spark.operators.spatiotemporal import (
+        snap_to_segments,
+        user_segments,
+    )
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    roads = ev.filter(F.col("user_id") % 5 == 3).withColumn("lat", lat).withColumn("lng", lng)
+    segs = user_segments(roads, max_span=_SNAP_SPAN)
+    pts = (
+        ev.filter(F.col("user_id") % 5 == 1)
+        .select(F.col("event_id").alias("pid"), lng.alias("px"), lat.alias("py"))
+    )
+    return snap_to_segments(pts, segs, res=_SNAP_RES, max_dist=_SNAP_DIST)
+
+
+def _snap_points_sql() -> str:
+    from raptor_service_spark.operators.spatiotemporal import snap_to_segments_sql
+
+    lat, lng = _latlng_sql("event_id")
+    return snap_to_segments_sql(
+        points_sql=f"(SELECT event_id AS pid, {lng} AS px, {lat} AS py "
+        "FROM events WHERE user_id % 5 = 1)",
+        events_sql="(SELECT * FROM events WHERE user_id % 5 = 3) ev",
+        max_span=_SNAP_SPAN,
+        max_dist=_SNAP_DIST,
+        lat_expr=lat,
+        lng_expr=lng,
+    )
+
+
 # ---------------------------------------------------------------------------
 # cell-graph algorithms: BFS isochrone, PageRank (operators/cell_graph.py)
 # ---------------------------------------------------------------------------
@@ -4921,6 +4963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_density": q_hex_density,
         "geohash_coverage": q_geohash_coverage,
         "kmeans_geo": q_kmeans_geo,
+        "snap_points": q_snap_points,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5093,6 +5136,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_density": _hex_density_sql(),
         "geohash_coverage": _geohash_coverage_sql(),
         "kmeans_geo": _kmeans_geo_sql(),
+        "snap_points": _snap_points_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

@@ -322,3 +322,126 @@ def segment_crossings_sql(events_sql: str, max_span: float, lat_expr: str, lng_e
         FROM j WHERE d1 * d2 <= 0 AND d3 * d4 <= 0
         GROUP BY 1, 2
     """
+
+
+# Point-to-segment squared distance over columns (px, py, x1, y1, x2, y2):
+# project the point onto the segment's support line, clamp the parameter to
+# [0, 1], measure to the clamped foot. One string shared verbatim by Spark
+# F.expr and the DuckDB oracle — parity by construction. The projection
+# parameter is repeated textually (2x) rather than materialized; the tree
+# stays small enough for codegen.
+def point_seg_d2_sql() -> str:
+    vx, vy = "(x2 - x1)", "(y2 - y1)"
+    tr = (
+        f"(((px - x1) * {vx} + (py - y1) * {vy}) "
+        f"/ ({vx} * {vx} + {vy} * {vy}))"
+    )
+    t = f"LEAST(GREATEST({tr}, CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE))"
+    dx = f"(px - (x1 + {t} * {vx}))"
+    dy = f"(py - (y1 + {t} * {vy}))"
+    return f"({dx} * {dx} + {dy} * {dy})"
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segs: DataFrame,
+    res: int,
+    max_dist: float,
+) -> DataFrame:
+    """Map-matching primitive: snap each point to its nearest segment
+    within ``max_dist`` degrees (Euclidean point-to-segment distance).
+
+    ``points``: (pid, px, py); ``segs``: (uid, x1, y1, x2, y2) — e.g. from
+    `user_segments`, which already drops zero-length segments (the d2
+    formula divides by the segment's squared length).
+
+    Candidates: each segment explodes to the cover cells of its bbox
+    EXPANDED by max_dist (Euclidean distance dominates per-axis distance,
+    so every point within max_dist shares a cell — candidacy is complete);
+    each point maps to its ONE cell, so a (point, segment) pair appears at
+    most once and the per-point argmin needs no dedup. One cell equi-join
+    is the only data shuffle; refine + argmin are codegen + one partial+
+    final agg (min over the lexicographic (d2, uid, x1, y1, x2, y2) struct
+    — deterministic tie-break).
+
+    Output: (pid, uid, d2) with d2 rounded to 9 dp AFTER the argmin.
+    """
+    n = 2**res
+    cov = segs.select(
+        "uid",
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+        F.explode(
+            cover_cells_col(
+                F.least("y1", "y2") - F.lit(max_dist),
+                F.greatest("y1", "y2") + F.lit(max_dist),
+                F.least("x1", "x2") - F.lit(max_dist),
+                F.greatest("x1", "x2") + F.lit(max_dist),
+                res,
+            )
+        ).alias("cell"),
+    )
+    pc = points.select(
+        "pid",
+        "px",
+        "py",
+        (
+            F.lit(res * RES_MULTIPLIER)
+            + _ycol(F.col("py"), res) * F.lit(n)
+            + _xcol(F.col("px"), res)
+        ).alias("cell"),
+    )
+    cand = (
+        pc.join(cov, "cell")
+        .withColumn("d2", F.expr(point_seg_d2_sql()))
+        .filter(F.col("d2") <= F.lit(max_dist * max_dist))
+    )
+    return (
+        cand.groupBy("pid")
+        .agg(F.min(F.struct("d2", "uid", "x1", "y1", "x2", "y2")).alias("m"))
+        .select(
+            "pid",
+            F.col("m.uid").alias("uid"),
+            F.round(F.col("m.d2"), 9).alias("d2"),
+        )
+    )
+
+
+def snap_to_segments_sql(
+    points_sql: str,
+    events_sql: str,
+    max_span: float,
+    max_dist: float,
+    lat_expr: str,
+    lng_expr: str,
+) -> str:
+    """Brute-force DuckDB twin: same window segment build, exhaustive
+    point x segment join with the SAME d2 string, same (d2, uid, …)
+    argmin — equality proves the expanded-cover candidacy is complete.
+    ``points_sql`` must yield (pid, px, py)."""
+    d2 = point_seg_d2_sql()
+    md2 = repr(max_dist * max_dist)
+    return f"""
+        WITH p AS (SELECT user_id AS uid, ts, event_id,
+                          {lng_expr} AS x, {lat_expr} AS y
+                   FROM {events_sql}),
+        s AS (SELECT uid, x AS x2, y AS y2,
+                     LAG(x) OVER w AS x1, LAG(y) OVER w AS y1
+              FROM p WINDOW w AS (PARTITION BY uid ORDER BY ts, event_id)),
+        g AS MATERIALIZED (SELECT * FROM s
+              WHERE x1 IS NOT NULL AND (x1 != x2 OR y1 != y2)
+                AND ABS(x1 - x2) <= {max_span!r} AND ABS(y1 - y2) <= {max_span!r}),
+        pts AS (SELECT * FROM {points_sql}),
+        cand AS (SELECT pts.pid, g.uid, g.x1, g.y1, g.x2, g.y2,
+                        pts.px, pts.py, {d2} AS d2
+                 FROM pts CROSS JOIN g),
+        hit AS (SELECT pid, uid, d2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY pid
+                           ORDER BY d2, uid, x1, y1, x2, y2
+                       ) AS rn
+                FROM cand WHERE d2 <= CAST({md2} AS DOUBLE))
+        SELECT pid, uid, ROUND(d2, 9) AS d2 FROM hit WHERE rn = 1
+    """

@@ -176,3 +176,82 @@ def test_vw_one_pass_semantics(spark):
     }
     assert got[1] == (5, 2)  # only the endpoints
     assert got[2] == (3, 3)  # corner area = 200 >= tau -> all survive
+
+
+def test_snap_to_segments_matches_brute_force(spark):
+    from raptor_service_spark.operators.spatiotemporal import snap_to_segments
+
+    rng = np.random.default_rng(11)
+    segs = spark.createDataFrame(
+        [
+            (int(u), float(x1), float(y1), float(x1 + dx), float(y1 + dy))
+            for u, x1, y1, dx, dy in zip(
+                rng.integers(0, 40, 300),
+                rng.uniform(-60, 60, 300),
+                rng.uniform(-60, 60, 300),
+                rng.uniform(-8, 8, 300),
+                rng.uniform(-8, 8, 300),
+            )
+            if (dx, dy) != (0.0, 0.0)
+        ],
+        "uid long, x1 double, y1 double, x2 double, y2 double",
+    )
+    pts = spark.createDataFrame(
+        [
+            (int(i), float(x), float(y))
+            for i, (x, y) in enumerate(
+                zip(rng.uniform(-65, 65, 400), rng.uniform(-65, 65, 400))
+            )
+        ],
+        "pid long, px double, py double",
+    )
+    max_dist = 4.0
+    got = {
+        (r.pid): (r.uid, r.d2)
+        for r in snap_to_segments(pts, segs, res=4, max_dist=max_dist).collect()
+    }
+    # numpy brute force with the same clamp + (d2, uid, coords) tie-break
+    S = np.array(segs.collect(), dtype=float)  # uid, x1, y1, x2, y2
+    want = {}
+    for r in pts.collect():
+        vx, vy = S[:, 3] - S[:, 1], S[:, 4] - S[:, 2]
+        t = np.clip(((r.px - S[:, 1]) * vx + (r.py - S[:, 2]) * vy) / (vx**2 + vy**2), 0, 1)
+        d2 = (r.px - (S[:, 1] + t * vx)) ** 2 + (r.py - (S[:, 2] + t * vy)) ** 2
+        ok = d2 <= max_dist * max_dist
+        if not ok.any():
+            continue
+        keys = sorted(
+            (float(d2[j]), float(S[j, 0]), *map(float, S[j, 1:5]))
+            for j in np.flatnonzero(ok)
+        )
+        want[r.pid] = (int(keys[0][1]), round(keys[0][0], 9))
+    assert set(got) == set(want)
+    for pid in want:
+        assert got[pid][0] == want[pid][0]
+        assert got[pid][1] == pytest.approx(want[pid][1], abs=1e-9)
+
+
+def test_snap_clamps_to_endpoints_and_breaks_ties_by_uid(spark):
+    from raptor_service_spark.operators.spatiotemporal import snap_to_segments
+
+    segs = spark.createDataFrame(
+        [
+            (7, 0.0, 0.0, 10.0, 0.0),   # horizontal segment
+            (3, 0.0, 2.0, 10.0, 2.0),   # parallel, equidistant from y=1
+        ],
+        "uid long, x1 double, y1 double, x2 double, y2 double",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 5.0, 1.0),    # exact tie between uid 3 and 7 -> uid 3
+            (2, 12.0, 0.0),   # beyond the right endpoint -> clamped, d2 = 4
+            (3, 5.0, 0.0),    # on the segment -> d2 = 0
+            (4, 50.0, 50.0),  # farther than max_dist -> absent
+        ],
+        "pid long, px double, py double",
+    )
+    out = {r.pid: (r.uid, r.d2) for r in snap_to_segments(pts, segs, 4, 3.0).collect()}
+    assert out[1] == (3, 1.0)
+    assert out[2] == (7, 4.0)
+    assert out[3] == (7, 0.0)
+    assert 4 not in out
