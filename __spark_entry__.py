@@ -4323,6 +4323,39 @@ def _cell_isochrone_sql() -> str:
     )
 
 
+def q_cell_sssp(spark, sf_dir):
+    """Weighted shortest path (Bellman-Ford, 8 fixed rounds) from doc 1's
+    cell over occupied res-5 document cells: entering a cell costs
+    1 + its doc count — an integer congestion cost, so distances are EXACT
+    across engines (no float protocol). Per round: one join of the
+    O(reached) dist table into the edge list + one min-agg; the oracle
+    unrolls the same rounds as CTEs. See `operators/cell_graph.py`."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+    from raptor_service_spark.operators.cell_graph import sssp
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    occ_w = (
+        d.select(cell_encode_col(lat, lng, _ISO_RES).alias("cell"))
+        .groupBy("cell")
+        .agg((F.lit(1) + F.count(F.lit(1))).alias("w"))
+    )
+    return sssp(occ_w, _iso_seed_cell(), res=_ISO_RES, n_rounds=8)
+
+
+def _cell_sssp_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import sssp_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, _ISO_RES)
+    return sssp_sql(
+        f"SELECT {cell} AS cell, 1 + COUNT(*) AS w FROM documents GROUP BY 1",
+        _iso_seed_cell(),
+        res=_ISO_RES,
+        n_rounds=8,
+    )
+
+
 def q_cell_pagerank(spark, sf_dir):
     """PageRank over the res-3 OD cell-transition graph (edge weight =
     transition count): which tiles do trajectories flow INTO. Fixed 5
@@ -4964,6 +4997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_coverage": q_geohash_coverage,
         "kmeans_geo": q_kmeans_geo,
         "snap_points": q_snap_points,
+        "cell_sssp": q_cell_sssp,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5137,6 +5171,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_coverage": _geohash_coverage_sql(),
         "kmeans_geo": _kmeans_geo_sql(),
         "snap_points": _snap_points_sql(),
+        "cell_sssp": _cell_sssp_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

@@ -216,3 +216,89 @@ def pagerank_sql(
         {chain}
         SELECT cell, ROUND(pr, 6) AS pr FROM p{n_iters}
     """
+
+
+def sssp(
+    occ_w: DataFrame,
+    seed_cell: int,
+    res: int,
+    n_rounds: int = 8,
+) -> DataFrame:
+    """Weighted single-source shortest path (Bellman-Ford, fixed rounds)
+    over the occupied-cell 8-adjacency — BFS's weighted sibling: entering
+    cell v costs ``w(v)`` (an INTEGER congestion cost, so distances are
+    exact in both engines; no float rounding protocol needed).
+
+    ``occ_w``: one row per occupied cell, columns (cell, w). Returns
+    (cell, dist) for every cell whose shortest path from the seed uses at
+    most ``n_rounds`` edges (seed at 0). Each round relaxes every edge
+    once: one join of the O(reached cells) dist table into the edge list +
+    one min-agg — the textbook distributed Bellman-Ford; rounds are fixed
+    (not converged) so the unrolled-CTE oracle iterates identically.
+    """
+    occ = occ_w.select("cell", "w").localCheckpoint(eager=True)
+    ew = (
+        _adjacency(occ.select("cell"), res)
+        .join(
+            occ.select(F.col("cell").alias("dst"), F.col("w").alias("wd")),
+            "dst",
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        occ.filter(F.col("cell") == F.lit(seed_cell))
+        .select("cell", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_rounds):
+        relax = (
+            dist.join(ew, dist.cell == ew.src)
+            .select(F.col("dst").alias("cell"), (F.col("dist") + F.col("wd")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("cell")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def sssp_sql(
+    base_sql: str,
+    seed_cell: int,
+    res: int,
+    n_rounds: int = 8,
+) -> str:
+    """DuckDB twin of sssp: the same relaxation rounds unrolled as a CTE
+    chain. ``base_sql`` must yield (cell, w) — one row per occupied cell.
+    """
+    nbr = kring_neighbor_sql("o.cell", res, "v.dx", "v.dy")
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _RING)
+    steps = []
+    for t in range(1, n_rounds + 1):
+        steps.append(
+            f"""d{t} AS (
+            SELECT cell, MIN(dist) AS dist FROM (
+                SELECT cell, dist FROM d{t - 1}
+                UNION ALL
+                SELECT e.dst AS cell, d.dist + e.wd AS dist
+                FROM d{t - 1} d JOIN ew e ON e.src = d.cell
+            ) GROUP BY 1
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH occ AS (SELECT cell, w FROM ({base_sql})),
+        e AS (
+            SELECT o.cell AS src, {nbr} AS dst
+            FROM occ o CROSS JOIN (VALUES {offs}) v(dx, dy)
+            WHERE {nbr} IS NOT NULL
+              AND {nbr} IN (SELECT cell FROM occ)
+        ),
+        ew AS (SELECT e.src, e.dst, o.w AS wd FROM e JOIN occ o ON o.cell = e.dst),
+        d0 AS (SELECT cell, CAST(0 AS BIGINT) AS dist FROM occ
+               WHERE cell = {seed_cell}),
+        {chain}
+        SELECT cell, dist FROM d{n_rounds}
+    """

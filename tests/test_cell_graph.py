@@ -127,3 +127,46 @@ def test_triangle_enumeration_counts(spark):
     )
     got = {r["n"]: r["count"] for r in per_node}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # node 5 in none
+
+
+def _py_bf(occ_w, seed_cell, n_rounds):
+    """Round-limited Bellman-Ford reference: dist_t(v) = min over paths
+    from the seed using at most t edges, edge cost = w(dst)."""
+    if seed_cell not in occ_w:
+        return {}
+    dist = {seed_cell: 0}
+    for _ in range(n_rounds):
+        nxt = dict(dist)
+        for u, du in dist.items():
+            for v in _nbrs(u):
+                if v in occ_w:
+                    nd = du + occ_w[v]
+                    if nd < nxt.get(v, float("inf")):
+                        nxt[v] = nd
+        dist = nxt
+    return dist
+
+
+def test_sssp_matches_python_bellman_ford(spark):
+    from raptor_service_spark.operators.cell_graph import sssp
+
+    occ = _occ_cells(seed=9, frac=0.5)
+    occ_w = {c: 1 + (c % 7) for c in occ}
+    seed_cell = sorted(occ)[len(occ) // 3]
+    df = spark.createDataFrame(
+        [(c, w) for c, w in occ_w.items()], "cell long, w long"
+    )
+    got = {r.cell: r.dist for r in sssp(df, seed_cell, RES, n_rounds=5).collect()}
+    want = _py_bf(occ_w, seed_cell, 5)
+    assert got == want
+
+
+def test_sssp_unoccupied_seed_empty(spark):
+    from raptor_service_spark.operators.cell_graph import sssp
+
+    occ = _occ_cells(seed=9, frac=0.5)
+    missing = next(c for c in range(BASE, BASE + N * N) if c not in occ)
+    df = spark.createDataFrame(
+        [(c, 1) for c in occ], "cell long, w long"
+    )
+    assert sssp(df, missing, RES, n_rounds=3).count() == 0
