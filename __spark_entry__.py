@@ -2596,6 +2596,28 @@ def _tile_pyramid_sql() -> str:
     """
 
 
+def q_density_gradient(spark, sf_dir):
+    """Map-algebra focal statistics: Sobel gradient of the res-5 document
+    density raster — per occupied cell, (gx, gy, |∇|²) of the count
+    surface, all-integer so the oracle compare is EXACT. The weighted ring
+    is a literal struct array exploded JVM-side; one point shuffle, then
+    O(occupied cells) join + agg. See `operators/neighborhood.py`."""
+    from raptor_service_spark.operators.neighborhood import focal_gradient
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng)
+    return focal_gradient(pts, res=5)
+
+
+def _density_gradient_sql() -> str:
+    from raptor_service_spark.operators.neighborhood import focal_gradient_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell5 = cell_encode_sql(lat, lng, 5)
+    return focal_gradient_sql("documents", cell5, res=5)
+
+
 def q_cell_kring_smooth(spark, sf_dir):
     """K-ring neighborhood smoothing (operators/neighborhood.py): per
     occupied res-6 cell, own count + 1-ring summed count + occupied-ring
@@ -4998,6 +5020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_geo": q_kmeans_geo,
         "snap_points": q_snap_points,
         "cell_sssp": q_cell_sssp,
+        "density_gradient": q_density_gradient,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5172,6 +5195,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_geo": _kmeans_geo_sql(),
         "snap_points": _snap_points_sql(),
         "cell_sssp": _cell_sssp_sql(),
+        "density_gradient": _density_gradient_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

@@ -91,6 +91,14 @@ HEADLINE = [
     "trajectory_simplify",
     "mmr_retrieval",
     "od_triangles",
+    # session-5 additions: space-filling-curve layouts, hex/geohash
+    # binning, iterative k-means, map-matching snap, weighted SSSP
+    "hilbert_layout",
+    "hex_density",
+    "geohash_coverage",
+    "kmeans_geo",
+    "snap_points",
+    "cell_sssp",
 ]
 
 SEED = 77

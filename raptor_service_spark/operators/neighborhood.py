@@ -139,3 +139,89 @@ def kring_neighbor_sql(cell_expr: str, res: int, dx_expr: str, dy_expr: str) -> 
         f"CASE WHEN {yy} >= 0 AND {yy} < {n} "
         f"THEN CAST({base} + {yy} * {n} + {xx} AS BIGINT) END"
     )
+
+
+# Sobel weights for offset (dx, dy): wx = dx·(2−|dy|), wy = dy·(2−|dx|) —
+# the classic 3×3 edge kernel with x pointing east (lng+) and y north (lat+).
+_SOBEL = [
+    (dx, dy, dx * (2 - abs(dy)), dy * (2 - abs(dx)))
+    for dx, dy in _offsets(1)
+    if (dx, dy) != (0, 0)
+]
+
+
+def focal_gradient(
+    points: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Map-algebra focal kernel: Sobel gradient of the occupancy raster —
+    where does point density change fastest (the "edge detector" of a
+    density surface). Unoccupied / pole-clamped neighbors contribute 0.
+
+    All-integer end to end (gx, gy, grad2 = gx² + gy² are BIGINT), so the
+    oracle comparison is EXACT. Same scale shape as kring_smooth: one
+    map-side-combinable point shuffle into the occupancy count; the 8×
+    weighted ring explode, self-join, and final agg all operate on the
+    O(occupied cells) table.
+
+    Output: (cell, n_points, gx, gy, grad2).
+    """
+    cnt = points.groupBy(
+        cell_encode_col(F.col(lat_col), F.col(lng_col), res).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+
+    entries = F.array(
+        *[
+            F.struct(
+                kring_neighbor_col("cell", res, dx, dy).alias("nbr"),
+                F.lit(wx).cast("long").alias("wx"),
+                F.lit(wy).cast("long").alias("wy"),
+            )
+            for dx, dy, wx, wy in _SOBEL
+        ]
+    )
+    pairs = cnt.select(
+        "cell",
+        "n_points",
+        F.explode(F.filter(entries, lambda e: e["nbr"].isNotNull())).alias("e"),
+    )
+    joined = pairs.join(
+        cnt.select(F.col("cell").alias("nbr_cell"), F.col("n_points").alias("nn")),
+        pairs["e.nbr"] == F.col("nbr_cell"),
+        "left",
+    )
+    g = joined.groupBy("cell").agg(
+        F.max("n_points").alias("n_points"),
+        F.sum(F.col("e.wx") * F.coalesce("nn", F.lit(0))).alias("gx"),
+        F.sum(F.col("e.wy") * F.coalesce("nn", F.lit(0))).alias("gy"),
+    )
+    return g.select(
+        "cell",
+        "n_points",
+        "gx",
+        "gy",
+        (F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")).alias("grad2"),
+    )
+
+
+def focal_gradient_sql(points_sql: str, cell_expr: str, res: int) -> str:
+    """DuckDB twin of focal_gradient. ``points_sql`` yields point rows;
+    ``cell_expr`` computes the res-cell id over them."""
+    nbr = kring_neighbor_sql("c.cell", res, "v.dx", "v.dy")
+    offs = ", ".join(f"({dx}, {dy}, {wx}, {wy})" for dx, dy, wx, wy in _SOBEL)
+    return f"""
+        WITH c AS (SELECT {cell_expr} AS cell, COUNT(*) AS n
+                   FROM {points_sql} GROUP BY 1),
+        p AS (SELECT c.cell, c.n, v.wx, v.wy, {nbr} AS nbr
+              FROM c CROSS JOIN (VALUES {offs}) v(dx, dy, wx, wy)
+              WHERE {nbr} IS NOT NULL),
+        j AS (SELECT p.cell, p.n, p.wx, p.wy, COALESCE(c2.n, 0) AS nn
+              FROM p LEFT JOIN c c2 ON c2.cell = p.nbr),
+        g AS (SELECT cell, MAX(n) AS n_points,
+                     CAST(SUM(wx * nn) AS BIGINT) AS gx,
+                     CAST(SUM(wy * nn) AS BIGINT) AS gy
+              FROM j GROUP BY 1)
+        SELECT cell, n_points, gx, gy, gx * gx + gy * gy AS grad2 FROM g
+    """

@@ -279,3 +279,48 @@ def test_boundary_cells_full_raster_interior_except_poles(spark):
     for r in out:
         y = (r["cell"] - base) // n
         assert r["is_boundary"] == (y in (0, n - 1))
+
+
+def test_focal_gradient_matches_numpy_sobel(spark):
+    """Sobel gradient of the occupancy raster vs an explicit numpy
+    convolution with longitude wrap and latitude clamp."""
+    import numpy as np
+
+    from raptor_service_spark.geo.grid import RES_MULTIPLIER, cell_encode_np
+    from raptor_service_spark.operators.neighborhood import focal_gradient
+
+    res, n = 4, 16
+    rng = np.random.default_rng(21)
+    lat = rng.uniform(-89.0, 89.0, 1500)
+    lng = rng.uniform(-179.0, 179.0, 1500)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lat, lng)], "lat double, lng double"
+    )
+    got = {r.cell: (r.n_points, r.gx, r.gy, r.grad2)
+           for r in focal_gradient(df, res).collect()}
+
+    # numpy raster
+    cells = cell_encode_np(lat, lng, res)
+    raster = np.zeros((n, n), dtype=np.int64)
+    for c in cells:
+        rem = int(c) - res * RES_MULTIPLIER
+        raster[rem // n, rem % n] += 1
+    base = res * RES_MULTIPLIER
+    want = {}
+    for y in range(n):
+        for x in range(n):
+            if raster[y, x] == 0:
+                continue
+            gx = gy = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if (dx, dy) == (0, 0):
+                        continue
+                    yy = y + dy
+                    if not (0 <= yy < n):
+                        continue
+                    v = raster[yy, (x + dx) % n]
+                    gx += dx * (2 - abs(dy)) * v
+                    gy += dy * (2 - abs(dx)) * v
+            want[base + y * n + x] = (int(raster[y, x]), gx, gy, gx * gx + gy * gy)
+    assert got == want
