@@ -2618,6 +2618,58 @@ def _density_gradient_sql() -> str:
     return focal_gradient_sql("documents", cell5, res=5)
 
 
+def q_clark_evans(spark, sf_dir):
+    """Clark-Evans nearest-neighbor index over document points: R =
+    observed mean NN distance / expected (0.5/√λ) under complete spatial
+    randomness, λ = n over the point bbox area — R < 1 clustered, ≈ 1
+    random, → 2.15 maximally dispersed. NN distances come from the exact
+    ring-doubling self-NN join (`operators/geo_knn.py:nn_distances`);
+    the statistic is two tiny global aggs. The brute-force oracle proves
+    the self-NN join exact."""
+    from raptor_service_spark.operators.geo_knn import nn_distances
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.select(F.col("doc_id").alias("pid"), lng.alias("px"), lat.alias("py"))
+    nn = nn_distances(pts, res=5)
+    bbox = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("px") - F.min("px")).alias("w"),
+        (F.max("py") - F.min("py")).alias("h"),
+    )
+    stats = nn.agg(F.round(F.avg("d1"), 9).alias("md9"))
+    return (
+        stats.join(F.broadcast(bbox))
+        .select(
+            F.col("n").alias("n_points"),
+            F.round("md9", 6).alias("mean_nnd"),
+            F.round(
+                F.col("md9") * F.lit(2.0) * F.sqrt(F.col("n") / (F.col("w") * F.col("h"))),
+                6,
+            ).alias("r_index"),
+        )
+    )
+
+
+def _clark_evans_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    return f"""
+        WITH p AS (SELECT doc_id AS pid, {lng} AS px, {lat} AS py FROM documents),
+        d AS (SELECT a.pid,
+                     MIN(SQRT((a.px - b.px) * (a.px - b.px)
+                            + (a.py - b.py) * (a.py - b.py))) AS d1
+              FROM p a JOIN p b ON a.pid != b.pid
+              GROUP BY 1),
+        s AS (SELECT ROUND(AVG(d1), 9) AS md9 FROM d),
+        bb AS (SELECT COUNT(*) AS n, MAX(px) - MIN(px) AS w,
+                      MAX(py) - MIN(py) AS h FROM p)
+        SELECT bb.n AS n_points,
+               ROUND(s.md9, 6) AS mean_nnd,
+               ROUND(s.md9 * 2.0 * SQRT(bb.n / (bb.w * bb.h)), 6) AS r_index
+        FROM s CROSS JOIN bb
+    """
+
+
 def q_cell_kring_smooth(spark, sf_dir):
     """K-ring neighborhood smoothing (operators/neighborhood.py): per
     occupied res-6 cell, own count + 1-ring summed count + occupied-ring
@@ -5021,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_points": q_snap_points,
         "cell_sssp": q_cell_sssp,
         "density_gradient": q_density_gradient,
+        "clark_evans": q_clark_evans,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5196,6 +5249,7 @@ def oracle_sql() -> dict[str, str]:
         "snap_points": _snap_points_sql(),
         "cell_sssp": _cell_sssp_sql(),
         "density_gradient": _density_gradient_sql(),
+        "clark_evans": _clark_evans_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

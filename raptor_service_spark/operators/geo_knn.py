@@ -134,3 +134,85 @@ def geo_knn_join(
         .filter(F.col("_rn") <= k)
         .select("qid", *payload_cols, "dist")
     )
+
+
+def nn_distances(
+    points: DataFrame,
+    res: int,
+    max_ring: int = 32,
+) -> DataFrame:
+    """Self nearest-neighbor join: for EVERY point, the exact degree-space
+    distance to its nearest OTHER point. The all-pairs-NN primitive under
+    point-pattern statistics (Clark-Evans) and spacing audits.
+
+    ``points``: (pid, px, py). Output: (pid, d1) — d1 NOT rounded (callers
+    aggregate first, round last).
+
+    Exactness by ring doubling: round R joins each unresolved point's
+    (2R+1)² cover cells against the cell-keyed point table and keeps its
+    best candidate; the answer is CONFIRMED when best < R·ch (ch = cell
+    height — any point in an unexplored cell is at least R·ch away),
+    otherwise the point retries at 2R. O(log max_ring) rounds; each round
+    shuffles only unresolved points × their cover cells — sparse regions
+    pay more rings, dense regions resolve in round 1. Points still
+    unresolved past max_ring keep their best-so-far (or drop out if the
+    whole table is one point).
+    """
+    from raptor_service_spark.operators.bbox_join import cover_cells_col
+
+    n = 1 << res
+    ch = 180.0 / n
+    pts = points.select("pid", "px", "py").withColumn(
+        "cell", cell_encode_col(F.col("py"), F.col("px"), res)
+    ).localCheckpoint(eager=True)
+    data = pts.select(
+        F.col("pid").alias("did"),
+        F.col("px").alias("dx"),
+        F.col("py").alias("dy"),
+        "cell",
+    )
+    resolved = None
+    unresolved = pts
+    ring = 1
+    while ring <= max_ring:
+        cov = unresolved.select(
+            "pid",
+            "px",
+            "py",
+            F.explode(
+                cover_cells_col(
+                    F.col("py") - F.lit(ring * ch),
+                    F.col("py") + F.lit(ring * ch),
+                    F.col("px") - F.lit(ring * 2 * ch),
+                    F.col("px") + F.lit(ring * 2 * ch),
+                    res,
+                )
+            ).alias("cell"),
+        )
+        best = (
+            cov.join(data, "cell")
+            .filter(F.col("pid") != F.col("did"))
+            .select(
+                "pid",
+                F.sqrt(
+                    (F.col("px") - F.col("dx")) * (F.col("px") - F.col("dx"))
+                    + (F.col("py") - F.col("dy")) * (F.col("py") - F.col("dy"))
+                ).alias("d"),
+            )
+            .groupBy("pid")
+            .agg(F.min("d").alias("d1"))
+        )
+        done = best.filter(F.col("d1") < F.lit(ring * ch)).localCheckpoint(
+            eager=True
+        )
+        resolved = done if resolved is None else resolved.unionByName(done)
+        unresolved = unresolved.join(done.select("pid"), "pid", "left_anti")
+        if ring == max_ring or unresolved.isEmpty():
+            # keep best-so-far for anything still open at the cap
+            if ring == max_ring and not unresolved.isEmpty():
+                rest = best.join(done.select("pid"), "pid", "left_anti")
+                resolved = resolved.unionByName(rest)
+            break
+        unresolved = unresolved.localCheckpoint(eager=True)
+        ring = min(ring * 2, max_ring)
+    return resolved

@@ -324,3 +324,31 @@ def test_focal_gradient_matches_numpy_sobel(spark):
                     gy += dy * (2 - abs(dx)) * v
             want[base + y * n + x] = (int(raster[y, x]), gx, gy, gx * gx + gy * gy)
     assert got == want
+
+
+def test_nn_distances_exact_vs_brute_force(spark):
+    """Ring-doubling self-NN join vs numpy brute force, including a sparse
+    far-away outlier whose NN is many rings out."""
+    import numpy as np
+
+    from raptor_service_spark.operators.geo_knn import nn_distances
+
+    rng = np.random.default_rng(33)
+    # dense blob + thin scatter + isolated pair at the antipodes
+    xs = np.concatenate([rng.uniform(-1, 1, 300), rng.uniform(-170, 170, 60),
+                         np.array([150.0, 151.3])])
+    ys = np.concatenate([rng.uniform(-1, 1, 300), rng.uniform(-80, 80, 60),
+                         np.array([-75.0, -74.2])])
+    df = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+        "pid long, px double, py double",
+    )
+    got = {r.pid: r.d1 for r in nn_distances(df, res=5, max_ring=64).collect()}
+    dx = xs[:, None] - xs[None, :]
+    dy = ys[:, None] - ys[None, :]
+    dist = np.sqrt(dx * dx + dy * dy)
+    np.fill_diagonal(dist, np.inf)
+    want = dist.min(axis=1)
+    assert set(got) == set(range(len(xs)))
+    for i, w in enumerate(want):
+        assert got[i] == w  # bit-exact: same subtract/multiply/sqrt chain
