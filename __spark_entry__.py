@@ -1552,6 +1552,111 @@ def _geofence_transitions_sql() -> str:
     """
 
 
+def _gravity_xy_sql() -> tuple[str, str]:
+    """Shared (x, y) regressor strings over columns (cell_from, cell_to,
+    n_trips, pop_o, pop_d): x = ln(centroid distance) via 0.5·ln(dist²)
+    (no sqrt), y = ln(flow / (pop_o·pop_d)). One string, both engines."""
+    from raptor_service_spark.geo.grid import cell_center_sql
+
+    olat, olng = cell_center_sql("cell_from", _GRAV_RES)
+    dlat, dlng = cell_center_sql("cell_to", _GRAV_RES)
+    d2 = (
+        f"(({olat} - {dlat}) * ({olat} - {dlat})"
+        f" + ({olng} - {dlng}) * ({olng} - {dlng}))"
+    )
+    x = f"(0.5 * LN({d2}))"
+    y = "LN(CAST(n_trips AS DOUBLE) / (pop_o * pop_d))"
+    return x, y
+
+
+_GRAV_RES = 3
+# OLS closed form over the ROUNDED sums (columns n, sx, sy, sxy, sxx) —
+# identical string in both engines, so the ratio is deterministic.
+_GRAV_BETA = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+
+
+def q_gravity_fit(spark, sf_dir):
+    """Gravity-model calibration over the OD flow matrix: OLS fit of
+    ln(flow / (pop_o·pop_d)) on ln(centroid distance) — the distance-decay
+    exponent β (and intercept α) of trip distribution, the classic spatial-
+    interaction model. Points are touched twice (OD window, occupancy agg);
+    everything after operates on the O(OD pairs) table: two broadcast pop
+    joins, a codegen ln-projection, ONE scalar agg; the four float sums are
+    rounded to 9 dp before the closed-form ratio (cross-engine protocol)."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("cell", cell_encode_col(lat, lng, _GRAV_RES))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flows = (
+        pts.withColumn("prev_cell", F.lag("cell").over(w))
+        .filter(F.col("prev_cell").isNotNull() & (F.col("prev_cell") != F.col("cell")))
+        .groupBy(F.col("prev_cell").alias("cell_from"), F.col("cell").alias("cell_to"))
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+    )
+    pop = pts.groupBy("cell").agg(F.count(F.lit(1)).alias("pop"))
+    j = (
+        flows.join(
+            F.broadcast(pop.select(F.col("cell").alias("cell_from"), F.col("pop").alias("pop_o"))),
+            "cell_from",
+        )
+        .join(
+            F.broadcast(pop.select(F.col("cell").alias("cell_to"), F.col("pop").alias("pop_d"))),
+            "cell_to",
+        )
+    )
+    xs, ys = _gravity_xy_sql()
+    xy = j.select(F.expr(xs).alias("lx"), F.expr(ys).alias("ly"))
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("lx"), 9).alias("sx"),
+        F.round(F.sum("ly"), 9).alias("sy"),
+        F.round(F.sum(F.col("lx") * F.col("ly")), 9).alias("sxy"),
+        F.round(F.sum(F.col("lx") * F.col("lx")), 9).alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").alias("n_pairs"),
+        F.round(F.expr(_GRAV_BETA), 6).alias("beta"),
+        F.round(F.expr(f"(sy - {_GRAV_BETA} * sx) / n"), 6).alias("alpha"),
+    )
+
+
+def _gravity_fit_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, _GRAV_RES)
+    xs, ys = _gravity_xy_sql()
+    return f"""
+        WITH p AS (SELECT user_id, ts, event_id, {cell} AS cell FROM events),
+        f AS (SELECT cell, LAG(cell) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_cell
+              FROM p),
+        fl AS (SELECT prev_cell AS cell_from, cell AS cell_to,
+                      COUNT(*) AS n_trips
+               FROM f WHERE prev_cell IS NOT NULL AND prev_cell != cell
+               GROUP BY 1, 2),
+        pop AS (SELECT cell, COUNT(*) AS pop FROM p GROUP BY 1),
+        j AS (SELECT fl.cell_from, fl.cell_to, fl.n_trips,
+                     po.pop AS pop_o, pd.pop AS pop_d
+              FROM fl JOIN pop po ON po.cell = fl.cell_from
+                      JOIN pop pd ON pd.cell = fl.cell_to),
+        xy AS (SELECT {xs} AS lx, {ys} AS ly FROM j),
+        s AS (SELECT COUNT(*) AS n,
+                     ROUND(SUM(lx), 9) AS sx, ROUND(SUM(ly), 9) AS sy,
+                     ROUND(SUM(lx * ly), 9) AS sxy,
+                     ROUND(SUM(lx * lx), 9) AS sxx
+              FROM xy)
+        SELECT n AS n_pairs,
+               ROUND({_GRAV_BETA}, 6) AS beta,
+               ROUND((sy - {_GRAV_BETA} * sx) / n, 6) AS alpha
+        FROM s
+    """
+
+
 def q_user_od_flows(spark, sf_dir):
     """Origin-destination flow matrix: per-user consecutive event pairs,
     each end encoded to its res-3 grid cell, cross-cell transitions counted
@@ -5074,6 +5179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_sssp": q_cell_sssp,
         "density_gradient": q_density_gradient,
         "clark_evans": q_clark_evans,
+        "gravity_fit": q_gravity_fit,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5250,6 +5356,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_sssp": _cell_sssp_sql(),
         "density_gradient": _density_gradient_sql(),
         "clark_evans": _clark_evans_sql(),
+        "gravity_fit": _gravity_fit_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

@@ -174,6 +174,18 @@ def cell_encode_sql(lat_expr: str, lng_expr: str, res: int) -> str:
     return f"(CAST({res} AS BIGINT) * {RES_MULTIPLIER} + {y} * {n} + {x})"
 
 
+def cell_center_sql(cell_expr: str, res: int) -> tuple[str, str]:
+    """(center_lat, center_lng) expression strings for a res-cell id —
+    valid verbatim in Spark SQL and DuckDB (shared-arithmetic parity)."""
+    n = 2**res
+    rem = f"({cell_expr} - {res * RES_MULTIPLIER})"
+    y = f"CAST(FLOOR({rem} / {n}) AS BIGINT)"
+    x = f"({rem} - {y} * {n})"
+    clat = f"(-90.0 + ({y} + 0.5) * 180.0 / {n})"
+    clng = f"(-180.0 + ({x} + 0.5) * 360.0 / {n})"
+    return clat, clng
+
+
 def cell_parent_sql(cell_expr: str, res: int, parent_res: int) -> str:
     n = 2**res
     pn = 2**parent_res

@@ -206,6 +206,15 @@ def test_hex_density_agg_then_broadcast_peak(spark, qmap):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_gravity_fit_broadcast_pops_single_scalar_agg(spark, qmap):
+    """Both pop joins broadcast (the pop table is O(cells)); the ln
+    regressors are codegen Projects feeding ONE scalar aggregate."""
+    plan = _plan(qmap["gravity_fit"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_colocation_no_cartesian_composite_key_join(spark, qmap):
     """Contact join: candidates come from the (cell, bucket) equi-join —
     never a cross product; the ring/bucket Generate feeds the join."""
