@@ -4457,6 +4457,40 @@ def _snap_points_sql() -> str:
     )
 
 
+_DTW_L, _DTW_COHORT = 8, 30
+
+
+def q_dtw_pairs(spark, sf_dir):
+    """DTW trajectory similarity for a 30-user cohort, resampled to 8
+    points — the L×L dynamic program unrolled anti-diagonal by
+    anti-diagonal into flat codegen Projects (NO UDF, no Python; the same
+    cell formulas run as a CTE chain in the oracle, so floats are
+    bit-identical by construction). All-pairs is inherently quadratic:
+    callers bound the cohort or block first. See `operators/dtw.py`."""
+    from raptor_service_spark.operators.dtw import dtw_pairs, resample_traj
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < _DTW_COHORT)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    return dtw_pairs(resample_traj(pts, _DTW_L), _DTW_L)
+
+
+def _dtw_pairs_sql() -> str:
+    from raptor_service_spark.operators.dtw import dtw_pairs_sql
+
+    lat, lng = _latlng_sql("event_id")
+    return dtw_pairs_sql(
+        f"(SELECT * FROM events WHERE user_id < {_DTW_COHORT}) ev",
+        _DTW_L,
+        lat_expr=lat,
+        lng_expr=lng,
+    )
+
+
 # ---------------------------------------------------------------------------
 # cell-graph algorithms: BFS isochrone, PageRank (operators/cell_graph.py)
 # ---------------------------------------------------------------------------
@@ -5180,6 +5214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_gradient": q_density_gradient,
         "clark_evans": q_clark_evans,
         "gravity_fit": q_gravity_fit,
+        "dtw_pairs": q_dtw_pairs,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5357,6 +5392,7 @@ def oracle_sql() -> dict[str, str]:
         "density_gradient": _density_gradient_sql(),
         "clark_evans": _clark_evans_sql(),
         "gravity_fit": _gravity_fit_sql(),
+        "dtw_pairs": _dtw_pairs_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),
