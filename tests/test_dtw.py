@@ -78,3 +78,38 @@ def test_resample_exact_rank_selection(spark):
     want_idx = [int(i * 20 / 8) for i in range(8)]
     assert out[0].xs == [float(i) for i in want_idx]
     assert out[0].ys == [float(-i) for i in want_idx]
+
+
+def _py_frechet(a, b):
+    L = len(a)
+    f = np.full((L, L), np.inf)
+    for i in range(L):
+        for j in range(L):
+            c = (a[i][0] - b[j][0]) ** 2 + (a[i][1] - b[j][1]) ** 2
+            if i == 0 and j == 0:
+                f[i, j] = c
+            elif i == 0:
+                f[i, j] = max(c, f[i, j - 1])
+            elif j == 0:
+                f[i, j] = max(c, f[i - 1, j])
+            else:
+                f[i, j] = max(c, min(f[i - 1, j], f[i, j - 1], f[i - 1, j - 1]))
+    return f[L - 1, L - 1]
+
+
+def test_frechet_matches_python_dp(spark):
+    rng = np.random.default_rng(29)
+    L, n_users = 8, 8
+    trajs = {
+        u: [(float(x), float(y)) for x, y in
+            zip(rng.uniform(-50, 50, L), rng.uniform(-50, 50, L))]
+        for u in range(n_users)
+    }
+    df = spark.createDataFrame(
+        [(u, [p[0] for p in t], [p[1] for p in t]) for u, t in trajs.items()],
+        "uid long, xs array<double>, ys array<double>",
+    )
+    got = {(r.user_a, r.user_b): r.frechet for r in dtw_pairs(df, L).collect()}
+    for (a, b), v in got.items():
+        # engine output is rounded to 6 dp
+        assert abs(v - _py_frechet(trajs[a], trajs[b])) < 1e-6
