@@ -4491,6 +4491,36 @@ def _dtw_pairs_sql() -> str:
     )
 
 
+def q_hausdorff_pairs(spark, sf_dir):
+    """Symmetric Hausdorff distance (squared, 6 dp) for the same 30-user
+    cohort as `dtw_pairs` — the set-to-set bottleneck metric (no path
+    monotonicity). The metric is ONE nested higher-order-function
+    projection (transform → array_min → array_max), fully codegen: no
+    explode, no UDF, no extra rows. See `operators/dtw.py`."""
+    from raptor_service_spark.operators.dtw import hausdorff_pairs, resample_traj
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < _DTW_COHORT)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    return hausdorff_pairs(resample_traj(pts, _DTW_L), _DTW_L)
+
+
+def _hausdorff_pairs_sql() -> str:
+    from raptor_service_spark.operators.dtw import hausdorff_pairs_sql
+
+    lat, lng = _latlng_sql("event_id")
+    return hausdorff_pairs_sql(
+        f"(SELECT * FROM events WHERE user_id < {_DTW_COHORT}) ev",
+        _DTW_L,
+        lat_expr=lat,
+        lng_expr=lng,
+    )
+
+
 # ---------------------------------------------------------------------------
 # cell-graph algorithms: BFS isochrone, PageRank (operators/cell_graph.py)
 # ---------------------------------------------------------------------------
@@ -5215,6 +5245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clark_evans": q_clark_evans,
         "gravity_fit": q_gravity_fit,
         "dtw_pairs": q_dtw_pairs,
+        "hausdorff_pairs": q_hausdorff_pairs,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5393,6 +5424,7 @@ def oracle_sql() -> dict[str, str]:
         "clark_evans": _clark_evans_sql(),
         "gravity_fit": _gravity_fit_sql(),
         "dtw_pairs": _dtw_pairs_sql(),
+        "hausdorff_pairs": _hausdorff_pairs_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

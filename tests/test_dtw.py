@@ -113,3 +113,27 @@ def test_frechet_matches_python_dp(spark):
     for (a, b), v in got.items():
         # engine output is rounded to 6 dp
         assert abs(v - _py_frechet(trajs[a], trajs[b])) < 1e-6
+
+
+def test_hausdorff_matches_numpy(spark):
+    from raptor_service_spark.operators.dtw import hausdorff_pairs
+
+    rng = np.random.default_rng(41)
+    L, n_users = 8, 8
+    trajs = {
+        u: np.stack([rng.uniform(-50, 50, L), rng.uniform(-50, 50, L)], axis=1)
+        for u in range(n_users)
+    }
+    df = spark.createDataFrame(
+        [(u, t[:, 0].tolist(), t[:, 1].tolist()) for u, t in trajs.items()],
+        "uid long, xs array<double>, ys array<double>",
+    )
+    got = {(r.user_a, r.user_b): r.hausdorff
+           for r in hausdorff_pairs(df, L).collect()}
+    assert len(got) == n_users * (n_users - 1) // 2
+    for (a, b), v in got.items():
+        A, B = trajs[a], trajs[b]
+        d2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+        want = max(d2.min(axis=1).max(), d2.min(axis=0).max())
+        assert abs(v - want) < 1e-6
+        # bottleneck orderings: hausdorff (free matching) <= frechet (path)
