@@ -99,6 +99,9 @@ HEADLINE = [
     "kmeans_geo",
     "snap_points",
     "cell_sssp",
+    "density_gradient",
+    "gravity_fit",
+    "dtw_pairs",
 ]
 
 SEED = 77
