@@ -1657,6 +1657,86 @@ def _gravity_fit_sql() -> str:
     """
 
 
+def q_event_funnel(spark, sf_dir):
+    """Sequential conversion funnel (view → click AFTER that view →
+    purchase AFTER that click), the product-analytics staple: per user,
+    earliest view; earliest click strictly after it; earliest purchase
+    strictly after that — strictness on the (ts, event_id) pair so ties
+    are deterministic. All-integer one-row output (exact oracle compare).
+    Scale shape: three map-side-combinable per-user min-aggs + two
+    user-keyed joins of O(users) tables — events are scanned once per
+    stage with the stage's type filter pushed to parquet."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    tsl = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select("user_id", "event_type", tsl.alias("us"), "event_id")
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("us", "event_id")).alias("v"))
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(
+            (F.col("us") > F.col("v.us"))
+            | ((F.col("us") == F.col("v.us")) & (F.col("event_id") > F.col("v.event_id")))
+        )
+        .groupBy("user_id")
+        .agg(F.min(F.struct("us", "event_id")).alias("c"))
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("us") > F.col("c.us"))
+            | ((F.col("us") == F.col("c.us")) & (F.col("event_id") > F.col("c.event_id")))
+        )
+        .groupBy("user_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    n_users = base.select("user_id").distinct().count()
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_view"))
+        .join(F.broadcast(clicks.agg(F.count(F.lit(1)).alias("n_click_after_view"))))
+        .join(
+            F.broadcast(
+                purchases.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+            )
+        )
+        .select(
+            F.lit(n_users).cast("long").alias("n_users"),
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+        )
+    )
+
+
+def _event_funnel_sql() -> str:
+    strict = lambda a, b: f"({a}.us > {b}.us OR ({a}.us = {b}.us AND {a}.event_id > {b}.event_id))"
+    return f"""
+        WITH base AS (SELECT user_id, event_type,
+                             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+                      FROM events),
+        v AS (SELECT user_id, MIN({{'us': us, 'event_id': event_id}}) AS m FROM base
+              WHERE event_type = 'view' GROUP BY 1),
+        vv AS (SELECT user_id, m.us AS us, m.event_id AS event_id FROM v),
+        c AS (SELECT b.user_id, MIN({{'us': b.us, 'event_id': b.event_id}}) AS m
+              FROM base b JOIN vv ON b.user_id = vv.user_id
+              WHERE b.event_type = 'click' AND {strict('b', 'vv')}
+              GROUP BY 1),
+        cc AS (SELECT user_id, m.us AS us, m.event_id AS event_id FROM c),
+        p AS (SELECT b.user_id
+              FROM base b JOIN cc ON b.user_id = cc.user_id
+              WHERE b.event_type = 'purchase' AND {strict('b', 'cc')}
+              GROUP BY 1)
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM base) AS n_users,
+               (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_click_after_view,
+               (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """
+
+
 def q_user_od_flows(spark, sf_dir):
     """Origin-destination flow matrix: per-user consecutive event pairs,
     each end encoded to its res-3 grid cell, cross-cell transitions counted
@@ -5246,6 +5326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gravity_fit": q_gravity_fit,
         "dtw_pairs": q_dtw_pairs,
         "hausdorff_pairs": q_hausdorff_pairs,
+        "event_funnel": q_event_funnel,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5425,6 +5506,7 @@ def oracle_sql() -> dict[str, str]:
         "gravity_fit": _gravity_fit_sql(),
         "dtw_pairs": _dtw_pairs_sql(),
         "hausdorff_pairs": _hausdorff_pairs_sql(),
+        "event_funnel": _event_funnel_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),
