@@ -5259,6 +5259,25 @@ def _emerging_hotspots_sql() -> str:
     )
 
 
+def q_theil_sen(spark, sf_dir):
+    """Per-cell Theil-Sen slope (median of pairwise daily-count slopes) —
+    the robust trend magnitude next to Mann-Kendall's direction test; same
+    one-shuffle space-time-cube shape. See `operators/spatial_stats.py`."""
+    from raptor_service_spark.operators.spatial_stats import theil_sen_cells
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(F.col("ts"), lat.alias("lat"), lng.alias("lng"))
+    return theil_sen_cells(pts, res=3, min_days=8)
+
+
+def _theil_sen_sql() -> str:
+    from raptor_service_spark.operators.spatial_stats import theil_sen_sql
+
+    lat, lng = _latlng_sql("event_id")
+    return theil_sen_sql("(SELECT event_id, ts FROM events)", lat, lng, res=3, min_days=8)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5327,6 +5346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_pairs": q_dtw_pairs,
         "hausdorff_pairs": q_hausdorff_pairs,
         "event_funnel": q_event_funnel,
+        "theil_sen_cells": q_theil_sen,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5507,6 +5527,7 @@ def oracle_sql() -> dict[str, str]:
         "dtw_pairs": _dtw_pairs_sql(),
         "hausdorff_pairs": _hausdorff_pairs_sql(),
         "event_funnel": _event_funnel_sql(),
+        "theil_sen_cells": _theil_sen_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

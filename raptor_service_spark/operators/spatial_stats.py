@@ -523,3 +523,73 @@ def local_morans_sql(points_sql: str, lat: str, lng: str, res: int) -> str:
         FROM lg CROSS JOIN s
         ORDER BY cell
     """
+
+
+def theil_sen_cells(
+    events: DataFrame,
+    res: int,
+    min_days: int = 8,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-cell Theil-Sen trend: the MEDIAN of all pairwise daily-count
+    slopes (x_b − x_a)/(day_b − day_a) — the robust companion of the OLS
+    `cell_trend_slope` (breakdown point 29% vs 0%) and the magnitude
+    estimator usually reported next to Mann-Kendall's direction test.
+
+    Same scale shape as mann_kendall_cells: event rows see exactly ONE
+    shuffle (the (cell, day) cube agg); the day-pair self-join runs on the
+    aggregated cube and is bounded by the calendar, not the corpus. Slopes
+    are exact integer-over-integer divisions (bit-identical both engines);
+    the median is Spark's exact `percentile(0.5)` vs DuckDB `MEDIAN`
+    (both interpolate the even-count midpoint), rounded to 6 dp.
+
+    Output: (cell, n_days, ts_slope) for cells with >= min_days days.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / F.lit(86400))
+    cube = events.groupBy(
+        cell_encode_col(F.col(lat_col), F.col(lng_col), res).alias("cell"),
+        day.alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a, b = cube.alias("a"), cube.alias("b")
+    slopes = a.join(
+        b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.day") < F.col("b.day"))
+    ).select(
+        F.col("a.cell").alias("cell"),
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.day") - F.col("a.day")).cast("double")
+        ).alias("slope"),
+    )
+    per_cell = cube.groupBy("cell").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        slopes.groupBy("cell")
+        .agg(F.round(F.expr("percentile(slope, 0.5)"), 6).alias("ts_slope"))
+        .join(per_cell, "cell")
+        .filter(F.col("n_days") >= min_days)
+        .select("cell", "n_days", "ts_slope")
+    )
+
+
+def theil_sen_sql(
+    events_sql: str, lat_expr: str, lng_expr: str, res: int, min_days: int = 8
+) -> str:
+    """DuckDB twin of theil_sen_cells."""
+    cell = cell_encode_sql(lat_expr, lng_expr, res)
+    return f"""
+        WITH cube AS (
+            SELECT {cell} AS cell,
+                   CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+                   COUNT(*) AS x
+            FROM {events_sql} GROUP BY 1, 2),
+        sl AS (SELECT a.cell,
+                      CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+               FROM cube a JOIN cube b
+                 ON a.cell = b.cell AND a.day < b.day),
+        m AS (SELECT cell, ROUND(MEDIAN(slope), 6) AS ts_slope FROM sl GROUP BY 1),
+        d AS (SELECT cell, COUNT(*) AS n_days FROM cube GROUP BY 1)
+        SELECT m.cell, d.n_days, m.ts_slope
+        FROM m JOIN d ON m.cell = d.cell
+        WHERE d.n_days >= {min_days}
+    """

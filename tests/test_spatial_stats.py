@@ -270,3 +270,46 @@ def test_local_moran_sums_to_global(spark):
     s_local = sum(r["local_i"] for r in local)
     # sum of LISA == global I * S0 (Anselin decomposition), up to 6-dp rounding
     assert abs(s_local - g["morans_i"] * g["s0"]) < 2e-6 * len(local) + 1e-3
+
+
+def test_theil_sen_matches_numpy(spark):
+    """Theil-Sen per-cell slope vs numpy median of pairwise slopes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from raptor_service_spark.geo.grid import cell_encode_np
+    from raptor_service_spark.operators.spatial_stats import theil_sen_cells
+
+    rng = np.random.default_rng(17)
+    rows = []
+    # two cells: one rising series, one noisy flat series
+    for d in range(12):
+        for _ in range(2 + d):           # rising count at (10, 10)
+            rows.append((10.05, 10.05, d))
+        for _ in range(int(5 + 3 * rng.random())):  # noisy at (-40, -40)
+            rows.append((-39.95, -39.95, d))
+    df = spark.createDataFrame(
+        [(la, ln, d * 86400 + 100) for la, ln, d in rows],
+        "lat double, lng double, epoch long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch")))
+    out = {r.cell: (r.n_days, r.ts_slope)
+           for r in theil_sen_cells(df, res=3, min_days=8).collect()}
+
+    for (la, ln) in ((10.05, 10.05), (-39.95, -39.95)):
+        cell = int(cell_encode_np(np.array([la]), np.array([ln]), 3)[0])
+        series = {}
+        for rla, rln, d in rows:
+            if (rla, rln) == (la, ln):
+                series[d] = series.get(d, 0) + 1
+        days = sorted(series)
+        slopes = [
+            (series[b] - series[a]) / (b - a)
+            for i, a in enumerate(days)
+            for b in days[i + 1:]
+        ]
+        want = round(float(np.median(slopes)), 6)
+        assert out[cell][0] == len(days)
+        assert abs(out[cell][1] - want) < 1e-6
+    # the rising cell's slope is exactly 1 doc/day
+    rising = int(cell_encode_np(np.array([10.05]), np.array([10.05]), 3)[0])
+    assert out[rising][1] == 1.0
