@@ -3932,6 +3932,68 @@ def _kmeans_geo_sql() -> str:
     return kmeans_sql(src, k=8, n_iters=4)
 
 
+# z-range scan: bbox → minimal Morton ranges → range-join pruning audit
+_ZR_BOX = (99, 177, 135, 206)  # cells of lat [5,55] × lng [-40,70] at n=256
+
+
+def _zr_ranges() -> list[tuple[int, int]]:
+    from raptor_service_spark.geo.zranges import zrange_decompose
+
+    return zrange_decompose(*_ZR_BOX, 8)
+
+
+def q_zrange_scan(spark, sf_dir):
+    """SFC scan pruning in action: a fixed geographic bbox is decomposed
+    into its MINIMAL set of contiguous Morton ranges (driver-side quadtree
+    planner, `geo/zranges.py` — exact-cover property tested exhaustively),
+    and docs are counted per range via `z BETWEEN lo AND hi`. On a
+    z-sorted table each range is a parquet row-group min/max prune — the
+    read amortizes to O(perimeter) range reads instead of a full scan.
+    The planner output is a literal VALUES list shared verbatim with the
+    oracle; the z column uses the same `_morton_sql` arithmetic as the
+    layout audit."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    n = 256
+    x = F.least(
+        F.greatest(F.floor((lng + 180.0) / 360.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    y = F.least(
+        F.greatest(F.floor((lat + 90.0) / 180.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    pts = d.select(x.alias("x"), y.alias("y")).select(
+        F.expr(_morton_sql("x", "y")).alias("z")
+    )
+    ranges = spark.createDataFrame(_zr_ranges(), "z_lo long, z_hi long")
+    return (
+        pts.join(
+            F.broadcast(ranges),
+            (F.col("z") >= F.col("z_lo")) & (F.col("z") <= F.col("z_hi")),
+        )
+        .groupBy("z_lo", "z_hi")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _zrange_scan_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    n = 256
+    x = f"LEAST(GREATEST(CAST(FLOOR(({lng} + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
+    y = f"LEAST(GREATEST(CAST(FLOOR(({lat} + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1})"
+    z = _morton_sql("x", "y")
+    vals = ", ".join(f"({lo}, {hi})" for lo, hi in _zr_ranges())
+    return f"""
+        WITH p AS (SELECT {x} AS x, {y} AS y FROM documents),
+        pz AS (SELECT {z} AS z FROM p)
+        SELECT r.z_lo, r.z_hi, COUNT(*) AS n_docs
+        FROM pz JOIN (VALUES {vals}) r(z_lo, z_hi)
+          ON pz.z >= r.z_lo AND pz.z <= r.z_hi
+        GROUP BY 1, 2
+    """
+
+
 # ---------------------------------------------------------------------------
 # movement compass rose: octant histogram of per-user displacement vectors
 # ---------------------------------------------------------------------------
@@ -5347,6 +5409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff_pairs": q_hausdorff_pairs,
         "event_funnel": q_event_funnel,
         "theil_sen_cells": q_theil_sen,
+        "zrange_scan": q_zrange_scan,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5528,6 +5591,7 @@ def oracle_sql() -> dict[str, str]:
         "hausdorff_pairs": _hausdorff_pairs_sql(),
         "event_funnel": _event_funnel_sql(),
         "theil_sen_cells": _theil_sen_sql(),
+        "zrange_scan": _zrange_scan_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

@@ -337,3 +337,49 @@ def test_geohash_spark_duckdb_parity_and_prefix_property(spark):
     # prefix truncation == coarser geohash (spatial containment)
     for k, g6 in got.items():
         assert g6[:4] == got4[k]
+
+
+def test_zrange_decompose_exact_minimal_cover():
+    """Quadtree z-range planner: every range list is sorted, disjoint,
+    fully merged, and covers EXACTLY the box's Morton codes."""
+    import random
+
+    from raptor_service_spark.geo.zranges import morton_py, zrange_decompose
+
+    order, n = 5, 32
+    rng = random.Random(8)
+    for _ in range(60):
+        x0 = rng.randrange(n); x1 = rng.randrange(x0, n)
+        y0 = rng.randrange(n); y1 = rng.randrange(y0, n)
+        rs = zrange_decompose(x0, x1, y0, y1, order)
+        for (a, b), (c, d) in zip(rs, rs[1:]):
+            assert b + 1 < c
+        want = {morton_py(x, y, order)
+                for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)}
+        got = set()
+        for lo, hi in rs:
+            got.update(range(lo, hi + 1))
+        assert got == want
+
+
+def test_zrange_scan_equals_direct_bbox_filter(spark, sf_dir):
+    """Pruned read == full-scan bbox predicate: summing the per-range doc
+    counts reproduces the direct (x, y) box filter count."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    total = (
+        entry_mod.q_zrange_scan(spark, sf_dir)
+        .agg(F.sum("n_docs").alias("s"))
+        .collect()[0].s
+    )
+    d = entry_mod._read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = entry_mod._latlng_cols(F.col("doc_id"))
+    n = 256
+    x = F.least(F.greatest(F.floor((lng + 180.0) / 360.0 * n).cast("long"), F.lit(0)), F.lit(n - 1))
+    y = F.least(F.greatest(F.floor((lat + 90.0) / 180.0 * n).cast("long"), F.lit(0)), F.lit(n - 1))
+    x0, x1, y0, y1 = entry_mod._ZR_BOX
+    direct = d.select(x.alias("x"), y.alias("y")).filter(
+        (F.col("x") >= x0) & (F.col("x") <= x1) & (F.col("y") >= y0) & (F.col("y") <= y1)
+    ).count()
+    assert total == direct
