@@ -5340,6 +5340,106 @@ def _theil_sen_sql() -> str:
     return theil_sen_sql("(SELECT event_id, ts FROM events)", lat, lng, res=3, min_days=8)
 
 
+_KANON_K, _KANON_LADDER = 5, (8, 6, 4, 2, 0)
+
+
+def q_kanon_cells(spark, sf_dir):
+    """k-anonymous location generalization (the privacy scrub a training
+    pipeline applies before releasing location-derived features): each
+    user's res-8 home cell is coarsened up the parent ladder (8→6→4→2→0)
+    to the FINEST resolution whose cell contains ≥ k=5 users' homes — the
+    classic spatial k-anonymity hierarchy walk, closed-form over the
+    ladder (no iteration: all levels counted in one agg, per-user argmax
+    of qualifying levels). All-integer → exact oracle. Scale shape: one
+    (user, cell) count shuffle + WindowGroupLimit argmax; the ladder
+    explode (×5) and the level-occupancy agg run on the O(users) home
+    table."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col, cell_parent_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    counts = (
+        ev.withColumn("cell", cell_encode_col(lat, lng, _KANON_LADDER[0]))
+        .groupBy("user_id", "cell")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("cell").asc()
+    )
+    home = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "cell")
+    )
+    ladder = home.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("res"),
+                        (
+                            F.col("cell")
+                            if r == _KANON_LADDER[0]
+                            else cell_parent_col("cell", _KANON_LADDER[0], r)
+                        ).alias("acell"),
+                    )
+                    for r in _KANON_LADDER
+                ]
+            )
+        ).alias("lv"),
+    ).select("user_id", F.col("lv.res").alias("res"), F.col("lv.acell").alias("acell"))
+    occ = ladder.groupBy("res", "acell").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        ladder.join(occ, ["res", "acell"])
+        .filter(F.col("n_users") >= _KANON_K)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("res", "acell", "n_users")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.res").alias("anon_res"),
+            F.col("m.acell").alias("anon_cell"),
+            F.col("m.n_users").alias("n_sharing"),
+        )
+    )
+
+
+def _kanon_cells_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql, cell_parent_sql
+
+    lat, lng = _latlng_sql("event_id")
+    top = _KANON_LADDER[0]
+    cell = cell_encode_sql(lat, lng, top)
+    levels = ", ".join(
+        f"({r}, {'h.cell' if r == top else cell_parent_sql('h.cell', top, r)})"
+        for r in _KANON_LADDER
+    )
+    return f"""
+        WITH c AS (SELECT user_id, {cell} AS cell, COUNT(*) AS n_events
+                   FROM events GROUP BY 1, 2),
+        h AS (SELECT user_id, cell FROM (
+                  SELECT user_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY n_events DESC, cell) AS rk
+                  FROM c) WHERE rk = 1),
+        ladder AS (SELECT h.user_id, v.res, v.acell
+                   FROM h CROSS JOIN LATERAL (VALUES {levels}) v(res, acell)),
+        occ AS (SELECT res, acell, COUNT(*) AS n_users
+                FROM ladder GROUP BY 1, 2),
+        q AS (SELECT l.user_id, l.res, l.acell, o.n_users,
+                     ROW_NUMBER() OVER (PARTITION BY l.user_id
+                                        ORDER BY l.res DESC) AS rk
+              FROM ladder l JOIN occ o
+                ON o.res = l.res AND o.acell = l.acell
+              WHERE o.n_users >= {_KANON_K})
+        SELECT user_id, res AS anon_res, acell AS anon_cell,
+               n_users AS n_sharing
+        FROM q WHERE rk = 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5410,6 +5510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "theil_sen_cells": q_theil_sen,
         "zrange_scan": q_zrange_scan,
+        "kanon_cells": q_kanon_cells,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5592,6 +5693,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _event_funnel_sql(),
         "theil_sen_cells": _theil_sen_sql(),
         "zrange_scan": _zrange_scan_sql(),
+        "kanon_cells": _kanon_cells_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

@@ -91,3 +91,59 @@ def test_entry_smoke(spark):
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_kanon_invariants(spark, sf_dir):
+    """Every released cell is shared by >= k users (anonymity) AND is the
+    finest ladder level achieving that (utility): one level finer must
+    break the k bound for at least-that-user, verified by recomputing
+    level occupancy from the output-independent home table."""
+    import collections
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+    from raptor_service_spark.geo.grid import cell_parent_np
+
+    import numpy as np
+
+    out = {r.user_id: r for r in entry_mod.q_kanon_cells(spark, sf_dir).collect()}
+    k, ladder = entry_mod._KANON_K, entry_mod._KANON_LADDER
+    assert all(r.n_sharing >= k for r in out.values())
+
+    # recompute homes independently (same argmax contract)
+    ev = entry_mod._read(spark, sf_dir, "events").select("event_id", "user_id")
+    lat, lng = entry_mod._latlng_cols(F.col("event_id"))
+    from raptor_service_spark.geo.grid import cell_encode_col
+    from pyspark.sql import Window
+
+    counts = (
+        ev.withColumn("cell", cell_encode_col(lat, lng, ladder[0]))
+        .groupBy("user_id", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("cell").asc())
+    homes = {
+        r.user_id: r.cell
+        for r in counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    # per-level occupancy from homes
+    occ = {r: collections.Counter() for r in ladder}
+    for u, c in homes.items():
+        for r in ladder:
+            p = c if r == ladder[0] else int(cell_parent_np(np.array([c]), r)[0])
+            occ[r][p] += 1
+    for u, row in out.items():
+        c = homes[u]
+        # claimed level holds
+        p = c if row.anon_res == ladder[0] else int(
+            cell_parent_np(np.array([c]), row.anon_res)[0]
+        )
+        assert p == row.anon_cell and occ[row.anon_res][p] == row.n_sharing
+        # finest: every finer ladder level breaks k
+        for r in ladder:
+            if r <= row.anon_res:
+                continue
+            pf = c if r == ladder[0] else int(cell_parent_np(np.array([c]), r)[0])
+            assert occ[r][pf] < k
