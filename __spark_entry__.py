@@ -1737,6 +1737,43 @@ def _event_funnel_sql() -> str:
     """
 
 
+def q_funnel_stages(spark, sf_dir):
+    """Per-user funnel stage-entry events (the row-level form behind
+    `event_funnel`'s counts, and the batch twin of the STREAMING funnel
+    state machine — `streaming/funnel.py`, exact stream==batch parity in
+    tests/test_streaming_funnel.py)."""
+    from raptor_service_spark.streaming.funnel import funnel_stages_batch
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    return funnel_stages_batch(ev)
+
+
+def _funnel_stages_sql() -> str:
+    strict = lambda a: f"(b.us > {a}.us OR (b.us = {a}.us AND b.event_id > {a}.event_id))"
+    return f"""
+        WITH base AS (SELECT user_id, event_type,
+                             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+                      FROM events),
+        v AS (SELECT user_id, MIN({{'us': us, 'event_id': event_id}}) AS m
+              FROM base WHERE event_type = 'view' GROUP BY 1),
+        vv AS (SELECT user_id, m.us AS us, m.event_id AS event_id FROM v),
+        c AS (SELECT b.user_id, MIN({{'us': b.us, 'event_id': b.event_id}}) AS m
+              FROM base b JOIN vv ON b.user_id = vv.user_id
+              WHERE b.event_type = 'click' AND {strict('vv')}
+              GROUP BY 1),
+        cc AS (SELECT user_id, m.us AS us, m.event_id AS event_id FROM c),
+        p AS (SELECT b.user_id, MIN({{'us': b.us, 'event_id': b.event_id}}) AS m
+              FROM base b JOIN cc ON b.user_id = cc.user_id
+              WHERE b.event_type = 'purchase' AND {strict('cc')}
+              GROUP BY 1)
+        SELECT user_id, 1 AS stage, event_id FROM vv
+        UNION ALL
+        SELECT user_id, 2 AS stage, m.event_id FROM c
+        UNION ALL
+        SELECT user_id, 3 AS stage, m.event_id FROM p
+    """
+
+
 def q_user_od_flows(spark, sf_dir):
     """Origin-destination flow matrix: per-user consecutive event pairs,
     each end encoded to its res-3 grid cell, cross-cell transitions counted
@@ -5511,6 +5548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_cells": q_theil_sen,
         "zrange_scan": q_zrange_scan,
         "kanon_cells": q_kanon_cells,
+        "funnel_stages": q_funnel_stages,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5694,6 +5732,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen_cells": _theil_sen_sql(),
         "zrange_scan": _zrange_scan_sql(),
         "kanon_cells": _kanon_cells_sql(),
+        "funnel_stages": _funnel_stages_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),
