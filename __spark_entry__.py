@@ -5477,6 +5477,62 @@ def _kanon_cells_sql() -> str:
     """
 
 
+_PACK_BUDGET = 4096
+
+
+def q_seq_packing(spark, sf_dir):
+    """Sequence packing — the GPT-style pretraining batcher: docs are laid
+    end-to-end in a deterministic (md5, doc_id) order and SPLIT into fixed
+    4096-token context windows; each doc reports its window span
+    (bin_start, bin_end) and in-window offset. Closed form over a running
+    token cumsum (one window over the deterministic order — at 100 TB the
+    order key is a range-partitioned sort, the same one-exchange shape as
+    any global ordering); all-integer, exact oracle."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.functions.text import token_count
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = d.select(
+        "doc_id", h.alias("h"), token_count(F.col("text")).cast("long").alias("tok")
+    ).filter(F.col("tok") > 0)
+    w = (
+        Window.orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum", F.sum("tok").over(w))
+    return cum.select(
+        "doc_id",
+        "tok",
+        F.floor((F.col("cum") - F.col("tok")) / _PACK_BUDGET).cast("long").alias("bin_start"),
+        F.floor((F.col("cum") - 1) / _PACK_BUDGET).cast("long").alias("bin_end"),
+        ((F.col("cum") - F.col("tok")) % _PACK_BUDGET).cast("long").alias("bin_offset"),
+    )
+
+
+def _seq_packing_sql() -> str:
+    from raptor_service_spark.functions.text import token_count_sql
+
+    tok = token_count_sql("text")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   CAST({tok} AS BIGINT) AS tok
+            FROM documents),
+        c AS (SELECT doc_id, tok,
+                     SUM(tok) OVER (ORDER BY h, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum
+              FROM base WHERE tok > 0)
+        SELECT doc_id, tok,
+               CAST(FLOOR((cum - tok) / {_PACK_BUDGET}) AS BIGINT) AS bin_start,
+               CAST(FLOOR((cum - 1) / {_PACK_BUDGET}) AS BIGINT) AS bin_end,
+               CAST((cum - tok) % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+        FROM c
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5549,6 +5605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zrange_scan": q_zrange_scan,
         "kanon_cells": q_kanon_cells,
         "funnel_stages": q_funnel_stages,
+        "seq_packing": q_seq_packing,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5733,6 +5790,7 @@ def oracle_sql() -> dict[str, str]:
         "zrange_scan": _zrange_scan_sql(),
         "kanon_cells": _kanon_cells_sql(),
         "funnel_stages": _funnel_stages_sql(),
+        "seq_packing": _seq_packing_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

@@ -147,3 +147,22 @@ def test_kanon_invariants(spark, sf_dir):
                 continue
             pf = c if r == ladder[0] else int(cell_parent_np(np.array([c]), r)[0])
             assert occ[r][pf] < k
+
+
+def test_seq_packing_invariants(spark, sf_dir):
+    """Concat-and-split packing: windows tile the token stream exactly —
+    offsets chain (next doc starts where the previous ended, mod budget),
+    every bin except the last is filled to the budget, and each doc's
+    span covers ceil((offset+tok)/budget) windows."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.q_seq_packing(spark, sf_dir).collect()
+    budget = entry_mod._PACK_BUDGET
+    # reconstruct stream order from (bin_start, bin_offset)
+    rows.sort(key=lambda r: (r.bin_start, r.bin_offset, r.doc_id))
+    cum = 0
+    for r in rows:
+        assert r.bin_start * budget + r.bin_offset == cum
+        assert r.bin_end == (cum + r.tok - 1) // budget
+        cum += r.tok
+    assert rows, "packing produced no rows"
