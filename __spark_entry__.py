@@ -4031,6 +4031,72 @@ def _zrange_scan_sql() -> str:
     """
 
 
+def _hr_ranges() -> list[tuple[int, int]]:
+    from raptor_service_spark.geo.zranges import hilbert_range_decompose
+
+    return hilbert_range_decompose(*_ZR_BOX, 8)
+
+
+def q_hilbert_range_scan(spark, sf_dir):
+    """Hilbert twin of `zrange_scan` over the SAME bbox: the quad subtree
+    property makes every quad one contiguous hd interval, and Hilbert's
+    no-seam locality yields FEWER, tighter ranges than Morton (asserted in
+    tests) — the practical reason OPTIMIZE-by-Hilbert beats z-order for
+    2-D scans. Same broadcast range-join audit; ranges shared verbatim
+    with the oracle."""
+    from raptor_service_spark.geo.hilbert import hilbert_withcolumns
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    n = 256
+    x = F.least(
+        F.greatest(F.floor((lng + 180.0) / 360.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    y = F.least(
+        F.greatest(F.floor((lat + 90.0) / 180.0 * n).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    # Cut lineage before the non-equi join: CollapseProject would otherwise
+    # substitute the 8-level rotate-reflect chain INTO the join predicate
+    # (each level doubles the references — exponential expression blowup;
+    # Catalyst spins for minutes). In practice hd is a STORED layout column
+    # (it exists so the table can be written sorted by it), so materializing
+    # it here mirrors the real deployment, not a workaround.
+    pts = (
+        hilbert_withcolumns(d.select(x.alias("x"), y.alias("y")), 8)
+        .select("hd")
+        .localCheckpoint(eager=True)
+    )
+    ranges = spark.createDataFrame(_hr_ranges(), "hd_lo long, hd_hi long")
+    return (
+        pts.join(
+            F.broadcast(ranges),
+            (F.col("hd") >= F.col("hd_lo")) & (F.col("hd") <= F.col("hd_hi")),
+        )
+        .groupBy("hd_lo", "hd_hi")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _hilbert_range_scan_sql() -> str:
+    from raptor_service_spark.geo.hilbert import hilbert_sql_chain
+
+    lat, lng = _latlng_sql("doc_id")
+    n = 256
+    x = f"LEAST(GREATEST(CAST(FLOOR(({lng} + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
+    y = f"LEAST(GREATEST(CAST(FLOOR(({lat} + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1})"
+    chain = hilbert_sql_chain(8, f"(SELECT {x} AS x, {y} AS y FROM documents)")
+    vals = ", ".join(f"({lo}, {hi})" for lo, hi in _hr_ranges())
+    return f"""
+        WITH {chain}
+        SELECT r.hd_lo, r.hd_hi, COUNT(*) AS n_docs
+        FROM h JOIN (VALUES {vals}) r(hd_lo, hd_hi)
+          ON h.hd >= r.hd_lo AND h.hd <= r.hd_hi
+        GROUP BY 1, 2
+    """
+
+
 # ---------------------------------------------------------------------------
 # movement compass rose: octant histogram of per-user displacement vectors
 # ---------------------------------------------------------------------------
@@ -5606,6 +5672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kanon_cells": q_kanon_cells,
         "funnel_stages": q_funnel_stages,
         "seq_packing": q_seq_packing,
+        "hilbert_range_scan": q_hilbert_range_scan,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5791,6 +5858,7 @@ def oracle_sql() -> dict[str, str]:
         "kanon_cells": _kanon_cells_sql(),
         "funnel_stages": _funnel_stages_sql(),
         "seq_packing": _seq_packing_sql(),
+        "hilbert_range_scan": _hilbert_range_scan_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

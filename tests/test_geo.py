@@ -383,3 +383,44 @@ def test_zrange_scan_equals_direct_bbox_filter(spark, sf_dir):
         (F.col("x") >= x0) & (F.col("x") <= x1) & (F.col("y") >= y0) & (F.col("y") <= y1)
     ).count()
     assert total == direct
+
+
+def test_hilbert_range_decompose_exact_cover_and_beats_morton():
+    """Hilbert quad-subtree ranges: exact cover, merged/disjoint, and at
+    most as many ranges as Morton on the same boxes (the locality
+    argument), verified against the shared-arithmetic encode."""
+    import random
+
+    from raptor_service_spark.geo.hilbert import hilbert_sql_chain
+    from raptor_service_spark.geo.zranges import (
+        hilbert_py,
+        hilbert_range_decompose,
+        zrange_decompose,
+    )
+
+    order, n = 5, 32
+    # hilbert_py must equal the shared-arithmetic chain (which the engine
+    # and oracle both run)
+    chain = hilbert_sql_chain(
+        order, f"(SELECT (i % {n}) AS x, (i // {n}) AS y FROM range({n * n}) t(i))"
+    )
+    for x, y, hd in duckdb.sql(f"WITH {chain} SELECT x, y, hd FROM h").fetchall():
+        assert hilbert_py(x, y, order) == hd
+
+    rng = random.Random(6)
+    fewer = total = 0
+    for _ in range(40):
+        x0 = rng.randrange(n); x1 = rng.randrange(x0, n)
+        y0 = rng.randrange(n); y1 = rng.randrange(y0, n)
+        hr = hilbert_range_decompose(x0, x1, y0, y1, order)
+        for (a, b), (c, d) in zip(hr, hr[1:]):
+            assert b + 1 < c
+        want = {hilbert_py(x, y, order)
+                for x in range(x0, x1 + 1) for y in range(y0, y1 + 1)}
+        got = set()
+        for lo, hi in hr:
+            got.update(range(lo, hi + 1))
+        assert got == want
+        total += 1
+        fewer += len(hr) <= len(zrange_decompose(x0, x1, y0, y1, order))
+    assert fewer >= total * 0.9  # locality: Hilbert ~never needs more ranges
