@@ -102,6 +102,11 @@ HEADLINE = [
     "density_gradient",
     "gravity_fit",
     "dtw_pairs",
+    "theil_sen_cells",
+    "event_funnel",
+    "seq_packing",
+    "zrange_scan",
+    "kanon_cells",
 ]
 
 SEED = 77
