@@ -5599,6 +5599,74 @@ def _seq_packing_sql() -> str:
     """
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix — the product-analytics staple next
+    to the funnel: users are cohorted by first-activity week; cell
+    (cohort_week, week_offset) counts cohort members active that many
+    weeks later. All-integer (exact oracle). Scale shape: one (user, week)
+    distinct agg over events (map-side combinable), one per-user min agg,
+    one broadcast-able O(users) join, one final count agg."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    week = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(604800)
+    ).cast("long")
+    uw = ev.select("user_id", week.alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+def _cohort_retention_sql() -> str:
+    return """
+        WITH uw AS (SELECT DISTINCT user_id,
+                           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 604800)
+                                AS BIGINT) AS week
+                    FROM events),
+        c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+        SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+               COUNT(DISTINCT uw.user_id) AS n_active
+        FROM uw JOIN c ON uw.user_id = c.user_id
+        GROUP BY 1, 2
+    """
+
+
+def q_adoption_curve(spark, sf_dir):
+    """Daily adoption curve: new users per day (first activity) and the
+    running cumulative user count — one per-user min agg + one day agg +
+    one cumulative window over the O(days) daily table. All-integer."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400)
+    ).cast("long")
+    first = ev.select("user_id", day.alias("day")).groupBy("user_id").agg(
+        F.min("day").alias("day")
+    )
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select("day", "n_new", F.sum("n_new").over(w).alias("cum_users"))
+
+
+def _adoption_curve_sql() -> str:
+    return """
+        WITH f AS (SELECT user_id,
+                          MIN(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                                   AS BIGINT)) AS day
+                   FROM events GROUP BY 1),
+        d AS (SELECT day, COUNT(*) AS n_new FROM f GROUP BY 1)
+        SELECT day, n_new,
+               CAST(SUM(n_new) OVER (ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS BIGINT)
+                   AS cum_users
+        FROM d
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5673,6 +5741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_stages": q_funnel_stages,
         "seq_packing": q_seq_packing,
         "hilbert_range_scan": q_hilbert_range_scan,
+        "cohort_retention": q_cohort_retention,
+        "adoption_curve": q_adoption_curve,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5859,6 +5929,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel_stages": _funnel_stages_sql(),
         "seq_packing": _seq_packing_sql(),
         "hilbert_range_scan": _hilbert_range_scan_sql(),
+        "cohort_retention": _cohort_retention_sql(),
+        "adoption_curve": _adoption_curve_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),
