@@ -984,6 +984,41 @@ def q_pip_docs(spark, sf_dir):
     return point_in_polygon_join(pts, polys, res=6).select("qid", "doc_id")
 
 
+# donut polygon: convex outer ring + convex hole strictly inside it
+# (vertices off the 0.05-lattice so no doc sits exactly on an edge)
+_DONUT_OUTER = [(-25.13, 80.17), (-25.13, 140.33), (35.27, 140.33), (35.27, 80.17)]
+_DONUT_HOLE = [(-5.61, 100.23), (-5.61, 120.41), (15.87, 120.41), (15.87, 100.23)]
+
+
+def q_pip_donut(spark, sf_dir):
+    """Point-in-polygon-with-HOLES join (multi-ring GIS semantics): docs
+    inside the outer ring but not in the hole. Pure composition of the
+    existing filter-refine PIP operator — inner membership via the
+    broadcast polyfill join, hole removal via a LEFT ANTI join on the
+    hole's (much smaller) membership. No new kernel; the anti join carries
+    O(hole hits) rows."""
+    from raptor_service_spark.operators.pip_join import point_in_polygon_join
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng)
+    outer = point_in_polygon_join(pts, {"donut": np.array(_DONUT_OUTER)}, res=6)
+    hole = point_in_polygon_join(pts, {"donut": np.array(_DONUT_HOLE)}, res=6)
+    return outer.join(
+        hole.select("qid", "doc_id"), ["qid", "doc_id"], "left_anti"
+    ).select("qid", "doc_id")
+
+
+def _pip_donut_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    inside_o = _convex_inside_expr(_DONUT_OUTER, lat, lng)
+    inside_h = _convex_inside_expr(_DONUT_HOLE, lat, lng)
+    return (
+        f"SELECT 'donut' AS qid, doc_id FROM documents "
+        f"WHERE {inside_o} AND NOT {inside_h}"
+    )
+
+
 _RADIUS_CENTERS = {"c1": (30.0, -80.0), "c2": (-20.0, 140.0), "c3": (50.0, 10.0)}
 _RADIUS = 25.0
 
@@ -5743,6 +5778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_range_scan": q_hilbert_range_scan,
         "cohort_retention": q_cohort_retention,
         "adoption_curve": q_adoption_curve,
+        "pip_donut": q_pip_donut,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5931,6 +5967,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_range_scan": _hilbert_range_scan_sql(),
         "cohort_retention": _cohort_retention_sql(),
         "adoption_curve": _adoption_curve_sql(),
+        "pip_donut": _pip_donut_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

@@ -89,3 +89,26 @@ def test_radius_join_matches_bruteforce(spark):
         cla, cln = centers[r.qid]
         pr = pts.filter(F.col("pid") == r.pid).collect()[0]
         assert abs(r.dist - round(((pr.lat - cla) ** 2 + (pr.lng - cln) ** 2) ** 0.5, 6)) < 1e-9
+
+
+def test_pip_donut_excludes_hole(spark, sf_dir):
+    """Multi-ring (donut) composition: output = outer members minus hole
+    members, and every output point is exactly inside-outer AND
+    outside-hole by the numpy reference test."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from raptor_service_spark.geo.grid import points_in_polygon_np
+
+    out = {r.doc_id for r in entry_mod.q_pip_donut(spark, sf_dir).collect()}
+    d = entry_mod._read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = entry_mod._latlng_cols(F.col("doc_id"))
+    rows = d.select("doc_id", lat.alias("lat"), lng.alias("lng")).collect()
+    la = np.array([r.lat for r in rows])
+    ln = np.array([r.lng for r in rows])
+    in_o = points_in_polygon_np(la, ln, np.array(entry_mod._DONUT_OUTER))
+    in_h = points_in_polygon_np(la, ln, np.array(entry_mod._DONUT_HOLE))
+    want = {r.doc_id for r, o, h in zip(rows, in_o, in_h) if o and not h}
+    assert out == want
+    assert want  # the donut must actually contain docs at this sf
