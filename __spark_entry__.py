@@ -5702,6 +5702,87 @@ def _adoption_curve_sql() -> str:
     """
 
 
+_PMI_MIN_COUNT, _PMI_TOPK = 20, 25
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """PMI bigram collocations — the corpus-statistics classic (which word
+    pairs co-occur more than chance): pmi = ln((c_ab/N_bi)·(N_uni/c_a)·
+    (N_uni/c_b)), top-25 by PMI among bigrams seen ≥ 50 times. Bigrams are
+    built ARRAY-side (transform over the token array — identical
+    construction in DuckDB's list_transform, no window/self-join); counts
+    are two hash aggs; the unigram/total joins broadcast (vocab-sized).
+    Scale: docs are scanned once; everything after is O(vocab²)-bounded."""
+    d = _read(spark, sf_dir, "documents").select("text")
+    toks = d.select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    ).filter(F.size("arr") >= 2)
+    uni = toks.select(F.explode("arr").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_w")
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1), "
+                    "i -> concat(element_at(arr, i), '_', element_at(arr, i + 1)))"
+                )
+            ).alias("ab")
+        )
+        .groupBy("ab")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .withColumn("a", F.substring_index("ab", "_", 1))
+        .withColumn("b", F.substring_index("ab", "_", -1))
+    )
+    n_uni = uni.agg(F.sum("c_w").cast("long").alias("n_uni"))
+    n_bi = toks.select((F.size("arr") - 1).alias("k")).agg(
+        F.sum("k").cast("long").alias("n_bi")
+    )
+    j = (
+        bi.join(F.broadcast(uni.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))), "a")
+        .join(F.broadcast(uni.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))), "b")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+    )
+    pmi = F.expr(
+        "ROUND(LN(((CAST(c_ab AS DOUBLE) / n_bi) * n_uni / c_a) * n_uni / c_b), 6)"
+    )
+    return (
+        j.select("a", "b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(_PMI_TOPK)
+    )
+
+
+def _pmi_bigrams_sql() -> str:
+    return f"""
+        WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS arr
+                   FROM documents
+                   WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+        uni AS (SELECT UNNEST(arr) AS w FROM t),
+        u AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY 1),
+        bg AS (SELECT UNNEST(list_transform(range(1, len(arr)),
+                                            i -> arr[i] || '_' || arr[i + 1])) AS ab
+               FROM t),
+        b AS (SELECT ab, COUNT(*) AS c_ab FROM bg GROUP BY 1
+              HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+        nu AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_uni FROM u),
+        nb AS (SELECT CAST(SUM(len(arr) - 1) AS BIGINT) AS n_bi FROM t),
+        j AS (SELECT split_part(b.ab, '_', 1) AS a,
+                     split_part(b.ab, '_', 2) AS b, b.c_ab,
+                     ua.c_w AS c_a, ub.c_w AS c_b, nu.n_uni, nb.n_bi
+              FROM b JOIN u ua ON ua.w = split_part(b.ab, '_', 1)
+                     JOIN u ub ON ub.w = split_part(b.ab, '_', 2)
+                     CROSS JOIN nu CROSS JOIN nb)
+        SELECT a, b, c_ab,
+               ROUND(LN(((CAST(c_ab AS DOUBLE) / n_bi) * n_uni / c_a)
+                        * n_uni / c_b), 6) AS pmi
+        FROM j
+        ORDER BY pmi DESC, a, b LIMIT {_PMI_TOPK}
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5779,6 +5860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "adoption_curve": q_adoption_curve,
         "pip_donut": q_pip_donut,
+        "pmi_bigrams": q_pmi_bigrams,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -5968,6 +6050,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _cohort_retention_sql(),
         "adoption_curve": _adoption_curve_sql(),
         "pip_donut": _pip_donut_sql(),
+        "pmi_bigrams": _pmi_bigrams_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),
