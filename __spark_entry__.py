@@ -5783,6 +5783,45 @@ def _pmi_bigrams_sql() -> str:
     """
 
 
+_WS_K = 50
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    each doc draws u ∈ (0,1) and ranks by key = ln(u)/w (equivalent to
+    u^(1/w); higher weight → stochastically better rank); the global top-k
+    is an exact weighted sample. Deterministic and engine-portable: u is
+    the doc's md5 prefix scaled by 2⁻³² (exact dyadic rational — no RNG),
+    w = n_chars; one codegen projection + TakeOrderedAndProject, no
+    shuffle of the corpus. The reproducible quality-weighted sampler a
+    curation pipeline uses for eval-set draws."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select("doc_id", "n_chars", F.round(key, 9).alias("skey"))
+        .orderBy(F.desc("skey"), "doc_id")
+        .limit(_WS_K)
+    )
+
+
+def _weighted_sample_sql() -> str:
+    return f"""
+        WITH d AS (
+            SELECT doc_id, n_chars,
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 1.0) / 4294967296.0 AS u
+            FROM documents)
+        SELECT doc_id, n_chars, ROUND(LN(u) / CAST(n_chars AS DOUBLE), 9) AS skey
+        FROM d
+        ORDER BY skey DESC, doc_id LIMIT {_WS_K}
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5861,6 +5900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adoption_curve": q_adoption_curve,
         "pip_donut": q_pip_donut,
         "pmi_bigrams": q_pmi_bigrams,
+        "weighted_sample": q_weighted_sample,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -6051,6 +6091,7 @@ def oracle_sql() -> dict[str, str]:
         "adoption_curve": _adoption_curve_sql(),
         "pip_donut": _pip_donut_sql(),
         "pmi_bigrams": _pmi_bigrams_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

@@ -166,3 +166,22 @@ def test_seq_packing_invariants(spark, sf_dir):
         assert r.bin_end == (cum + r.tok - 1) // budget
         cum += r.tok
     assert rows, "packing produced no rows"
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf_dir):
+    """A-Res sanity: the weighted sample's mean n_chars must exceed the
+    corpus mean (weights = n_chars), and the draw is deterministic."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    s1 = entry_mod.q_weighted_sample(spark, sf_dir).collect()
+    s2 = entry_mod.q_weighted_sample(spark, sf_dir).collect()
+    assert s1 == s2
+    sample_mean = sum(r.n_chars for r in s1) / len(s1)
+    corpus_mean = (
+        entry_mod._read(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert sample_mean > corpus_mean
