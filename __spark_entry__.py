@@ -5459,6 +5459,26 @@ def _emerging_hotspots_sql() -> str:
     )
 
 
+def q_cusum_cells(spark, sf_dir):
+    """Per-cell CUSUM change-point day (max deviation of the cumulative
+    daily count from a constant-rate line) — completes the trend family:
+    Mann-Kendall = direction, Theil-Sen = magnitude, CUSUM = WHEN. See
+    `operators/spatial_stats.py`."""
+    from raptor_service_spark.operators.spatial_stats import cusum_cells
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(F.col("ts"), lat.alias("lat"), lng.alias("lng"))
+    return cusum_cells(pts, res=3, min_days=8)
+
+
+def _cusum_cells_sql() -> str:
+    from raptor_service_spark.operators.spatial_stats import cusum_sql
+
+    lat, lng = _latlng_sql("event_id")
+    return cusum_sql("(SELECT event_id, ts FROM events)", lat, lng, res=3, min_days=8)
+
+
 def q_theil_sen(spark, sf_dir):
     """Per-cell Theil-Sen slope (median of pairwise daily-count slopes) —
     the robust trend magnitude next to Mann-Kendall's direction test; same
@@ -5901,6 +5921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_donut": q_pip_donut,
         "pmi_bigrams": q_pmi_bigrams,
         "weighted_sample": q_weighted_sample,
+        "cusum_cells": q_cusum_cells,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -6092,6 +6113,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_donut": _pip_donut_sql(),
         "pmi_bigrams": _pmi_bigrams_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "cusum_cells": _cusum_cells_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),

@@ -593,3 +593,90 @@ def theil_sen_sql(
         FROM m JOIN d ON m.cell = d.cell
         WHERE d.n_days >= {min_days}
     """
+
+
+def cusum_cells(
+    events: DataFrame,
+    res: int,
+    min_days: int = 8,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-cell CUSUM change-point: the day where the cumulative daily
+    count deviates most from a constant-rate line — Mann-Kendall says IF a
+    cell trends, Theil-Sen says HOW FAST, CUSUM says WHEN it changed.
+
+    dev_k = S_k − k·S_n/n over the day-ordered series (S = cumsum of daily
+    counts); the change point is the day of max |dev| (ties → earliest).
+    The deviation is ONE shared arithmetic expression over integers, so
+    both engines compute bit-identical doubles; output rounds to 6 dp.
+
+    Same scale shape as the other cube statistics: event rows shuffle once
+    into the (cell, day) cube; the cumsum window, totals join, and argmax
+    all run on the O(cells × days) cube.
+    """
+    from pyspark.sql import Window
+
+    day = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / F.lit(86400))
+    cube = events.groupBy(
+        cell_encode_col(F.col(lat_col), F.col(lng_col), res).alias("cell"),
+        day.alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wc = (
+        Window.partitionBy("cell")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("cell").orderBy("day")
+    seq = cube.select(
+        "cell",
+        "day",
+        F.sum("x").over(wc).alias("s_k"),
+        F.row_number().over(wr).alias("k"),
+    )
+    tot = cube.groupBy("cell").agg(
+        F.sum("x").alias("s_n"), F.count(F.lit(1)).alias("n_days")
+    )
+    dev = seq.join(tot, "cell").withColumn(
+        "adev",
+        F.expr("ABS(CAST(s_k AS DOUBLE) - CAST(k AS DOUBLE) * s_n / n_days)"),
+    )
+    wbest = Window.partitionBy("cell").orderBy(F.col("adev").desc(), F.col("day").asc())
+    return (
+        dev.withColumn("rk", F.row_number().over(wbest))
+        .filter((F.col("rk") == 1) & (F.col("n_days") >= min_days))
+        .select("cell", "n_days", F.col("day").alias("cp_day"), F.round("adev", 6).alias("max_dev"))
+    )
+
+
+def cusum_sql(
+    events_sql: str, lat_expr: str, lng_expr: str, res: int, min_days: int = 8
+) -> str:
+    """DuckDB twin of cusum_cells."""
+    cell = cell_encode_sql(lat_expr, lng_expr, res)
+    return f"""
+        WITH cube AS (
+            SELECT {cell} AS cell,
+                   CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+                   COUNT(*) AS x
+            FROM {events_sql} GROUP BY 1, 2),
+        seq AS (SELECT cell, day,
+                       SUM(x) OVER (PARTITION BY cell ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS s_k,
+                       ROW_NUMBER() OVER (PARTITION BY cell ORDER BY day) AS k
+                FROM cube),
+        tot AS (SELECT cell, SUM(x) AS s_n, COUNT(*) AS n_days
+                FROM cube GROUP BY 1),
+        dev AS (SELECT seq.cell, seq.day, tot.n_days,
+                       ABS(CAST(s_k AS DOUBLE) - CAST(k AS DOUBLE) * s_n / n_days)
+                           AS adev
+                FROM seq JOIN tot ON seq.cell = tot.cell),
+        best AS (SELECT cell, day, n_days, adev,
+                        ROW_NUMBER() OVER (PARTITION BY cell
+                                           ORDER BY adev DESC, day ASC) AS rk
+                 FROM dev)
+        SELECT cell, n_days, day AS cp_day, ROUND(adev, 6) AS max_dev
+        FROM best WHERE rk = 1 AND n_days >= {min_days}
+    """

@@ -313,3 +313,35 @@ def test_theil_sen_matches_numpy(spark):
     # the rising cell's slope is exactly 1 doc/day
     rising = int(cell_encode_np(np.array([10.05]), np.array([10.05]), 3)[0])
     assert out[rising][1] == 1.0
+
+
+def test_cusum_detects_step_change_day(spark):
+    """A series with a rate step at day 8 must report its change point at
+    the step (the cumsum-deviation argmax), verified against numpy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from raptor_service_spark.geo.grid import cell_encode_np
+    from raptor_service_spark.operators.spatial_stats import cusum_cells
+
+    rows = []
+    for d in range(16):
+        rate = 2 if d < 8 else 10  # step up at day 8
+        for _ in range(rate):
+            rows.append((20.05, 20.05, d))
+    df = spark.createDataFrame(
+        [(la, ln, d * 86400 + 7) for la, ln, d in rows],
+        "lat double, lng double, epoch long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch")))
+    out = cusum_cells(df, res=3, min_days=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cell == int(cell_encode_np(np.array([20.05]), np.array([20.05]), 3)[0])
+    # numpy reference
+    x = np.array([2] * 8 + [10] * 8, dtype=float)
+    s = np.cumsum(x)
+    k = np.arange(1, 17)
+    dev = np.abs(s - k * s[-1] / 16)
+    assert r.cp_day == int(np.argmax(dev))  # day ids are 0-based here
+    assert abs(r.max_dev - round(float(dev.max()), 6)) < 1e-9
+    assert r.cp_day == 7  # the last low-rate day maximizes the deviation
