@@ -5842,6 +5842,109 @@ def _weighted_sample_sql() -> str:
     """
 
 
+def q_user_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern: within a user's DISTINCT active days, the
+    quantity day − row_number() is constant exactly along a consecutive
+    run, so one distinct agg + one window + one max-of-counts gives the
+    streak. All-integer. One (user) shuffle; islands never materialize
+    pairs."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400)
+    ).cast("long")
+    days = ev.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn("grp", F.col("day") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+def _user_streaks_sql() -> str:
+    return """
+        WITH d AS (SELECT DISTINCT user_id,
+                          CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                               AS BIGINT) AS day
+                   FROM events),
+        i AS (SELECT user_id, day,
+                     day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS grp
+              FROM d),
+        r AS (SELECT user_id, grp, COUNT(*) AS run_len
+              FROM i GROUP BY 1, 2)
+        SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+               COUNT(*) AS n_streaks
+        FROM r GROUP BY 1
+    """
+
+
+_BENFORD_DIGIT_SQL = (
+    "CAST(FLOOR(CASE "
+    "WHEN ABS(value) >= 100.0 THEN ABS(value) / 100.0 "
+    "WHEN ABS(value) >= 10.0 THEN ABS(value) / 10.0 "
+    "WHEN ABS(value) >= 1.0 THEN ABS(value) "
+    "WHEN ABS(value) >= 0.1 THEN ABS(value) * 10.0 "
+    "ELSE ABS(value) * 100.0 END) AS INT)"
+)
+
+
+def q_benford_values(spark, sf_dir):
+    """Benford first-digit audit of the event `value` column — the
+    data-quality screen: per leading digit 1-9 of |value|, observed count,
+    Benford-expected count (N·log10(1+1/d), a literal-constant table
+    shared with the oracle), and the χ² contribution. Codegen digit
+    extraction + one 9-group agg."""
+    ev = _read(spark, sf_dir, "events").select("value").filter(
+        F.abs(F.col("value")) > 0
+    )
+    # leading digit by an exact comparison ladder (values are bounded in
+    # [0.01, 1000) by the generator): every branch is one IEEE multiply/
+    # divide — bit-identical across engines, no libm log10 whose 1-ulp
+    # slack could flip FLOOR at power-of-ten boundaries. The ladder is ONE
+    # string shared with the oracle; rows whose scaled mantissa rounds
+    # outside [1, 9] (boundary doubles) are excluded IDENTICALLY by both.
+    obs = (
+        ev.select(F.expr(_BENFORD_DIGIT_SQL).alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    n = obs.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    exp = F.expr("n_total * LOG10(1.0 + 1.0 / digit)")
+    return (
+        obs.join(F.broadcast(n))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(exp, 6).alias("n_exp"),
+            F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp, 6).alias(
+                "chi2_part"
+            ),
+        )
+    )
+
+
+def _benford_values_sql() -> str:
+    return f"""
+        WITH v AS (SELECT value FROM events WHERE ABS(value) > 0),
+        o AS (SELECT digit, COUNT(*) AS n_obs
+              FROM (SELECT {_BENFORD_DIGIT_SQL} AS digit FROM v)
+              WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM o)
+        SELECT digit, n_obs,
+               ROUND(n_total * LOG10(1.0 + 1.0 / digit), 6) AS n_exp,
+               ROUND((n_obs - n_total * LOG10(1.0 + 1.0 / digit))
+                     * (n_obs - n_total * LOG10(1.0 + 1.0 / digit))
+                     / (n_total * LOG10(1.0 + 1.0 / digit)), 6) AS chi2_part
+        FROM o CROSS JOIN t
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5922,6 +6025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": q_pmi_bigrams,
         "weighted_sample": q_weighted_sample,
         "cusum_cells": q_cusum_cells,
+        "user_streaks": q_user_streaks,
+        "benford_values": q_benford_values,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -6114,6 +6219,8 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": _pmi_bigrams_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "cusum_cells": _cusum_cells_sql(),
+        "user_streaks": _user_streaks_sql(),
+        "benford_values": _benford_values_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),
