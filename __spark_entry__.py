@@ -5945,6 +5945,81 @@ def _benford_values_sql() -> str:
     """
 
 
+# Pearson r from the six rounded sums — one shared closed-form string per
+# pair (a, b) over columns n, s_<a>, s_<b>, s_<a><a>, s_<b><b>, s_<a><b>.
+def _pearson_expr(a: str, b: str) -> str:
+    return (
+        f"ROUND((n * s_{a}{b} - s_{a} * s_{b}) / "
+        f"(SQRT(n * s_{a}{a} - s_{a} * s_{a}) * "
+        f"SQRT(n * s_{b}{b} - s_{b} * s_{b})), 6)"
+    )
+
+
+def q_value_correlations(spark, sf_dir):
+    """Pearson correlation screen: r(value, hour-of-day), r(value, lat),
+    r(value, lng) in ONE scalar aggregate — the feature/leakage screen a
+    training pipeline runs before using a column. All sums rounded to 9 dp
+    before the shared closed-form ratio (the OLS/gravity protocol); hour
+    is exact integer arithmetic."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "value")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    hour = F.floor(
+        (F.unix_timestamp(F.col("ts").cast("timestamp")) % 86400) / F.lit(3600)
+    ).cast("double")
+    base = ev.select(
+        F.col("value").alias("v"), hour.alias("h"), lat.alias("a"), lng.alias("g")
+    )
+    s = lambda c: F.round(F.sum(c), 9)
+    sums = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        s(F.col("v")).alias("s_v"),
+        s(F.col("v") * F.col("v")).alias("s_vv"),
+        s(F.col("h")).alias("s_h"),
+        s(F.col("h") * F.col("h")).alias("s_hh"),
+        s(F.col("v") * F.col("h")).alias("s_vh"),
+        s(F.col("a")).alias("s_a"),
+        s(F.col("a") * F.col("a")).alias("s_aa"),
+        s(F.col("v") * F.col("a")).alias("s_va"),
+        s(F.col("g")).alias("s_g"),
+        s(F.col("g") * F.col("g")).alias("s_gg"),
+        s(F.col("v") * F.col("g")).alias("s_vg"),
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.expr(_pearson_expr("v", "h")).alias("r_value_hour"),
+        F.expr(_pearson_expr("v", "a")).alias("r_value_lat"),
+        F.expr(_pearson_expr("v", "g")).alias("r_value_lng"),
+    )
+
+
+def _value_correlations_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    return f"""
+        WITH base AS (
+            SELECT value AS v,
+                   CAST(FLOOR((CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)))
+                                    AS BIGINT) % 86400)
+                              / 3600) AS DOUBLE) AS h,
+                   {lat} AS a, {lng} AS g
+            FROM events),
+        sums AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   ROUND(SUM(v), 9) AS s_v, ROUND(SUM(v * v), 9) AS s_vv,
+                   ROUND(SUM(h), 9) AS s_h, ROUND(SUM(h * h), 9) AS s_hh,
+                   ROUND(SUM(v * h), 9) AS s_vh,
+                   ROUND(SUM(a), 9) AS s_a, ROUND(SUM(a * a), 9) AS s_aa,
+                   ROUND(SUM(v * a), 9) AS s_va,
+                   ROUND(SUM(g), 9) AS s_g, ROUND(SUM(g * g), 9) AS s_gg,
+                   ROUND(SUM(v * g), 9) AS s_vg
+            FROM base)
+        SELECT CAST(n AS BIGINT) AS n_events,
+               {_pearson_expr('v', 'h')} AS r_value_hour,
+               {_pearson_expr('v', 'a')} AS r_value_lat,
+               {_pearson_expr('v', 'g')} AS r_value_lng
+        FROM sums
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6027,6 +6102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_cells": q_cusum_cells,
         "user_streaks": q_user_streaks,
         "benford_values": q_benford_values,
+        "value_correlations": q_value_correlations,
         "bearing_rose": q_bearing_rose,
         "cell_isochrone": q_cell_isochrone,
         "cell_pagerank": q_cell_pagerank,
@@ -6221,6 +6297,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_cells": _cusum_cells_sql(),
         "user_streaks": _user_streaks_sql(),
         "benford_values": _benford_values_sql(),
+        "value_correlations": _value_correlations_sql(),
         "bearing_rose": _bearing_rose_sql(),
         "cell_isochrone": _cell_isochrone_sql(),
         "cell_pagerank": _cell_pagerank_sql(),
