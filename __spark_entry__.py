@@ -6021,6 +6021,157 @@ def _value_correlations_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# join-count statistics + k-core peeling (session 6)
+# ---------------------------------------------------------------------------
+
+
+def q_join_counts(spark, sf_dir):
+    """Cliff-Ord black/white join-count statistics over res-3 event
+    occupancy: binarize cells at the global mean count, count queen-adjacent
+    BB/BW/WW joins (each pair once), compare with nonfree-sampling
+    expectations. One point shuffle; ring join over O(occupied cells); all
+    counts exact integers (operators/spatial_stats.py:join_counts)."""
+    from raptor_service_spark.operators.spatial_stats import join_counts
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(lat.alias("lat"), lng.alias("lng"))
+    return join_counts(pts, res=3)
+
+
+def _join_counts_sql() -> str:
+    from raptor_service_spark.operators.spatial_stats import join_counts_sql
+
+    lat, lng = _latlng_sql("event_id")
+    return join_counts_sql("events", lat, lng, res=3)
+
+
+def q_cell_kcore(spark, sf_dir):
+    """k-core (k=3) of the occupied res-5 document-cell lattice: iterative
+    degree peeling to the dense skeleton, fixpoint within 8 rounds; the
+    oracle unrolls the identical peel as a CTE chain (peeling is monotone,
+    so early convergence agrees with the full unroll). Per round: one
+    degree agg + two semi-joins over O(edges)
+    (operators/cell_graph.py:kcore)."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+    from raptor_service_spark.operators.cell_graph import kcore
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    occ = d.select(cell_encode_col(lat, lng, _ISO_RES).alias("cell"))
+    return kcore(occ, res=_ISO_RES, k=3, max_rounds=8)
+
+
+def _cell_kcore_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import kcore_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, _ISO_RES)
+    return kcore_sql(
+        f"SELECT {cell} AS cell FROM documents", res=_ISO_RES, k=3, max_rounds=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# PassJoin edit-distance fuzzy join + TF-IDF keyword extraction (session 6)
+# ---------------------------------------------------------------------------
+
+
+_TITLE_SPARK = "array_join(slice(split(trim(text), ' '), 1, 3), ' ')"
+_TITLE_SQL = "array_to_string(list_slice(string_split(trim(text), ' '), 1, 3), ' ')"
+
+
+def q_fuzzy_title_pairs(spark, sf_dir):
+    """Exact edit-distance<=2 similarity join on document 'titles' (first 3
+    words) via the PassJoin partition scheme — pigeonhole segments turn the
+    fuzzy join into a bounded-fanout EQUI-join (15 probe / 75 index rows per
+    string, constants in d), verified with JVM codegen levenshtein. The
+    fuzzy-key analog of the reference's checksum dedup
+    (repositories/chunk_repo.py upsert keys). Oracle is the brute-force
+    levenshtein self-join, proving the partition scheme loses no pair."""
+    from raptor_service_spark.operators.dedup import passjoin_pairs
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TITLE_SPARK).alias("title")
+    )
+    return passjoin_pairs(d, "doc_id", "title", max_dist=2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _fuzzy_title_pairs_sql() -> str:
+    from raptor_service_spark.operators.dedup import passjoin_pairs_sql
+
+    return passjoin_pairs_sql(
+        f"SELECT doc_id AS id, {_TITLE_SQL} AS k FROM documents", max_dist=2
+    )
+
+
+def q_doc_tfidf_terms(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document (docs 0-99) with
+    corpus-wide document frequency. Scale shape: term explode feeds two
+    partial+final aggs (tf per (doc, term); df per term over the FULL
+    corpus); the tf⋈df equi-join shuffles on term (both sides aggregated —
+    never raw token rows); N arrives as a broadcast scalar; per-doc top-3 is
+    a WindowGroupLimit rank. Ranking uses the 6-dp ROUNDED score in BOTH
+    engines so ties break identically (score DESC, term ASC)."""
+    from pyspark.sql import Window
+    from raptor_service_spark.operators.dedup import words_col
+
+    d = _read(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(words_col(F.col("text"))).alias("term"))
+    df_tbl = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    tot = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    tf = (
+        terms.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(tot)
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "score", "rk")
+    )
+
+
+def _doc_tfidf_terms_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    return f"""
+        WITH terms AS (
+            SELECT doc_id, unnest({w}) AS term FROM documents),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM terms
+            WHERE doc_id < 100 GROUP BY 1, 2),
+        scored AS (
+            SELECT t.doc_id, t.term, t.tf,
+                   ROUND(t.tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS score
+            FROM tf t JOIN dfreq USING (term) CROSS JOIN tot)
+        SELECT doc_id, term, tf, score, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS rk
+            FROM scored)
+        WHERE rk <= 3
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6175,6 +6326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_retrieval": q_mmr_retrieval,
         "od_triangles": q_od_triangles,
         "snm_pairs": q_snm_pairs,
+        "fuzzy_title_pairs": q_fuzzy_title_pairs,
+        "doc_tfidf_terms": q_doc_tfidf_terms,
+        "join_counts": q_join_counts,
+        "cell_kcore": q_cell_kcore,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
         "quadkey_tiles": q_quadkey_tiles,
@@ -6263,6 +6418,10 @@ def oracle_sql() -> dict[str, str]:
         "mmr_retrieval": _mmr_retrieval_sql(),
         "od_triangles": _od_triangles_sql(),
         "snm_pairs": _snm_pairs_sql(),
+        "fuzzy_title_pairs": _fuzzy_title_pairs_sql(),
+        "doc_tfidf_terms": _doc_tfidf_terms_sql(),
+        "join_counts": _join_counts_sql(),
+        "cell_kcore": _cell_kcore_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
         "quadkey_tiles": _quadkey_tiles_sql(),

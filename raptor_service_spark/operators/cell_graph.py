@@ -302,3 +302,83 @@ def sssp_sql(
         {chain}
         SELECT cell, dist FROM d{n_rounds}
     """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — iterative degree peeling
+# ---------------------------------------------------------------------------
+
+
+def kcore(occ: DataFrame, res: int, k: int = 3, max_rounds: int = 8) -> DataFrame:
+    """k-core subgraph of the occupied-cell 8-adjacency lattice.
+
+    Classic peeling: repeatedly drop vertices whose degree in the SURVIVING
+    subgraph is < k, until fixpoint (or ``max_rounds``). Returns
+    (cell, deg) where deg is the vertex's degree INSIDE the k-core — the
+    dense-region skeleton the sparse fringe peels away from (the grid
+    analog of keeping only well-supported tree nodes,
+    services/core/build_tree_service.py min-cluster checks).
+
+    Scale shape: points touched once (occupancy agg upstream of ``occ``);
+    every round is one degree agg + two semi-joins over the O(edges)
+    table with a ``localCheckpoint`` lineage cut; the only driver value is
+    the edge-count convergence scalar. The oracle unrolls ``max_rounds``
+    peel steps as a CTE chain — peeling is monotone, so once Spark reaches
+    the fixpoint early the extra unrolled rounds are no-ops and the two
+    engines agree exactly (all-integer arithmetic).
+    """
+    occ = occ.select("cell").distinct().localCheckpoint(eager=True)
+    edges = _adjacency(occ, res).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_now = edges.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
+    return (
+        edges.groupBy(F.col("src").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy("cell")
+    )
+
+
+def kcore_sql(
+    base_cells_sql: str, res: int, k: int = 3, max_rounds: int = 8
+) -> str:
+    """DuckDB twin of kcore: the identical peel unrolled max_rounds times."""
+    nbr = kring_neighbor_sql("o.cell", res, "v.dx", "v.dy")
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _RING)
+    steps = []
+    prev = "e0"
+    for r in range(1, max_rounds + 1):
+        steps.append(
+            f"v{r} AS MATERIALIZED (SELECT src FROM {prev} GROUP BY src "
+            f"HAVING COUNT(*) >= {k}),\n"
+            f"        e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e "
+            f"JOIN v{r} a ON e.src = a.src "
+            f"JOIN v{r} b ON e.dst = b.src)"
+        )
+        prev = f"e{r}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH occ AS (SELECT DISTINCT cell FROM ({base_cells_sql})),
+        e0 AS MATERIALIZED (
+            SELECT o.cell AS src, {nbr} AS dst
+            FROM occ o CROSS JOIN (VALUES {offs}) v(dx, dy)
+            WHERE {nbr} IS NOT NULL
+              AND {nbr} IN (SELECT cell FROM occ)
+        ),
+        {chain}
+        SELECT src AS cell, COUNT(*) AS deg FROM {prev} GROUP BY 1
+    """

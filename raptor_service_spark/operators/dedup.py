@@ -1022,3 +1022,151 @@ def snm_pairs_sql(
         FROM cand
         WHERE {jac} >= CAST({threshold!r} AS DOUBLE)
     """
+
+
+# ---------------------------------------------------------------------------
+# PassJoin: exact string-similarity join under edit distance
+# ---------------------------------------------------------------------------
+
+
+def passjoin_pairs(
+    docs: DataFrame,
+    id_col: str = "id",
+    key_col: str = "k",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Exact edit-distance similarity self-join via the PassJoin partition
+    scheme (Li, Deng, Feng, "PassJoin: a partition-based method for
+    similarity joins", PVLDB 5(3), 2011).
+
+    Pigeonhole: split every string into ``p = max_dist + 1`` contiguous
+    segments. If ``ed(a, b) <= max_dist``, at least one of a's segments is
+    untouched by the optimal edit script, so it occurs VERBATIM in b at a
+    position shifted by at most ``max_dist``. Candidates therefore need only
+    an EQUI-join on (segment index, |a|, position-in-b, fragment) — never a
+    cross join — and each surviving pair is verified with the exact
+    ``levenshtein`` (JVM codegen). Mirrors the reference's dedup intent
+    (services/ worker dedup by checksum, repositories/chunk_repo.py upsert
+    keys) for the fuzzy-key case.
+
+    Scale shape: probe side emits p*(2d+1) rows per string, index side
+    (2d+1)^2*p rows — bounded constants (15 / 75 at d=2), so the shuffle
+    carries O(n) rows keyed by rare fragments; no quadratic blowup unless
+    the data is one giant near-duplicate class (in which case the OUTPUT is
+    quadratic). All expressions (sequence/transform/substr/levenshtein) are
+    whole-stage-codegen JVM; no Python.
+    """
+    d, p = max_dist, max_dist + 1
+    base = (
+        docs.select(F.col(id_col).alias("id"), F.col(key_col).alias("k"))
+        .filter(F.length("k") >= p)
+        .withColumn("L", F.length("k"))
+    )
+
+    def seg_start(la, i):
+        return F.floor(la * i / p).cast("int")
+
+    def seg_len(la, i):
+        return (F.floor(la * (i + 1) / p) - F.floor(la * i / p)).cast("int")
+
+    # probe: for each of a's p segments, enumerate the 2d+1 admissible
+    # positions the fragment may occupy in a match
+    probe = base.select(
+        F.col("id").alias("id_a"),
+        F.col("k").alias("k_a"),
+        F.col("L").alias("la"),
+        F.expr(
+            f"inline(flatten(transform(sequence(0, {p - 1}), i -> "
+            f"transform(sequence({-d}, {d}), s -> "
+            f"struct(i as seg, s as sh)))))"
+        ),
+    )
+    probe = (
+        probe.withColumn("q0", seg_start(F.col("la"), F.col("seg")) + F.col("sh"))
+        .filter(F.col("q0") >= 0)
+        .select(
+            "id_a",
+            "k_a",
+            F.concat_ws(
+                "|",
+                F.col("seg"),
+                F.col("la"),
+                F.col("q0"),
+                F.col("k_a").substr(
+                    seg_start(F.col("la"), F.col("seg")) + 1,
+                    seg_len(F.col("la"), F.col("seg")),
+                ),
+            ).alias("key"),
+        )
+    )
+
+    # index: for each candidate probe length la within +-d of b's own
+    # length, materialize every admissible fragment of b
+    idx = (
+        base.select(
+            F.col("id").alias("id_b"),
+            F.col("k").alias("k_b"),
+            F.col("L").alias("lb"),
+            F.expr(
+                f"inline(flatten(flatten(transform(sequence(L - {d}, L + {d}), la -> "
+                f"transform(sequence(0, {p - 1}), i -> "
+                f"transform(sequence({-d}, {d}), s -> "
+                f"struct(la as la, i as seg, s as sh)))))))"
+            ),
+        )
+        .withColumn("q0", seg_start(F.col("la"), F.col("seg")) + F.col("sh"))
+        .withColumn("slen", seg_len(F.col("la"), F.col("seg")))
+        .filter(
+            (F.col("la") >= p)
+            & (F.col("q0") >= 0)
+            & (F.col("q0") + F.col("slen") <= F.col("lb"))
+        )
+    )
+    idx = idx.select(
+        "id_b",
+        "k_b",
+        F.concat_ws(
+            "|",
+            F.col("seg"),
+            F.col("la"),
+            F.col("q0"),
+            F.col("k_b").substr(F.col("q0") + 1, F.col("slen")),
+        ).alias("key"),
+    )
+
+    cand = (
+        probe.join(idx, "key")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("k_a"))
+            .otherwise(F.col("k_b"))
+            .alias("ka"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("k_b"))
+            .otherwise(F.col("k_a"))
+            .alias("kb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("ka", "kb"))
+        .filter(F.col("dist") <= d)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+def passjoin_pairs_sql(docs_sql: str, max_dist: int = 2) -> str:
+    """DuckDB oracle twin of passjoin_pairs: intentionally brute-force
+    (length-banded id<id self-join + exact levenshtein) — quadratic is fine
+    at oracle scale and proves the partition scheme loses no pair."""
+    return f"""
+        WITH t AS ({docs_sql})
+        SELECT a.id AS doc_a, b.id AS doc_b,
+               CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        FROM t a JOIN t b
+          ON a.id < b.id
+         AND abs(length(a.k) - length(b.k)) <= {max_dist}
+        WHERE length(a.k) >= {max_dist + 1} AND length(b.k) >= {max_dist + 1}
+          AND levenshtein(a.k, b.k) <= {max_dist}
+    """

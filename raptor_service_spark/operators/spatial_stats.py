@@ -680,3 +680,103 @@ def cusum_sql(
         SELECT cell, n_days, day AS cp_day, ROUND(adev, 6) AS max_dev
         FROM best WHERE rk = 1 AND n_days >= {min_days}
     """
+
+
+# ---------------------------------------------------------------------------
+# Join-count statistics — binary spatial autocorrelation (Cliff & Ord)
+# ---------------------------------------------------------------------------
+
+
+def join_counts(
+    points: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Black/White join-count statistics over the occupied-cell lattice.
+
+    Cells are binarized black iff their point count exceeds the global mean
+    count; each queen-adjacent occupied pair is one "join", counted once
+    (cell < nbr). Observed BB / BW / WW are compared with their nonfree-
+    sampling expectations E[BB] = J·nB(nB−1)/(n(n−1)), E[WW] analog,
+    E[BW] = 2J·nB·nW/(n(n−1)) — the classic Cliff–Ord screen for binary
+    spatial autocorrelation (clustered: BB ≫ E[BB]).
+
+    Scale shape: ONE point shuffle (the occupancy agg); the ring join runs
+    on the O(occupied cells) table; all counts are exact integers, the
+    expectations exact rationals rounded at 6 dp — bit-parity with the SQL
+    twin. Output: one row.
+    """
+    cnt = _cell_counts(points, res, lat_col, lng_col)
+    stats = F.broadcast(
+        cnt.agg(F.avg("x").alias("m"))
+    )
+    b = cnt.crossJoin(stats).select(
+        "cell", (F.col("x") > F.col("m")).cast("long").cast("double").alias("x")
+    )
+    nb = F.broadcast(
+        b.agg(
+            F.sum("x").cast("long").alias("n_black"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
+    pairs = _ring_joined(b, res).filter(F.col("cell") < F.col("nbr"))
+    obs = pairs.agg(
+        F.count(F.lit(1)).alias("n_joins"),
+        F.sum(F.col("x") * F.col("nbr_x")).cast("long").alias("bb"),
+        F.sum((F.lit(1.0) - F.col("x")) * (F.lit(1.0) - F.col("nbr_x")))
+        .cast("long")
+        .alias("ww"),
+    ).withColumn("bw", F.col("n_joins") - F.col("bb") - F.col("ww"))
+    j, n, k = F.col("n_joins"), F.col("n_cells"), F.col("n_black")
+    nw = n - k
+    denom = (n * (n - F.lit(1))).cast("double")
+    return obs.crossJoin(nb).select(
+        "n_cells",
+        "n_black",
+        "n_joins",
+        "bb",
+        "bw",
+        "ww",
+        F.round((j * k * (k - F.lit(1))).cast("double") / denom, 6).alias("e_bb"),
+        F.round((F.lit(2) * j * k * nw).cast("double") / denom, 6).alias("e_bw"),
+        F.round((j * nw * (nw - F.lit(1))).cast("double") / denom, 6).alias("e_ww"),
+    )
+
+
+def join_counts_sql(points_sql: str, lat: str, lng: str, res: int) -> str:
+    """DuckDB twin of join_counts (same binarization, same pair rule)."""
+    cell = cell_encode_sql(lat, lng, res)
+    nbr = kring_neighbor_sql("b.cell", res, "o.dx", "o.dy")
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _RING)
+    return f"""
+        WITH c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS DOUBLE) AS x
+                   FROM {points_sql} GROUP BY 1),
+        s AS (SELECT AVG(x) AS m, COUNT(*) AS n_cells FROM c),
+        b AS (SELECT c.cell,
+                     CAST(CAST(c.x > s.m AS INT) AS DOUBLE) AS x
+              FROM c CROSS JOIN s),
+        nb AS (SELECT CAST(SUM(x) AS BIGINT) AS n_black,
+                      COUNT(*) AS n_cells FROM b),
+        p AS (SELECT b.cell, b.x, {nbr} AS nbr
+              FROM b CROSS JOIN (VALUES {offs}) o(dx, dy)
+              WHERE {nbr} IS NOT NULL),
+        pr AS (SELECT p.cell, p.x, p.nbr, b2.x AS nbr_x
+               FROM p JOIN b b2 ON p.nbr = b2.cell
+               WHERE p.cell < p.nbr),
+        obs AS (SELECT COUNT(*) AS n_joins,
+                       CAST(SUM(x * nbr_x) AS BIGINT) AS bb,
+                       CAST(SUM((1.0 - x) * (1.0 - nbr_x)) AS BIGINT) AS ww
+                FROM pr)
+        SELECT nb.n_cells, nb.n_black, obs.n_joins, obs.bb,
+               obs.n_joins - obs.bb - obs.ww AS bw, obs.ww,
+               ROUND(CAST(obs.n_joins * nb.n_black * (nb.n_black - 1) AS DOUBLE)
+                     / (nb.n_cells * (nb.n_cells - 1)), 6) AS e_bb,
+               ROUND(CAST(2 * obs.n_joins * nb.n_black
+                          * (nb.n_cells - nb.n_black) AS DOUBLE)
+                     / (nb.n_cells * (nb.n_cells - 1)), 6) AS e_bw,
+               ROUND(CAST(obs.n_joins * (nb.n_cells - nb.n_black)
+                          * (nb.n_cells - nb.n_black - 1) AS DOUBLE)
+                     / (nb.n_cells * (nb.n_cells - 1)), 6) AS e_ww
+        FROM obs CROSS JOIN nb
+    """

@@ -170,3 +170,47 @@ def test_sssp_unoccupied_seed_empty(spark):
         [(c, 1) for c in occ], "cell long, w long"
     )
     assert sssp(df, missing, RES, n_rounds=3).count() == 0
+
+
+def _py_kcore(occ, k, max_rounds):
+    surv = set(occ)
+    converged = False
+    for _ in range(max_rounds):
+        keep = {c for c in surv if sum(1 for nb in _nbrs(c) if nb in surv) >= k}
+        if keep == surv:
+            converged = True
+            break
+        surv = keep
+    return {c: sum(1 for nb in _nbrs(c) if nb in surv) for c in surv}, converged
+
+
+def test_kcore_bounded_rounds_match_python(spark):
+    """Same bounded-round semantics as the oracle unroll (8 peels)."""
+    from raptor_service_spark.operators.cell_graph import kcore
+
+    occ = _occ_cells(seed=9, frac=0.4)
+    df = spark.createDataFrame([(c,) for c in occ], "cell long")
+    got = {r["cell"]: r["deg"] for r in kcore(df, RES, k=3, max_rounds=8).collect()}
+    want, _ = _py_kcore(occ, 3, 8)
+    assert got == want
+    assert 0 < len(got) < len(occ)  # something peeled, something survived
+
+
+def test_kcore_fixpoint_is_true_core(spark):
+    from raptor_service_spark.operators.cell_graph import kcore
+
+    occ = _occ_cells(seed=9, frac=0.4)
+    df = spark.createDataFrame([(c,) for c in occ], "cell long")
+    got = {r["cell"]: r["deg"] for r in kcore(df, RES, k=3, max_rounds=64).collect()}
+    want, converged = _py_kcore(occ, 3, 64)
+    assert converged and got == want
+    assert all(d >= 3 for d in got.values())  # true k-core at fixpoint
+
+
+def test_kcore_empty_when_k_exceeds_max_degree(spark):
+    from raptor_service_spark.operators.cell_graph import kcore
+
+    occ = _occ_cells(seed=9, frac=0.05)  # sparse: few high-degree vertices
+    df = spark.createDataFrame([(c,) for c in occ], "cell long")
+    got = kcore(df, RES, k=9, max_rounds=8).count()  # degree <= 8 always
+    assert got == 0

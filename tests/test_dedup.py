@@ -402,3 +402,48 @@ def test_snm_block_prefix_miss_is_documented_semantics(spark):
         "doc_id long, text string",
     )
     assert snm_pairs(docs, window=3, threshold=0.5).count() == 0
+
+
+def test_passjoin_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from raptor_service_spark.operators.dedup import passjoin_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[len(b)]
+
+    random.seed(17)
+    vocab = ["key", "agg", "row", "scan", "slow", "fast", "tab", "a", "the"]
+    strs = [" ".join(random.choice(vocab) for _ in range(3)) for _ in range(120)]
+    for i in range(30):  # mutated near-dups at 1-2 edits
+        s = list(strs[i])
+        for _ in range(random.randint(1, 2)):
+            s[random.randrange(len(s))] = random.choice("abcdxy")
+        strs.append("".join(s))
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = sorted(tuple(r) for r in passjoin_pairs(df, "id", "k", 2).collect())
+    exp = sorted(
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 2
+    )
+    assert got == exp and len(exp) > 0
+
+
+def test_passjoin_short_strings_excluded(spark):
+    from raptor_service_spark.operators.dedup import passjoin_pairs
+
+    df = spark.createDataFrame([(1, "ab"), (2, "ab"), (3, "abc"), (4, "abd")],
+                               "id long, k string")
+    got = sorted(tuple(r) for r in passjoin_pairs(df, "id", "k", 2).collect())
+    # strings shorter than d+1 are filtered; abc/abd at distance 1 survive
+    assert got == [(3, 4, 1)]

@@ -345,3 +345,29 @@ def test_cusum_detects_step_change_day(spark):
     assert r.cp_day == int(np.argmax(dev))  # day ids are 0-based here
     assert abs(r.max_dev - round(float(dev.max()), 6)) < 1e-9
     assert r.cp_day == 7  # the last low-rate day maximizes the deviation
+
+
+def test_join_counts_matches_numpy(spark):
+    from raptor_service_spark.operators.spatial_stats import join_counts
+
+    df, lat, lng = _points(spark, n=1200, seed=23)
+    got = join_counts(df, RES).collect()[0].asDict()
+
+    occ = _cell_counts(lat, lng)
+    m = sum(occ.values()) / len(occ)
+    black = {c for c, x in occ.items() if x > m}
+    joins = {
+        (min(c, nb), max(c, nb))
+        for c in occ
+        for dx, dy in _RING
+        if (nb := _nbr(c, RES, dx, dy)) is not None and nb in occ
+    }
+    bb = sum(1 for a, b in joins if a in black and b in black)
+    ww = sum(1 for a, b in joins if a not in black and b not in black)
+    n, k, j = len(occ), len(black), len(joins)
+    assert got["n_cells"] == n and got["n_black"] == k
+    assert got["n_joins"] == j and got["bb"] == bb and got["ww"] == ww
+    assert got["bw"] == j - bb - ww
+    assert got["e_bb"] == round(j * k * (k - 1) / (n * (n - 1)), 6)
+    # the blob makes black cells cluster: observed BB must exceed expectation
+    assert got["bb"] > got["e_bb"]
