@@ -6021,6 +6021,343 @@ def _value_correlations_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# trajectory speed anomalies — robust MAD outlier screen (session 6)
+# ---------------------------------------------------------------------------
+
+
+def _weighted_median(hist: DataFrame, val: str, cnt: str) -> DataFrame:
+    """Exact interpolated median (quantile_cont semantics: index (n-1)/2,
+    linear interpolation) computed from a (value, count) HISTOGRAM — the
+    shuffle and the cumulative window run over DISTINCT values only, never
+    raw rows, so quantizing the value bounds the state at any scale. Returns
+    a 1-row DataFrame (med)."""
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy(val).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum(cnt).over(wcum))
+    tot = cum.agg(F.max("cum").alias("n"))
+    j = cum.crossJoin(F.broadcast(tot))
+    i = (F.col("n") - F.lit(1)) / F.lit(2.0)
+    vlo = F.min(F.when(F.col("cum") >= F.floor(i) + 1, F.col(val)))
+    vhi = F.min(F.when(F.col("cum") >= F.ceil(i) + 1, F.col(val)))
+    return j.agg(
+        vlo.alias("vlo"), vhi.alias("vhi"), F.max(i - F.floor(i)).alias("frac")
+    ).select(
+        (F.col("vlo") + F.col("frac") * (F.col("vhi") - F.col("vlo"))).alias("med")
+    )
+
+
+def q_speed_anomalies(spark, sf_dir):
+    """Teleport detection: per-user consecutive-event speeds (haversine km /
+    elapsed hours, quantized to 0.01 km/h), flagged when above the robust
+    cutoff median + 3·1.4826·MAD. Scale shape: one user-partitioned window
+    builds the legs; median and MAD come from _weighted_median over the
+    DISTINCT-speed histogram (quantization bounds the cumulative-window
+    state — never a raw-row global sort); the cutoff broadcasts back onto
+    the aggregated legs. Oracle computes the same statistic with
+    quantile_cont. Top-20 fastest anomalous legs."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.distance import haversine_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dt_h = (ts_us - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))) / F.lit(
+        3600000000.0
+    )
+    leg = haversine_col(
+        F.lag("lat").over(w), F.lag("lng").over(w), F.col("lat"), F.col("lng")
+    )
+    legs = (
+        pts.withColumn("dt_h", dt_h)
+        .withColumn("leg_km", leg)
+        .filter(F.col("dt_h") > 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("leg_km") / F.col("dt_h"), 2).alias("speed_kmh"),
+        )
+    )
+    hist = legs.groupBy("speed_kmh").agg(F.count(F.lit(1)).alias("c"))
+    med = _weighted_median(hist, "speed_kmh", "c").select(
+        F.round("med", 6).alias("med")
+    )
+    dev_hist = (
+        hist.crossJoin(F.broadcast(med))
+        .groupBy(
+            F.round(F.abs(F.col("speed_kmh") - F.col("med")), 6).alias("dv")
+        )
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = _weighted_median(dev_hist, "dv", "c").select(
+        F.round("med", 6).alias("mad")
+    )
+    cut = (
+        med.crossJoin(mad)
+        .select(
+            F.round(F.col("med") + F.lit(4.4478) * F.col("mad"), 6).alias("cutoff")
+        )
+    )
+    return (
+        legs.crossJoin(F.broadcast(cut))
+        .filter(F.col("speed_kmh") > F.col("cutoff"))
+        .orderBy(F.col("speed_kmh").desc(), "event_id")
+        .limit(20)
+    )
+
+
+def _speed_anomalies_sql() -> str:
+    from raptor_service_spark.geo.distance import haversine_sql
+
+    lat, lng = _latlng_sql("event_id")
+    hav = haversine_sql("plat", "plng", "lat", "lng")
+    return f"""
+        WITH pts AS (
+            SELECT event_id, ts, user_id, {lat} AS lat, {lng} AS lng
+            FROM events),
+        lagged AS (
+            SELECT user_id, event_id, lat, lng,
+                   LAG(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS plat,
+                   LAG(lng) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS plng,
+                   (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                       / 3600000000.0 AS dt_h
+            FROM pts),
+        legs AS (
+            SELECT user_id, event_id, ROUND({hav} / dt_h, 2) AS speed_kmh
+            FROM lagged WHERE dt_h > 0),
+        med AS (SELECT ROUND(quantile_cont(speed_kmh, 0.5), 6) AS med FROM legs),
+        mad AS (SELECT ROUND(quantile_cont(
+                    ROUND(ABS(speed_kmh - med), 6), 0.5), 6) AS mad
+                FROM legs CROSS JOIN med),
+        cut AS (SELECT ROUND(med + 4.4478 * mad, 6) AS cutoff
+                FROM med CROSS JOIN mad)
+        SELECT user_id, event_id, speed_kmh, cutoff
+        FROM legs CROSS JOIN cut
+        WHERE speed_kmh > cutoff
+        ORDER BY speed_kmh DESC, event_id
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# Kulldorff-style space-time scan statistic (session 6)
+# ---------------------------------------------------------------------------
+
+_SCAN_RES, _SCAN_MAX_DAYS, _SCAN_TOPK = 3, 7, 10
+
+
+def q_spacetime_scan(spark, sf_dir):
+    """Kulldorff space-time scan (cylindrical zones, Poisson LLR): every
+    (res-3 cell) × (contiguous day window ≤ 7 days) is a candidate cluster;
+    expected count under the null is cell_total · window_total / C (the
+    space-time permutation model); LLR = c·ln(c/e) + (C−c)·ln((C−c)/(C−e))
+    for over-dense zones. Top-10 zones by LLR — the disease-outbreak /
+    event-burst detector over the tile grid.
+
+    Scale shape: points are touched ONCE (the (cell, day) cube agg); zone
+    enumeration joins the cube against the O(days·max_len) window list and
+    re-aggregates — all work is on aggregated tables bounded by
+    cells × calendar, never points. Exact-integer counts; LLR doubles
+    rounded 6 dp; ties broken (cell, d1)."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    day = F.expr("CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP)) / 86400000000.0) AS BIGINT)")
+    cube = (
+        ev.select(cell_encode_col(lat, lng, _SCAN_RES).alias("cell"), day.alias("day"))
+        .groupBy("cell", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    day_tot = cube.groupBy("day").agg(F.sum("c").alias("dc"))
+    cell_tot = cube.groupBy("cell").agg(F.sum("c").alias("cc"))
+    tot = cube.agg(F.sum("c").alias("C"))
+    wins = (
+        day_tot.select(F.col("day").alias("d1"))
+        .select("d1", F.explode(F.sequence(F.lit(0), F.lit(_SCAN_MAX_DAYS - 1))).alias("len"))
+        .select("d1", (F.col("d1") + F.col("len")).alias("d2"))
+    )
+    win_tot = (
+        wins.join(
+            F.broadcast(day_tot),
+            (F.col("day") >= F.col("d1")) & (F.col("day") <= F.col("d2")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.sum("dc").alias("wc"))
+    )
+    zone = (
+        cube.join(
+            F.broadcast(wins),
+            (F.col("day") >= F.col("d1")) & (F.col("day") <= F.col("d2")),
+        )
+        .groupBy("cell", "d1", "d2")
+        .agg(F.sum("c").alias("zc"))
+    )
+    e = F.col("cc") * F.col("wc") / F.col("C")
+    zc, C = F.col("zc").cast("double"), F.col("C").cast("double")
+    llr = F.when(
+        zc > e,
+        zc * F.log(zc / e) + (C - zc) * F.log((C - zc) / (C - e)),
+    ).otherwise(F.lit(0.0))
+    return (
+        zone.join(F.broadcast(cell_tot), "cell")
+        .join(F.broadcast(win_tot), ["d1", "d2"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "d1",
+            "d2",
+            F.col("zc").alias("n_obs"),
+            F.round(e, 6).alias("n_exp"),
+            F.round(llr, 6).alias("llr"),
+        )
+        .orderBy(F.col("llr").desc(), "cell", "d1")
+        .limit(_SCAN_TOPK)
+    )
+
+
+def _spacetime_scan_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, _SCAN_RES)
+    return f"""
+        WITH cube AS (
+            SELECT {cell} AS cell,
+                   CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2),
+        day_tot AS (SELECT day, SUM(c) AS dc FROM cube GROUP BY 1),
+        cell_tot AS (SELECT cell, SUM(c) AS cc FROM cube GROUP BY 1),
+        tot AS (SELECT SUM(c) AS C FROM cube),
+        wins AS (
+            SELECT d1, d1 + len AS d2 FROM
+                (SELECT day AS d1 FROM day_tot) CROSS JOIN
+                (SELECT unnest(generate_series(0, {_SCAN_MAX_DAYS - 1})) AS len)),
+        win_tot AS (
+            SELECT d1, d2, SUM(dc) AS wc
+            FROM wins JOIN day_tot ON day BETWEEN d1 AND d2
+            GROUP BY 1, 2),
+        zone AS (
+            SELECT cell, d1, d2, SUM(c) AS zc
+            FROM cube JOIN wins ON day BETWEEN d1 AND d2
+            GROUP BY 1, 2, 3),
+        scored AS (
+            SELECT z.cell, z.d1, z.d2, z.zc,
+                   ct.cc * wt.wc / CAST(t.C AS DOUBLE) AS e,
+                   CAST(z.zc AS DOUBLE) AS zcd, CAST(t.C AS DOUBLE) AS Cd
+            FROM zone z
+            JOIN cell_tot ct ON z.cell = ct.cell
+            JOIN win_tot wt ON z.d1 = wt.d1 AND z.d2 = wt.d2
+            CROSS JOIN tot t)
+        SELECT cell, d1, d2, CAST(zc AS BIGINT) AS n_obs,
+               ROUND(e, 6) AS n_exp,
+               ROUND(CASE WHEN zcd > e
+                     THEN zcd * LN(zcd / e) + (Cd - zcd) * LN((Cd - zcd) / (Cd - e))
+                     ELSE 0.0 END, 6) AS llr
+        FROM scored
+        ORDER BY llr DESC, cell, d1
+        LIMIT {_SCAN_TOPK}
+    """
+
+
+# ---------------------------------------------------------------------------
+# adaptive quadtree tiling (session 6)
+# ---------------------------------------------------------------------------
+
+_QT_MIN, _QT_MAX, _QT_CAP = 1, 6, 50
+
+
+def q_quadtree_bins(spark, sf_dir):
+    """Adaptive quadtree tiling of the event cloud: starting at res 1, any
+    cell holding more than cap=50 points splits into its 4 children, down
+    to res 6 — dense metros get fine tiles, empty ocean stays coarse (the
+    adaptive analog of the fixed-res tile tree; mirrors the reference's
+    max-cluster-size split loop, services/core/build_tree_service.py).
+    A point's tile is the COARSEST ladder cell with occupancy <= cap
+    (occupancy is monotone along the ladder, so this IS the quadtree leaf).
+
+    Scale shape: points touched ONCE (res-6 occupancy agg); every coarser
+    occupancy is a rollup of occ6 via the closed-form parent (aggregated
+    rows only); ladder explode ×6 runs on the occupied-cell table; leaf
+    pick is a min(struct) agg. Exact integers end to end."""
+    from raptor_service_spark.geo.grid import cell_encode_col, cell_parent_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    occ6 = (
+        ev.select(cell_encode_col(lat, lng, _QT_MAX).alias("cell6"))
+        .groupBy("cell6")
+        .agg(F.count(F.lit(1)).alias("n6"))
+    )
+    ladder = occ6.select(
+        "cell6",
+        "n6",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        cell_parent_col(F.col("cell6"), _QT_MAX, r).alias("anc"),
+                    )
+                    for r in range(_QT_MIN, _QT_MAX + 1)
+                ]
+            )
+        ).alias("s"),
+    ).select("cell6", "n6", F.col("s.r").alias("r"), F.col("s.anc").alias("anc"))
+    occ_all = ladder.groupBy("r", "anc").agg(F.sum("n6").alias("occ"))
+    assign = ladder.join(occ_all, ["r", "anc"]).filter(
+        (F.col("occ") <= _QT_CAP) | (F.col("r") == _QT_MAX)
+    )
+    pick = assign.groupBy("cell6").agg(
+        F.min(F.struct("r", "anc", "occ")).alias("p")
+    )
+    return (
+        pick.select(
+            F.col("p.r").alias("res"),
+            F.col("p.anc").alias("cell"),
+            F.col("p.occ").alias("n_points"),
+        )
+        .distinct()
+        .orderBy("res", "cell")
+    )
+
+
+def _quadtree_bins_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql, cell_parent_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell6 = cell_encode_sql(lat, lng, _QT_MAX)
+    branches = " UNION ALL ".join(
+        f"SELECT cell6, n6, {r} AS r, "
+        f"{cell_parent_sql('cell6', _QT_MAX, r)} AS anc FROM p6"
+        for r in range(_QT_MIN, _QT_MAX + 1)
+    )
+    return f"""
+        WITH p6 AS (
+            SELECT {cell6} AS cell6, COUNT(*) AS n6 FROM events GROUP BY 1),
+        ladder AS ({branches}),
+        occ_all AS (SELECT r, anc, CAST(SUM(n6) AS BIGINT) AS occ
+                    FROM ladder GROUP BY 1, 2),
+        assign AS (
+            SELECT l.cell6, l.r, l.anc, o.occ
+            FROM ladder l JOIN occ_all o ON l.r = o.r AND l.anc = o.anc
+            WHERE o.occ <= {_QT_CAP} OR l.r = {_QT_MAX}),
+        pick AS (
+            SELECT cell6, r, anc, occ,
+                   ROW_NUMBER() OVER (PARTITION BY cell6 ORDER BY r) AS rn
+            FROM assign)
+        SELECT DISTINCT r AS res, anc AS cell, occ AS n_points
+        FROM pick WHERE rn = 1
+        ORDER BY res, cell
+    """
+
+
+# ---------------------------------------------------------------------------
 # join-count statistics + k-core peeling (session 6)
 # ---------------------------------------------------------------------------
 
@@ -6330,6 +6667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "join_counts": q_join_counts,
         "cell_kcore": q_cell_kcore,
+        "speed_anomalies": q_speed_anomalies,
+        "spacetime_scan": q_spacetime_scan,
+        "quadtree_bins": q_quadtree_bins,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
         "quadkey_tiles": q_quadkey_tiles,
@@ -6422,6 +6762,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_terms": _doc_tfidf_terms_sql(),
         "join_counts": _join_counts_sql(),
         "cell_kcore": _cell_kcore_sql(),
+        "speed_anomalies": _speed_anomalies_sql(),
+        "spacetime_scan": _spacetime_scan_sql(),
+        "quadtree_bins": _quadtree_bins_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
         "quadkey_tiles": _quadkey_tiles_sql(),
