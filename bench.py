@@ -107,6 +107,15 @@ HEADLINE = [
     "seq_packing",
     "zrange_scan",
     "kanon_cells",
+    # session-6 additions: exact fuzzy join, TF-IDF, scan statistic,
+    # adaptive tiling, robust anomaly screen, k-core, join counts
+    "fuzzy_title_pairs",
+    "doc_tfidf_terms",
+    "spacetime_scan",
+    "quadtree_bins",
+    "speed_anomalies",
+    "cell_kcore",
+    "join_counts",
 ]
 
 SEED = 77
