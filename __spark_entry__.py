@@ -6266,6 +6266,208 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Geary's C + corpus-statistics (Zipf, Burrows' Delta) (session 6)
+# ---------------------------------------------------------------------------
+
+
+def q_gearys_c(spark, sf_dir):
+    """Geary's contiguity ratio C over res-4 event occupancy — the
+    difference-based complement of Moran's I (C<1 clustered). Same scale
+    shape as morans_i: one point shuffle, ring join over occupied cells
+    (operators/spatial_stats.py:gearys_c)."""
+    from raptor_service_spark.operators.spatial_stats import gearys_c
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(lat.alias("lat"), lng.alias("lng"))
+    return gearys_c(pts, res=4)
+
+
+def _gearys_c_sql() -> str:
+    from raptor_service_spark.operators.spatial_stats import gearys_c_sql
+
+    lat, lng = _latlng_sql("event_id")
+    return gearys_c_sql("events", lat, lng, res=4)
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(freq) ~ ln(rank) across the top-100 terms — the corpus-health
+    screen (natural text ≈ −1; synthetic/templated text deviates).
+    Scale shape: one term-count agg (partial+final); the rank window runs
+    on the O(vocab) aggregated table; the regression is a scalar agg with
+    9-dp pre-rounded sums so both engines divide identical doubles."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.dedup import words_col
+
+    d = _read(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(words_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    top = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 100
+    )
+    xy = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.round(F.sum("x"), 9).alias("sx"),
+        F.round(F.sum("y"), 9).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 9).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 9).alias("sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("k").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+def _zipf_slope_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    return f"""
+        WITH freq AS (
+            SELECT term, COUNT(*) AS n FROM (
+                SELECT unnest({w}) AS term FROM documents)
+            GROUP BY 1),
+        top AS (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rank
+            FROM freq QUALIFY rank <= 100),
+        xy AS (SELECT LN(CAST(rank AS DOUBLE)) AS x,
+                      LN(CAST(n AS DOUBLE)) AS y FROM top),
+        sums AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+                   ROUND(SUM(x), 9) AS sx, ROUND(SUM(y), 9) AS sy,
+                   ROUND(SUM(x * x), 9) AS sxx, ROUND(SUM(x * y), 9) AS sxy
+            FROM xy)
+        SELECT CAST(k AS BIGINT) AS n_terms,
+               ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                   AS zipf_slope,
+               ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k,
+                     6) AS intercept
+        FROM sums
+    """
+
+
+_DELTA_TOP = 30
+
+
+def q_source_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance between document sources: z-score
+    the relative frequencies of the top-30 corpus terms across sources, then
+    Delta(a,b) = mean |z_a − z_b| — the authorship/provenance clustering
+    signal used to spot near-duplicate crawls or templated sources.
+
+    Scale shape: token stream feeds (source, term) and per-source totals as
+    partial+final aggs; the dense source×term grid, the per-term moments,
+    and the source-pair join all run on aggregated tables bounded by
+    sources × top-terms; 9-dp pre-rounded sums give cross-engine parity."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.dedup import words_col
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(words_col(F.col("text"))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    top = freq.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _DELTA_TOP
+    ).select("term")
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    totals = toks.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    grid = (
+        totals.crossJoin(F.broadcast(top))
+        .join(st, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("tot")).alias(
+                "f"
+            ),
+        )
+    )
+    mom = grid.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("ns"),
+        F.round(F.sum("f"), 9).alias("sf"),
+        F.round(F.sum(F.col("f") * F.col("f")), 9).alias("sff"),
+    )
+    z = (
+        grid.join(F.broadcast(mom), "term")
+        .withColumn("mu", F.col("sf") / F.col("ns"))
+        .withColumn(
+            "sg", F.sqrt(F.col("sff") / F.col("ns") - F.col("mu") * F.col("mu"))
+        )
+        .filter(F.col("sg") > 0)
+        .select("source", "term", ((F.col("f") - F.col("mu")) / F.col("sg")).alias("z"))
+    )
+    a = z.select(F.col("source").alias("src_a"), "term", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("src_b"), "term", F.col("z").alias("zb"))
+    return (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            (F.round(F.sum(F.abs(F.col("za") - F.col("zb"))), 9) / F.count(F.lit(1)))
+            .alias("d_raw"),
+        )
+        .select(
+            "src_a", "src_b", "n_terms", F.round(F.col("d_raw"), 6).alias("delta")
+        )
+    )
+
+
+def _source_delta_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    return f"""
+        WITH toks AS (
+            SELECT source, unnest({w}) AS term FROM documents),
+        freq AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1),
+        top AS (
+            SELECT term FROM (
+                SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rk
+                FROM freq) WHERE rk <= {_DELTA_TOP}),
+        st AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        totals AS (SELECT source, COUNT(*) AS tot FROM toks GROUP BY 1),
+        grid AS (
+            SELECT t.source, p.term,
+                   CAST(COALESCE(st.c, 0) AS DOUBLE) / t.tot AS f
+            FROM totals t CROSS JOIN top p
+            LEFT JOIN st ON st.source = t.source AND st.term = p.term),
+        mom AS (
+            SELECT term, CAST(COUNT(*) AS DOUBLE) AS ns,
+                   ROUND(SUM(f), 9) AS sf, ROUND(SUM(f * f), 9) AS sff
+            FROM grid GROUP BY 1),
+        z AS (
+            SELECT g.source, g.term,
+                   (g.f - m.sf / m.ns)
+                   / SQRT(m.sff / m.ns - (m.sf / m.ns) * (m.sf / m.ns)) AS z
+            FROM grid g JOIN mom m ON g.term = m.term
+            WHERE SQRT(m.sff / m.ns - (m.sf / m.ns) * (m.sf / m.ns)) > 0)
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(*) AS n_terms,
+               ROUND(ROUND(SUM(ABS(a.z - b.z)), 9) / COUNT(*), 6) AS delta
+        FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
 # adaptive quadtree tiling (session 6)
 # ---------------------------------------------------------------------------
 
@@ -6670,6 +6872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speed_anomalies": q_speed_anomalies,
         "spacetime_scan": q_spacetime_scan,
         "quadtree_bins": q_quadtree_bins,
+        "gearys_c": q_gearys_c,
+        "zipf_slope": q_zipf_slope,
+        "source_delta": q_source_delta,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
         "quadkey_tiles": q_quadkey_tiles,
@@ -6765,6 +6970,9 @@ def oracle_sql() -> dict[str, str]:
         "speed_anomalies": _speed_anomalies_sql(),
         "spacetime_scan": _spacetime_scan_sql(),
         "quadtree_bins": _quadtree_bins_sql(),
+        "gearys_c": _gearys_c_sql(),
+        "zipf_slope": _zipf_slope_sql(),
+        "source_delta": _source_delta_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
         "quadkey_tiles": _quadkey_tiles_sql(),

@@ -780,3 +780,89 @@ def join_counts_sql(points_sql: str, lat: str, lng: str, res: int) -> str:
                      / (nb.n_cells * (nb.n_cells - 1)), 6) AS e_ww
         FROM obs CROSS JOIN nb
     """
+
+
+# ---------------------------------------------------------------------------
+# Geary's C — global spatial autocorrelation (difference-based)
+# ---------------------------------------------------------------------------
+
+
+def gearys_c(
+    points: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Geary's contiguity ratio C over the occupied-cell lattice:
+
+        C = (n−1) · Σ_adjacent (x_i − x_j)² / (2W · Σ_i (x_i − x̄)²)
+
+    with binary queen weights over OCCUPIED cells and W the number of
+    directed adjacent pairs. The difference-based complement of Moran's I
+    (C < 1 ⇔ clustered, 1 ⇔ random, > 1 ⇔ dispersed) — more sensitive to
+    local differences than I's cross-product. Same shape as morans_i: ONE
+    point shuffle, ring join over O(occupied cells); numerator/denominator
+    sums pre-rounded at 9 dp so both engines divide identical doubles.
+    Output: one row (n_cells, w_pairs, geary_c)."""
+    cnt = _cell_counts(points, res, lat_col, lng_col)
+    stats = F.broadcast(
+        cnt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("x").alias("m"),
+        )
+    )
+    ssd = (
+        cnt.crossJoin(stats)
+        .agg(
+            F.round(F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))), 9)
+            .alias("ssd"),
+            F.max("n").alias("n"),
+        )
+    )
+    pairs = _ring_joined(cnt, res)
+    num = pairs.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.round(
+            F.sum(
+                (F.col("x") - F.col("nbr_x")) * (F.col("x") - F.col("nbr_x"))
+            ),
+            9,
+        ).alias("sq"),
+    )
+    return num.crossJoin(F.broadcast(ssd)).select(
+        F.col("n").alias("n_cells"),
+        F.col("w").alias("w_pairs"),
+        F.round(
+            ((F.col("n") - F.lit(1)) * F.col("sq"))
+            / (F.lit(2.0) * F.col("w") * F.col("ssd")),
+            6,
+        ).alias("geary_c"),
+    )
+
+
+def gearys_c_sql(points_sql: str, lat: str, lng: str, res: int) -> str:
+    """DuckDB twin of gearys_c (same weights, same 9-dp pre-rounding)."""
+    cell = cell_encode_sql(lat, lng, res)
+    nbr = kring_neighbor_sql("c.cell", res, "o.dx", "o.dy")
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _RING)
+    return f"""
+        WITH c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS DOUBLE) AS x
+                   FROM {points_sql} GROUP BY 1),
+        s AS (SELECT COUNT(*) AS n, AVG(x) AS m FROM c),
+        ssd AS (SELECT ROUND(SUM((c.x - s.m) * (c.x - s.m)), 9) AS ssd,
+                       MAX(s.n) AS n
+                FROM c CROSS JOIN s),
+        p AS (SELECT c.cell, c.x, {nbr} AS nbr
+              FROM c CROSS JOIN (VALUES {offs}) o(dx, dy)
+              WHERE {nbr} IS NOT NULL),
+        pr AS (SELECT p.x, c2.x AS nbr_x
+               FROM p JOIN c c2 ON p.nbr = c2.cell),
+        num AS (SELECT COUNT(*) AS w,
+                       ROUND(SUM((x - nbr_x) * (x - nbr_x)), 9) AS sq
+                FROM pr)
+        SELECT CAST(ssd.n AS BIGINT) AS n_cells,
+               CAST(num.w AS BIGINT) AS w_pairs,
+               ROUND((ssd.n - 1) * num.sq / (2.0 * num.w * ssd.ssd), 6)
+                   AS geary_c
+        FROM num CROSS JOIN ssd
+    """

@@ -371,3 +371,36 @@ def test_join_counts_matches_numpy(spark):
     assert got["e_bb"] == round(j * k * (k - 1) / (n * (n - 1)), 6)
     # the blob makes black cells cluster: observed BB must exceed expectation
     assert got["bb"] > got["e_bb"]
+
+
+def test_gearys_c_matches_numpy(spark):
+    from raptor_service_spark.operators.spatial_stats import gearys_c
+
+    # a SMOOTH unimodal density (sigma spans many res-6 cells): neighbor
+    # counts are similar, so the difference-based C must read clustered
+    # (<1). A sharp narrow blob would legitimately push C above 1 (steep
+    # edges dominate the pair differences) — that regime is not asserted.
+    rng = np.random.default_rng(29)
+    lat = rng.normal(20, 15, 1200).clip(-89.9, 89.9)
+    lng = rng.normal(-40, 30, 1200).clip(-179.9, 179.9)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lat, lng)], "lat double, lng double"
+    )
+    got = gearys_c(df, RES).collect()[0].asDict()
+
+    occ = _cell_counts(lat, lng)
+    m = sum(occ.values()) / len(occ)
+    ssd = round(sum((x - m) ** 2 for x in occ.values()), 9)
+    pairs = [
+        (occ[c], occ[nb])
+        for c in occ
+        for dx, dy in _RING
+        if (nb := _nbr(c, RES, dx, dy)) is not None and nb in occ
+    ]
+    sq = round(sum((a - b) ** 2 for a, b in pairs), 9)
+    n, w = len(occ), len(pairs)
+    want = round((n - 1) * sq / (2.0 * w * ssd), 6)
+    assert got["n_cells"] == n and got["w_pairs"] == w
+    assert abs(got["geary_c"] - want) < 2e-6
+    # the blob clusters density: difference-based C must fall below 1
+    assert got["geary_c"] < 1.0
