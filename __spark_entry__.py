@@ -6266,6 +6266,173 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# colocation quotient + Heaps'-law vocabulary growth (session 6)
+# ---------------------------------------------------------------------------
+
+_CLQ_N = 2000
+
+
+def q_colocation_quotient(spark, sf_dir):
+    """Colocation quotient CLQ(A→B) between event types: the share of
+    A-points whose nearest neighbor is type B, normalized by B's global
+    share — CLQ > 1 means A co-locates with B beyond chance (the
+    categorical point-pattern analog of cross-K). Nearest neighbors come
+    from the exact ring-doubling self-NN join (`operators/geo_knn.py:
+    nn_distances`, now carrying the neighbor's identity with a
+    deterministic min-id tie-break); the brute-force oracle proves both
+    the NN assignment and the quotient. Restricted to event_id < 2000 so
+    the O(n²) oracle stays cheap — the engine path is the same at any n."""
+    from raptor_service_spark.operators.geo_knn import nn_distances
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "event_type")
+        .filter(F.col("event_id") < _CLQ_N)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(F.col("event_id").alias("pid"), lng.alias("px"), lat.alias("py"))
+    nn = nn_distances(pts, res=6)
+    ta = ev.select(F.col("event_id").alias("pid"), F.col("event_type").alias("ta"))
+    tb = ev.select(
+        F.col("event_id").alias("nn_id"), F.col("event_type").alias("tb")
+    )
+    typed = nn.join(ta, "pid").join(tb, "nn_id")
+    per_a = typed.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("c"))
+    na = F.broadcast(
+        ev.groupBy(F.col("event_type").alias("ta")).agg(
+            F.count(F.lit(1)).alias("n_a")
+        )
+    )
+    nb = F.broadcast(
+        ev.groupBy(F.col("event_type").alias("tb")).agg(
+            F.count(F.lit(1)).alias("n_b")
+        )
+    )
+    tot = F.broadcast(ev.agg(F.count(F.lit(1)).alias("n")))
+    return (
+        per_a.join(na, "ta")
+        .join(nb, "tb")
+        .crossJoin(tot)
+        .select(
+            "ta",
+            "tb",
+            "c",
+            F.round(
+                (F.col("c") / F.col("n_a"))
+                / (F.col("n_b") / (F.col("n") - F.lit(1.0))),
+                6,
+            ).alias("clq"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+def _colocation_quotient_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    return f"""
+        WITH e AS (SELECT event_id, event_type, {lng} AS px, {lat} AS py
+                   FROM events WHERE event_id < {_CLQ_N}),
+        nn AS (
+            SELECT a.event_id AS pid, b.event_id AS nn_id
+            FROM e a JOIN e b ON a.event_id != b.event_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY a.event_id
+                ORDER BY SQRT((a.px - b.px) * (a.px - b.px)
+                            + (a.py - b.py) * (a.py - b.py)), b.event_id) = 1),
+        typed AS (
+            SELECT ea.event_type AS ta, eb.event_type AS tb
+            FROM nn JOIN e ea ON nn.pid = ea.event_id
+                    JOIN e eb ON nn.nn_id = eb.event_id),
+        per_a AS (SELECT ta, tb, COUNT(*) AS c FROM typed GROUP BY 1, 2),
+        na AS (SELECT event_type AS ta, COUNT(*) AS n_a FROM e GROUP BY 1),
+        nb AS (SELECT event_type AS tb, COUNT(*) AS n_b FROM e GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n FROM e)
+        SELECT p.ta, p.tb, p.c,
+               ROUND((p.c / CAST(na.n_a AS DOUBLE))
+                     / (nb.n_b / (tot.n - 1.0)), 6) AS clq
+        FROM per_a p JOIN na ON p.ta = na.ta JOIN nb ON p.tb = nb.tb
+        CROSS JOIN tot
+        ORDER BY p.ta, p.tb
+    """
+
+
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary growth: distinct vocabulary size after the
+    first k documents (k on a doubling ladder), plus the log-log OLS
+    exponent β (natural text β ≈ 0.4-0.6; templated corpora saturate).
+    Scale shape: first-occurrence doc per term is ONE min-agg over the
+    term stream; the cumulative curve is a broadcast ladder join over the
+    O(vocab) aggregated table — points are never re-scanned per k."""
+    d = _read(spark, sf_dir, "documents")
+    from raptor_service_spark.operators.dedup import words_col
+
+    first = (
+        d.select("doc_id", F.explode(words_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    ks = [25, 50, 100, 200, 400]
+    ladder = spark.createDataFrame([(k,) for k in ks], "k long")
+    curve = (
+        first.crossJoin(F.broadcast(ladder))
+        .filter(F.col("first_doc") < F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    xy = curve.select(
+        "k",
+        "vocab",
+        F.log(F.col("k").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.round(F.sum("x"), 9).alias("sx"),
+        F.round(F.sum("y"), 9).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 9).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 9).alias("sxy"),
+    )
+    beta = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        xy.select("k", "vocab")
+        .crossJoin(F.broadcast(sums.select(F.round(beta, 6).alias("heaps_beta"))))
+        .orderBy("k")
+    )
+
+
+def _heaps_law_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    ks = "(25), (50), (100), (200), (400)"
+    return f"""
+        WITH first AS (
+            SELECT term, MIN(doc_id) AS first_doc FROM (
+                SELECT doc_id, unnest({w}) AS term FROM documents)
+            GROUP BY 1),
+        ladder AS (SELECT k FROM (VALUES {ks}) t(k)),
+        curve AS (
+            SELECT k, COUNT(*) AS vocab
+            FROM first CROSS JOIN ladder WHERE first_doc < k
+            GROUP BY 1),
+        xy AS (SELECT k, vocab, LN(CAST(k AS DOUBLE)) AS x,
+                      LN(CAST(vocab AS DOUBLE)) AS y FROM curve),
+        sums AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+                   ROUND(SUM(x), 9) AS sx, ROUND(SUM(y), 9) AS sy,
+                   ROUND(SUM(x * x), 9) AS sxx, ROUND(SUM(x * y), 9) AS sxy
+            FROM xy)
+        SELECT CAST(xy.k AS BIGINT) AS k, CAST(xy.vocab AS BIGINT) AS vocab,
+               ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+                   AS heaps_beta
+        FROM xy CROSS JOIN sums
+        ORDER BY k
+    """
+
+
+# ---------------------------------------------------------------------------
 # Geary's C + corpus-statistics (Zipf, Burrows' Delta) (session 6)
 # ---------------------------------------------------------------------------
 
@@ -6875,6 +7042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gearys_c": q_gearys_c,
         "zipf_slope": q_zipf_slope,
         "source_delta": q_source_delta,
+        "colocation_quotient": q_colocation_quotient,
+        "heaps_law": q_heaps_law,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
         "quadkey_tiles": q_quadkey_tiles,
@@ -6973,6 +7142,8 @@ def oracle_sql() -> dict[str, str]:
         "gearys_c": _gearys_c_sql(),
         "zipf_slope": _zipf_slope_sql(),
         "source_delta": _source_delta_sql(),
+        "colocation_quotient": _colocation_quotient_sql(),
+        "heaps_law": _heaps_law_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
         "quadkey_tiles": _quadkey_tiles_sql(),

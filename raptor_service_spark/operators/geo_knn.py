@@ -145,8 +145,10 @@ def nn_distances(
     distance to its nearest OTHER point. The all-pairs-NN primitive under
     point-pattern statistics (Clark-Evans) and spacing audits.
 
-    ``points``: (pid, px, py). Output: (pid, d1) — d1 NOT rounded (callers
-    aggregate first, round last).
+    ``points``: (pid, px, py). Output: (pid, d1, nn_id) — d1 NOT rounded
+    (callers aggregate first, round last); nn_id is the nearest neighbor's
+    pid, ties broken to the smallest pid (struct-min), so downstream
+    type-of-neighbor statistics (colocation quotient) are deterministic.
 
     Exactness by ring doubling: round R joins each unresolved point's
     (2R+1)² cover cells against the cell-keyed point table and keeps its
@@ -198,9 +200,13 @@ def nn_distances(
                     (F.col("px") - F.col("dx")) * (F.col("px") - F.col("dx"))
                     + (F.col("py") - F.col("dy")) * (F.col("py") - F.col("dy"))
                 ).alias("d"),
+                "did",
             )
             .groupBy("pid")
-            .agg(F.min("d").alias("d1"))
+            # struct-min == min distance with a deterministic min-id
+            # tie-break, so the NEIGHBOR IDENTITY comes out for free
+            .agg(F.min(F.struct("d", "did")).alias("b"))
+            .select("pid", F.col("b.d").alias("d1"), F.col("b.did").alias("nn_id"))
         )
         done = best.filter(F.col("d1") < F.lit(ring * ch)).localCheckpoint(
             eager=True
