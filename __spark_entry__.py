@@ -6266,6 +6266,95 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# k-DOP directional hulls per region (session 6)
+# ---------------------------------------------------------------------------
+
+_DOP_D = 8
+
+
+def _dop_dirs() -> list[tuple[float, float]]:
+    import math
+
+    return [
+        (math.cos(2 * math.pi * i / _DOP_D), math.sin(2 * math.pi * i / _DOP_D))
+        for i in range(_DOP_D)
+    ]
+
+
+def q_cluster_hulls(spark, sf_dir):
+    """Per-region k-DOP hull (discrete-orientation convex approximation):
+    for each res-2 document cell with >= 20 points, the 8 directional
+    extreme points (argmax of x·cosθ + y·sinθ), chained by direction into
+    a polygon whose shoelace area approximates the cluster's convex-hull
+    footprint. One agg pass — no sort, no iteration, no pairwise work:
+    each extreme is a max(struct) with a deterministic larger-id
+    tie-break, identical in both engines; the area is a FIXED arithmetic
+    expression over the 8 extremes (same op order both engines). The
+    scalable stand-in for exact convex hulls at 100 TB (k-DOP bounding
+    volumes)."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.select(
+        "doc_id",
+        lng.alias("x"),
+        lat.alias("y"),
+        cell_encode_col(lat, lng, 2).alias("cell"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    for i, (c, s) in enumerate(_dop_dirs()):
+        proj = F.col("x") * F.lit(c) + F.col("y") * F.lit(s)
+        aggs.append(
+            F.max(F.struct(proj.alias("p"), F.col("doc_id").alias("pid"),
+                           F.col("x").alias("hx"), F.col("y").alias("hy"))
+                  ).alias(f"m{i}")
+        )
+    g = pts.groupBy("cell").agg(*aggs).filter(F.col("n_points") >= 20)
+    shoelace = None
+    for i in range(_DOP_D):
+        j = (i + 1) % _DOP_D
+        term = (
+            F.col(f"m{i}.hx") * F.col(f"m{j}.hy")
+            - F.col(f"m{j}.hx") * F.col(f"m{i}.hy")
+        )
+        shoelace = term if shoelace is None else shoelace + term
+    return g.select(
+        "cell",
+        "n_points",
+        F.round(F.abs(shoelace) / F.lit(2.0), 6).alias("hull_area"),
+    ).orderBy("cell")
+
+
+def _cluster_hulls_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql("y", "x", 2)
+    sel = ["COUNT(*) AS n_points"]
+    for i, (c, s) in enumerate(_dop_dirs()):
+        sel.append(
+            f"MAX(struct_pack(p := x * {c!r} + y * {s!r}, pid := doc_id, "
+            f"hx := x, hy := y)) AS m{i}"
+        )
+    terms = " + ".join(
+        f"((m{i}).hx * (m{(i + 1) % _DOP_D}).hy"
+        f" - (m{(i + 1) % _DOP_D}).hx * (m{i}).hy)"
+        for i in range(_DOP_D)
+    )
+    return f"""
+        WITH p AS (SELECT doc_id, {lng} AS x, {lat} AS y FROM documents),
+        g AS (
+            SELECT {cell} AS cell, {', '.join(sel)}
+            FROM p GROUP BY 1)
+        SELECT cell, n_points,
+               ROUND(ABS({terms}) / 2.0, 6) AS hull_area
+        FROM g WHERE n_points >= 20
+        ORDER BY cell
+    """
+
+
+# ---------------------------------------------------------------------------
 # colocation quotient + Heaps'-law vocabulary growth (session 6)
 # ---------------------------------------------------------------------------
 
@@ -7044,6 +7133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_delta": q_source_delta,
         "colocation_quotient": q_colocation_quotient,
         "heaps_law": q_heaps_law,
+        "cluster_hulls": q_cluster_hulls,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
         "quadkey_tiles": q_quadkey_tiles,
@@ -7144,6 +7234,7 @@ def oracle_sql() -> dict[str, str]:
         "source_delta": _source_delta_sql(),
         "colocation_quotient": _colocation_quotient_sql(),
         "heaps_law": _heaps_law_sql(),
+        "cluster_hulls": _cluster_hulls_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
         "quadkey_tiles": _quadkey_tiles_sql(),
