@@ -116,6 +116,11 @@ HEADLINE = [
     "speed_anomalies",
     "cell_kcore",
     "join_counts",
+    "gearys_c",
+    "source_delta",
+    "colocation_quotient",
+    "heaps_law",
+    "cluster_hulls",
 ]
 
 SEED = 77
