@@ -6266,6 +6266,188 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# G-function, mixture resampling, inter-arrival fit (session 6)
+# ---------------------------------------------------------------------------
+
+_GF_BANDS = [5.0, 6.0, 7.0, 8.0]
+
+
+def q_g_function(spark, sf_dir):
+    """Nearest-neighbor distance distribution G(d) — the empirical CDF of
+    per-point NN distances at fixed bands, the spacing companion to
+    Ripley's K (G above the CSR curve ⇔ clustered at that range). NN
+    distances come from the exact ring-doubling self-NN join; the band
+    evaluation is one broadcast ladder join over the aggregated NN table."""
+    from raptor_service_spark.operators.geo_knn import nn_distances
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.select(F.col("doc_id").alias("pid"), lng.alias("px"), lat.alias("py"))
+    nn = nn_distances(pts, res=5)
+    bands = spark.createDataFrame([(b,) for b in _GF_BANDS], "band double")
+    return (
+        nn.crossJoin(F.broadcast(bands))
+        .groupBy("band")
+        .agg(
+            F.sum((F.col("d1") <= F.col("band")).cast("long")).alias("n_le"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "band",
+            "n_le",
+            "n",
+            F.round(F.col("n_le") / F.col("n").cast("double"), 6).alias("g"),
+        )
+        .orderBy("band")
+    )
+
+
+def _g_function_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    bands = ", ".join(f"({b!r})" for b in _GF_BANDS)
+    return f"""
+        WITH p AS (SELECT doc_id AS pid, {lng} AS px, {lat} AS py FROM documents),
+        d AS (SELECT a.pid,
+                     MIN(SQRT((a.px - b.px) * (a.px - b.px)
+                            + (a.py - b.py) * (a.py - b.py))) AS d1
+              FROM p a JOIN p b ON a.pid != b.pid
+              GROUP BY 1)
+        SELECT band, CAST(SUM(CAST(d1 <= band AS INT)) AS BIGINT) AS n_le,
+               COUNT(*) AS n,
+               ROUND(SUM(CAST(d1 <= band AS INT)) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS g
+        FROM d CROSS JOIN (SELECT CAST(band AS DOUBLE) AS band FROM (VALUES {bands}) t(band)) b
+        GROUP BY band
+        ORDER BY band
+    """
+
+
+_MIX_TARGET = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.8, "zh": 0.6}
+
+
+def q_mixture_resample(spark, sf_dir):
+    """Deterministic mixture resampling for training-data curation:
+    down-sample each language to a target keep-rate via an md5-uniform
+    per-doc draw (stable under re-runs, appends, and repartitioning — the
+    same doc always gets the same verdict). One scan, one agg; the rate
+    map rides as a literal CASE expression. Reports kept/total per lang."""
+    rate = F.create_map(
+        *[F.lit(x) for kv in _MIX_TARGET.items() for x in kv]
+    )[F.col("lang")]
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        d.withColumn("keep", (u < rate).cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            F.round(F.sum("keep") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "kept_frac"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _mixture_resample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in _MIX_TARGET.items()
+    )
+    return f"""
+        WITH d AS (
+            SELECT lang,
+                   CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)),
+                         1, 8))::BIGINT AS DOUBLE) / 4294967296.0 AS u,
+                   CASE lang {cases} END AS rate
+            FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(u < rate AS INT)) AS BIGINT) AS n_kept,
+               ROUND(SUM(CAST(u < rate AS INT)) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS kept_frac
+        FROM d GROUP BY 1 ORDER BY 1
+    """
+
+
+def q_interarrival_fit(spark, sf_dir):
+    """Exponential fit + one-sample KS distance for per-user event
+    inter-arrival times (whole-second gaps): λ̂ = 1/mean from exact integer
+    sums, then D = sup over the value HISTOGRAM of the two-sided gap
+    between the empirical CDF and 1−exp(−λx). The burstiness screen for
+    event streams (KS far above ~1.36/√n ⇒ not Poisson). Scale shape: one
+    user window builds gaps; everything after runs on the O(distinct
+    seconds) histogram (quantization bounds the cumulative window)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = F.floor((ts_us - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))) / F.lit(1000000.0)).cast("long")
+    gaps = (
+        ev.withColumn("gap_s", gap)
+        .filter(F.col("gap_s").isNotNull() & (F.col("gap_s") >= 0))
+        .select("gap_s")
+    )
+    hist = gaps.groupBy("gap_s").agg(F.count(F.lit(1)).alias("c"))
+    tot = hist.agg(
+        F.sum("c").alias("n"), F.sum(F.col("gap_s") * F.col("c")).alias("s")
+    )
+    wc = Window.orderBy("gap_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(wc))
+    lam = F.col("n").cast("double") / F.col("s").cast("double")
+    cdf = F.lit(1.0) - F.exp(-lam * F.col("gap_s").cast("double"))
+    ks_at = F.greatest(
+        F.abs(F.col("cum").cast("double") / F.col("n") - cdf),
+        F.abs((F.col("cum") - F.col("c")).cast("double") / F.col("n") - cdf),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n_gaps"),
+            F.round(F.max(lam), 9).alias("lambda_hat"),
+            F.round(F.max(ks_at), 6).alias("ks_dist"),
+        )
+        .select(
+            "n_gaps",
+            F.round(F.col("lambda_hat"), 6).alias("lambda_hat"),
+            "ks_dist",
+        )
+    )
+
+
+def _interarrival_fit_sql() -> str:
+    return """
+        WITH gaps AS (
+            SELECT CAST(FLOOR((epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))
+                       / 1000000.0) AS BIGINT) AS gap_s
+            FROM events
+            QUALIFY gap_s IS NOT NULL AND gap_s >= 0),
+        hist AS (SELECT gap_s, COUNT(*) AS c FROM gaps GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(SUM(gap_s * c) AS BIGINT) AS s FROM hist),
+        cum AS (SELECT gap_s, c,
+                       SUM(c) OVER (ORDER BY gap_s
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM hist)
+        SELECT MAX(n) AS n_gaps,
+               ROUND(ROUND(MAX(CAST(n AS DOUBLE) / s), 9), 6) AS lambda_hat,
+               ROUND(MAX(GREATEST(
+                   ABS(CAST(cum AS DOUBLE) / n
+                       - (1.0 - EXP(-(CAST(n AS DOUBLE) / s)
+                                    * CAST(gap_s AS DOUBLE)))),
+                   ABS(CAST(cum - c AS DOUBLE) / n
+                       - (1.0 - EXP(-(CAST(n AS DOUBLE) / s)
+                                    * CAST(gap_s AS DOUBLE)))))), 6) AS ks_dist
+        FROM cum CROSS JOIN tot
+    """
+
+
+# ---------------------------------------------------------------------------
 # k-DOP directional hulls per region (session 6)
 # ---------------------------------------------------------------------------
 
@@ -7134,6 +7316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocation_quotient": q_colocation_quotient,
         "heaps_law": q_heaps_law,
         "cluster_hulls": q_cluster_hulls,
+        "g_function": q_g_function,
+        "mixture_resample": q_mixture_resample,
+        "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
         "quadkey_tiles": q_quadkey_tiles,
@@ -7235,6 +7420,9 @@ def oracle_sql() -> dict[str, str]:
         "colocation_quotient": _colocation_quotient_sql(),
         "heaps_law": _heaps_law_sql(),
         "cluster_hulls": _cluster_hulls_sql(),
+        "g_function": _g_function_sql(),
+        "mixture_resample": _mixture_resample_sql(),
+        "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
         "quadkey_tiles": _quadkey_tiles_sql(),
