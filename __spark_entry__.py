@@ -6266,6 +6266,90 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# bigram LM perplexity (session 6)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_bigram_ppl(spark, sf_dir):
+    """Per-document bigram-LM negative log-likelihood with Laplace
+    smoothing: P(w2|w1) = (c(w1w2)+1)/(c(w1·)+V) from the corpus's own
+    bigram model — the order-sensitive upgrade of the unigram perplexity
+    filter (templated text scores low, shuffled/rare-order text high).
+    Top-20 most-perplexing docs. Scale shape: bigrams are built ARRAY-side
+    (no window/self-join); corpus counts are two hash aggs; the score join
+    is bigram-stream ⋈ aggregated counts (AQE-handled skew), never
+    doc × doc; V broadcasts."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    arrs = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("arr")
+    ).filter(F.size("arr") >= 2)
+    bis = arrs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(arr) - 1), "
+                "i -> concat(element_at(arr, i), '_', element_at(arr, i + 1)))"
+            )
+        ).alias("ab"),
+    )
+    c2 = bis.groupBy("ab").agg(F.count(F.lit(1)).alias("c_ab"))
+    c1 = (
+        bis.select(F.substring_index("ab", "_", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_1"))
+    )
+    vocab = (
+        arrs.select(F.explode("arr").alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("v"))
+    )
+    scored = (
+        bis.join(c2, "ab")
+        .withColumn("w1", F.substring_index("ab", "_", 1))
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(-F.ln((F.col("c_ab") + 1) / (F.col("c_1") + F.col("v")))), 6
+            ).alias("nll"),
+        )
+    )
+    return scored.orderBy(F.desc("nll"), "doc_id").limit(20)
+
+
+def _doc_bigram_ppl_sql() -> str:
+    return """
+        WITH arrs AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+            FROM documents WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 2),
+        bis AS (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(arr) - 1),
+                i -> arr[i] || '_' || arr[i + 1])) AS ab
+            FROM arrs),
+        c2 AS (SELECT ab, COUNT(*) AS c_ab FROM bis GROUP BY 1),
+        c1 AS (SELECT split_part(ab, '_', 1) AS w1, COUNT(*) AS c_1
+               FROM bis GROUP BY 1),
+        vocab AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM (
+            SELECT unnest(arr) AS w FROM arrs)),
+        scored AS (
+            SELECT b.doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(AVG(-LN((c2.c_ab + 1) / (c1.c_1 + vocab.v))), 6)
+                       AS nll
+            FROM bis b
+            JOIN c2 ON b.ab = c2.ab
+            JOIN c1 ON split_part(b.ab, '_', 1) = c1.w1
+            CROSS JOIN vocab
+            GROUP BY 1)
+        SELECT doc_id, n_bigrams, nll FROM scored
+        ORDER BY nll DESC, doc_id
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
 # G-function, mixture resampling, inter-arrival fit (session 6)
 # ---------------------------------------------------------------------------
 
@@ -7317,6 +7401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": q_heaps_law,
         "cluster_hulls": q_cluster_hulls,
         "g_function": q_g_function,
+        "doc_bigram_ppl": q_doc_bigram_ppl,
         "mixture_resample": q_mixture_resample,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
@@ -7421,6 +7506,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_law": _heaps_law_sql(),
         "cluster_hulls": _cluster_hulls_sql(),
         "g_function": _g_function_sql(),
+        "doc_bigram_ppl": _doc_bigram_ppl_sql(),
         "mixture_resample": _mixture_resample_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
