@@ -6266,6 +6266,119 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge training (session 6)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Byte-pair-encoding merge training, the real thing at dictionary
+    scale: like sentencepiece, the trainer operates on the DISTINCT-word
+    count table (O(vocab) rows, one corpus scan builds it), never the raw
+    token stream. Each round counts adjacent symbol pairs weighted by word
+    frequency, picks the argmax (count desc, pair asc — deterministic),
+    and rewrites the symbol strings with two non-overlapping literal
+    replace passes (identical leftmost-scan semantics in both engines;
+    documented approximation of exhaustive re-scan). Only the single
+    argmax row ever reaches the driver per round. Output: the first 5
+    merges (round, pair, merged, cnt) — the learned tokenizer prefix."""
+    d = _read(spark, sf_dir, "documents").select("text")
+    vocab = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "sym", F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    cur = vocab
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            # guard: Spark's sequence(1, 0) DESCENDS instead of being empty,
+            # so single-symbol words must be filtered before the transform
+            cur.filter(F.size(F.split(F.trim("sym"), " ")) >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(trim(sym), ' ')) - 1), "
+                        "i -> concat(element_at(split(trim(sym), ' '), i), ' ', "
+                        "element_at(split(trim(sym), ' '), i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), F.col("pair").asc()).limit(1).collect()
+        if not best:
+            break
+        pair, c = best[0]["pair"], int(best[0]["c"])
+        merged = pair.replace(" ", "")
+        merges.append((r, pair, merged, c))
+        tgt, rep = F.lit(f" {pair} "), F.lit(f" {merged} ")
+        cur = (
+            cur.withColumn("sym", F.replace(F.col("sym"), tgt, rep))
+            .withColumn("sym", F.replace(F.col("sym"), tgt, rep))
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        merges, "round long, pair string, merged string, cnt long"
+    ).orderBy("round")
+
+
+def _bpe_merges_sql() -> str:
+    steps = []
+    prev = "w0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        steps.append(
+            f"""p{r} AS MATERIALIZED (
+            SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+                SELECT cnt, unnest(list_transform(
+                    generate_series(1, len(a) - 1),
+                    i -> a[i] || ' ' || a[i + 1])) AS pair
+                FROM (SELECT cnt,
+                             regexp_split_to_array(trim(sym), ' ') AS a
+                      FROM {prev}))
+            GROUP BY 1),
+        b{r} AS MATERIALIZED (
+            SELECT {r} AS round, pair, replace(pair, ' ', '') AS merged, c
+            FROM p{r} ORDER BY c DESC, pair ASC LIMIT 1),
+        w{r} AS MATERIALIZED (
+            SELECT w, cnt,
+                   replace(replace(sym,
+                       ' ' || (SELECT pair FROM b{r}) || ' ',
+                       ' ' || (SELECT merged FROM b{r}) || ' '),
+                       ' ' || (SELECT pair FROM b{r}) || ' ',
+                       ' ' || (SELECT merged FROM b{r}) || ' ') AS sym
+            FROM {prev})"""
+        )
+        prev = f"w{r}"
+    chain = ",\n        ".join(steps)
+    union = " UNION ALL ".join(
+        f"SELECT round, pair, merged, c AS cnt FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+        WITH w0 AS MATERIALIZED (
+            SELECT w, cnt,
+                   ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym
+            FROM (
+                SELECT w, COUNT(*) AS cnt FROM (
+                    SELECT unnest(regexp_split_to_array(
+                        lower(trim(text)), '\\s+')) AS w
+                    FROM documents)
+                GROUP BY 1)),
+        {chain}
+        SELECT round, pair, merged, cnt FROM ({union})
+        ORDER BY round
+    """
+
+
+# ---------------------------------------------------------------------------
 # bigram LM perplexity (session 6)
 # ---------------------------------------------------------------------------
 
@@ -7402,6 +7515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_hulls": q_cluster_hulls,
         "g_function": q_g_function,
         "doc_bigram_ppl": q_doc_bigram_ppl,
+        "bpe_merges": q_bpe_merges,
         "mixture_resample": q_mixture_resample,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
@@ -7507,6 +7621,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_hulls": _cluster_hulls_sql(),
         "g_function": _g_function_sql(),
         "doc_bigram_ppl": _doc_bigram_ppl_sql(),
+        "bpe_merges": _bpe_merges_sql(),
         "mixture_resample": _mixture_resample_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
