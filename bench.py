@@ -121,6 +121,11 @@ HEADLINE = [
     "colocation_quotient",
     "heaps_law",
     "cluster_hulls",
+    "g_function",
+    "mixture_resample",
+    "interarrival_fit",
+    "doc_bigram_ppl",
+    "bpe_merges",
 ]
 
 SEED = 77
