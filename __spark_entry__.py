@@ -6266,6 +6266,70 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# fixed-threshold teleport flags (streaming twin's batch path) (session 6)
+# ---------------------------------------------------------------------------
+
+_TP_KMH = 1000000.0
+
+
+def q_teleport_flags(spark, sf_dir):
+    """Fixed-threshold teleport screen — the BATCH path of the stateful
+    streaming detector (`streaming/teleport.py`; stream==batch parity
+    pytest-asserted in tests/test_streaming_teleport.py). Top-20 fastest
+    flagged legs over the event anchors."""
+    from raptor_service_spark.streaming.teleport import teleport_batch
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        "ts",
+        lat.alias("lat"),
+        lng.alias("lng"),
+    )
+    return (
+        teleport_batch(pts, _TP_KMH)
+        .orderBy(F.col("speed_kmh").desc(), "pid")
+        .limit(20)
+        .select(
+            "user_id",
+            "pid",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "speed_kmh",
+        )
+    )
+
+
+def _teleport_flags_sql() -> str:
+    from raptor_service_spark.geo.distance import haversine_sql
+
+    lat, lng = _latlng_sql("event_id")
+    hav = haversine_sql("plat", "plng", "lat", "lng")
+    return f"""
+        WITH pts AS (
+            SELECT user_id, event_id AS pid, ts, {lat} AS lat, {lng} AS lng
+            FROM events),
+        lagged AS (
+            SELECT user_id, pid, ts, lat, lng,
+                   LAG(lat) OVER (PARTITION BY user_id ORDER BY ts, pid) AS plat,
+                   LAG(lng) OVER (PARTITION BY user_id ORDER BY ts, pid) AS plng,
+                   (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, pid))
+                       / 3600000000.0 AS dt_h
+            FROM pts),
+        legs AS (
+            SELECT user_id, pid, ts, ROUND({hav} / dt_h, 6) AS speed_kmh
+            FROM lagged WHERE dt_h > 0)
+        SELECT user_id, pid,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, speed_kmh
+        FROM legs WHERE speed_kmh > {_TP_KMH!r}
+        ORDER BY speed_kmh DESC, pid
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
 # BPE merge training (session 6)
 # ---------------------------------------------------------------------------
 
@@ -7516,6 +7580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_function": q_g_function,
         "doc_bigram_ppl": q_doc_bigram_ppl,
         "bpe_merges": q_bpe_merges,
+        "teleport_flags": q_teleport_flags,
         "mixture_resample": q_mixture_resample,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
@@ -7622,6 +7687,7 @@ def oracle_sql() -> dict[str, str]:
         "g_function": _g_function_sql(),
         "doc_bigram_ppl": _doc_bigram_ppl_sql(),
         "bpe_merges": _bpe_merges_sql(),
+        "teleport_flags": _teleport_flags_sql(),
         "mixture_resample": _mixture_resample_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
