@@ -126,6 +126,7 @@ HEADLINE = [
     "interarrival_fit",
     "doc_bigram_ppl",
     "bpe_merges",
+    "teleport_flags",
 ]
 
 SEED = 77
