@@ -6266,6 +6266,87 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Huff gravity market-share model (session 6)
+# ---------------------------------------------------------------------------
+
+_HUFF_EPS = 8.0
+
+
+def q_huff_demand(spark, sf_dir):
+    """Huff gravity model: each event (consumer) splits its unit demand
+    over candidate documents (stores) within ε, proportionally to
+    attractiveness / distance² (attractiveness = n_chars); per-store
+    expected demand = Σ shares — the retail-catchment workhorse. Scale
+    shape: candidates come from the one-shuffle ε cell/ring equi-join
+    (never consumer × store); the per-event normalization is a window over
+    the bounded candidate group; demand is one partial+final agg. Top-20
+    stores by demand."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id")
+        .filter(F.col("event_id") < 4000)
+    )
+    lat_e, lng_e = _latlng_cols(F.col("event_id"))
+    epts = ev.withColumn("lat", lat_e).withColumn("lng", lng_e)
+    d = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lat_d, lng_d = _latlng_cols(F.col("doc_id"))
+    dpts = d.withColumn("lat", lat_d).withColumn("lng", lng_d)
+    pairs = within_distance_join(epts, dpts, eps=_HUFF_EPS).select(
+        F.col("l.event_id").alias("event_id"),
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.n_chars").alias("a"),
+        "dist",
+    )
+    wgt = F.col("a") / F.greatest(
+        F.col("dist") * F.col("dist"), F.lit(0.000001)
+    )
+    w = Window.partitionBy("event_id")
+    shares = pairs.withColumn("p", wgt / F.sum(wgt).over(w))
+    return (
+        shares.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.round(F.sum("p"), 6).alias("demand"),
+        )
+        .orderBy(F.col("demand").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _huff_demand_sql() -> str:
+    lat_e, lng_e = _latlng_sql("event_id")
+    lat_d, lng_d = _latlng_sql("doc_id")
+    return f"""
+        WITH e AS (SELECT event_id, {lat_e} AS lat, {lng_e} AS lng
+                   FROM events WHERE event_id < 4000),
+        s AS (SELECT doc_id, n_chars, {lat_d} AS lat, {lng_d} AS lng
+              FROM documents),
+        pairs AS (
+            SELECT e.event_id, s.doc_id, s.n_chars AS a,
+                   ROUND(SQRT((e.lat - s.lat) * (e.lat - s.lat)
+                            + (e.lng - s.lng) * (e.lng - s.lng)), 6) AS dist
+            FROM e JOIN s
+              ON ROUND(SQRT((e.lat - s.lat) * (e.lat - s.lat)
+                          + (e.lng - s.lng) * (e.lng - s.lng)), 6)
+                 <= {_HUFF_EPS!r}),
+        shares AS (
+            SELECT doc_id,
+                   (a / GREATEST(dist * dist, 0.000001))
+                   / SUM(a / GREATEST(dist * dist, 0.000001))
+                       OVER (PARTITION BY event_id) AS p
+            FROM pairs)
+        SELECT doc_id, COUNT(*) AS n_reached, ROUND(SUM(p), 6) AS demand
+        FROM shares GROUP BY 1
+        ORDER BY demand DESC, doc_id
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
 # fixed-threshold teleport flags (streaming twin's batch path) (session 6)
 # ---------------------------------------------------------------------------
 
@@ -7581,6 +7662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_ppl": q_doc_bigram_ppl,
         "bpe_merges": q_bpe_merges,
         "teleport_flags": q_teleport_flags,
+        "huff_demand": q_huff_demand,
         "mixture_resample": q_mixture_resample,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
@@ -7688,6 +7770,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_ppl": _doc_bigram_ppl_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "teleport_flags": _teleport_flags_sql(),
+        "huff_demand": _huff_demand_sql(),
         "mixture_resample": _mixture_resample_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
