@@ -6266,6 +6266,167 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# quadrat-count CSR test + hourly autocorrelation (session 6)
+# ---------------------------------------------------------------------------
+
+
+def q_quadrat_csr(spark, sf_dir):
+    """Quadrat-count test of complete spatial randomness: partition the
+    world into res-3 quadrats, compare observed per-quadrat counts with
+    the uniform expectation via the χ² index of dispersion (VMR ≫ 1 ⇔
+    clustered). ALL res-3 quadrats count — including empty ones, whose
+    number is known in closed form (2^res·2^res) — so the statistic is the
+    textbook one without materializing empty cells. One point shuffle;
+    scalars after."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    res = 3
+    n_cells = (1 << res) * (1 << res)
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    occ = (
+        ev.select(cell_encode_col(lat, lng, res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    # chi2 = sum_cells (x - m)^2 / m over ALL cells; empty cells each
+    # contribute m, so chi2 = sum_occ((x-m)^2)/m + (n_cells - occ) * m
+    # with m = N / n_cells. All terms exact rationals of integers.
+    return occ.agg(
+        F.sum("x").alias("n_points"), F.count(F.lit(1)).alias("n_occ"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        "n_points",
+        F.lit(n_cells).cast("long").alias("n_quadrats"),
+        "n_occ",
+        F.round(
+            (F.col("sxx") - F.lit(2.0) * F.col("n_points") * F.col("n_points")
+             / F.lit(n_cells)
+             + F.col("n_occ") * (F.col("n_points") / F.lit(n_cells))
+             * (F.col("n_points") / F.lit(n_cells)))
+            / (F.col("n_points") / F.lit(n_cells))
+            + (F.lit(n_cells) - F.col("n_occ"))
+            * (F.col("n_points") / F.lit(n_cells)),
+            6,
+        ).alias("chi2"),
+    )
+
+
+def _quadrat_csr_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    res = 3
+    n_cells = (1 << res) * (1 << res)
+    cell = cell_encode_sql(lat, lng, res)
+    return f"""
+        WITH occ AS (
+            SELECT {cell} AS cell, COUNT(*) AS x FROM events GROUP BY 1),
+        s AS (SELECT CAST(SUM(x) AS BIGINT) AS n_points,
+                     COUNT(*) AS n_occ,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx
+              FROM occ)
+        SELECT n_points, CAST({n_cells} AS BIGINT) AS n_quadrats, n_occ,
+               ROUND(
+                 (sxx - 2.0 * n_points * n_points / {n_cells}
+                  + n_occ * (n_points / CAST({n_cells} AS DOUBLE))
+                  * (n_points / CAST({n_cells} AS DOUBLE)))
+                 / (n_points / CAST({n_cells} AS DOUBLE))
+                 + ({n_cells} - n_occ)
+                 * (n_points / CAST({n_cells} AS DOUBLE)), 6) AS chi2
+        FROM s
+    """
+
+
+_ACF_LAGS = 6
+
+
+def q_hourly_acf(spark, sf_dir):
+    """Autocorrelation function of the global hourly event-count series at
+    lags 1..6 — the seasonality screen (daily rhythm shows as a ridge at
+    the 24-lag harmonic; here short lags capture burst persistence). The
+    series is the AGGREGATED (hour, count) table; each lag is one
+    self-join on hour+lag; moments come from one scalar agg with 9-dp
+    pre-rounded sums. Missing hours count as zero via the dense hour
+    ladder (sequence explode between min and max hour)."""
+    ev = _read(spark, sf_dir, "events").select("ts")
+    hour = F.expr(
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP)) / 3600000000.0) AS BIGINT)"
+    )
+    occ = ev.select(hour.alias("h")).groupBy("h").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    span = occ.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    dense = (
+        span.select(
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+        )
+        .join(occ, "h", "left")
+        .select("h", F.coalesce("x", F.lit(0)).cast("double").alias("x"))
+    )
+    mom = dense.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("x"), 9).alias("sx"),
+        F.round(F.sum(F.col("x") * F.col("x")), 9).alias("sxx"),
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in range(1, _ACF_LAGS + 1)], "lag long"
+    )
+    a = dense.select(F.col("h").alias("ha"), F.col("x").alias("xa"))
+    b = dense.select(F.col("h").alias("hb"), F.col("x").alias("xb"))
+    prods = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("ha") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("npairs"),
+            F.round(F.sum(F.col("xa") * F.col("xb")), 9).alias("sxy"),
+        )
+    )
+    m = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - m * m
+    return (
+        prods.crossJoin(F.broadcast(mom))
+        .select(
+            "lag",
+            F.round(
+                (F.col("sxy") / F.col("npairs") - m * m) / var, 6
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def _hourly_acf_sql() -> str:
+    return f"""
+        WITH occ AS (
+            SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS h,
+                   COUNT(*) AS x
+            FROM events GROUP BY 1),
+        span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM occ),
+        dense AS (
+            SELECT g.h, CAST(COALESCE(occ.x, 0) AS DOUBLE) AS x
+            FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM span) g
+            LEFT JOIN occ ON g.h = occ.h),
+        mom AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   ROUND(SUM(x), 9) AS sx,
+                   ROUND(SUM(x * x), 9) AS sxx
+            FROM dense),
+        prods AS (
+            SELECT l.lag, CAST(COUNT(*) AS DOUBLE) AS npairs,
+                   ROUND(SUM(a.x * b.x), 9) AS sxy
+            FROM (SELECT unnest(generate_series(1, {_ACF_LAGS})) AS lag) l
+            CROSS JOIN dense a
+            JOIN dense b ON b.h = a.h + l.lag
+            GROUP BY 1)
+        SELECT lag,
+               ROUND((sxy / npairs - (sx / n) * (sx / n))
+                     / (sxx / n - (sx / n) * (sx / n)), 6) AS acf
+        FROM prods CROSS JOIN mom
+        ORDER BY lag
+    """
+
+
+# ---------------------------------------------------------------------------
 # Huff gravity market-share model (session 6)
 # ---------------------------------------------------------------------------
 
@@ -7663,6 +7824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "teleport_flags": q_teleport_flags,
         "huff_demand": q_huff_demand,
+        "quadrat_csr": q_quadrat_csr,
+        "hourly_acf": q_hourly_acf,
         "mixture_resample": q_mixture_resample,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
@@ -7771,6 +7934,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(),
         "teleport_flags": _teleport_flags_sql(),
         "huff_demand": _huff_demand_sql(),
+        "quadrat_csr": _quadrat_csr_sql(),
+        "hourly_acf": _hourly_acf_sql(),
         "mixture_resample": _mixture_resample_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
