@@ -6266,6 +6266,48 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# bivariate cross-K (session 6)
+# ---------------------------------------------------------------------------
+
+_XK_BANDS = [1.0, 2.0, 4.0]
+
+
+def q_cross_k(spark, sf_dir):
+    """Bivariate Ripley cross-K between click and purchase events: does
+    one type spatially attract the other beyond chance (K_AB above π·d²)?
+    One grid ε-join at the widest band produces every cross pair exactly
+    once; bands are conditional sums over that stream
+    (operators/spatial_stats.py:cross_k)."""
+    from raptor_service_spark.operators.spatial_stats import cross_k
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select("event_id", "event_type", lat.alias("lat"), lng.alias("lng"))
+    a = pts.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("id"), "lat", "lng"
+    )
+    b = pts.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id"), "lat", "lng"
+    )
+    return cross_k(a, b, _XK_BANDS)
+
+
+def _cross_k_sql() -> str:
+    from raptor_service_spark.operators.spatial_stats import cross_k_sql
+
+    lat, lng = _latlng_sql("event_id")
+    return cross_k_sql(
+        "(SELECT * FROM events WHERE event_type = 'click')",
+        "(SELECT * FROM events WHERE event_type = 'purchase')",
+        "event_id",
+        "event_id",
+        lat,
+        lng,
+        _XK_BANDS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # quadrat-count CSR test + hourly autocorrelation (session 6)
 # ---------------------------------------------------------------------------
 
@@ -7825,6 +7867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "teleport_flags": q_teleport_flags,
         "huff_demand": q_huff_demand,
         "quadrat_csr": q_quadrat_csr,
+        "cross_k": q_cross_k,
         "hourly_acf": q_hourly_acf,
         "mixture_resample": q_mixture_resample,
         "interarrival_fit": q_interarrival_fit,
@@ -7935,6 +7978,7 @@ def oracle_sql() -> dict[str, str]:
         "teleport_flags": _teleport_flags_sql(),
         "huff_demand": _huff_demand_sql(),
         "quadrat_csr": _quadrat_csr_sql(),
+        "cross_k": _cross_k_sql(),
         "hourly_acf": _hourly_acf_sql(),
         "mixture_resample": _mixture_resample_sql(),
         "interarrival_fit": _interarrival_fit_sql(),

@@ -866,3 +866,115 @@ def gearys_c_sql(points_sql: str, lat: str, lng: str, res: int) -> str:
                    AS geary_c
         FROM num CROSS JOIN ssd
     """
+
+
+# ---------------------------------------------------------------------------
+# bivariate cross-K — spatial interaction between two point types
+# ---------------------------------------------------------------------------
+
+
+def cross_k(
+    points_a: DataFrame,
+    points_b: DataFrame,
+    bands: list[float],
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Naive bivariate (cross-type) Ripley's K:
+
+        K_AB(d) = A · |{(i∈A, j∈B): dist(i,j) ≤ d}| / (n_A · n_B)
+
+    over the union bounding box — K_AB above π·d² means type A attracts
+    type B at range d (independent placement sits on it). Same scale shape
+    as ripley_k: ONE grid ε-join at the largest band produces every
+    qualifying cross pair exactly once; all bands are conditional sums
+    over that single stream; scalar marginals broadcast."""
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    bands = sorted(bands)
+    a = points_a.select(
+        F.col(id_col).alias("id_a"),
+        F.col(lat_col).alias("lat"),
+        F.col(lng_col).alias("lng"),
+    )
+    b = points_b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(lat_col).alias("lat"),
+        F.col(lng_col).alias("lng"),
+    )
+    pairs = within_distance_join(a, b, eps=bands[-1])
+    counts = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("dist") <= F.lit(d)).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias(f"c{i}")
+            for i, d in enumerate(bands)
+        ]
+    )
+    both = a.select("lat", "lng").unionByName(b.select("lat", "lng"))
+    stats = both.agg(
+        ((F.max("lat") - F.min("lat")) * (F.max("lng") - F.min("lng"))).alias(
+            "area"
+        )
+    ).crossJoin(F.broadcast(a.agg(F.count(F.lit(1)).cast("double").alias("na")))) \
+     .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).cast("double").alias("nb"))))
+    rows = counts.crossJoin(F.broadcast(stats)).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(d)).alias("d"), F.col(f"c{i}").alias("n_pairs")
+                    )
+                    for i, d in enumerate(bands)
+                ]
+            )
+        ).alias("b"),
+        "area",
+        "na",
+        "nb",
+    )
+    k = F.col("area") * F.col("b.n_pairs") / (F.col("na") * F.col("nb"))
+    return rows.select(
+        F.col("b.d").alias("d"),
+        F.col("b.n_pairs").alias("n_pairs"),
+        F.round(k, 6).alias("k_ab"),
+    ).orderBy("d")
+
+
+def cross_k_sql(
+    points_a_sql: str,
+    points_b_sql: str,
+    id_a: str,
+    id_b: str,
+    lat: str,
+    lng: str,
+    bands: list[float],
+) -> str:
+    """DuckDB twin of cross_k (all-pairs form — fine at oracle scale)."""
+    bands = sorted(bands)
+    dmax = f"CAST({bands[-1]!r} AS DOUBLE)"
+    vals = ", ".join(f"(CAST({d!r} AS DOUBLE))" for d in bands)
+    return f"""
+        WITH pa AS (SELECT {id_a} AS pid, {lat} AS lat, {lng} AS lng
+                    FROM {points_a_sql}),
+        pb AS (SELECT {id_b} AS pid, {lat} AS lat, {lng} AS lng
+               FROM {points_b_sql}),
+        pr AS (SELECT ROUND(SQRT((a.lat - b.lat) * (a.lat - b.lat)
+                               + (a.lng - b.lng) * (a.lng - b.lng)), 6) AS dist
+               FROM pa a CROSS JOIN pb b),
+        s AS (SELECT (MAX(lat) - MIN(lat)) * (MAX(lng) - MIN(lng)) AS area
+              FROM (SELECT lat, lng FROM pa UNION ALL SELECT lat, lng FROM pb)),
+        m AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM pa) AS na,
+                     (SELECT CAST(COUNT(*) AS DOUBLE) FROM pb) AS nb),
+        c AS (SELECT bd.d, CAST(COUNT(CASE WHEN pr.dist <= bd.d
+                                      THEN 1 END) AS BIGINT) AS n_pairs
+              FROM (VALUES {vals}) bd(d)
+              LEFT JOIN pr ON pr.dist <= {dmax}
+              GROUP BY bd.d)
+        SELECT c.d AS d, c.n_pairs AS n_pairs,
+               ROUND(s.area * c.n_pairs / (m.na * m.nb), 6) AS k_ab
+        FROM c CROSS JOIN s CROSS JOIN m
+        ORDER BY d
+    """
