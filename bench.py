@@ -127,6 +127,10 @@ HEADLINE = [
     "doc_bigram_ppl",
     "bpe_merges",
     "teleport_flags",
+    "huff_demand",
+    "quadrat_csr",
+    "hourly_acf",
+    "cross_k",
 ]
 
 SEED = 77
