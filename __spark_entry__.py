@@ -6266,6 +6266,200 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# standard deviational ellipse + Knox space-time test (session 6)
+# ---------------------------------------------------------------------------
+
+
+def q_deviational_ellipse(spark, sf_dir):
+    """Standard deviational ellipse (directional distribution) of the event
+    cloud: mean center, orientation θ of the major axis, and the two axis
+    standard deviations — the one-row summary GIS suites print for any
+    point layer. Closed-form from second moments (one scalar agg, 9-dp
+    pre-rounded sums; the rotation is the eigendecomposition of the 2×2
+    covariance, written out so both engines run the identical arithmetic):
+
+        θ = atan2(2·Sxy, Sxx − Syy) / 2
+        σ1,2 = sqrt((Sxx + Syy)/2 ± sqrt(((Sxx − Syy)/2)² + Sxy²))
+    """
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(lng.alias("x"), lat.alias("y"))
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("x"), 9).alias("sx"),
+        F.round(F.sum("y"), 9).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 9).alias("sxx"),
+        F.round(F.sum(F.col("y") * F.col("y")), 9).alias("syy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 9).alias("sxy"),
+    )
+    mx, my = F.col("sx") / F.col("n"), F.col("sy") / F.col("n")
+    cxx = F.col("sxx") / F.col("n") - mx * mx
+    cyy = F.col("syy") / F.col("n") - my * my
+    cxy = F.col("sxy") / F.col("n") - mx * my
+    half = (cxx - cyy) / F.lit(2.0)
+    root = F.sqrt(half * half + cxy * cxy)
+    mid = (cxx + cyy) / F.lit(2.0)
+    return mom.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(mx, 6).alias("center_x"),
+        F.round(my, 6).alias("center_y"),
+        F.round(F.atan2(F.lit(2.0) * cxy, cxx - cyy) / F.lit(2.0), 6).alias(
+            "theta"
+        ),
+        F.round(F.sqrt(mid + root), 6).alias("sigma_major"),
+        F.round(F.sqrt(mid - root), 6).alias("sigma_minor"),
+    )
+
+
+def _deviational_ellipse_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    return f"""
+        WITH p AS (SELECT {lng} AS x, {lat} AS y FROM events),
+        mom AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   ROUND(SUM(x), 9) AS sx, ROUND(SUM(y), 9) AS sy,
+                   ROUND(SUM(x * x), 9) AS sxx, ROUND(SUM(y * y), 9) AS syy,
+                   ROUND(SUM(x * y), 9) AS sxy
+            FROM p)
+        SELECT CAST(n AS BIGINT) AS n_points,
+               ROUND(sx / n, 6) AS center_x,
+               ROUND(sy / n, 6) AS center_y,
+               ROUND(ATAN2(2.0 * (sxy / n - (sx / n) * (sy / n)),
+                           (sxx / n - (sx / n) * (sx / n))
+                         - (syy / n - (sy / n) * (sy / n))) / 2.0, 6) AS theta,
+               ROUND(SQRT(((sxx / n - (sx / n) * (sx / n))
+                          + (syy / n - (sy / n) * (sy / n))) / 2.0
+                        + SQRT((((sxx / n - (sx / n) * (sx / n))
+                               - (syy / n - (sy / n) * (sy / n))) / 2.0)
+                              * (((sxx / n - (sx / n) * (sx / n))
+                               - (syy / n - (sy / n) * (sy / n))) / 2.0)
+                              + (sxy / n - (sx / n) * (sy / n))
+                              * (sxy / n - (sx / n) * (sy / n)))), 6)
+                   AS sigma_major,
+               ROUND(SQRT(((sxx / n - (sx / n) * (sx / n))
+                          + (syy / n - (sy / n) * (sy / n))) / 2.0
+                        - SQRT((((sxx / n - (sx / n) * (sx / n))
+                               - (syy / n - (sy / n) * (sy / n))) / 2.0)
+                              * (((sxx / n - (sx / n) * (sx / n))
+                               - (syy / n - (sy / n) * (sy / n))) / 2.0)
+                              + (sxy / n - (sx / n) * (sy / n))
+                              * (sxy / n - (sx / n) * (sy / n)))), 6)
+                   AS sigma_minor
+        FROM mom
+    """
+
+
+# ---------------------------------------------------------------------------
+# Knox space-time interaction test (session 6)
+# ---------------------------------------------------------------------------
+
+_KNOX_N, _KNOX_DELTA, _KNOX_TAU = 3000, 4.0, 3600
+
+
+def q_knox_test(spark, sf_dir):
+    """Knox space-time interaction: are events that are close in SPACE also
+    disproportionately close in TIME (disease-surveillance / incident-
+    clustering screen)? X = pairs within δ AND τ; under independence
+    E[X] = S·T / P with S space-close pairs, T time-close pairs, P all
+    pairs (closed form). Ratio ≫ 1 ⇒ interaction.
+
+    Scale shape: S and X come from ONE grid ε-join (each pair once,
+    carrying timestamps); T from the 1-D analog — a τ-bucket join with
+    ±1-bucket explode and canonical pair dedup; P is arithmetic. No
+    all-pairs join anywhere; the oracle is the brute-force quadratic."""
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .filter(F.col("event_id") < _KNOX_N)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        ts_us.alias("t_us"),
+        lat.alias("lat"),
+        lng.alias("lng"),
+    )
+    sp = within_distance_join(pts, pts, eps=_KNOX_DELTA).filter(
+        F.col("l.id") < F.col("r.id")
+    )
+    tau_us = _KNOX_TAU * 1_000_000
+    s_x = sp.agg(
+        F.count(F.lit(1)).alias("s_pairs"),
+        F.sum(
+            (F.abs(F.col("l.t_us") - F.col("r.t_us")) <= tau_us).cast("long")
+        ).alias("x_pairs"),
+    )
+    a = pts.select("id", "t_us", F.floor(F.col("t_us") / tau_us).alias("k"))
+    b = a.select(
+        F.col("id").alias("id_b"),
+        F.col("t_us").alias("t_b"),
+        F.explode(
+            F.array(F.col("k") - 1, F.col("k"), F.col("k") + 1)
+        ).alias("k"),
+    )
+    t_cnt = (
+        a.join(b, "k")
+        .filter(F.col("id") < F.col("id_b"))
+        .filter(F.abs(F.col("t_us") - F.col("t_b")) <= tau_us)
+        .select(
+            F.least("id", "id_b").alias("pa"), F.greatest("id", "id_b").alias("pb")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("t_pairs"))
+    )
+    n_tot = pts.agg(F.count(F.lit(1)).alias("n"))
+    p = (F.col("n") * (F.col("n") - 1) / F.lit(2)).cast("double")
+    e_x = F.col("s_pairs") * F.col("t_pairs") / p
+    return (
+        s_x.crossJoin(F.broadcast(t_cnt))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "n",
+            "s_pairs",
+            "t_pairs",
+            "x_pairs",
+            F.round(e_x, 6).alias("e_x"),
+            F.round(F.col("x_pairs") / e_x, 6).alias("knox_ratio"),
+        )
+    )
+
+
+def _knox_test_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    tau_us = _KNOX_TAU * 1_000_000
+    return f"""
+        WITH p AS (
+            SELECT event_id AS id, epoch_us(ts) AS t_us,
+                   {lat} AS lat, {lng} AS lng
+            FROM events WHERE event_id < {_KNOX_N}),
+        pr AS (
+            SELECT ROUND(SQRT((a.lat - b.lat) * (a.lat - b.lat)
+                            + (a.lng - b.lng) * (a.lng - b.lng)), 6) AS dist,
+                   ABS(a.t_us - b.t_us) AS dt_us
+            FROM p a JOIN p b ON a.id < b.id),
+        agg AS (
+            SELECT COUNT(CASE WHEN dist <= {_KNOX_DELTA!r} THEN 1 END)
+                       AS s_pairs,
+                   COUNT(CASE WHEN dt_us <= {tau_us} THEN 1 END) AS t_pairs,
+                   COUNT(CASE WHEN dist <= {_KNOX_DELTA!r}
+                              AND dt_us <= {tau_us} THEN 1 END) AS x_pairs,
+                   (SELECT COUNT(*) FROM p) AS n
+            FROM pr)
+        SELECT n, CAST(s_pairs AS BIGINT) AS s_pairs,
+               CAST(t_pairs AS BIGINT) AS t_pairs,
+               CAST(x_pairs AS BIGINT) AS x_pairs,
+               ROUND(s_pairs * t_pairs
+                     / CAST(n * (n - 1) / 2 AS DOUBLE), 6) AS e_x,
+               ROUND(x_pairs / (s_pairs * t_pairs
+                     / CAST(n * (n - 1) / 2 AS DOUBLE)), 6) AS knox_ratio
+        FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
 # bivariate cross-K (session 6)
 # ---------------------------------------------------------------------------
 
@@ -7868,6 +8062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "huff_demand": q_huff_demand,
         "quadrat_csr": q_quadrat_csr,
         "cross_k": q_cross_k,
+        "deviational_ellipse": q_deviational_ellipse,
+        "knox_test": q_knox_test,
         "hourly_acf": q_hourly_acf,
         "mixture_resample": q_mixture_resample,
         "interarrival_fit": q_interarrival_fit,
@@ -7979,6 +8175,8 @@ def oracle_sql() -> dict[str, str]:
         "huff_demand": _huff_demand_sql(),
         "quadrat_csr": _quadrat_csr_sql(),
         "cross_k": _cross_k_sql(),
+        "deviational_ellipse": _deviational_ellipse_sql(),
+        "knox_test": _knox_test_sql(),
         "hourly_acf": _hourly_acf_sql(),
         "mixture_resample": _mixture_resample_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
