@@ -131,6 +131,8 @@ HEADLINE = [
     "quadrat_csr",
     "hourly_acf",
     "cross_k",
+    "deviational_ellipse",
+    "knox_test",
 ]
 
 SEED = 77
