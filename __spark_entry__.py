@@ -6266,6 +6266,77 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# span modality transition matrix (session 6, interleaved axis)
+# ---------------------------------------------------------------------------
+
+
+def q_span_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over span KINDS in document
+    order — the interleaving fingerprint of the corpus (how often a header
+    is followed by text, text by an image, ...). Built ARRAY-side from the
+    ordered spans column (adjacent-kind pairs via transform — offset order
+    is the array order by construction); one partial+final agg; transition
+    probabilities are exact count ratios. Oracle: per-doc kind sequences
+    from the pure-Python generator twin as VALUES, aggregated
+    independently."""
+    from raptor_service_spark.datagen import gen_documents_df
+
+    docs = gen_documents_df(spark, 200, seed=63)
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(spans) - 1), "
+                "i -> concat(spans[i - 1].kind, '>', spans[i].kind))"
+            )
+        ).alias("tr")
+    )
+    cnt = pairs.groupBy("tr").agg(F.count(F.lit(1)).alias("n"))
+    tot = (
+        cnt.withColumn("from_kind", F.substring_index("tr", ">", 1))
+        .groupBy("from_kind")
+        .agg(F.sum("n").alias("n_from"))
+    )
+    return (
+        cnt.withColumn("from_kind", F.substring_index("tr", ">", 1))
+        .withColumn("to_kind", F.substring_index("tr", ">", -1))
+        .join(F.broadcast(tot), "from_kind")
+        .select(
+            "from_kind",
+            "to_kind",
+            "n",
+            F.round(F.col("n") / F.col("n_from").cast("double"), 6).alias("p"),
+        )
+        .orderBy("from_kind", "to_kind")
+    )
+
+
+def _span_transitions_sql(n_docs: int = 200, seed: int = 63) -> str:
+    from raptor_service_spark.datagen import _gen_doc
+
+    vals = []
+    for i in range(n_docs):
+        d = _gen_doc(seed, i)
+        kinds = ",".join(s["kind"] for s in d["spans"])
+        vals.append(f"('{kinds}')")
+    return f"""
+        WITH d AS (SELECT string_split(kinds, ',') AS ks
+                   FROM (VALUES {', '.join(vals)}) t(kinds)),
+        pairs AS (
+            SELECT unnest(list_transform(generate_series(2, len(ks)),
+                          i -> ks[i - 1] || '>' || ks[i])) AS tr
+            FROM d),
+        cnt AS (SELECT tr, COUNT(*) AS n FROM pairs GROUP BY 1),
+        tot AS (SELECT split_part(tr, '>', 1) AS from_kind,
+                       CAST(SUM(n) AS BIGINT) AS n_from
+                FROM cnt GROUP BY 1)
+        SELECT t.from_kind, split_part(c.tr, '>', 2) AS to_kind, c.n,
+               ROUND(c.n / CAST(t.n_from AS DOUBLE), 6) AS p
+        FROM cnt c JOIN tot t ON split_part(c.tr, '>', 1) = t.from_kind
+        ORDER BY t.from_kind, to_kind
+    """
+
+
+# ---------------------------------------------------------------------------
 # standard deviational ellipse + Knox space-time test (session 6)
 # ---------------------------------------------------------------------------
 
@@ -8064,6 +8135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_k": q_cross_k,
         "deviational_ellipse": q_deviational_ellipse,
         "knox_test": q_knox_test,
+        "span_transitions": q_span_transitions,
         "hourly_acf": q_hourly_acf,
         "mixture_resample": q_mixture_resample,
         "interarrival_fit": q_interarrival_fit,
@@ -8177,6 +8249,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_k": _cross_k_sql(),
         "deviational_ellipse": _deviational_ellipse_sql(),
         "knox_test": _knox_test_sql(),
+        "span_transitions": _span_transitions_sql(),
         "hourly_acf": _hourly_acf_sql(),
         "mixture_resample": _mixture_resample_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
