@@ -133,6 +133,7 @@ HEADLINE = [
     "cross_k",
     "deviational_ellipse",
     "knox_test",
+    "span_transitions",
 ]
 
 SEED = 77
