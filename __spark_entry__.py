@@ -6266,6 +6266,133 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# char entropy + Markov next-cell (session 6)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy — the compressibility /
+    gibberish screen (templated or repeated text scores low, encrypted or
+    random blobs high). H = ln n − Σ k·ln k / n over the per-doc char
+    histogram (the same exact decomposition as user_cell_entropy, so the
+    only float work happens on AGGREGATED (doc, char) counts). Bottom-20
+    most-compressible docs."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("k"))
+    ent = hist.groupBy("doc_id").agg(
+        F.sum("k").alias("n_chars"),
+        F.round(
+            F.log(F.sum("k").cast("double"))
+            - F.sum(F.col("k") * F.log(F.col("k").cast("double")))
+            / F.sum("k").cast("double"),
+            6,
+        ).alias("entropy"),
+    )
+    return ent.orderBy(F.col("entropy").asc(), "doc_id").limit(20)
+
+
+def _doc_char_entropy_sql() -> str:
+    return """
+        WITH chars AS (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, length(text)),
+                i -> substring(text, i, 1))) AS ch
+            FROM documents),
+        hist AS (SELECT doc_id, ch, COUNT(*) AS k FROM chars GROUP BY 1, 2),
+        ent AS (
+            SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars,
+                   ROUND(LN(CAST(SUM(k) AS DOUBLE))
+                         - SUM(k * LN(CAST(k AS DOUBLE)))
+                           / CAST(SUM(k) AS DOUBLE), 6) AS entropy
+            FROM hist GROUP BY 1)
+        SELECT doc_id, n_chars, entropy FROM ent
+        ORDER BY entropy ASC, doc_id
+        LIMIT 20
+    """
+
+
+def q_cell_markov(spark, sf_dir):
+    """First-order Markov next-cell prediction over the OD transition
+    graph: for each res-3 cell, the top-3 most likely next cells with
+    exact count-ratio probabilities — the 'where do trajectories go from
+    here' table that powers location prediction. Points shuffle once (the
+    per-user lag window); everything after runs on the aggregated
+    transition counts; the rank is a WindowGroupLimit on integer counts
+    (no float ordering)."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("cell", cell_encode_col(lat, lng, 3))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        pts.withColumn("prev_cell", F.lag("cell").over(w))
+        .filter(
+            F.col("prev_cell").isNotNull() & (F.col("prev_cell") != F.col("cell"))
+        )
+        .groupBy(F.col("prev_cell").alias("from_cell"), F.col("cell").alias("to_cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("from_cell").agg(F.sum("n").alias("n_from"))
+    wr = Window.partitionBy("from_cell").orderBy(
+        F.col("n").desc(), F.col("to_cell").asc()
+    )
+    return (
+        trans.join(tot, "from_cell")
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "from_cell",
+            "to_cell",
+            "n",
+            F.round(F.col("n") / F.col("n_from").cast("double"), 6).alias("p"),
+            "rk",
+        )
+        .orderBy("from_cell", "rk")
+    )
+
+
+def _cell_markov_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH pts AS (
+            SELECT user_id, ts, event_id, {cell} AS cell FROM events),
+        lagged AS (
+            SELECT cell AS to_cell,
+                   LAG(cell) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_cell
+            FROM pts),
+        trans AS (
+            SELECT from_cell, to_cell, COUNT(*) AS n
+            FROM lagged
+            WHERE from_cell IS NOT NULL AND from_cell != to_cell
+            GROUP BY 1, 2),
+        tot AS (SELECT from_cell, CAST(SUM(n) AS BIGINT) AS n_from
+                FROM trans GROUP BY 1)
+        SELECT t.from_cell, t.to_cell, t.n,
+               ROUND(t.n / CAST(o.n_from AS DOUBLE), 6) AS p, rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY from_cell
+                       ORDER BY n DESC, to_cell ASC) AS rk
+            FROM trans) t
+        JOIN tot o ON t.from_cell = o.from_cell
+        WHERE rk <= 3
+        ORDER BY t.from_cell, rk
+    """
+
+
+# ---------------------------------------------------------------------------
 # span modality transition matrix (session 6, interleaved axis)
 # ---------------------------------------------------------------------------
 
@@ -8136,6 +8263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deviational_ellipse": q_deviational_ellipse,
         "knox_test": q_knox_test,
         "span_transitions": q_span_transitions,
+        "doc_char_entropy": q_doc_char_entropy,
+        "cell_markov": q_cell_markov,
         "hourly_acf": q_hourly_acf,
         "mixture_resample": q_mixture_resample,
         "interarrival_fit": q_interarrival_fit,
@@ -8250,6 +8379,8 @@ def oracle_sql() -> dict[str, str]:
         "deviational_ellipse": _deviational_ellipse_sql(),
         "knox_test": _knox_test_sql(),
         "span_transitions": _span_transitions_sql(),
+        "doc_char_entropy": _doc_char_entropy_sql(),
+        "cell_markov": _cell_markov_sql(),
         "hourly_acf": _hourly_acf_sql(),
         "mixture_resample": _mixture_resample_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
