@@ -134,6 +134,8 @@ HEADLINE = [
     "deviational_ellipse",
     "knox_test",
     "span_transitions",
+    "doc_char_entropy",
+    "cell_markov",
 ]
 
 SEED = 77
