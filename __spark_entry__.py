@@ -6266,6 +6266,75 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# per-user burstiness (session 6)
+# ---------------------------------------------------------------------------
+
+
+def q_user_burstiness(spark, sf_dir):
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of per-user inter-arrival
+    times: B → 1 bursty, 0 Poisson, −1 periodic — the behavioral screen
+    separating humans from schedulers/bots. One user window builds gaps
+    (exact integer seconds); per-user moments are one partial+final agg
+    with 9-dp pre-rounded sums; users with ≥ 30 gaps, top-20 by B."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = F.floor(
+        (ts_us - F.unix_micros(F.lag("ts").over(w).cast("timestamp")))
+        / F.lit(1000000.0)
+    ).cast("double")
+    gaps = (
+        ev.withColumn("g", gap)
+        .filter(F.col("g").isNotNull() & (F.col("g") >= 0))
+        .select("user_id", "g")
+    )
+    mom = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.sum("g"), 9).alias("sg"),
+        F.round(F.sum(F.col("g") * F.col("g")), 9).alias("sgg"),
+    )
+    m = F.col("sg") / F.col("n_gaps")
+    sd = F.sqrt(F.col("sgg") / F.col("n_gaps") - m * m)
+    return (
+        mom.filter(F.col("n_gaps") >= 30)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round((sd - m) / (sd + m), 6).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "user_id")
+        .limit(20)
+    )
+
+
+def _user_burstiness_sql() -> str:
+    return """
+        WITH gaps AS (
+            SELECT user_id,
+                   CAST(FLOOR((epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                        / 1000000.0) AS DOUBLE) AS g
+            FROM events
+            QUALIFY g IS NOT NULL AND g >= 0),
+        mom AS (
+            SELECT user_id, COUNT(*) AS n_gaps,
+                   ROUND(SUM(g), 9) AS sg,
+                   ROUND(SUM(g * g), 9) AS sgg
+            FROM gaps GROUP BY 1)
+        SELECT user_id, n_gaps,
+               ROUND((SQRT(sgg / n_gaps - (sg / n_gaps) * (sg / n_gaps))
+                      - sg / n_gaps)
+                     / (SQRT(sgg / n_gaps - (sg / n_gaps) * (sg / n_gaps))
+                      + sg / n_gaps), 6) AS burstiness
+        FROM mom WHERE n_gaps >= 30
+        ORDER BY burstiness DESC, user_id
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
 # char entropy + Markov next-cell (session 6)
 # ---------------------------------------------------------------------------
 
@@ -8265,6 +8334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_transitions": q_span_transitions,
         "doc_char_entropy": q_doc_char_entropy,
         "cell_markov": q_cell_markov,
+        "user_burstiness": q_user_burstiness,
         "hourly_acf": q_hourly_acf,
         "mixture_resample": q_mixture_resample,
         "interarrival_fit": q_interarrival_fit,
@@ -8381,6 +8451,7 @@ def oracle_sql() -> dict[str, str]:
         "span_transitions": _span_transitions_sql(),
         "doc_char_entropy": _doc_char_entropy_sql(),
         "cell_markov": _cell_markov_sql(),
+        "user_burstiness": _user_burstiness_sql(),
         "hourly_acf": _hourly_acf_sql(),
         "mixture_resample": _mixture_resample_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
