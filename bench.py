@@ -136,6 +136,7 @@ HEADLINE = [
     "span_transitions",
     "doc_char_entropy",
     "cell_markov",
+    "user_burstiness",
 ]
 
 SEED = 77
