@@ -6266,6 +6266,60 @@ def _spacetime_scan_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# spatial Gini of cell occupancy (session 6)
+# ---------------------------------------------------------------------------
+
+
+def q_cell_gini(spark, sf_dir):
+    """Gini coefficient of res-4 cell occupancy — the one-number spatial
+    inequality summary (0 = events spread evenly over occupied cells,
+    → 1 = all mass in a few hot tiles). Exact ranked-sum form
+    G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over counts ranked ascending with
+    a deterministic cell tie-break; ALL arithmetic is integer until the
+    final division. Points shuffle once; the rank window runs on the
+    O(occupied cells) table."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    occ = (
+        ev.select(cell_encode_col(lat, lng, 4).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("cell").asc())
+    ranked = occ.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("x").alias("n_points"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
+            / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+def _cell_gini_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 4)
+    return f"""
+        WITH occ AS (
+            SELECT {cell} AS cell, COUNT(*) AS x FROM events GROUP BY 1),
+        ranked AS (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, cell ASC) AS i
+            FROM occ)
+        SELECT COUNT(*) AS n_cells, CAST(SUM(x) AS BIGINT) AS n_points,
+               ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM ranked
+    """
+
+
+# ---------------------------------------------------------------------------
 # per-user burstiness (session 6)
 # ---------------------------------------------------------------------------
 
@@ -8335,6 +8389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_char_entropy": q_doc_char_entropy,
         "cell_markov": q_cell_markov,
         "user_burstiness": q_user_burstiness,
+        "cell_gini": q_cell_gini,
         "hourly_acf": q_hourly_acf,
         "mixture_resample": q_mixture_resample,
         "interarrival_fit": q_interarrival_fit,
@@ -8452,6 +8507,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_char_entropy": _doc_char_entropy_sql(),
         "cell_markov": _cell_markov_sql(),
         "user_burstiness": _user_burstiness_sql(),
+        "cell_gini": _cell_gini_sql(),
         "hourly_acf": _hourly_acf_sql(),
         "mixture_resample": _mixture_resample_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
