@@ -137,6 +137,7 @@ HEADLINE = [
     "doc_char_entropy",
     "cell_markov",
     "user_burstiness",
+    "cell_gini",
 ]
 
 SEED = 77
