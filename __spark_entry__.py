@@ -6164,7 +6164,7 @@ def q_spacetime_scan(spark, sf_dir):
     enumeration joins the cube against the O(days·max_len) window list and
     re-aggregates — all work is on aggregated tables bounded by
     cells × calendar, never points. Exact-integer counts; LLR doubles
-    rounded 6 dp; ties broken (cell, d1)."""
+    rounded 6 dp; ties broken (cell, d1, d2)."""
     from raptor_service_spark.geo.grid import cell_encode_col
 
     ev = _read(spark, sf_dir, "events").select("event_id", "ts")
@@ -6217,7 +6217,7 @@ def q_spacetime_scan(spark, sf_dir):
             F.round(e, 6).alias("n_exp"),
             F.round(llr, 6).alias("llr"),
         )
-        .orderBy(F.col("llr").desc(), "cell", "d1")
+        .orderBy(F.col("llr").desc(), "cell", "d1", "d2")
         .limit(_SCAN_TOPK)
     )
 
@@ -6260,7 +6260,7 @@ def _spacetime_scan_sql() -> str:
                      THEN zcd * LN(zcd / e) + (Cd - zcd) * LN((Cd - zcd) / (Cd - e))
                      ELSE 0.0 END, 6) AS llr
         FROM scored
-        ORDER BY llr DESC, cell, d1
+        ORDER BY llr DESC, cell, d1, d2
         LIMIT {_SCAN_TOPK}
     """
 
@@ -6401,7 +6401,10 @@ def q_doc_char_entropy(spark, sf_dir):
     only float work happens on AGGREGATED (doc, char) counts). Bottom-20
     most-compressible docs."""
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    chars = d.select(
+    # Guard: sequence(1, 0) descends in Spark, so empty text must be
+    # filtered before the transform (DuckDB's generate_series(1, 0) is
+    # empty; an empty doc has no defined entropy row on either side).
+    chars = d.filter(F.length("text") >= 1).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -6532,7 +6535,10 @@ def q_span_transitions(spark, sf_dir):
     from raptor_service_spark.datagen import gen_documents_df
 
     docs = gen_documents_df(spark, 200, seed=63)
-    pairs = docs.select(
+    # Guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being empty,
+    # so a single-span doc must be filtered out before the transform (the
+    # DuckDB oracle's generate_series(2, 1) is empty; parity requires this).
+    pairs = docs.filter(F.expr("size(spans) >= 2")).select(
         F.explode(
             F.expr(
                 "transform(sequence(1, size(spans) - 1), "
@@ -7023,7 +7029,10 @@ def q_huff_demand(spark, sf_dir):
         F.col("dist") * F.col("dist"), F.lit(0.000001)
     )
     w = Window.partitionBy("event_id")
-    shares = pairs.withColumn("p", wgt / F.sum(wgt).over(w))
+    # Repo convention: pre-round the per-pair share to 9 dp before the
+    # per-doc SUM so Spark-vs-DuckDB summation-order ulp noise cannot flip
+    # the 6-dp rounded demand on knife-edge values.
+    shares = pairs.withColumn("p", F.round(wgt / F.sum(wgt).over(w), 9))
     return (
         shares.groupBy("doc_id")
         .agg(
@@ -7053,9 +7062,9 @@ def _huff_demand_sql() -> str:
                  <= {_HUFF_EPS!r}),
         shares AS (
             SELECT doc_id,
-                   (a / GREATEST(dist * dist, 0.000001))
-                   / SUM(a / GREATEST(dist * dist, 0.000001))
-                       OVER (PARTITION BY event_id) AS p
+                   ROUND((a / GREATEST(dist * dist, 0.000001))
+                         / SUM(a / GREATEST(dist * dist, 0.000001))
+                             OVER (PARTITION BY event_id), 9) AS p
             FROM pairs)
         SELECT doc_id, COUNT(*) AS n_reached, ROUND(SUM(p), 6) AS demand
         FROM shares GROUP BY 1
