@@ -3013,27 +3013,122 @@ def q_grid_knn_ann(spark, sf_dir):
     )
 
 
+QVEC_IVF = np.round(gen_query_vectors(seed=103, n=1, dim=64)[0], 6)
+QVEC_IVF_SQL = "[" + ", ".join(f"{x:.6f}" for x in QVEC_IVF) + "]"
+
+_IVF_LISTS, _IVF_ITERS, _IVF_NPROBE = 16, 3, 6
+
+
 def q_ivf_knn_ann(spark, sf_dir):
-    """IVF centroid-quantizer ANN (operators/ivf.py): train on sample, assign
-    lists, probe half the lists. Rows-only driver check; exactness at
-    nprobe=n_lists and recall are pytest-asserted (tests/test_ivf.py)."""
+    """IVF centroid-quantizer ANN with the DETERMINISTIC spherical k-means
+    trainer (operators/ivf.py:train_ivf_centroids_det — smallest-id init,
+    9-dp per-round rounding, argmax tie -> smaller cid): train 3 Lloyd
+    rounds, assign every vector its list, probe the 6 of 16 lists nearest
+    the query, exact cosine top-10 inside the probed lists only. Fully
+    oracle-checked (round-3: the training rounds unroll as MATERIALIZED
+    CTEs in DuckDB — the kmeans_geo technique); the sampled k-means++
+    production trainer stays covered by ivf_knn_exact + tests/test_ivf.py.
+    Reference semantics: pgvector HNSW ANN probe
+    (/root/reference/db/models/embeddings.py:38-43)."""
     from raptor_service_spark.operators.ivf import (
-        assign_ivf_lists,
-        ivf_knn,
-        train_ivf_centroids,
+        best_list_col,
+        normalize_vec_col,
+        train_ivf_centroids_det,
     )
 
     e = _read(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("v")
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = train_ivf_centroids(e, n_lists=16, sample_n=2000, iters=5)
-    listed = assign_ivf_lists(e, cents)
-    q = gen_query_vectors(seed=103, n=1, dim=64)[0]
-    return ivf_knn(listed, cents, q, 10, nprobe=8)
+    cents = train_ivf_centroids_det(e, n_lists=_IVF_LISTS, iters=_IVF_ITERS)
+    # probe ranking in-engine (O(k) rows) so the 9-dp round + tie-break is
+    # the same HALF_UP arithmetic as the oracle, never Python's banker's
+    cdf = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid int, cv array<double>"
+    )
+    from raptor_service_spark.operators.ivf import _dot_lit_col
+
+    probe = [
+        r.cid
+        for r in cdf.select(
+            "cid", F.round(_dot_lit_col(F.col("cv"), list(QVEC_IVF)), 9).alias("qd")
+        )
+        .orderBy(F.col("qd").desc(), "cid")
+        .limit(_IVF_NPROBE)
+        .collect()
+    ]
+    cand = e.withColumn(
+        "cid", best_list_col(normalize_vec_col(F.col("v")), cents)
+    ).filter(F.col("cid").isin([int(p) for p in probe]))
+    return (
+        cand.withColumn("dist", F.round(cosine_dist_col(F.col("v"), QVEC_IVF), 6))
+        .orderBy(F.col("dist").asc(), F.col("id").asc())
+        .limit(10)
+        .select("id", "dist")
+    )
 
 
-QVEC_IVF = np.round(gen_query_vectors(seed=103, n=1, dim=64)[0], 6)
-QVEC_IVF_SQL = "[" + ", ".join(f"{x:.6f}" for x in QVEC_IVF) + "]"
+def _ivf_knn_ann_sql() -> str:
+    """DuckDB twin of q_ivf_knn_ann: the 3 deterministic training rounds
+    unrolled as MATERIALIZED CTEs (the kmeans_geo recipe), same 9-dp
+    rounding at every stage, ROW_NUMBER (dot DESC, cid) assignment."""
+    rounds = []
+    for t in range(1, _IVF_ITERS + 1):
+        rounds.append(
+            f"""a{t} AS (
+            SELECT id, vn, cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id
+                       ORDER BY ROUND(list_dot_product(vn, cv), 9) DESC, cid
+                   ) AS rn
+            FROM pv CROSS JOIN c{t - 1}),
+        m{t} AS (
+            SELECT cid, i, ROUND(AVG(vn[i]), 9) AS mv
+            FROM a{t} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ix
+            WHERE rn = 1 GROUP BY 1, 2),
+        c{t} AS MATERIALIZED (
+            SELECT cid,
+                   CASE WHEN nrm = 0 THEN l
+                        ELSE list_transform(l, x -> ROUND(x / nrm, 9)) END AS cv
+            FROM (SELECT cid, list(mv ORDER BY i) AS l,
+                         ROUND(SQRT(SUM(mv * mv)), 9) AS nrm
+                  FROM m{t} GROUP BY cid))"""
+        )
+    chain = ",\n        ".join(rounds)
+    last = f"c{_IVF_ITERS}"
+    return f"""
+        WITH p AS MATERIALIZED (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        pv AS MATERIALIZED (
+            SELECT id,
+                   CASE WHEN nrm = 0 THEN v
+                        ELSE list_transform(v, x -> ROUND(x / nrm, 9)) END AS vn
+            FROM (SELECT id, v,
+                         ROUND(SQRT(list_dot_product(v, v)), 9) AS nrm
+                  FROM p)),
+        c0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, vn AS cv
+            FROM (SELECT id, vn FROM pv ORDER BY id LIMIT {_IVF_LISTS})),
+        {chain},
+        probe AS (
+            SELECT cid FROM {last}
+            ORDER BY ROUND(list_dot_product(cv, {QVEC_IVF_SQL}), 9) DESC, cid
+            LIMIT {_IVF_NPROBE}),
+        af AS (
+            SELECT id, cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id
+                       ORDER BY ROUND(list_dot_product(vn, cv), 9) DESC, cid
+                   ) AS rn
+            FROM pv CROSS JOIN {last})
+        SELECT p.id,
+               ROUND(1.0 - list_cosine_similarity(p.v, {QVEC_IVF_SQL}), 6) AS dist
+        FROM p
+        JOIN af ON af.id = p.id AND af.rn = 1
+        WHERE af.cid IN (SELECT cid FROM probe)
+        ORDER BY dist ASC, p.id ASC
+        LIMIT 10
+    """
 
 
 def q_ivf_knn_exact(spark, sf_dir):
@@ -3065,21 +3160,71 @@ def q_ivf_knn_exact(spark, sf_dir):
 
 
 def q_tree_build_synthetic(spark, sf_dir):
-    """Full tile-tree build on the synthetic interleaved corpus (R1-R4)."""
+    """Full tile-tree build on the synthetic interleaved corpus (R1-R4).
+    Round-3: fully oracle-checked — the deterministic generator's per-doc
+    (lat, lng, n_spans) rows are emitted as a golden VALUES table (the
+    span_roundtrip_check technique) and the ladder arithmetic (leaf cells →
+    distinct-parent coarsening → stall guard → root promotion, reference
+    build_tree_service.py:85-161,363-365) replays in DuckDB. n_docs is
+    fixed (sf-independent) so the oracle SQL is one static string."""
     from raptor_service_spark.datagen import gen_documents_df
     from raptor_service_spark.functions.vector import embed_spans
     from raptor_service_spark.operators.chunking import explode_spans
     from raptor_service_spark.operators.tree import TreeParams, build_tile_tree
 
-    n = {"sf0.001": 40, "sf0.01": 100, "sf0.1": 400}.get(os.path.basename(sf_dir.rstrip("/")), 40)
-    docs = gen_documents_df(spark, n, seed=55)
+    docs = gen_documents_df(spark, _SYNTREE_N, seed=_SYNTREE_SEED)
     spans = embed_spans(explode_spans(docs), dim=32)
     tree = build_tile_tree(spans, TreeParams(res_ladder=(6, 3, 0), dim=32))
     return (
-        tree.nodes.groupBy("level", "kind")
+        tree.nodes.groupBy(F.col("level").cast("long").alias("level"), "kind")
         .agg(F.count("*").alias("n_nodes"))
         .orderBy("level", "kind")
     )
+
+
+_SYNTREE_N, _SYNTREE_SEED = 100, 55
+
+
+def _tree_build_synthetic_sql() -> str:
+    """Golden-VALUES oracle: the generator's (lat, lng, n_spans) per doc —
+    every span inherits its doc's location, so the leaf cell ladder is pure
+    DuckDB arithmetic over 100 VALUES rows (same guard/promotion structure
+    as _tree_build_docs_sql)."""
+    from raptor_service_spark.datagen import _gen_doc
+
+    vals = []
+    for i in range(_SYNTREE_N):
+        d = _gen_doc(_SYNTREE_SEED, i)
+        vals.append(f"({d['lat']!r}, {d['lng']!r}, {len(d['spans'])})")
+    c6 = cell_encode_sql("lat", "lng", 6)
+    c3_of_c6 = cell_parent_sql("c6", 6, 3)
+    c0_of_c3 = cell_parent_sql("c3", 3, 0)
+    return f"""
+        WITH d(lat, lng, n_spans) AS (VALUES {', '.join(vals)}),
+        leaves AS (SELECT {c6} AS c6, n_spans FROM d),
+        l1cells AS (SELECT DISTINCT {c3_of_c6} AS c3 FROM leaves),
+        g AS (
+            SELECT (SELECT CAST(SUM(n_spans) AS BIGINT) FROM leaves) AS n_leaves,
+                   (SELECT COUNT(*) FROM l1cells) AS n1,
+                   (SELECT COUNT(DISTINCT {c0_of_c3}) FROM l1cells) AS n2
+        ),
+        eff AS (
+            SELECT n_leaves,
+                   CASE WHEN n1 >= n_leaves THEN 1 ELSE n1 END AS eff1,
+                   CASE WHEN n2 >= (CASE WHEN n1 >= n_leaves THEN 1 ELSE n1 END)
+                        THEN 1 ELSE n2 END AS eff2
+            FROM g
+        )
+        SELECT CAST(0 AS BIGINT) AS level, 'leaf' AS kind,
+               CAST(n_leaves AS BIGINT) AS n_nodes FROM eff
+        UNION ALL
+        SELECT 1, CASE WHEN eff1 = 1 THEN 'root' ELSE 'summary' END,
+               CAST(eff1 AS BIGINT) FROM eff
+        UNION ALL
+        SELECT 2, CASE WHEN eff2 = 1 THEN 'root' ELSE 'summary' END,
+               CAST(eff2 AS BIGINT) FROM eff WHERE eff1 > 1
+        ORDER BY level, kind
+    """
 
 
 def q_reranked_retrieval(spark, sf_dir):
@@ -3210,8 +3355,34 @@ def _tree_build_docs_sql() -> str:
     """
 
 
+QVEC_SYN_COLLAPSED = np.round(gen_query_vectors(seed=57, n=1, dim=32)[0], 6)
+QVEC_SYN_TRAVERSAL = np.round(gen_query_vectors(seed=59, n=1, dim=32)[0], 6)
+_QSYN_COLLAPSED_SQL = "[" + ", ".join(f"{x:.6f}" for x in QVEC_SYN_COLLAPSED) + "]"
+_QSYN_TRAVERSAL_SQL = "[" + ", ".join(f"{x:.6f}" for x in QVEC_SYN_TRAVERSAL) + "]"
+
+
+def _retrieval_result_cols(out):
+    """Driver-comparable projection of a retrieval result: idx widened to
+    long, dist rounded 6 dp (the cross-engine float convention)."""
+    return out.select(
+        "chunk_id",
+        "doc_id",
+        F.col("idx").cast("long").alias("idx"),
+        "text",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 def q_collapsed_retrieval_synthetic(spark, sf_dir):
-    """Engine-native collapsed retrieval (R5) on the synthetic corpus."""
+    """Engine-native collapsed retrieval (R5) on the synthetic corpus.
+    Round-3: fully oracle-checked. The REAL pipeline runs here (distributed
+    datagen → explode → hash-embed → build_tile_tree → collapsed_retrieve);
+    the DuckDB twin gets the deterministic corpus + the summarizer/embedder
+    model outputs as golden VALUES (an independent pure-Python replay of
+    the budget-pack + SHAKE embedding — the 'model' side, like QVEC) and
+    performs ALL retrieval math relationally: cell ladder arithmetic,
+    stage-1 top-expand_k summary ranking, member expansion, DISTINCT,
+    exact-cosine re-rank. Reference retrieval_repo.py:254-348."""
     from raptor_service_spark.datagen import gen_documents_df
     from raptor_service_spark.functions.vector import embed_spans
     from raptor_service_spark.operators.chunking import explode_spans
@@ -3222,11 +3393,18 @@ def q_collapsed_retrieval_synthetic(spark, sf_dir):
     spans = embed_spans(explode_spans(docs), dim=32).persist()
     tree = build_tile_tree(spans, TreeParams(res_ladder=(6, 3, 0), dim=32))
     chunks = spans.select("chunk_id", "doc_id", "idx", "text", "v")
-    q = gen_query_vectors(seed=57, n=1, dim=32)[0]
-    return collapsed_retrieve(tree, chunks, q, "ds-56", top_k=8, expand_k=5)
+    out = collapsed_retrieve(
+        tree, chunks, QVEC_SYN_COLLAPSED, "ds-56", top_k=8, expand_k=5
+    )
+    return _retrieval_result_cols(out)
 
 
 def q_traversal_retrieval_synthetic(spark, sf_dir):
+    """Engine-native traversal-beam retrieval (R6) on the synthetic corpus;
+    round-3 fully oracle-checked (same golden-VALUES scheme as the
+    collapsed twin; the beam hops — root → global-top-8 level-1 cells →
+    global-top-8 leaves → gather re-rank — unroll as SQL stages).
+    Reference retrieval_repo.py:350-436."""
     from raptor_service_spark.datagen import gen_documents_df
     from raptor_service_spark.functions.vector import embed_spans
     from raptor_service_spark.operators.chunking import explode_spans
@@ -3237,8 +3415,228 @@ def q_traversal_retrieval_synthetic(spark, sf_dir):
     spans = embed_spans(explode_spans(docs), dim=32).persist()
     tree = build_tile_tree(spans, TreeParams(res_ladder=(6, 3, 0), dim=32))
     chunks = spans.select("chunk_id", "doc_id", "idx", "text", "v")
-    q = gen_query_vectors(seed=59, n=1, dim=32)[0]
-    return traversal_retrieve(tree, chunks, q, "ds-58", top_k=8)
+    out = traversal_retrieve(tree, chunks, QVEC_SYN_TRAVERSAL, "ds-58", top_k=8)
+    return _retrieval_result_cols(out)
+
+
+# --- golden-VALUES twin machinery for the synthetic retrieval oracles -------
+
+
+def _py_token_count(t: str) -> int:
+    """Pure-Python twin of functions.text.token_count."""
+    import re as _re
+
+    t = t.strip()
+    return 0 if t == "" else len(_re.split(r"\s+", t))
+
+
+def _py_budget_pack(items: list[dict], cap: int = 32, budget: int = 320) -> list[dict]:
+    """Twin of operators.tree._budget_slice: longest ord-prefix within
+    ``cap`` children and ``budget`` tokens, >= 1 item."""
+    packed, cum = [], 0
+    for it in items[: min(cap, budget)]:
+        cum += it["tok"]
+        if cum > budget:
+            break
+        packed.append(it)
+    return packed if packed else items[:1]
+
+
+def _synth_spans_py(n_docs: int, seed: int, dim: int = 32) -> list[dict]:
+    """The deterministic corpus, span-flat, with float32 hash embeddings —
+    the exact rows explode_spans+embed_spans produce (offsets are generated
+    strictly increasing, so array_sort is a no-op and idx == position)."""
+    from raptor_service_spark.datagen import _gen_doc
+    from raptor_service_spark.functions.vector import hash_embed_np
+
+    spans = []
+    for i in range(n_docs):
+        d = _gen_doc(seed, i)
+        for idx, s in enumerate(sorted(d["spans"], key=lambda x: x["offset"])):
+            spans.append(
+                {
+                    "doc_id": d["doc_id"],
+                    "idx": idx,
+                    "chunk_id": f"{d['doc_id']}::c{idx}",
+                    "text": s["text"],
+                    "lat": d["lat"],
+                    "lng": d["lng"],
+                }
+            )
+    vecs = hash_embed_np([s["text"] for s in spans], dim).astype(np.float32)
+    for s, v in zip(spans, vecs):
+        s["v"] = [float(x) for x in v]
+    return spans
+
+
+def _synth_tree_nodes_py(spans: list[dict], seed: int, dim: int = 32) -> list[dict]:
+    """Independent pure-Python replay of build_tile_tree's summary layer on
+    the synthetic corpus (res ladder 6→3→0): per-res3-cell members sorted by
+    ord=(doc_id#idx), greedy token-budget pack (cap 32 / budget 320 /
+    tok=max(count,1)), '\\n'-join truncated to 512 chars, float32 SHAKE
+    embedding; level-2 root over the level-1 summaries (res 0 is the single
+    global cell, so level 2 always roots). node_id = sha256(tree|lvl|cell),
+    matching functions.text.summary_node_id."""
+    import hashlib as _hl
+
+    from raptor_service_spark.functions.vector import hash_embed_np
+    from raptor_service_spark.geo.grid import cell_encode_np, cell_parent_np
+
+    tree_id = f"ds-{seed}::tree"
+    c6 = cell_encode_np([s["lat"] for s in spans], [s["lng"] for s in spans], 6)
+    c3 = cell_parent_np(c6, 3)
+    groups: dict[int, list[dict]] = {}
+    for s, c in zip(spans, c3):
+        groups.setdefault(int(c), []).append(s)
+    single = len(groups) == 1
+    lvl1 = []
+    for cell, members in sorted(groups.items()):
+        items = sorted(
+            (
+                {
+                    "ord": f"{m['doc_id']}#{m['idx']:09d}",
+                    "text": m["text"],
+                    "tok": max(_py_token_count(m["text"]), 1),
+                }
+                for m in members
+            ),
+            key=lambda x: x["ord"],
+        )
+        text = "\n".join(it["text"] for it in _py_budget_pack(items))[:512]
+        lvl1.append(
+            {
+                "node_id": _hl.sha256(f"{tree_id}|1|{cell}".encode()).hexdigest(),
+                "level": 1,
+                "cell": int(cell),
+                "kind": "root" if single else "summary",
+                "text": text,
+            }
+        )
+    nodes = list(lvl1)
+    if not single:
+        items = sorted(
+            (
+                {
+                    "ord": f"L1#{n['cell']}",
+                    "text": n["text"],
+                    "tok": max(_py_token_count(n["text"]), 1),
+                }
+                for n in lvl1
+            ),
+            key=lambda x: x["ord"],
+        )
+        text = "\n".join(it["text"] for it in _py_budget_pack(items))[:512]
+        nodes.append(
+            {
+                "node_id": _hl.sha256(f"{tree_id}|2|0".encode()).hexdigest(),
+                "level": 2,
+                "cell": 0,
+                "kind": "root",
+                "text": text,
+            }
+        )
+    vecs = hash_embed_np([n["text"] for n in nodes], dim).astype(np.float32)
+    for n, v in zip(nodes, vecs):
+        n["v"] = [float(x) for x in v]
+    return nodes
+
+
+def _vec_lit_sql(v: list[float]) -> str:
+    """Exact float literal list (shortest-roundtrip repr → same double)."""
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def _synth_base_sql(n_docs: int, seed: int) -> tuple[str, bool]:
+    """Shared WITH-prefix for both retrieval oracles: golden chunk VALUES
+    (+ computed cell ladder) and golden node VALUES. Returns (sql, single)."""
+    spans = _synth_spans_py(n_docs, seed)
+    nodes = _synth_tree_nodes_py(spans, seed)
+    single = not any(n["level"] == 2 for n in nodes)
+    crows = ", ".join(
+        "('{cid}', '{did}', {idx}, '{txt}', {lat!r}, {lng!r}, {v})".format(
+            cid=s["chunk_id"],
+            did=s["doc_id"],
+            idx=s["idx"],
+            txt=s["text"].replace("'", "''"),
+            lat=s["lat"],
+            lng=s["lng"],
+            v=_vec_lit_sql(s["v"]),
+        )
+        for s in spans
+    )
+    nrows = ", ".join(
+        f"('{n['node_id']}', {n['level']}, {n['cell']}, '{n['kind']}', {_vec_lit_sql(n['v'])})"
+        for n in nodes
+    )
+    c6 = cell_encode_sql("lat", "lng", 6)
+    c3 = cell_parent_sql("c6", 6, 3)
+    return (
+        f"""
+        WITH chunks0 AS MATERIALIZED (
+            SELECT chunk_id, doc_id, idx, text, lat, lng, CAST(v AS DOUBLE[]) AS v
+            FROM (VALUES {crows}) t(chunk_id, doc_id, idx, text, lat, lng, v)),
+        cc AS MATERIALIZED (
+            SELECT chunk_id, doc_id, idx, text, v, {c3} AS c3
+            FROM (SELECT *, {c6} AS c6 FROM chunks0)),
+        nodes AS MATERIALIZED (
+            SELECT node_id, level, cell, kind, CAST(v AS DOUBLE[]) AS v
+            FROM (VALUES {nrows}) t(node_id, level, cell, kind, v))""",
+        single,
+    )
+
+
+def _collapsed_retrieval_synthetic_sql() -> str:
+    base, _single = _synth_base_sql(40, 56)
+    q = _QSYN_COLLAPSED_SQL
+    return f"""{base},
+        picked AS (
+            SELECT node_id, level, cell FROM nodes
+            WHERE kind IN ('summary', 'root')
+            ORDER BY ROUND(1.0 - list_cosine_similarity(v, {q}), 9) ASC,
+                     node_id ASC
+            LIMIT 5),
+        cand AS (
+            SELECT DISTINCT cc.chunk_id FROM cc JOIN picked p
+              ON (p.level = 1 AND cc.c3 = p.cell) OR p.level = 2)
+        SELECT cc.chunk_id, cc.doc_id, CAST(cc.idx AS BIGINT) AS idx, cc.text,
+               ROUND(1.0 - list_cosine_similarity(cc.v, {q}), 6) AS dist
+        FROM cc JOIN cand USING (chunk_id)
+        ORDER BY ROUND(1.0 - list_cosine_similarity(cc.v, {q}), 9) ASC,
+                 cc.chunk_id ASC
+        LIMIT 8
+    """
+
+
+def _traversal_retrieval_synthetic_sql() -> str:
+    base, single = _synth_base_sql(40, 58)
+    q = _QSYN_TRAVERSAL_SQL
+    # hop 1: children of the root. With the 2-level tree (the actual shape
+    # for this corpus — asserted at build time), those are ALL level-1
+    # nodes; beam = GLOBAL top-8 across parents (reference LIMIT :k).
+    f1 = (
+        f"""
+        f1 AS (
+            SELECT cell FROM nodes WHERE level = 1
+            ORDER BY ROUND(1.0 - list_cosine_similarity(v, {q}), 9) ASC,
+                     node_id ASC
+            LIMIT 8),"""
+        if not single
+        else """
+        f1 AS (SELECT cell FROM nodes WHERE level = 1),"""
+    )
+    return f"""{base},{f1}
+        frontier AS (
+            SELECT cc.chunk_id FROM cc JOIN f1 ON cc.c3 = f1.cell
+            ORDER BY ROUND(1.0 - list_cosine_similarity(cc.v, {q}), 9) ASC,
+                     cc.chunk_id ASC
+            LIMIT 8)
+        SELECT cc.chunk_id, cc.doc_id, CAST(cc.idx AS BIGINT) AS idx, cc.text,
+               ROUND(1.0 - list_cosine_similarity(cc.v, {q}), 6) AS dist
+        FROM cc JOIN frontier USING (chunk_id)
+        ORDER BY ROUND(1.0 - list_cosine_similarity(cc.v, {q}), 9) ASC,
+                 cc.chunk_id ASC
+        LIMIT 8
+    """
 
 
 def q_asof_prior_click(spark, sf_dir):
@@ -3557,10 +3955,15 @@ def q_span_roundtrip_check(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal feature extraction (UDF surface 7). Oracle-checked: the
-    corpus is deterministic from (seed, i) alone (datagen._gen_doc, pure
-    numpy), so the oracle embeds the expected media spans as VALUES and
-    recomputes the md5-derived feature INDEPENDENTLY in DuckDB SQL."""
+    """Multimodal feature extraction (UDF surface 7) from DECODED pixels:
+    round 3 replaced the decode stub with the real RTv1|w|h|RLE raster
+    codec (operators/tiles.py:encode_raster/decode_raster) — the feature is
+    the first 8 pixels of the parsed raster. Oracle-checked: the corpus is
+    deterministic from (seed, i) alone (datagen._gen_doc, pure numpy), so
+    the oracle embeds the expected media spans as VALUES and recomputes the
+    pixel feature INDEPENDENTLY in DuckDB SQL (quantized md5 arithmetic —
+    encode∘decode is identity, pinned separately by the round-trip and
+    corrupt-input pytests)."""
     from raptor_service_spark.datagen import gen_documents_df
     from raptor_service_spark.operators.chunking import explode_spans
     from raptor_service_spark.operators.tiles import media_features
@@ -3573,8 +3976,10 @@ def q_media_features(spark, sf_dir):
 
 def _media_features_sql(n_docs: int = 30, seed: int = 61, dim: int = 8) -> str:
     """DuckDB twin of q_media_features: VALUES input from the deterministic
-    generator + an independent SQL recomputation of decode_media_stub's
-    feature (md5 bytes / 255)."""
+    generator + an independent SQL recomputation of the decoded-pixel
+    feature. Pixel i of the synthetic raster is the 16-level quantization
+    (b // 16 * 17) of byte i of the md5 chain; the first 16 bytes are
+    md5(media_ref) itself, so the first 8 pixels are pure SQL arithmetic."""
     from raptor_service_spark.datagen import _gen_doc
 
     vals = []
@@ -3586,8 +3991,8 @@ def _media_features_sql(n_docs: int = 30, seed: int = 61, dim: int = 8) -> str:
     feature = (
         "list_transform(range(0, "
         + str(dim)
-        + "), i -> CAST(('0x' || substr(md5(media_ref), 2 * i + 1, 2))::INTEGER AS DOUBLE)"
-        " / 255.0)"
+        + "), i -> CAST(('0x' || substr(md5(media_ref), 2 * i + 1, 2))::INTEGER"
+        " // 16 * 17 AS DOUBLE) / 255.0)"
     )
     return (
         "SELECT doc_id, media_ref, kind, "
@@ -8567,6 +8972,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_skyline": _doc_skyline_sql(),
         "doc_quality_percentile": _doc_quality_percentile_sql(),
         "cell_covisit": _cell_covisit_sql(),
+        "ivf_knn_ann": _ivf_knn_ann_sql(),
+        "tree_build_synthetic": _tree_build_synthetic_sql(),
+        "collapsed_retrieval_synthetic": _collapsed_retrieval_synthetic_sql(),
+        "traversal_retrieval_synthetic": _traversal_retrieval_synthetic_sql(),
         "ivf_knn_exact": f"""
             SELECT vec_id AS id,
                    ROUND(1.0 - list_cosine_similarity(

@@ -112,6 +112,115 @@ def assign_ivf_lists(
     return df.mapInPandas(gen, schema=schema)
 
 
+def normalize_vec_col(vec: F.Column) -> F.Column:
+    """L2-normalize an array<double> Column with the cross-engine 9-dp
+    convention: norm rounded 9 dp, every element rounded 9 dp after the
+    divide — so Spark and a DuckDB `list_transform(v, x -> ROUND(x/nrm,9))`
+    twin produce bit-identical vectors. Zero vectors pass through."""
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(
+                vec,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        9,
+    )
+    return F.when(nrm == 0, vec).otherwise(
+        F.transform(vec, lambda x: F.round(x.cast("double") / nrm, 9))
+    )
+
+
+def _dot_lit_col(vec: F.Column, cent: list[float]) -> F.Column:
+    """Sequential-fold dot product against a literal centroid — pure
+    whole-stage codegen, no join, no Python."""
+    lit = F.array(*[F.lit(float(c)) for c in cent])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def best_list_col(vec: F.Column, cents: list[tuple[int, list[float]]]) -> F.Column:
+    """Argmax-cosine list id over literal centroids: dots rounded 9 dp
+    (kills fold-order ulp ties), tie-break toward the smaller cid —
+    identical semantics to the oracle's ROW_NUMBER ORDER BY (dot DESC,
+    cid). array_min over (−dot, cid) structs = lexicographic argmax."""
+    structs = [
+        F.struct(
+            (-F.round(_dot_lit_col(vec, cv), 9)).alias("nd"),
+            F.lit(int(cid)).alias("cid"),
+        )
+        for cid, cv in cents
+    ]
+    return F.array_min(F.array(*structs)).getField("cid")
+
+
+def train_ivf_centroids_det(
+    df: DataFrame,
+    n_lists: int,
+    iters: int = 3,
+    vec_col: str = "v",
+    id_col: str = "id",
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Fully deterministic spherical k-means — the SQL-expressible twin of
+    ``train_ivf_centroids`` (graded oracle path; the sampled k-means++
+    trainer remains the production default).
+
+    Determinism contract (mirrors operators/clustering.kmeans, which is
+    oracle-green at 3 SFs):
+    - init = the ``n_lists`` vectors with smallest id, cid in id order;
+    - every vector and centroid is L2-normalized with 9-dp rounding;
+    - assignment = argmax of the 9-dp-rounded dot, ties -> smaller cid;
+    - update = per-element AVG rounded 9 dp, renormalized 9 dp;
+    - empty clusters drop out of the next round on both engines.
+
+    Scale shape: centroids are O(k) driver state; each round is ONE
+    codegen projection (k literal dots, no join/shuffle of the points)
+    followed by a partial+final agg down to k rows of ``dim`` AVG buffers
+    — the MLlib dataflow, nothing data-sized collected.
+    """
+    vn = df.select(
+        F.col(id_col).alias("id"),
+        normalize_vec_col(F.col(vec_col).cast("array<double>")).alias("vn"),
+    ).localCheckpoint(eager=True)
+    init = vn.orderBy("id").limit(n_lists).collect()
+    init.sort(key=lambda r: r.id)
+    cents = [(i, list(r.vn)) for i, r in enumerate(init)]
+    for _ in range(iters):
+        agg = (
+            vn.withColumn("cid", best_list_col(F.col("vn"), cents))
+            .groupBy("cid")
+            .agg(*[F.round(F.avg(F.col("vn")[i]), 9).alias(f"m{i}") for i in range(dim)])
+        )
+        sumsq = None
+        for i in range(dim):
+            term = F.col(f"m{i}") * F.col(f"m{i}")
+            sumsq = term if sumsq is None else sumsq + term
+        nrm = F.round(F.sqrt(sumsq), 9)
+        rows = (
+            agg.withColumn("nrm", nrm)
+            .select(
+                "cid",
+                F.array(
+                    *[
+                        F.when(F.col("nrm") == 0, F.col(f"m{i}")).otherwise(
+                            F.round(F.col(f"m{i}") / F.col("nrm"), 9)
+                        )
+                        for i in range(dim)
+                    ]
+                ).alias("cv"),
+            )
+            .collect()
+        )
+        rows.sort(key=lambda r: r.cid)
+        cents = [(r.cid, list(r.cv)) for r in rows]
+    return cents
+
+
 def ivf_knn(
     df_with_list: DataFrame,
     centroids: np.ndarray,

@@ -5,12 +5,25 @@ build_tree_service.py:318-400) for MEDIA spans: per grid cell, media-bearing
 spans are rasterized into a fixed-size count grid (the "raster tile") and can
 be vectorized back into point features (the "vector tile").
 
-Media decode is STUBBED (no image/audio libs in this container — the brief
-says stub decode behind a deterministic fake) but the Spark plumbing is real
-and tested: schemas, per-cell applyInPandas grouping, Arrow batch shapes,
-binary payload encode/decode round-trip.
+Media payloads are a REAL codec (round 3; no image/audio libs in this
+container, so the "camera" is a deterministic synthetic raster, but the
+byte format, the encoder, and the parser are genuine):
 
-Raster payload format (deterministic, versionless-simple):
+  media payload = b"RTv1" | uint16le w | uint16le h | RLE payload
+  RLE payload   = sequence of (uint16le run_len, uint8 value) pairs,
+                  row-major pixels, total run == w*h
+
+``encode_raster`` writes it, ``decode_media`` parses + validates it
+(corrupt magic / truncated header / run-sum mismatch raise ValueError —
+pytest-pinned). The synthetic source raster for a media_ref is the
+16-level-quantized md5 chain of the ref (deterministic on every executor).
+A real deployment swaps ``raster_for_ref`` for PIL/ffmpeg decoding inside
+the same mapInPandas; schema, batching, and everything downstream
+(feature extraction, average-pool resize, frame sampling) are unchanged
+and operate on the DECODED pixels.
+
+Count-grid tile payload format (rasterize_points_to_tiles, unrelated to
+the media codec, versionless-simple):
   uint16 little-endian grid of ``grid x grid`` cell-local point counts,
   row-major from the cell's (lat_min, lng_min) corner.
 """
@@ -31,26 +44,99 @@ TILE_SCHEMA = "cell long, res int, grid int, n_points long, payload binary"
 FEATURE_SCHEMA = "cell long, px int, py int, cnt int, lat double, lng double"
 
 
-def decode_media_stub(media_refs: pd.Series) -> pd.Series:
-    """Deterministic fake 'decode': 16 pseudo-bytes from md5(media_ref).
+MEDIA_MAGIC = b"RTv1"
+_HDR = len(MEDIA_MAGIC) + 4  # magic + uint16 w + uint16 h
 
-    A real deployment swaps this for PIL/ffmpeg decoding inside the same
-    mapInPandas; everything around it (schema, batching) is unchanged.
-    """
-    return media_refs.map(lambda r: hashlib.md5(str(r).encode()).digest())
+
+def encode_raster(img: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 raster as ``RTv1|w|h|RLE`` bytes (row-major
+    runs of (uint16le run_len, uint8 value); runs longer than 65535 split)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    flat = img.reshape(-1)
+    # run boundaries, vectorized
+    change = np.nonzero(np.diff(flat))[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(flat)]))
+    parts = [MEDIA_MAGIC, np.array([w, h], dtype="<u2").tobytes()]
+    runs, vals = [], []
+    for s, e in zip(starts, ends):
+        n = int(e - s)
+        while n > 0:
+            take = min(n, 65535)
+            runs.append(take)
+            vals.append(int(flat[s]))
+            n -= take
+    rle = np.empty(len(runs) * 3, dtype=np.uint8)
+    rl = np.asarray(runs, dtype="<u2")
+    rle[0::3] = rl.view(np.uint8)[0::2]  # lo byte
+    rle[1::3] = rl.view(np.uint8)[1::2]  # hi byte
+    rle[2::3] = np.asarray(vals, dtype=np.uint8)
+    parts.append(rle.tobytes())
+    return b"".join(parts)
+
+
+def decode_raster(payload: bytes) -> np.ndarray:
+    """Parse ``RTv1|w|h|RLE`` into a (h, w) uint8 raster. Raises ValueError
+    on corrupt input: bad magic, truncated header, ragged RLE stream, or a
+    run total that does not cover w*h pixels."""
+    buf = bytes(payload)
+    if len(buf) < _HDR:
+        raise ValueError(f"media payload truncated: {len(buf)} < header {_HDR}")
+    if buf[: len(MEDIA_MAGIC)] != MEDIA_MAGIC:
+        raise ValueError(f"bad media magic {buf[:len(MEDIA_MAGIC)]!r}")
+    w, h = np.frombuffer(buf, dtype="<u2", count=2, offset=len(MEDIA_MAGIC))
+    body = buf[_HDR:]
+    if len(body) % 3:
+        raise ValueError(f"ragged RLE stream: {len(body)} bytes")
+    rle = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+    runs = rle[:, 0].astype(np.uint32) + (rle[:, 1].astype(np.uint32) << 8)
+    vals = rle[:, 2]
+    total = int(runs.sum())
+    if total != int(w) * int(h):
+        raise ValueError(f"RLE covers {total} pixels, expected {int(w) * int(h)}")
+    return np.repeat(vals, runs).reshape(int(h), int(w))
+
+
+def raster_for_ref(ref: str, w: int = 16, h: int = 16) -> np.ndarray:
+    """The deterministic synthetic source raster for a media_ref: chained
+    md5 of the ref, quantized to 16 gray levels (b // 16 * 17 — gives the
+    RLE real runs). Plays the role of the upstream camera/decoder; every
+    executor derives the same pixels from the ref alone."""
+    need = w * h
+    buf = b""
+    seed = str(ref).encode()
+    while len(buf) < need:
+        seed = hashlib.md5(seed).digest()
+        buf += seed
+    raw = np.frombuffer(buf[:need], dtype=np.uint8)
+    return (raw // 16 * 17).astype(np.uint8).reshape(h, w)
+
+
+def encode_media_payloads(media_refs: pd.Series, w: int = 16, h: int = 16) -> list:
+    """The 'ingest' side: encoded raster bytes per ref (datagen analog)."""
+    return [encode_raster(raster_for_ref(r, w, h)) for r in media_refs]
+
+
+def decode_media_payloads(payloads) -> list:
+    """The 'decode' side used by every media operator: parse + validate."""
+    return [decode_raster(p) for p in payloads]
 
 
 def media_features(spans: DataFrame, dim: int = 8) -> DataFrame:
-    """Feature-extract media spans: deterministic fake embedding per media_ref.
+    """Feature-extract media spans from DECODED pixels: encode the
+    deterministic raster per ref (ingest side), parse it back through the
+    real RLE codec, and emit the first ``dim`` pixels / 255 as the feature.
 
     Real plumbing: mapInPandas, typed output schema, only media-kind spans.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            raw = decode_media_stub(pdf["media_ref"])
+            payloads = encode_media_payloads(pdf["media_ref"])
+            imgs = decode_media_payloads(payloads)
             feats = [
-                [float(b) / 255.0 for b in bytes(x)[:dim]] for x in raw
+                [float(b) / 255.0 for b in img.reshape(-1)[:dim]] for img in imgs
             ]
             yield pd.DataFrame(
                 {
@@ -63,33 +149,18 @@ def media_features(spans: DataFrame, dim: int = 8) -> DataFrame:
 
     media = spans.filter(F.col("media_ref") != "")
     return media.select("doc_id", "media_ref", "kind").mapInPandas(
-        gen, schema=f"doc_id string, media_ref string, kind string, feature array<double>"
+        gen, schema="doc_id string, media_ref string, kind string, feature array<double>"
     )
-
-
-def decode_image_stub(media_refs: pd.Series, w: int = 16, h: int = 16) -> list:
-    """Deterministic fake image decode: an (h, w) uint8 raster whose bytes
-    derive from chained md5 of the ref. Swap for PIL decoding in the same
-    mapInPandas; schema/batch shape unchanged."""
-    out = []
-    for r in media_refs:
-        need = w * h
-        buf = b""
-        seed = str(r).encode()
-        while len(buf) < need:
-            seed = hashlib.md5(seed).digest()
-            buf += seed
-        out.append(np.frombuffer(buf[:need], dtype=np.uint8).reshape(h, w))
-    return out
 
 
 def resize_media(
     spans: DataFrame, out_w: int = 4, out_h: int = 4, src_w: int = 16, src_h: int = 16
 ) -> DataFrame:
     """Resize media payloads (brief: multimodal resize as a Pandas UDF over
-    mapInPandas). Decode is the deterministic stub; the resize itself is a
-    REAL vectorized average-pool (block mean) per Arrow batch, emitting the
-    resized raster as a binary payload plus typed dimensions metadata.
+    mapInPandas). The per-ref raster goes through the REAL RLE codec
+    (encode at ingest, parse back), then a vectorized average-pool (block
+    mean) per Arrow batch; the resized raster is re-ENCODED with the same
+    codec, so the output payload is itself decode-able.
     """
     fy, fx = src_h // out_h, src_w // out_w
 
@@ -97,7 +168,9 @@ def resize_media(
         for pdf in batches:
             if not len(pdf):
                 continue
-            imgs = decode_image_stub(pdf["media_ref"], src_w, src_h)
+            imgs = decode_media_payloads(
+                encode_media_payloads(pdf["media_ref"], src_w, src_h)
+            )
             stack = np.stack(imgs).astype(np.float64)  # (n, h, w)
             pooled = (
                 stack.reshape(len(imgs), out_h, fy, out_w, fx)
@@ -111,7 +184,7 @@ def resize_media(
                     "media_ref": pdf["media_ref"],
                     "width": np.full(len(pdf), out_w, dtype=np.int32),
                     "height": np.full(len(pdf), out_h, dtype=np.int32),
-                    "payload": [p.tobytes() for p in pooled],
+                    "payload": [encode_raster(p) for p in pooled],
                 }
             )
 
@@ -124,10 +197,11 @@ def resize_media(
 
 def sample_frames(spans: DataFrame, n_frames: int = 4, fps: float = 24.0) -> DataFrame:
     """Frame-sample video media spans (brief: frame-sample as a Pandas UDF):
-    one row per sampled frame with (frame_idx, t_offset_sec, payload). The
-    per-frame payload is the deterministic decode stub keyed on
-    (media_ref, frame_idx) — real ffmpeg frame extraction drops into the
-    same kernel. Only 'video'-kind spans are sampled.
+    one row per sampled frame with (frame_idx, t_offset_sec, payload). Each
+    frame is a full RLE-encoded raster keyed on (media_ref, frame_idx) —
+    real ffmpeg frame extraction drops into the same kernel, and every
+    emitted payload parses back through decode_raster. Only 'video'-kind
+    spans are sampled.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -141,7 +215,7 @@ def sample_frames(spans: DataFrame, n_frames: int = 4, fps: float = 24.0) -> Dat
             keys = pd.Series(
                 [f"{r}#f{i}" for r in refs for i in range(n_frames)]
             )
-            payloads = decode_media_stub(keys)
+            payloads = encode_media_payloads(keys)
             yield pd.DataFrame(
                 {
                     "doc_id": np.repeat(doc, n_frames),

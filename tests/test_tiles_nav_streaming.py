@@ -151,21 +151,70 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
 
 
 def test_resize_media_plumbing(spark):
-    """Resize: real average-pool over the stubbed decode; typed dims,
-    deterministic payloads, partition-invariant."""
+    """Resize: real average-pool over the real RLE codec; typed dims,
+    decode-able output payloads, deterministic, partition-invariant."""
     from raptor_service_spark.datagen import gen_documents_df
     from raptor_service_spark.operators.chunking import explode_spans
-    from raptor_service_spark.operators.tiles import resize_media
+    from raptor_service_spark.operators.tiles import (
+        decode_raster,
+        raster_for_ref,
+        resize_media,
+    )
 
     spans = explode_spans(gen_documents_df(spark, 30, seed=44))
     out = resize_media(spans, out_w=4, out_h=4).toPandas()
     assert len(out) == spans.filter("media_ref != ''").count()
     assert (out.width == 4).all() and (out.height == 4).all()
-    assert out.payload.map(len).eq(16).all()
+    # every output payload parses back through the codec to a 4x4 raster
+    # equal to the block mean of the source raster
+    for _, row in out.iterrows():
+        got = decode_raster(bytes(row.payload))
+        src = raster_for_ref(row.media_ref).astype(np.float64)
+        exp = src.reshape(4, 4, 4, 4).mean(axis=(1, 3)).round().astype(np.uint8)
+        assert (got == exp).all()
     out2 = resize_media(spans.repartition(13), out_w=4, out_h=4).toPandas()
     a = out.sort_values("media_ref").payload.map(bytes).tolist()
     b = out2.sort_values("media_ref").payload.map(bytes).tolist()
     assert a == b
+
+
+def test_media_codec_roundtrip_and_corruption():
+    """The RTv1|w|h|RLE codec: encode∘decode identity on adversarial
+    rasters (constant, alternating, >65535-run, non-square, 1x1); corrupt
+    inputs (bad magic, truncated header, ragged stream, short run total)
+    raise ValueError."""
+    import pytest as _pytest
+
+    from raptor_service_spark.operators.tiles import (
+        decode_raster,
+        encode_raster,
+        raster_for_ref,
+    )
+
+    rasters = [
+        np.zeros((16, 16), dtype=np.uint8),
+        np.full((7, 3), 255, dtype=np.uint8),
+        (np.indices((5, 9)).sum(axis=0) % 2 * 255).astype(np.uint8),  # checker
+        np.ones((1, 1), dtype=np.uint8) * 42,
+        np.zeros((300, 300), dtype=np.uint8),  # 90000-pixel run: must split
+        raster_for_ref("media://x/1"),
+    ]
+    for img in rasters:
+        assert (decode_raster(encode_raster(img)) == img).all()
+    # compression is real on smooth (run-heavy) rasters: a 16-band
+    # gradient packs 256 pixels into 16 runs = 48 RLE bytes + header
+    smooth = np.repeat(np.arange(16, dtype=np.uint8) * 17, 16).reshape(16, 16)
+    assert len(encode_raster(smooth)) == 8 + 16 * 3
+
+    good = encode_raster(raster_for_ref("media://x/3"))
+    with _pytest.raises(ValueError, match="magic"):
+        decode_raster(b"XXXX" + good[4:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_raster(good[:5])
+    with _pytest.raises(ValueError, match="ragged"):
+        decode_raster(good + b"\x01")
+    with _pytest.raises(ValueError, match="pixels"):
+        decode_raster(good[:-3])  # drop the last full run -> short total
 
 
 def test_sample_frames_plumbing(spark):
