@@ -687,54 +687,77 @@ def dedup_components(
     (/root/reference/repositories/dataset_repo_pg.py:129-148); at corpus
     scale the set-level equivalent is component labeling.
 
-    Algorithm: min-label propagation — every node starts labeled with its own
-    id; each round takes the min label over itself and its neighbors; stop
-    when no label changed. Rounds = graph diameter, which for LSH near-dup
-    clusters (dense clique-ish blobs) is 1-2; each round is ONE shuffled
-    groupBy over the (symmetrized) edge list plus a broadcast-size change
-    count — no driver-side graph, no collect of nodes. For adversarial
-    long-chain graphs swap in large-star/small-star (Kiveris et al., MR
-    connected components in O(log n) rounds); the per-round dataflow below is
-    the same building block.
+    Algorithm (round 3, upgraded from min-label propagation): alternating
+    LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — converges in O(log n) rounds on ANY
+    graph shape, including the adversarial long chains where plain label
+    propagation needs O(diameter) rounds (pytest-pinned on a 1000-link
+    chain in tests/test_dedup.py).
 
-    ``localCheckpoint`` truncates the per-iteration lineage so the plan does
+      large-star(u): every neighbor v > u re-points to m = min(Γ(u) ∪ {u})
+      small-star(u): (oriented u >= v) every neighbor and u re-point to m
+
+    Each half-round is ONE shuffled groupBy over the edge list plus a
+    bounded-size join back — no driver-side graph, no collect of nodes.
+    At the fixed point every component is a star centered at its min id.
+
+    ``localCheckpoint`` truncates the per-round lineage so the plan does
     not grow superlinearly (the classic iterative-DataFrame trap).
     """
     a, b = F.col(id_a), F.col(id_b)
+    u, v, m = F.col("u"), F.col("v"), F.col("m")
     edges = (
-        pairs.select(a.alias("src"), b.alias("dst"))
-        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        pairs.select(a.alias("u"), b.alias("v"))
+        .filter(a != b)
         .distinct()
-        # Materialize ONCE: without this every propagation round re-executes
-        # the upstream pair generation (e.g. the whole MinHash pipeline).
+        # Materialize ONCE: without this every star round re-executes the
+        # upstream pair generation (e.g. the whole MinHash pipeline).
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "comp", F.col("id")
+    nodes = (
+        edges.select(u.alias("id"))
+        .unionByName(edges.select(v.alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = labels.localCheckpoint(eager=True)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nb = e.unionByName(e.select(v.alias("u"), u.alias("v")))
+        mins = nb.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            nb.join(mins, "u")
+            .filter(v > u)
+            .select(v.alias("u"), m.alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        o = e.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        ).distinct()
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            o.join(mins, "u")
+            .select(v.alias("u"), m.alias("v"))
+            .unionByName(mins.select(u, m.alias("v")))
+            .filter(u != v)
+            .distinct()
+        )
+
+    cur = edges
     for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("comp").alias("ncomp"))
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        # exact fixed-point test: both difference directions empty
+        changed = (
+            nxt.subtract(cur).limit(1).count() + cur.subtract(nxt).limit(1).count()
         )
-        new_labels = (
-            labels.join(neigh, labels.id == neigh.src, "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
-                (F.least(F.col("comp"), F.coalesce("ncomp", "comp")) != F.col("comp"))
-                .cast("int")
-                .alias("chg"),
-            )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.agg(F.sum("chg")).collect()[0][0] or 0
-        labels = new_labels.drop("chg")
+        cur = nxt
         if changed == 0:
             break
-    return labels.select("id", "comp")
+    # at the fixed point cur is a star forest (member -> min-id root)
+    return nodes.join(
+        cur.select(u.alias("id"), v.alias("comp")), "id", "left"
+    ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))
 
 
 def canonical_docs(

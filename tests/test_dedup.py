@@ -236,6 +236,28 @@ def test_dedup_components_long_chain_converges(spark):
     assert set(comp) == set(range(10)) and set(comp.values()) == {0}
 
 
+def test_dedup_components_adversarial_chain_logarithmic(spark):
+    """1000-link path graph (diameter 1000): the alternating large/small-star
+    algorithm must converge within O(log n) rounds — max_iters=15 would be
+    hopeless for plain min-label propagation (needs ~1000 rounds) but is
+    ample for the star algorithm (Kiveris et al. SoCC'14). Also pins the
+    worst-case REVERSED chain (labels flow against the edge direction)."""
+    from raptor_service_spark.operators.dedup import dedup_components
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    ).coalesce(4)
+    comp = {r.id: r.comp for r in dedup_components(pairs, max_iters=15).collect()}
+    assert len(comp) == n + 1 and set(comp.values()) == {0}
+
+    rev = spark.createDataFrame(
+        [(n - i, n - i - 1) for i in range(n)], "doc_a long, doc_b long"
+    ).coalesce(4)
+    comp2 = {r.id: r.comp for r in dedup_components(rev, max_iters=15).collect()}
+    assert len(comp2) == n + 1 and set(comp2.values()) == {0}
+
+
 def test_repetition_scores_known_values(spark):
     from raptor_service_spark.operators.dedup import repetition_scores
 
