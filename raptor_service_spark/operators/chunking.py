@@ -16,6 +16,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -135,17 +136,55 @@ def split_documents(docs: DataFrame, text_col: str = "text",
                     chunk_size: int = 1200, overlap: int = 200) -> DataFrame:
     """doc rows -> exploded (doc_id, idx, text, chunk_id) chunk rows.
 
-    mapInPandas keeps the splitter Arrow-batched; non-empty-text filter
-    mirrors /root/reference/services/providers/langchain/langchain_chunker.py:66.
+    mapInPandas keeps the splitter Arrow-batched. Vectorized hot path
+    (round 3): a doc of <= chunk_size chars IS its own single chunk
+    (split_text_recursive's first base case), so the whole batch's short
+    docs are emitted with numpy mask arithmetic — zero per-doc Python.
+    Only OVERSIZED docs (rare at corpus scale; the reference's 1200-char
+    window is ~4x a typical web paragraph) run the exact recursive state
+    machine, which is inherently sequential per doc: every greedy-merge
+    boundary depends on the previous chunk's overlap carry, so intra-doc
+    prefix arithmetic cannot reproduce it. Output is byte-identical to the
+    loop form (pytest-pinned, incl. the mixed short/long batch).
+    Non-empty-text filter mirrors /root/reference/services/providers/
+    langchain/langchain_chunker.py:66.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
-                for i, c in enumerate(split_text_recursive(str(txt), chunk_size, overlap)):
-                    rows.append((did, i, c))
-            yield pd.DataFrame(rows, columns=["doc_id", "idx", "text"])
+            if not len(pdf):
+                continue
+            texts = pdf[text_col].astype(str)
+            lens = texts.str.len().to_numpy()
+            # Python str.strip() (not SQL trim: strip drops \n\t too) — the
+            # exact blank check _split applies to a short doc
+            nonblank = (texts.str.strip() != "").to_numpy()
+            short = (lens <= chunk_size) & nonblank
+            long_m = lens > chunk_size
+            outs = []
+            if short.any():
+                # short nonblank doc == its own chunk at idx 0
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"].to_numpy()[short],
+                            "idx": np.zeros(int(short.sum()), dtype=np.int32),
+                            "text": texts.to_numpy()[short],
+                        }
+                    )
+                )
+            if long_m.any():
+                rows = []
+                for did, txt in zip(
+                    pdf["doc_id"].to_numpy()[long_m], texts.to_numpy()[long_m]
+                ):
+                    for i, c in enumerate(
+                        split_text_recursive(txt, chunk_size, overlap)
+                    ):
+                        rows.append((did, i, c))
+                outs.append(pd.DataFrame(rows, columns=["doc_id", "idx", "text"]))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
     out = docs.select("doc_id", text_col).mapInPandas(
         gen, schema="doc_id string, idx int, text string"

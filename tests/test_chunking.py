@@ -6,6 +6,7 @@ Reference analog: unique ordered (doc_id, idx)
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from raptor_service_spark.datagen import gen_documents_df, gen_documents_local
@@ -85,6 +86,52 @@ def test_split_documents_spark(spark):
     assert (out.groupby("doc_id")["idx"].apply(lambda s: list(s) == list(range(len(s))))).all()
     assert (out["text"].str.strip() != "").all()
     assert (out["token_cnt"] > 0).all()
+
+
+def test_split_documents_vectorized_matches_loop(spark):
+    """The round-3 vectorized short-doc fast path must be byte-identical to
+    applying split_text_recursive per doc: mixed batch of short, exactly-
+    chunk_size, whitespace-only (\\n\\t — Python strip, not SQL trim), empty,
+    and three flavors of oversized docs."""
+    rows = [
+        ("s1", "a short doc."),
+        ("s2", "x" * 1200),  # boundary: len == chunk_size -> single chunk
+        ("b1", " \n\t \n"),  # blank by strip(): must vanish
+        ("b2", ""),
+        ("l1", ("word " * 1000).strip()),  # long, space-separated
+        ("l2", "\n\n".join(f"para {i} " + "y" * 100 for i in range(30))),
+        ("l3", "z" * 3000),  # no separators at all -> char windows
+    ]
+    expected = []
+    for did, txt in rows:
+        for i, c in enumerate(split_text_recursive(txt, 1200, 200)):
+            if c.strip(" "):  # the operator's trim filter
+                expected.append((did, i, c))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = (
+        split_documents(docs)
+        .select("doc_id", "idx", "text")
+        .toPandas()
+        .sort_values(["doc_id", "idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame(expected, columns=["doc_id", "idx", "text"])
+        .sort_values(["doc_id", "idx"])
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert got.idx.tolist() == exp.idx.tolist()
+    assert got.text.tolist() == exp.text.tolist()
+    # also at a parallelism that splits the batch
+    got13 = (
+        split_documents(docs.repartition(13))
+        .select("doc_id", "idx", "text")
+        .toPandas()
+        .sort_values(["doc_id", "idx"])
+        .reset_index(drop=True)
+    )
+    assert got13.text.tolist() == exp.text.tolist()
 
 
 def test_markdown_extractor_kinds():
