@@ -315,3 +315,151 @@ def test_trajectory_simplify_one_window_shuffle(spark, qmap):
     plan = _plan(qmap["trajectory_simplify"](spark, SF_DIR))
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# adversarial skew (round 3): 90%-one-cell corpora through the tree build's
+# salted two-phase collect and the ANN index writer — the forced-single-
+# cluster stall case of the reference (build_tree_service.py:109-114) at
+# skew, as PLAN-SHAPE and BOUND assertions, the way
+# test_bucketed_join_has_no_exchange pins bucketing.
+# --------------------------------------------------------------------------
+
+
+def _skewed_children(spark, n=2000, hot_frac=0.9):
+    rows = [
+        (
+            "ds::tree",
+            "ds",
+            0 if i < int(n * hot_frac) else 1 + (i % 50),
+            f"n{i:05d}",
+            "alpha beta gamma delta epsilon",
+            f"o{i:09d}",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "tree_id string, dataset_id string, parent_cell long, "
+        "node_id string, text string, ord string",
+    )
+
+
+def test_salted_collect_two_phase_plan_under_skew(spark):
+    """The child-packing aggregate is genuinely two-phase: the FIRST
+    exchange partitions on (..., salt) so no reduce task ever receives a
+    whole hot cell; the second merges per cell. Both phases visible in the
+    executed plan; the hot cell's phase-1 fan-out and the packed-output
+    bounds hold on data."""
+    from pyspark.sql import functions as F
+
+    from raptor_service_spark.operators.tree import _salted_capped_collect
+
+    cur = _skewed_children(spark)
+    grouped = _salted_capped_collect(cur, cap=32, salt_buckets=16, token_budget=320)
+    plan = _plan(grouped)
+    # two shuffle stages; the plan prints top-down, so the DEEPER (second
+    # printed) exchange is phase 1 and must key on the salt column, while
+    # the outer merge exchange must NOT
+    assert plan.count("Exchange hashpartitioning") == 2
+    outer, inner = (
+        plan.split("Exchange hashpartitioning")[1][:200],
+        plan.split("Exchange hashpartitioning")[2][:200],
+    )
+    assert "salt" in inner and "salt" not in outer
+    # collect_list runs partial+final in EACH phase (object hash aggregate)
+    assert plan.count("ObjectHashAggregate") == 4
+
+    # data bounds: phase-1 spreads the 1800-row hot cell over 16 salt
+    # groups (largest group ~112, far below the whole cell)...
+    p1_sizes = (
+        cur.groupBy(
+            "parent_cell", F.pmod(F.xxhash64("node_id"), F.lit(16)).alias("salt")
+        )
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert p1_sizes < 1800 * 0.25
+    # ...and the packed output respects cap and token budget per cell
+    out = grouped.select(
+        "parent_cell",
+        F.size("items").alias("n"),
+        F.aggregate(
+            "items", F.lit(0).cast("long"), lambda a, x: a + x["tok"]
+        ).alias("toks"),
+        "n_children",
+    ).collect()
+    hot = [r for r in out if r.parent_cell == 0][0]
+    assert hot.n_children == 1800  # true count survives the cap
+    assert all(r.n <= 32 and r.toks <= 320 for r in out)
+    # packed prefix is the ord-min prefix: phase 1 never dropped anything
+    # phase 2 keeps (associativity) — spot-check the hot cell's first item
+    first = (
+        grouped.filter(F.col("parent_cell") == 0)
+        .select(F.col("items")[0]["ord"])
+        .collect()[0][0]
+    )
+    assert first == "o000000000"
+
+
+def test_tree_build_forced_single_cluster_at_stall(spark):
+    """A corpus whose level-1 coarsening does not shrink (every leaf in its
+    own res-3 cell) must trip the stall guard and collapse to ONE forced
+    root — the reference's forced-single-cluster case — instead of looping
+    or emitting a phantom ladder."""
+    from pyspark.sql import functions as F
+
+    from raptor_service_spark.functions.vector import embed_spans
+    from raptor_service_spark.operators.tree import TreeParams, build_tile_tree
+
+    # 8 spans spread so far apart that res-3 cells are all distinct
+    rows = [
+        (f"d{i}", "ds-skew", 0, f"d{i}::c0", f"span text {i}",
+         -60.0 + 15.0 * i, -150.0 + 35.0 * i)
+        for i in range(8)
+    ]
+    spans = embed_spans(
+        spark.createDataFrame(
+            rows,
+            "doc_id string, dataset_id string, idx int, chunk_id string, "
+            "text string, lat double, lng double",
+        ),
+        dim=16,
+    )
+    tree = build_tile_tree(spans, TreeParams(res_ladder=(6, 3, 0), dim=16))
+    assert tree.stats[0]["forced_single"] is True
+    lvl1 = tree.nodes.filter(F.col("level") == 1).collect()
+    assert len(lvl1) == 1 and lvl1[0].kind == "root"
+    # provenance stays complete through the forced collapse
+    assert tree.links.filter(F.col("level") == 1).count() == 8
+
+
+def test_write_ann_index_spreads_hot_cell_over_writers(spark, tmp_path):
+    """The salted wide write: a 90%-one-pfx index repartitioned on
+    (pfx, salt) lands the hot directory as MULTIPLE files (many writers),
+    while the plan shows exactly one exchange keyed on pfx + the salt."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from raptor_service_spark.operators.knn import write_ann_index
+
+    n = 4000
+    idx = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") < int(n * 0.9), F.lit(7)).otherwise(F.col("id") % 13).alias("pfx"),
+        (F.col("id") % 997).alias("ann_cell"),
+        F.array(*[F.rand(seed=1) for _ in range(8)]).alias("v"),
+    )
+    path = str(tmp_path / "ann_idx")
+    write_ann_index(idx, path, npart=8, salts=32)
+    hot_files = glob.glob(f"{path}/pfx=7/*.parquet")
+    assert len(hot_files) >= 2  # hot cell spread across writer tasks
+    # plan shape of the wide-write distribution
+    out = idx.repartition(8, F.col("pfx"), F.pmod(F.xxhash64("id"), F.lit(32)))
+    plan = _plan(out.sortWithinPartitions("pfx", "ann_cell"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "xxhash64" in plan.split("Exchange hashpartitioning")[1][:300]
+    # and the round-trip is lossless
+    assert spark.read.parquet(path).count() == n
