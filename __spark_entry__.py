@@ -853,24 +853,56 @@ def q_doc_fingerprint_dedup(spark, sf_dir):
     return exact_dedup(_docs_with_dups(spark, sf_dir))
 
 
+_SHINGLE_CACHE: dict = {}
+
+
+def _shared_shingles3(spark, sf_dir):
+    """The (id, g) 3-gram stream over _docs_with_dups, derived and
+    PERSISTED once per (application, sf_dir) and shared by minhash_pairs,
+    neardup_components, doc_repetition, and ngram_jaccard — the
+    materialize-the-shingle-table-once pattern a 100 TB curation pipeline
+    runs (one scan + one window shuffle feed four operators instead of
+    four re-derivations). Content is identical to a per-query derivation
+    (shingle_rows is deterministic), so every oracle is unchanged."""
+    from raptor_service_spark.operators.dedup import shingle_rows
+
+    if os.environ.get("SPARK_GRAFT_SHARE_SHINGLES", "1") == "0":
+        return None  # measurement/bypass knob: consumers re-derive per query
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE.clear()  # one live corpus at a time; bounded memory
+        _SHINGLE_CACHE[key] = shingle_rows(
+            _docs_with_dups(spark, sf_dir), "text", "doc_id", k=3
+        ).persist()
+    return _SHINGLE_CACHE[key]
+
+
 def q_minhash_pairs(spark, sf_dir):
     """bands=8 (two md5 calls per shingle): at threshold 0.7 the per-pair
     LSH miss probability is (1-0.7)^8 ≈ 6.6e-5 — half the hashing cost of
     bands=16 for a negligible recall change. The oracle uses the same
     signature, so outputs still match exactly (same candidacy predicate)."""
-    return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), threshold=0.7, bands=8)
+    return minhash_lsh_pairs(
+        _docs_with_dups(spark, sf_dir),
+        threshold=0.7,
+        bands=8,
+        shingles=_shared_shingles3(spark, sf_dir),
+    )
 
 
 def q_neardup_components(spark, sf_dir):
     """Near-dup clustering: connected components over the MinHash pair list +
     canonical (min-id) selection — the keep/drop verdict a training pipeline
-    materializes after pair generation. Spark side is iterative min-label
-    propagation (one shuffle per round, O(diameter) rounds); DuckDB oracle is
-    a recursive-CTE transitive closure."""
+    materializes after pair generation. Spark side is the alternating
+    large/small-star algorithm (O(log n) rounds); DuckDB oracle is a
+    recursive-CTE transitive closure."""
     from raptor_service_spark.operators.dedup import canonical_docs
 
     docs = _docs_with_dups(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, threshold=0.7, bands=8)
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.7, bands=8, shingles=_shared_shingles3(spark, sf_dir)
+    )
     return canonical_docs(docs, pairs)
 
 
@@ -878,11 +910,17 @@ def q_doc_repetition(spark, sf_dir):
     """Duplicate 3-gram fraction per doc (Gopher-style repetition filter)."""
     from raptor_service_spark.operators.dedup import repetition_scores
 
-    return repetition_scores(_docs_with_dups(spark, sf_dir))
+    return repetition_scores(
+        _docs_with_dups(spark, sf_dir), shingles=_shared_shingles3(spark, sf_dir)
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.6)
+    return ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir),
+        threshold=0.6,
+        shingles=_shared_shingles3(spark, sf_dir),
+    )
 
 
 def q_cosine_neardup(spark, sf_dir):

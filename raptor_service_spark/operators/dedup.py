@@ -258,8 +258,14 @@ def minhash_lsh_pairs(
     k: int = 3,
     bands: int = 16,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    ``shingles``: optionally a prebuilt (id, g) stream (shingle_rows
+    output, duplicates included) — lets a pipeline running several
+    shingle consumers derive/persist the stream ONCE (the 100 TB
+    materialize-the-shingle-table pattern; the bench does this).
 
     Candidates = docs sharing >= 1 MinHash band bucket (equi-join on
     (band, minhash), NOT a cross join); exact shingle Jaccard verifies.
@@ -272,7 +278,7 @@ def minhash_lsh_pairs(
     # grams cannot change a MIN); exact-jaccard verification runs on
     # per-doc gram arrays (_array_jaccard). No persist needed: every
     # consumer of the shingle projection is codegen-cheap.
-    ex = shingle_rows(docs, text_col, id_col, k)
+    ex = shingles if shingles is not None else shingle_rows(docs, text_col, id_col, k)
     aggs = []
     for g in range(bands // _CHUNKS_PER_MD5):
         h = F.md5(F.concat(F.lit(f"{g}|"), F.col("g")))
@@ -327,8 +333,12 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join with prefix-filtered candidates.
+
+    ``shingles``: optional prebuilt (id, g) stream shared across consumers
+    (deduplicated here).
 
     Prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
     Search"): order shingles globally by ascending document frequency (rare
@@ -346,7 +356,11 @@ def ngram_jaccard_pairs(
     final filter compares jaccard ROUNDED to 6 dp (a true jaccard just
     under t can round up to t).
     """
-    dg = distinct_shingle_rows(docs, text_col, id_col, k)
+    dg = (
+        shingles.dropDuplicates(["id", "g"])
+        if shingles is not None
+        else distinct_shingle_rows(docs, text_col, id_col, k)
+    )
     return set_jaccard_pairs(dg, threshold)
 
 
@@ -810,7 +824,11 @@ def canonical_docs_sql(docs_table: str, pairs_sql: str, id_col: str = "doc_id") 
 
 
 def repetition_scores(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc duplicate k-gram fraction: 1 - distinct/total word k-grams.
 
@@ -818,7 +836,7 @@ def repetition_scores(
     and looping generations score high). Reuses the relational shingle
     stream; count + count_distinct compile to two-phase hash aggregates on
     the same (id) shuffle key."""
-    g = shingle_rows(docs, text_col, id_col, k)
+    g = shingles if shingles is not None else shingle_rows(docs, text_col, id_col, k)
     return (
         g.groupBy("id")
         .agg(
