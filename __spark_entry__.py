@@ -3411,6 +3411,98 @@ def _retrieval_result_cols(out):
     )
 
 
+def q_tree_build_overlap(spark, sf_dir):
+    """GMM soft multi-membership emulation (C3 parity, reference
+    utils/cluster.py:45-53: posterior > 0.1 joins multiple clusters):
+    tile-tree build with overlap_kring=1 — every leaf additionally joins
+    the OCCUPIED res-3 cells in its 1-ring, so summaries/edges/links carry
+    the overlap. Reports level-1 membership stats: occupied nodes, total
+    memberships (primary + secondary), children with >= 2 parents. The
+    default hard-assignment path is untouched (tree_build_docs pins it)."""
+    from raptor_service_spark.functions.vector import embed_spans
+    from raptor_service_spark.operators.tree import TreeParams, build_tile_tree
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim("text"), r"\s+")
+    n = F.size(w)
+    spans = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / 10).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 10 + 1, 10)),
+    )
+    flat = d.select("doc_id", F.posexplode(spans).alias("idx", "span_text"))
+    lat, lng = _latlng_cols(F.col("doc_id") * F.lit(1000) + F.col("idx"))
+    spans_embedded = embed_spans(
+        flat.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit("ds-docs").alias("dataset_id"),
+            F.col("idx").cast("int").alias("idx"),
+            F.format_string("%d::c%d", F.col("doc_id"), F.col("idx")).alias("chunk_id"),
+            F.col("span_text").alias("text"),
+            lat.alias("lat"),
+            lng.alias("lng"),
+        ),
+        dim=32,
+    )
+    tree = build_tile_tree(
+        spans_embedded, TreeParams(res_ladder=(6, 3, 0), dim=32, overlap_kring=1)
+    )
+    e1 = tree.edges.filter(F.col("level") == 1)
+    stats = e1.agg(
+        F.countDistinct("parent_id").alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_memberships"),
+    )
+    multi = (
+        e1.groupBy("child_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .agg(F.count(F.lit(1)).alias("n_multi_children"))
+    )
+    return stats.crossJoin(multi)
+
+
+def _tree_build_overlap_sql() -> str:
+    """DuckDB twin: the same 10-word span ladder, primary c3 assignment,
+    1-ring neighbor arithmetic (kring_neighbor_sql — wrap on lng, NULL
+    clamp at poles), occupied-cell semi-join, membership counts."""
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_sql
+
+    lat, lng = _latlng_sql("(doc_id * 1000 + idx)")
+    c6 = cell_encode_sql(lat, lng, 6)
+    c3 = cell_parent_sql("c6", 6, 3)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dy in range(-1, 2)
+        for dx in range(-1, 2)
+        if (dx, dy) != (0, 0)
+    )
+    nbr = kring_neighbor_sql("p.cell", 3, "o.dx", "o.dy")
+    return f"""
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents),
+        sp AS (
+            SELECT doc_id, t.i AS idx
+            FROM w, UNNEST(generate_series(0,
+                 CAST(FLOOR((len(words) - 1) / 10) AS BIGINT))) t(i)),
+        prim0 AS (SELECT doc_id, idx, {c6} AS c6 FROM sp),
+        prim AS (SELECT doc_id, idx, {c3} AS cell FROM prim0),
+        occ AS (SELECT DISTINCT cell FROM prim),
+        sec AS (
+            SELECT DISTINCT p.doc_id, p.idx, {nbr} AS cell
+            FROM prim p CROSS JOIN (VALUES {offs}) o(dx, dy)
+            WHERE {nbr} IS NOT NULL AND {nbr} != p.cell
+              AND {nbr} IN (SELECT cell FROM occ)),
+        memb AS (
+            SELECT doc_id, idx, cell FROM prim
+            UNION ALL SELECT doc_id, idx, cell FROM sec),
+        per_child AS (
+            SELECT doc_id, idx, COUNT(*) AS m FROM memb GROUP BY 1, 2)
+        SELECT (SELECT COUNT(DISTINCT cell) FROM memb) AS n_nodes,
+               (SELECT COUNT(*) FROM memb) AS n_memberships,
+               (SELECT COUNT(*) FROM per_child WHERE m >= 2) AS n_multi_children
+    """
+
+
 def q_collapsed_retrieval_synthetic(spark, sf_dir):
     """Engine-native collapsed retrieval (R5) on the synthetic corpus.
     Round-3: fully oracle-checked. The REAL pipeline runs here (distributed
@@ -8859,6 +8951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reranked_retrieval": q_reranked_retrieval,
         "tree_build_docs": q_tree_build_docs,
         "tree_build_synthetic": q_tree_build_synthetic,
+        "tree_build_overlap": q_tree_build_overlap,
         "collapsed_retrieval_synthetic": q_collapsed_retrieval_synthetic,
         "traversal_retrieval_synthetic": q_traversal_retrieval_synthetic,
         "span_roundtrip_check": q_span_roundtrip_check,
@@ -9012,6 +9105,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_covisit": _cell_covisit_sql(),
         "ivf_knn_ann": _ivf_knn_ann_sql(),
         "tree_build_synthetic": _tree_build_synthetic_sql(),
+        "tree_build_overlap": _tree_build_overlap_sql(),
         "collapsed_retrieval_synthetic": _collapsed_retrieval_synthetic_sql(),
         "traversal_retrieval_synthetic": _traversal_retrieval_synthetic_sql(),
         "ivf_knn_exact": f"""

@@ -142,6 +142,14 @@ HEADLINE = [
     "cell_markov",
     "user_burstiness",
     "cell_gini",
+    # round-3 additions: oracle'd IVF ANN, GMM-overlap tree build, the
+    # traversal synthetic twin, decoded-pixel media features, star-rounds
+    # components (shares the persisted shingle stream with minhash_pairs)
+    "ivf_knn_ann",
+    "tree_build_overlap",
+    "traversal_retrieval_synthetic",
+    "media_features",
+    "neardup_components",
 ]
 
 SEED = 77

@@ -51,6 +51,13 @@ class TreeParams:
     summary_max_chars: int = 512  # reference summarizer max_tokens=512 analog
     salt_buckets: int = 16  # phase-1 salt fan-out for hot cells
     dim: int = N_DIM
+    # GMM soft multi-membership emulation (reference utils/cluster.py:45-53:
+    # points with posterior > 0.1 join MULTIPLE clusters): k > 0 additionally
+    # assigns every child to the OCCUPIED parent cells within its Chebyshev
+    # k-ring — existing clusters only, never phantom nodes — so summaries,
+    # edges, and provenance links carry the overlap memberships. 0 (default)
+    # = hard single membership (the parity-test path, SURVEY §2.10).
+    overlap_kring: int = 0
 
 
 @dataclass
@@ -156,6 +163,45 @@ def _ascend_one_level(
     """One ladder step: returns (parents, edges, parent_links, n_groups, forced)."""
     embed = hash_embed_udf(p.dim)
     cur = cur.withColumn("parent_cell", cell_parent_col(F.col("cell"), child_res, parent_res))
+    cur_primary = cur
+
+    if p.overlap_kring:
+        # GMM multi-membership emulation (utils/cluster.py:45-53): each child
+        # ALSO joins the occupied parent cells in its k-ring. The ring
+        # expansion multiplies only the child rows (bounded (2k+1)^2-1 fan
+        # out), the occupied filter is a semi-join against the O(cells)
+        # distinct-parent table — no phantom clusters, group count unchanged
+        # (so the stall guard and root promotion see the same statistics).
+        from raptor_service_spark.operators.neighborhood import (
+            _offsets,
+            kring_neighbor_col,
+        )
+
+        ring = [
+            (dx, dy)
+            for dx, dy in _offsets(p.overlap_kring)
+            if (dx, dy) != (0, 0)
+        ]
+        occ = cur.select(F.col("parent_cell").alias("ring_cell")).distinct()
+        nbrs = F.array_distinct(
+            F.filter(
+                F.array(
+                    *[
+                        kring_neighbor_col("parent_cell", parent_res, dx, dy)
+                        for dx, dy in ring
+                    ]
+                ),
+                lambda c: c.isNotNull(),
+            )
+        )
+        sec = (
+            cur.withColumn("ring_cell", F.explode(nbrs))
+            .filter(F.col("ring_cell") != F.col("parent_cell"))
+            .join(occ, "ring_cell", "left_semi")
+            .drop("parent_cell")
+            .withColumnRenamed("ring_cell", "parent_cell")
+        )
+        cur = cur.unionByName(sec.select(*cur.columns))
 
     # root promotion is PER TREE (reference :363-365 — one build per dataset
     # there; here several datasets can share one pass): a tree whose level
@@ -204,7 +250,9 @@ def _ascend_one_level(
     if n_groups >= n_cur:
         forced_single = True
         parents.unpersist()
-        cur = cur.withColumn("parent_cell", F.lit(0).cast("long"))
+        # forced collapse uses PRIMARY memberships only: with overlap a
+        # child would otherwise enter the single group once per ring cell
+        cur = cur_primary.withColumn("parent_cell", F.lit(0).cast("long"))
         parents = _make_parents(cur).persist()
         n_groups = parents.count()
 
