@@ -3077,7 +3077,16 @@ def q_ivf_knn_ann(spark, sf_dir):
     e = _read(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = train_ivf_centroids_det(e, n_lists=_IVF_LISTS, iters=_IVF_ITERS)
+    # Materialize the 9-dp-normalized vectors ONCE: the argmax expression
+    # references the vector 16×dim times, and without the checkpoint
+    # Catalyst's CollapseProject would inline the normalize subtree into
+    # every reference (measured: this dominated the query's wall time).
+    vnd = e.withColumn("vn", normalize_vec_col(F.col("v"))).localCheckpoint(
+        eager=True
+    )
+    cents = train_ivf_centroids_det(
+        vnd, n_lists=_IVF_LISTS, iters=_IVF_ITERS, vec_col="vn", pre_normalized=True
+    )
     # probe ranking in-engine (O(k) rows) so the 9-dp round + tie-break is
     # the same HALF_UP arithmetic as the oracle, never Python's banker's
     cdf = spark.createDataFrame(
@@ -3088,15 +3097,15 @@ def q_ivf_knn_ann(spark, sf_dir):
     probe = [
         r.cid
         for r in cdf.select(
-            "cid", F.round(_dot_lit_col(F.col("cv"), list(QVEC_IVF)), 9).alias("qd")
+            "cid", F.round(_dot_lit_col("cv", list(QVEC_IVF)), 9).alias("qd")
         )
         .orderBy(F.col("qd").desc(), "cid")
         .limit(_IVF_NPROBE)
         .collect()
     ]
-    cand = e.withColumn(
-        "cid", best_list_col(normalize_vec_col(F.col("v")), cents)
-    ).filter(F.col("cid").isin([int(p) for p in probe]))
+    cand = vnd.withColumn("cid", best_list_col("vn", cents)).filter(
+        F.col("cid").isin([int(p) for p in probe])
+    )
     return (
         cand.withColumn("dist", F.round(cosine_dist_col(F.col("v"), QVEC_IVF), 6))
         .orderBy(F.col("dist").asc(), F.col("id").asc())

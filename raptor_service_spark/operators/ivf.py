@@ -132,30 +132,34 @@ def normalize_vec_col(vec: F.Column) -> F.Column:
     )
 
 
-def _dot_lit_col(vec: F.Column, cent: list[float]) -> F.Column:
-    """Sequential-fold dot product against a literal centroid — pure
-    whole-stage codegen, no join, no Python."""
-    lit = F.array(*[F.lit(float(c)) for c in cent])
-    return F.aggregate(
-        F.zip_with(vec, lit, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _dot_sql(vec_name: str, cent: list[float]) -> str:
+    """Sequential dot product against a literal centroid as ONE SQL string:
+    explicit left-to-right sum of products (same fold order as the former
+    aggregate∘zip_with Column form — bit-identical results), double-suffixed
+    literals, parsed JVM-side in a single call. Building the 16×dim
+    expression through Column operators cost ~4.5 s of Py4J round-trips per
+    use (measured) and an interpreted-lambda walk per row; this form is one
+    parse + whole-stage codegen arithmetic."""
+    return " + ".join(f"{vec_name}[{i}] * {float(c)!r}D" for i, c in enumerate(cent))
 
 
-def best_list_col(vec: F.Column, cents: list[tuple[int, list[float]]]) -> F.Column:
+def _dot_lit_col(vec_name: str, cent: list[float]) -> F.Column:
+    return F.expr(_dot_sql(vec_name, cent))
+
+
+def best_list_col(vec_name: str, cents: list[tuple[int, list[float]]]) -> F.Column:
     """Argmax-cosine list id over literal centroids: dots rounded 9 dp
     (kills fold-order ulp ties), tie-break toward the smaller cid —
     identical semantics to the oracle's ROW_NUMBER ORDER BY (dot DESC,
-    cid). array_min over (−dot, cid) structs = lexicographic argmax."""
-    structs = [
-        F.struct(
-            (-F.round(_dot_lit_col(vec, cv), 9)).alias("nd"),
-            F.lit(int(cid)).alias("cid"),
-        )
+    cid). array_min over (−dot, cid) structs = lexicographic argmax.
+    ``vec_name``: SQL name of a MATERIALIZED array<double> column (pass a
+    localCheckpointed frame — Catalyst would otherwise inline the vector's
+    defining subtree into every one of the 16×dim references)."""
+    structs = ", ".join(
+        f"named_struct('nd', -ROUND({_dot_sql(vec_name, cv)}, 9), 'cid', {int(cid)})"
         for cid, cv in cents
-    ]
-    return F.array_min(F.array(*structs)).getField("cid")
+    )
+    return F.expr(f"array_min(array({structs})).cid")
 
 
 def train_ivf_centroids_det(
@@ -165,6 +169,7 @@ def train_ivf_centroids_det(
     vec_col: str = "v",
     id_col: str = "id",
     dim: int = 64,
+    pre_normalized: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Fully deterministic spherical k-means — the SQL-expressible twin of
     ``train_ivf_centroids`` (graded oracle path; the sampled k-means++
@@ -183,37 +188,39 @@ def train_ivf_centroids_det(
     followed by a partial+final agg down to k rows of ``dim`` AVG buffers
     — the MLlib dataflow, nothing data-sized collected.
     """
-    vn = df.select(
-        F.col(id_col).alias("id"),
-        normalize_vec_col(F.col(vec_col).cast("array<double>")).alias("vn"),
-    ).localCheckpoint(eager=True)
+    if pre_normalized:
+        # caller already materialized the 9-dp-normalized vectors (e.g. via
+        # localCheckpoint) — re-normalizing would NOT be the identity (the
+        # rounded norm of a rounded unit vector can be 0.999999999)
+        vn = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vn"))
+    else:
+        vn = df.select(
+            F.col(id_col).alias("id"),
+            normalize_vec_col(F.col(vec_col).cast("array<double>")).alias("vn"),
+        ).localCheckpoint(eager=True)
     init = vn.orderBy("id").limit(n_lists).collect()
     init.sort(key=lambda r: r.id)
     cents = [(i, list(r.vn)) for i, r in enumerate(init)]
+    # expression text built once per round, parsed JVM-side (see _dot_sql)
+    avg_exprs = [F.expr(f"ROUND(AVG(vn[{i}]), 9)").alias(f"m{i}") for i in range(dim)]
+    nrm_sql = "ROUND(SQRT(" + " + ".join(f"m{i} * m{i}" for i in range(dim)) + "), 9)"
+    cv_sql = (
+        "array("
+        + ", ".join(
+            f"CASE WHEN nrm = 0D THEN m{i} ELSE ROUND(m{i} / nrm, 9) END"
+            for i in range(dim)
+        )
+        + ")"
+    )
     for _ in range(iters):
         agg = (
-            vn.withColumn("cid", best_list_col(F.col("vn"), cents))
+            vn.withColumn("cid", best_list_col("vn", cents))
             .groupBy("cid")
-            .agg(*[F.round(F.avg(F.col("vn")[i]), 9).alias(f"m{i}") for i in range(dim)])
+            .agg(*avg_exprs)
         )
-        sumsq = None
-        for i in range(dim):
-            term = F.col(f"m{i}") * F.col(f"m{i}")
-            sumsq = term if sumsq is None else sumsq + term
-        nrm = F.round(F.sqrt(sumsq), 9)
         rows = (
-            agg.withColumn("nrm", nrm)
-            .select(
-                "cid",
-                F.array(
-                    *[
-                        F.when(F.col("nrm") == 0, F.col(f"m{i}")).otherwise(
-                            F.round(F.col(f"m{i}") / F.col("nrm"), 9)
-                        )
-                        for i in range(dim)
-                    ]
-                ).alias("cv"),
-            )
+            agg.withColumn("nrm", F.expr(nrm_sql))
+            .select("cid", F.expr(cv_sql).alias("cv"))
             .collect()
         )
         rows.sort(key=lambda r: r.cid)
