@@ -5065,6 +5065,188 @@ def _cell_trend_slope_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# duplicated-substring screen (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better": exact substring dedup via suffix automata;
+# here the scalable windowed-hash form) + Mann-Kendall emerging hotspots
+# ---------------------------------------------------------------------------
+
+_DUPSUB_WIN, _DUPSUB_STRIDE = 60, 20
+
+
+def q_doc_dup_substrings(spark, sf_dir):
+    """Char-window duplicated-substring screen over the corpus-with-dups:
+    every ``win``-char window at ``stride`` offsets is hashed; a window is
+    duplicated when its hash occurs >1 time corpus-wide; per doc the
+    duplicated windows merge into maximal runs (gaps-and-islands over
+    offsets) and the duplicated-char fraction is reported — the operator
+    behind 'cut every substring that appears elsewhere in the training
+    set' (Lee et al. 2022; the reference deletes whole duplicate docs,
+    dataset_repo_pg.py:129-148 — this is the sub-document generalization).
+
+    Scale shape at 100 TB: the window stream is len/stride rows per doc
+    (stride trades recall granularity for row count), generated JVM-side;
+    ONE global hash-count shuffle (partial+final, map-side combine) marks
+    duplicated hashes; the join back is hash-equi; run merging is ONE
+    doc-keyed window. No doc×doc work anywhere."""
+    win, stride = _DUPSUB_WIN, _DUPSUB_STRIDE
+    from pyspark.sql import Window
+
+    d = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
+    n = F.length("text")
+    offs = F.transform(
+        F.sequence(F.lit(0), F.floor((n - win) / stride).cast("int")),
+        lambda i: i * stride,
+    )
+    wins = (
+        d.filter(n >= win)
+        .select("doc_id", "text", n.alias("n_chars"), F.explode(offs).alias("off"))
+        .select(
+            "doc_id",
+            "n_chars",
+            "off",
+            F.md5(F.expr(f"substring(text, off + 1, {win})")).alias("h"),
+        )
+    )
+    dup_h = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") > 1
+    )
+    dup = wins.join(dup_h.select("h"), "h")
+    w = Window.partitionBy("doc_id").orderBy("off")
+    runs = (
+        dup.withColumn(
+            "new_run",
+            (F.col("off") - F.lag("off").over(w) > F.lit(win)).cast("int"),
+        )
+        .withColumn("run_id", F.sum(F.coalesce("new_run", F.lit(0))).over(w))
+        .groupBy("doc_id", "n_chars", "run_id")
+        .agg((F.max("off") + F.lit(win) - F.min("off")).alias("run_chars"))
+    )
+    return (
+        runs.groupBy("doc_id", "n_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("run_chars").alias("dup_chars"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "n_runs",
+            "dup_chars",
+            F.round(F.col("dup_chars") / F.col("n_chars").cast("double"), 6).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy(F.col("dup_frac").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _doc_dup_substrings_sql() -> str:
+    win, stride = _DUPSUB_WIN, _DUPSUB_STRIDE
+    return f"""
+        WITH d AS (SELECT doc_id, text, length(text) AS n_chars
+                   FROM {_DOCS_WITH_DUPS_SQL} t0 WHERE length(text) >= {win}),
+        wins AS (
+            SELECT doc_id, n_chars, t.i * {stride} AS off,
+                   md5(substr(text, t.i * {stride} + 1, {win})) AS h
+            FROM d, UNNEST(generate_series(0,
+                 CAST(FLOOR((n_chars - {win}) / {stride}) AS BIGINT))) t(i)),
+        dup_h AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+        dup AS (SELECT w.* FROM wins w JOIN dup_h USING (h)),
+        flagged AS (
+            SELECT doc_id, n_chars, off,
+                   CASE WHEN off - LAG(off) OVER (PARTITION BY doc_id
+                        ORDER BY off) > {win} THEN 1 ELSE 0 END AS new_run
+            FROM dup),
+        runs AS (
+            SELECT doc_id, n_chars,
+                   SUM(new_run) OVER (PARTITION BY doc_id ORDER BY off) AS run_id,
+                   off
+            FROM flagged),
+        per_run AS (
+            SELECT doc_id, n_chars, run_id,
+                   MAX(off) + {win} - MIN(off) AS run_chars
+            FROM runs GROUP BY 1, 2, 3)
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               COUNT(*) AS n_runs,
+               CAST(SUM(run_chars) AS BIGINT) AS dup_chars,
+               ROUND(CAST(SUM(run_chars) AS DOUBLE) / n_chars, 6) AS dup_frac
+        FROM per_run GROUP BY doc_id, n_chars
+        ORDER BY dup_frac DESC, doc_id
+        LIMIT 20
+    """
+
+
+def q_cell_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend statistic per res-3 cell over the daily
+    count series — the nonparametric significance twin of cell_trend_slope
+    (together they are the ArcGIS 'emerging hot spot' pair): S = Σ_{{i<j}}
+    sign(c_j − c_i) over the cell's present days. ALL-INTEGER output
+    (S, n_days) — cross-engine parity is exact, no float rounding anywhere.
+
+    Scale shape: points are touched once (the (cell, day) cube agg); the
+    pair enumeration is a within-cell self-join of the AGGREGATED cube
+    (calendar-bounded: ≤ T(T−1)/2 rows per cell for T ≤ days-in-corpus),
+    never points. Top-20 strongest trends by |S|."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    day = F.expr(
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP)) / 86400000000.0) AS BIGINT)"
+    )
+    cube = (
+        ev.select(cell_encode_col(lat, lng, 3).alias("cell"), day.alias("day"))
+        .groupBy("cell", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = cube.alias("a"), cube.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.cell").alias("cell"),
+        F.signum((F.col("b.c") - F.col("a.c")).cast("double")).cast("long").alias("sgn"),
+    )
+    ndays = cube.groupBy("cell").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        pairs.groupBy("cell")
+        .agg(F.sum("sgn").alias("s_stat"))
+        .join(ndays, "cell")
+        .filter(F.col("n_days") >= 5)
+        .orderBy(F.desc(F.abs(F.col("s_stat"))), "cell")
+        .limit(20)
+        .select("cell", "s_stat", "n_days")
+    )
+
+
+def _cell_mann_kendall_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH cube AS (
+            SELECT {cell} AS cell,
+                   CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2),
+        pairs AS (
+            SELECT a.cell,
+                   CAST(SIGN(CAST(b.c AS DOUBLE) - CAST(a.c AS DOUBLE)) AS BIGINT)
+                       AS sgn
+            FROM cube a JOIN cube b
+              ON a.cell = b.cell AND a.day < b.day),
+        s AS (SELECT cell, CAST(SUM(sgn) AS BIGINT) AS s_stat
+              FROM pairs GROUP BY 1),
+        nd AS (SELECT cell, COUNT(*) AS n_days FROM cube GROUP BY 1)
+        SELECT s.cell, s.s_stat, nd.n_days
+        FROM s JOIN nd ON s.cell = nd.cell
+        WHERE nd.n_days >= 5
+        ORDER BY ABS(s.s_stat) DESC, s.cell
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
 # stratified deterministic sampling + activity bitmask profiling
 # ---------------------------------------------------------------------------
 
@@ -8853,6 +9035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity_mask": q_user_activity_mask,
         "user_hourly_fill": q_user_hourly_fill,
         "cell_trend_slope": q_cell_trend_slope,
+        "doc_dup_substrings": q_doc_dup_substrings,
+        "cell_mann_kendall": q_cell_mann_kendall,
         "doc_skyline": q_doc_skyline,
         "doc_quality_percentile": q_doc_quality_percentile,
         "cell_covisit": q_cell_covisit,
@@ -9109,6 +9293,8 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_mask": _user_activity_mask_sql(),
         "user_hourly_fill": _user_hourly_fill_sql(),
         "cell_trend_slope": _cell_trend_slope_sql(),
+        "doc_dup_substrings": _doc_dup_substrings_sql(),
+        "cell_mann_kendall": _cell_mann_kendall_sql(),
         "doc_skyline": _doc_skyline_sql(),
         "doc_quality_percentile": _doc_quality_percentile_sql(),
         "cell_covisit": _cell_covisit_sql(),

@@ -150,6 +150,8 @@ HEADLINE = [
     "traversal_retrieval_synthetic",
     "media_features",
     "neardup_components",
+    "doc_dup_substrings",
+    "cell_mann_kendall",
 ]
 
 SEED = 77
