@@ -8168,6 +8168,111 @@ def _mixture_resample_sql() -> str:
     """
 
 
+_DSIR_B = 256
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    how target-like its hashed-feature distribution is — log w(doc) =
+    Σ_tokens [ln p̂_target(bucket) − ln p̂_raw(bucket)] over md5-hashed
+    unigram buckets (B=256, Laplace-smoothed). Target = the deterministic
+    'test' hash split (the same stable split train_decontam protects); the
+    top-scoring docs are what DSIR resamples into the training mixture.
+    (hash_split import is function-local like the other split consumers.)
+
+    Scale shape at 100 TB: the token stream is touched ONCE per role (two
+    partial+final bucket aggs — 256-row outputs); the per-feature
+    log-ratio table is a 256-row BROADCAST; the per-doc score is one
+    doc-keyed agg. No doc×doc work, no model inference. Float convention:
+    per-bucket log-ratio pre-rounded 9 dp (ln ulps differ across libm
+    implementations), per-doc sum rounded 6 dp."""
+    from raptor_service_spark.functions.text import hash_split
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+        % F.lit(_DSIR_B)
+    )
+    wb = words.select("doc_id", bucket.alias("b"), hash_split(F.col("doc_id")).alias("split"))
+    raw = wb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = wb.filter(F.col("split") == "test").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    totals = wb.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum((F.col("split") == "test").cast("long")).alias("nt"),
+    )
+    feat = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("nt") + F.lit(_DSIR_B)).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1)).cast("double")
+                    / (F.col("nr") + F.lit(_DSIR_B)).cast("double")
+                ),
+                9,
+            ).alias("lr"),
+        )
+    )
+    return (
+        wb.join(F.broadcast(feat), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("log_w"),
+        )
+        .orderBy(F.col("log_w").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _dsir_weights_sql() -> str:
+    from raptor_service_spark.functions.text import hash_split_sql
+
+    split = hash_split_sql("doc_id")
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),
+                   '\\s+')) AS w, {split} AS split
+            FROM documents),
+        wb AS (
+            SELECT doc_id, split,
+                   ('0x' || substr(md5(w), 1, 8))::BIGINT % {_DSIR_B} AS b
+            FROM words WHERE w != ''),
+        raw AS (SELECT b, COUNT(*) AS cr FROM wb GROUP BY 1),
+        tgt AS (SELECT b, COUNT(*) AS ct FROM wb WHERE split = 'test'
+                GROUP BY 1),
+        totals AS (
+            SELECT COUNT(*) AS nr,
+                   CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nt
+            FROM wb),
+        feat AS (
+            SELECT raw.b,
+                   ROUND(LN(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                            / CAST(nt + {_DSIR_B} AS DOUBLE))
+                         - LN(CAST(cr + 1 AS DOUBLE)
+                              / CAST(nr + {_DSIR_B} AS DOUBLE)), 9) AS lr
+            FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN totals)
+        SELECT doc_id, COUNT(*) AS n_tokens, ROUND(SUM(lr), 6) AS log_w
+        FROM wb JOIN feat ON wb.b = feat.b
+        GROUP BY 1
+        ORDER BY log_w DESC, doc_id
+        LIMIT 20
+    """
+
+
 def q_interarrival_fit(spark, sf_dir):
     """Exponential fit + one-sample KS distance for per-user event
     inter-arrival times (whole-second gaps): λ̂ = 1/mean from exact integer
@@ -9129,6 +9234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_gini": q_cell_gini,
         "hourly_acf": q_hourly_acf,
         "mixture_resample": q_mixture_resample,
+        "dsir_weights": q_dsir_weights,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -9248,6 +9354,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_gini": _cell_gini_sql(),
         "hourly_acf": _hourly_acf_sql(),
         "mixture_resample": _mixture_resample_sql(),
+        "dsir_weights": _dsir_weights_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

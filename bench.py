@@ -152,6 +152,7 @@ HEADLINE = [
     "neardup_components",
     "doc_dup_substrings",
     "cell_mann_kendall",
+    "dsir_weights",
 ]
 
 SEED = 77
