@@ -5463,6 +5463,209 @@ def _snap_points_sql() -> str:
     )
 
 
+_VIT_L, _VIT_K, _VIT_EPS, _VIT_COHORT = 6, 3, 25.0, 40
+
+
+def q_viterbi_match(spark, sf_dir):
+    """HMM map-matching (Newson & Krumm 2009, the hidden-Markov matcher
+    behind every map-matching service): each user's trajectory, resampled
+    to L=6 fixes (the dtw_pairs rank arithmetic), is matched to the
+    document 'road node' set — candidate states per fix are the K=3
+    nearest nodes within ε (ring-join, never fix × node), emission cost =
+    fix→node distance, transition cost = |node-to-node distance −
+    fix-step distance| (the Newson-Krumm route/great-circle discrepancy in
+    its straight-line form). The Viterbi DP unrolls over the L fixed steps
+    as relational min-aggregations — the kmeans_geo/dtw unroll technique —
+    so the whole matcher is value-checked against an unrolled-CTE DuckDB
+    twin whose candidate stage is the EXHAUSTIVE join (proving the ring
+    candidacy complete). Output: per user the matched end node + total
+    path cost.
+
+    Scale shape at 100 TB: one user-window resample (points touched once),
+    one ε ring-join for candidates, then L−1 rounds of join+min-agg on the
+    O(users × K) DP table. All users advance in parallel; no per-user
+    driver work, no UDF. Float convention: costs rounded 9 dp per step
+    (min is order-free), 6 dp at the output."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    L, K = _VIT_L, _VIT_K
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < _VIT_COHORT)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        F.col("user_id").alias("uid"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+        lat.alias("lat"),
+        lng.alias("lng"),
+    )
+    fixes = (
+        ranked.select(
+            "uid", "rn", "n", "lat", "lng",
+            F.explode(F.sequence(F.lit(0), F.lit(L - 1))).alias("i"),
+        )
+        .filter(F.col("rn") == F.floor(F.col("i") * F.col("n") / L) + 1)
+        .select("uid", "i", "lat", "lng")
+    )
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    nlat, nlng = _latlng_cols(F.col("doc_id"))
+    nodes = d.select(
+        F.col("doc_id").alias("nid"), nlat.alias("lat"), nlng.alias("lng")
+    )
+    call = within_distance_join(fixes, nodes, eps=_VIT_EPS).select(
+        F.col("l.uid").alias("uid"),
+        F.col("l.i").alias("i"),
+        F.col("r.nid").alias("nid"),
+        F.col("r.lng").alias("nx"),
+        F.col("r.lat").alias("ny"),
+        F.col("dist").alias("e"),
+    )
+    wk = Window.partitionBy("uid", "i").orderBy(F.col("e").asc(), F.col("nid").asc())
+    cand = (
+        call.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= K)
+        .drop("rk")
+    )
+    ok = (
+        cand.groupBy("uid")
+        .agg(F.countDistinct("i").alias("ni"))
+        .filter(F.col("ni") == L)
+        .select("uid")
+    )
+    # O(users × L × K) rows; materialized once, read back L+1 times by the
+    # per-step filters below
+    cand = cand.join(F.broadcast(ok), "uid").localCheckpoint(eager=True)
+
+    wf = Window.partitionBy("uid").orderBy("i")
+    dx = F.col("lng") - F.col("px")
+    dy = F.col("lat") - F.col("py")
+    gd = (
+        fixes.withColumn("px", F.lag("lng").over(wf))
+        .withColumn("py", F.lag("lat").over(wf))
+        .filter(F.col("px").isNotNull())
+        .select(
+            "uid",
+            F.col("i").alias("t"),
+            F.round(F.sqrt(dx * dx + dy * dy), 9).alias("gd"),
+        )
+    )
+
+    dp = cand.filter(F.col("i") == 0).select(
+        "uid", "nid", "nx", "ny", F.round(F.col("e"), 9).alias("cost")
+    )
+    for t in range(1, L):
+        ct = cand.filter(F.col("i") == t).select(
+            "uid",
+            F.col("nid").alias("cnid"),
+            F.col("nx").alias("cnx"),
+            F.col("ny").alias("cny"),
+            F.col("e").alias("ce"),
+        )
+        g = gd.filter(F.col("t") == t).select("uid", "gd")
+        tdx = F.col("nx") - F.col("cnx")
+        tdy = F.col("ny") - F.col("cny")
+        trans = F.round(F.abs(F.sqrt(tdx * tdx + tdy * tdy) - F.col("gd")), 9)
+        step = (
+            dp.join(ct, "uid")
+            .join(g, "uid")
+            .select("uid", "cnid", "cnx", "cny", "ce", (F.col("cost") + trans).alias("tc"))
+        )
+        dp = (
+            step.groupBy("uid", "cnid", "cnx", "cny", "ce")
+            .agg(F.round(F.min("tc"), 9).alias("mc"))
+            .select(
+                "uid",
+                F.col("cnid").alias("nid"),
+                F.col("cnx").alias("nx"),
+                F.col("cny").alias("ny"),
+                F.round(F.col("mc") + F.col("ce"), 9).alias("cost"),
+            )
+        )
+    best = dp.groupBy("uid").agg(
+        F.min(
+            F.struct(F.round(F.col("cost"), 6).alias("c"), F.col("nid").alias("nid"))
+        ).alias("b")
+    )
+    return best.select(
+        F.col("uid").alias("user_id"),
+        F.col("b.nid").alias("end_node"),
+        F.col("b.c").alias("match_cost"),
+    ).orderBy("user_id")
+
+
+def _viterbi_match_sql() -> str:
+    L, K, eps = _VIT_L, _VIT_K, _VIT_EPS
+    lat, lng = _latlng_sql("event_id")
+    nlat, nlng = _latlng_sql("doc_id")
+    edist = "SQRT((f.x - n.nx) * (f.x - n.nx) + (f.y - n.ny) * (f.y - n.ny))"
+    dps = []
+    for t in range(1, L):
+        dps.append(f"""dp{t} AS (
+            SELECT uid, cnid AS nid, cnx AS nx, cny AS ny,
+                   ROUND(mc + ce, 9) AS cost
+            FROM (
+                SELECT c.uid, c.nid AS cnid, c.nx AS cnx, c.ny AS cny,
+                       c.e AS ce,
+                       ROUND(MIN(p.cost
+                             + ROUND(ABS(SQRT((p.nx - c.nx) * (p.nx - c.nx)
+                                            + (p.ny - c.ny) * (p.ny - c.ny))
+                                         - g.gd), 9)), 9) AS mc
+                FROM dp{t - 1} p
+                JOIN c ON c.uid = p.uid AND c.i = {t}
+                JOIN gd g ON g.uid = p.uid AND g.t = {t}
+                GROUP BY c.uid, c.nid, c.nx, c.ny, c.e))""")
+    chain = ",\n        ".join(dps)
+    return f"""
+        WITH p AS (SELECT user_id AS uid, ts, event_id,
+                          {lng} AS x, {lat} AS y
+                   FROM events WHERE user_id < {_VIT_COHORT}),
+        r AS (SELECT uid, x, y,
+                     ROW_NUMBER() OVER (PARTITION BY uid
+                                        ORDER BY ts, event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY uid) AS n
+              FROM p),
+        fx AS (SELECT r.uid, v.i, r.x, r.y
+               FROM r JOIN (SELECT UNNEST(RANGE({L})) AS i) v
+                 ON r.rn = CAST(FLOOR(v.i * r.n / {L}) AS BIGINT) + 1),
+        nodes AS (SELECT doc_id AS nid, {nlng} AS nx, {nlat} AS ny
+                  FROM documents),
+        call AS (
+            SELECT f.uid, f.i, n.nid, n.nx, n.ny, ROUND({edist}, 6) AS e
+            FROM fx f JOIN nodes n ON ROUND({edist}, 6) <= {eps!r}),
+        cand AS (
+            SELECT uid, i, nid, nx, ny, e FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY uid, i
+                                             ORDER BY e, nid) AS rk
+                FROM call) WHERE rk <= {K}),
+        ok AS (SELECT uid FROM cand GROUP BY uid
+               HAVING COUNT(DISTINCT i) = {L}),
+        c AS MATERIALIZED (SELECT cand.* FROM cand JOIN ok USING (uid)),
+        gd AS MATERIALIZED (
+            SELECT uid, i AS t,
+                   ROUND(SQRT((x - px) * (x - px) + (y - py) * (y - py)), 9)
+                       AS gd
+            FROM (SELECT uid, i, x, y,
+                         LAG(x) OVER (PARTITION BY uid ORDER BY i) AS px,
+                         LAG(y) OVER (PARTITION BY uid ORDER BY i) AS py
+                  FROM fx) WHERE px IS NOT NULL),
+        dp0 AS (SELECT uid, nid, nx, ny, ROUND(e, 9) AS cost
+                FROM c WHERE i = 0),
+        {chain}
+        SELECT uid AS user_id, nid AS end_node, ROUND(cost, 6) AS match_cost
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY uid
+                        ORDER BY ROUND(cost, 6), nid) AS rk
+              FROM dp{L - 1})
+        WHERE rk = 1
+        ORDER BY user_id
+    """
+
+
 _DTW_L, _DTW_COHORT = 8, 30
 
 
@@ -9235,6 +9438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_acf": q_hourly_acf,
         "mixture_resample": q_mixture_resample,
         "dsir_weights": q_dsir_weights,
+        "viterbi_match": q_viterbi_match,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -9355,6 +9559,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_acf": _hourly_acf_sql(),
         "mixture_resample": _mixture_resample_sql(),
         "dsir_weights": _dsir_weights_sql(),
+        "viterbi_match": _viterbi_match_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -153,6 +153,7 @@ HEADLINE = [
     "doc_dup_substrings",
     "cell_mann_kendall",
     "dsir_weights",
+    "viterbi_match",
 ]
 
 SEED = 77
