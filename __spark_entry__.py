@@ -8476,6 +8476,75 @@ def _dsir_weights_sql() -> str:
     """
 
 
+_HRW_SHARDS = 8
+
+
+def q_rendezvous_shards(spark, sf_dir):
+    """Rendezvous (highest-random-weight) sharding — the stable document →
+    shard assignment a 100 TB pipeline uses so that adding/removing one
+    worker moves ONLY that worker's documents (consistent-hashing
+    guarantee, Thaler & Ravishankar 1996). weight(doc, s) = md5(doc|s);
+    shard = argmax. Reports per-shard counts plus, per shard, how many of
+    its docs would RE-assign to it if shard 0 left — the minimal-disruption
+    property as data: only shard-0 docs move, and they spread by the same
+    argmax over the survivors. One scan, one agg; the argmax over the
+    8-way literal weights is pure codegen (no shuffle before
+    the count agg)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def wgt(s):
+        return F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"|{s}")))
+
+    def argmax(shards):
+        # max over (weight, shard) structs; md5 collisions impossible at
+        # corpus scale, shard id breaks the tie deterministically anyway
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(wgt(s).alias("w"), F.lit(s).alias("s"))
+                    for s in shards
+                ]
+            )
+        ).getField("s")
+
+    full = argmax(range(_HRW_SHARDS))
+    without0 = argmax(range(1, _HRW_SHARDS))
+    return (
+        d.select(full.alias("shard"), without0.alias("shard_minus0"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("shard") != F.col("shard_minus0")).cast("long")).alias(
+                "n_moved_if_0_leaves"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+def _rendezvous_shards_sql() -> str:
+    def wgt(s):
+        return f"md5(CAST(doc_id AS VARCHAR) || '|{s}')"
+
+    def argmax(shards):
+        structs = ", ".join(
+            f"{{'w': {wgt(s)}, 's': {s}}}" for s in shards
+        )
+        return f"list_max([{structs}]).s"
+
+    full = argmax(range(_HRW_SHARDS))
+    without0 = argmax(range(1, _HRW_SHARDS))
+    return f"""
+        WITH a AS (
+            SELECT {full} AS shard, {without0} AS shard_minus0
+            FROM documents)
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN shard != shard_minus0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved_if_0_leaves
+        FROM a GROUP BY 1 ORDER BY 1
+    """
+
+
 def q_interarrival_fit(spark, sf_dir):
     """Exponential fit + one-sample KS distance for per-user event
     inter-arrival times (whole-second gaps): λ̂ = 1/mean from exact integer
@@ -9439,6 +9508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": q_mixture_resample,
         "dsir_weights": q_dsir_weights,
         "viterbi_match": q_viterbi_match,
+        "rendezvous_shards": q_rendezvous_shards,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -9560,6 +9630,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_resample": _mixture_resample_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "viterbi_match": _viterbi_match_sql(),
+        "rendezvous_shards": _rendezvous_shards_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

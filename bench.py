@@ -154,6 +154,7 @@ HEADLINE = [
     "cell_mann_kendall",
     "dsir_weights",
     "viterbi_match",
+    "rendezvous_shards",
 ]
 
 SEED = 77
