@@ -8476,6 +8476,103 @@ def _dsir_weights_sql() -> str:
     """
 
 
+_PIPT_RES, _PIPT_N, _PIPT_SEED = 5, 6, 71
+
+
+def q_pip_polygon_table(spark, sf_dir):
+    """TABLE-driven point-in-polygon join — polygons arrive as a DataFrame
+    (qid, verts), not a driver dict, so the polygon side can itself be
+    millions of rows at 100 TB: polyfill runs DISTRIBUTED (mapInPandas per
+    polygon row → (qid, cover cell)), the candidate stage is a cell
+    equi-join, and the refine is a pure-codegen expression over the verts
+    array (NO UDF): inside = every directed edge cross product has one
+    sign — the closed half-plane intersection (exactly the polygon for
+    convex inputs; its kernel otherwise), orientation-free via min≥0 OR
+    max≤0. The oracle runs the EXHAUSTIVE points × polygons join with the
+    bit-identical rule, proving the cover-cell candidacy complete.
+    Output per polygon: hit count + exact doc_id checksum."""
+    from raptor_service_spark.datagen import gen_query_polygons
+    from raptor_service_spark.geo.grid import cell_encode_col, polyfill
+
+    polys = gen_query_polygons(seed=_PIPT_SEED, n=_PIPT_N)
+    pt = spark.createDataFrame(
+        [
+            (f"q{k}", [[float(a), float(b)] for a, b in poly])
+            for k, poly in enumerate(polys)
+        ],
+        "qid string, verts array<array<double>>",
+    )
+
+    def fill(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for qid, verts in zip(b["qid"], b["verts"]):
+                cells, _ = polyfill(
+                    np.array([[v[0], v[1]] for v in verts], dtype=np.float64),
+                    _PIPT_RES,
+                )
+                rows.extend((qid, int(c)) for c in cells)
+            yield pd.DataFrame(rows, columns=["qid", "cell"])
+
+    cells = pt.mapInPandas(fill, "qid string, cell long")
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.select(
+        "doc_id", lat.alias("lat"), lng.alias("lng")
+    ).withColumn("cell", cell_encode_col(F.col("lat"), F.col("lng"), _PIPT_RES))
+    cand = pts.join(F.broadcast(cells), "cell").join(F.broadcast(pt), "qid")
+    crosses = (
+        "transform(sequence(0, size(verts) - 1), i -> "
+        "(verts[(i + 1) % size(verts)][1] - verts[i][1]) * (lat - verts[i][0]) "
+        "- (verts[(i + 1) % size(verts)][0] - verts[i][0]) * (lng - verts[i][1]))"
+    )
+    inside = F.expr(
+        f"array_min({crosses}) >= 0 OR array_max({crosses}) <= 0"
+    )
+    return (
+        cand.filter(inside)
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _pip_polygon_table_sql() -> str:
+    from raptor_service_spark.datagen import gen_query_polygons
+
+    polys = gen_query_polygons(seed=_PIPT_SEED, n=_PIPT_N)
+    vals = ", ".join(
+        "('q{k}', [{vs}])".format(
+            k=k,
+            vs=", ".join(f"[{float(a)!r}, {float(b)!r}]" for a, b in poly),
+        )
+        for k, poly in enumerate(polys)
+    )
+    lat, lng = _latlng_sql("doc_id")
+    crosses = (
+        "list_transform(range(1, len(verts) + 1), i -> "
+        "(verts[i % len(verts) + 1][2] - verts[i][2]) * (lat - verts[i][1]) "
+        "- (verts[i % len(verts) + 1][1] - verts[i][1]) * (lng - verts[i][2]))"
+    )
+    return f"""
+        WITH polys(qid, verts) AS (VALUES {vals}),
+        pts AS (SELECT doc_id, {lat} AS lat, {lng} AS lng FROM documents),
+        cand AS (SELECT p.doc_id, p.lat, p.lng, q.qid, q.verts
+                 FROM pts p CROSS JOIN polys q)
+        SELECT qid, COUNT(*) AS n_hits,
+               CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+        FROM cand
+        WHERE list_aggregate({crosses}, 'min') >= 0
+           OR list_aggregate({crosses}, 'max') <= 0
+        GROUP BY 1 ORDER BY 1
+    """
+
+
 _HRW_SHARDS = 8
 
 
@@ -9509,6 +9606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "viterbi_match": q_viterbi_match,
         "rendezvous_shards": q_rendezvous_shards,
+        "pip_polygon_table": q_pip_polygon_table,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -9631,6 +9729,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _dsir_weights_sql(),
         "viterbi_match": _viterbi_match_sql(),
         "rendezvous_shards": _rendezvous_shards_sql(),
+        "pip_polygon_table": _pip_polygon_table_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

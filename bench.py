@@ -155,6 +155,7 @@ HEADLINE = [
     "dsir_weights",
     "viterbi_match",
     "rendezvous_shards",
+    "pip_polygon_table",
 ]
 
 SEED = 77
