@@ -85,12 +85,13 @@ def test_entry_smoke(spark):
     assert df.columns == ["doc_id", "dist"]
 
 
-@pytest.mark.parametrize(
-    "name", sorted(set(QUERIES) - set(ORACLES))
-)
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
+def test_every_query_has_an_oracle():
+    """Round-3 invariant: ZERO rows-only entries — every queries() entry
+    carries a value-checked DuckDB oracle (the former rows-only quartet
+    all gained full oracles). A regression here means a new query shipped
+    without its oracle."""
+    assert sorted(set(QUERIES) - set(ORACLES)) == []
+    assert sorted(set(ORACLES) - set(QUERIES)) == []
 
 
 def test_kanon_invariants(spark, sf_dir):
