@@ -5386,6 +5386,120 @@ def _user_colocation_sql() -> str:
     )
 
 
+_COTRAVEL_RES, _COTRAVEL_MIN_RUN = 3, 2
+
+
+def q_cotravel_pairs(spark, sf_dir):
+    """Co-TRAVEL detection (the sequential upgrade of the co-location
+    contact join): user pairs that share a (res-3 cell, day) bucket on
+    >= 2 CONSECUTIVE days — traveling TOGETHER, not merely meeting once.
+    The trajectory-privacy / convoy-mining primitive (Jeung et al. convoy
+    queries): presence buckets per user (DISTINCT — multiple pings in one
+    bucket collapse), one (cell, day) self-join for shared days, then
+    gaps-and-islands over each pair's shared-day sequence for the longest
+    consecutive run. Output: pairs with max_run >= 2, their longest run
+    and total shared days.
+
+    Scale shape at 100 TB: points collapse to presence buckets FIRST (the
+    only point-row shuffle); the self-join fans out per (cell, hour)
+    bucket occupancy (the co-location candidate bound — hot buckets are
+    the quantity being reported); runs are ONE pair-keyed window over the
+    shared-hour rows. All-integer output — exact parity."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < 150)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    pres = (
+        ev.select(
+            "user_id",
+            cell_encode_col(lat, lng, _COTRAVEL_RES).alias("cell"),
+            day.alias("hr"),
+        )
+        .distinct()
+    )
+    a, b = pres.alias("a"), pres.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"),
+            F.col("b.user_id").alias("ub"),
+            F.col("a.hr").alias("hr"),
+        )
+        .distinct()  # two shared cells in one hour count once
+    )
+    w = Window.partitionBy("ua", "ub").orderBy("hr")
+    runs = (
+        shared.withColumn(
+            "brk", (F.col("hr") - F.lag("hr").over(w) > 1).cast("int")
+        )
+        .withColumn("run_id", F.sum(F.coalesce("brk", F.lit(0))).over(w))
+        .groupBy("ua", "ub", "run_id")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("ua", "ub")
+        .agg(
+            F.max("run_len").alias("max_run"),
+            F.sum("run_len").alias("shared_days"),
+        )
+        .filter(F.col("max_run") >= _COTRAVEL_MIN_RUN)
+        .select(
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
+            "max_run",
+            F.col("shared_days").cast("long").alias("shared_days"),
+        )
+        .orderBy("user_a", "user_b")
+    )
+
+
+def _cotravel_pairs_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, _COTRAVEL_RES)
+    return f"""
+        WITH pres AS (
+            SELECT DISTINCT user_id, {cell} AS cell,
+                   CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS hr
+            FROM events WHERE user_id < 150),
+        shared AS (
+            SELECT DISTINCT a.user_id AS ua, b.user_id AS ub, a.hr
+            FROM pres a JOIN pres b
+              ON a.cell = b.cell AND a.hr = b.hr AND a.user_id < b.user_id),
+        flagged AS (
+            SELECT ua, ub, hr,
+                   CASE WHEN hr - LAG(hr) OVER (PARTITION BY ua, ub
+                        ORDER BY hr) > 1 THEN 1 ELSE 0 END AS brk
+            FROM shared),
+        runs AS (
+            SELECT ua, ub,
+                   SUM(brk) OVER (PARTITION BY ua, ub ORDER BY hr) AS run_id
+            FROM flagged),
+        per_run AS (
+            SELECT ua, ub, run_id, COUNT(*) AS run_len
+            FROM runs GROUP BY 1, 2, 3)
+        SELECT ua AS user_a, ub AS user_b,
+               CAST(MAX(run_len) AS BIGINT) AS max_run,
+               CAST(SUM(run_len) AS BIGINT) AS shared_days
+        FROM per_run GROUP BY 1, 2
+        HAVING MAX(run_len) >= {_COTRAVEL_MIN_RUN}
+        ORDER BY 1, 2
+    """
+
+
 def q_traj_crossings(spark, sf_dir):
     """Trajectory-crossing join: per user pair, how many of their movement
     segments physically intersect (closed semantics). Cover-cell candidates
@@ -9607,6 +9721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viterbi_match": q_viterbi_match,
         "rendezvous_shards": q_rendezvous_shards,
         "pip_polygon_table": q_pip_polygon_table,
+        "cotravel_pairs": q_cotravel_pairs,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -9730,6 +9845,7 @@ def oracle_sql() -> dict[str, str]:
         "viterbi_match": _viterbi_match_sql(),
         "rendezvous_shards": _rendezvous_shards_sql(),
         "pip_polygon_table": _pip_polygon_table_sql(),
+        "cotravel_pairs": _cotravel_pairs_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

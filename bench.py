@@ -156,6 +156,7 @@ HEADLINE = [
     "viterbi_match",
     "rendezvous_shards",
     "pip_polygon_table",
+    "cotravel_pairs",
 ]
 
 SEED = 77
