@@ -8590,7 +8590,28 @@ def _dsir_weights_sql() -> str:
     """
 
 
-_PIPT_RES, _PIPT_N, _PIPT_SEED = 5, 6, 71
+_PIPT_RES, _PIPT_N, _PIPT_SEED = 5, 6, 72
+
+
+def _pipt_polys() -> list:
+    """The polygon-table fixtures: generator polygons scaled 4x about
+    their vertex centroid (the raw 2-15 degree query polygons are sized
+    for dense regional corpora; against the globe-spread doc points the
+    scaled set yields a few hundred hits — a meaningful join). One shared
+    Python source feeds BOTH the Spark createDataFrame rows and the
+    oracle's VALUES literals, so vertex floats are identical by
+    construction. Clipping after scaling can bend a vertex inward; the
+    half-plane kernel rule both engines share is exact regardless."""
+    from raptor_service_spark.datagen import gen_query_polygons
+
+    out = []
+    for poly in gen_query_polygons(seed=_PIPT_SEED, n=_PIPT_N):
+        c = poly.mean(axis=0)
+        big = c + 4.0 * (poly - c)
+        big[:, 0] = np.clip(big[:, 0], -89.0, 89.0)
+        big[:, 1] = np.clip(big[:, 1], -179.9, 179.9)
+        out.append([[float(a), float(b)] for a, b in big])
+    return out
 
 
 def q_pip_polygon_table(spark, sf_dir):
@@ -8605,15 +8626,10 @@ def q_pip_polygon_table(spark, sf_dir):
     max≤0. The oracle runs the EXHAUSTIVE points × polygons join with the
     bit-identical rule, proving the cover-cell candidacy complete.
     Output per polygon: hit count + exact doc_id checksum."""
-    from raptor_service_spark.datagen import gen_query_polygons
     from raptor_service_spark.geo.grid import cell_encode_col, polyfill
 
-    polys = gen_query_polygons(seed=_PIPT_SEED, n=_PIPT_N)
     pt = spark.createDataFrame(
-        [
-            (f"q{k}", [[float(a), float(b)] for a, b in poly])
-            for k, poly in enumerate(polys)
-        ],
+        [(f"q{k}", poly) for k, poly in enumerate(_pipt_polys())],
         "qid string, verts array<array<double>>",
     )
 
@@ -8636,7 +8652,10 @@ def q_pip_polygon_table(spark, sf_dir):
     pts = d.select(
         "doc_id", lat.alias("lat"), lng.alias("lng")
     ).withColumn("cell", cell_encode_col(F.col("lat"), F.col("lng"), _PIPT_RES))
-    cand = pts.join(F.broadcast(cells), "cell").join(F.broadcast(pt), "qid")
+    # no broadcast HINT: AQE auto-broadcasts the small polygon side here;
+    # a genuinely huge polygon table falls back to a shuffle join on the
+    # same keys (the claim in the docstring) rather than OOMing the driver
+    cand = pts.join(cells, "cell").join(pt, "qid")
     crosses = (
         "transform(sequence(0, size(verts) - 1), i -> "
         "(verts[(i + 1) % size(verts)][1] - verts[i][1]) * (lat - verts[i][0]) "
@@ -8657,15 +8676,12 @@ def q_pip_polygon_table(spark, sf_dir):
 
 
 def _pip_polygon_table_sql() -> str:
-    from raptor_service_spark.datagen import gen_query_polygons
-
-    polys = gen_query_polygons(seed=_PIPT_SEED, n=_PIPT_N)
     vals = ", ".join(
         "('q{k}', [{vs}])".format(
             k=k,
-            vs=", ".join(f"[{float(a)!r}, {float(b)!r}]" for a, b in poly),
+            vs=", ".join(f"[{a!r}, {b!r}]" for a, b in poly),
         )
-        for k, poly in enumerate(polys)
+        for k, poly in enumerate(_pipt_polys())
     )
     lat, lng = _latlng_sql("doc_id")
     crosses = (
