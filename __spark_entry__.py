@@ -5177,75 +5177,6 @@ def _doc_dup_substrings_sql() -> str:
     """
 
 
-def q_cell_mann_kendall(spark, sf_dir):
-    """Mann-Kendall monotonic-trend statistic per res-3 cell over the daily
-    count series — the nonparametric significance twin of cell_trend_slope
-    (together they are the ArcGIS 'emerging hot spot' pair): S = Σ_{{i<j}}
-    sign(c_j − c_i) over the cell's present days. ALL-INTEGER output
-    (S, n_days) — cross-engine parity is exact, no float rounding anywhere.
-
-    Scale shape: points are touched once (the (cell, day) cube agg); the
-    pair enumeration is a within-cell self-join of the AGGREGATED cube
-    (calendar-bounded: ≤ T(T−1)/2 rows per cell for T ≤ days-in-corpus),
-    never points. Top-20 strongest trends by |S|."""
-    from raptor_service_spark.geo.grid import cell_encode_col
-
-    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
-    lat, lng = _latlng_cols(F.col("event_id"))
-    day = F.expr(
-        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP)) / 86400000000.0) AS BIGINT)"
-    )
-    cube = (
-        ev.select(cell_encode_col(lat, lng, 3).alias("cell"), day.alias("day"))
-        .groupBy("cell", "day")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    a, b = cube.alias("a"), cube.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.day") < F.col("b.day")),
-    ).select(
-        F.col("a.cell").alias("cell"),
-        F.signum((F.col("b.c") - F.col("a.c")).cast("double")).cast("long").alias("sgn"),
-    )
-    ndays = cube.groupBy("cell").agg(F.count(F.lit(1)).alias("n_days"))
-    return (
-        pairs.groupBy("cell")
-        .agg(F.sum("sgn").alias("s_stat"))
-        .join(ndays, "cell")
-        .filter(F.col("n_days") >= 5)
-        .orderBy(F.desc(F.abs(F.col("s_stat"))), "cell")
-        .limit(20)
-        .select("cell", "s_stat", "n_days")
-    )
-
-
-def _cell_mann_kendall_sql() -> str:
-    lat, lng = _latlng_sql("event_id")
-    cell = cell_encode_sql(lat, lng, 3)
-    return f"""
-        WITH cube AS (
-            SELECT {cell} AS cell,
-                   CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
-                   COUNT(*) AS c
-            FROM events GROUP BY 1, 2),
-        pairs AS (
-            SELECT a.cell,
-                   CAST(SIGN(CAST(b.c AS DOUBLE) - CAST(a.c AS DOUBLE)) AS BIGINT)
-                       AS sgn
-            FROM cube a JOIN cube b
-              ON a.cell = b.cell AND a.day < b.day),
-        s AS (SELECT cell, CAST(SUM(sgn) AS BIGINT) AS s_stat
-              FROM pairs GROUP BY 1),
-        nd AS (SELECT cell, COUNT(*) AS n_days FROM cube GROUP BY 1)
-        SELECT s.cell, s.s_stat, nd.n_days
-        FROM s JOIN nd ON s.cell = nd.cell
-        WHERE nd.n_days >= 5
-        ORDER BY ABS(s.s_stat) DESC, s.cell
-        LIMIT 20
-    """
-
-
 # ---------------------------------------------------------------------------
 # stratified deterministic sampling + activity bitmask profiling
 # ---------------------------------------------------------------------------
@@ -9640,7 +9571,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_hourly_fill": q_user_hourly_fill,
         "cell_trend_slope": q_cell_trend_slope,
         "doc_dup_substrings": q_doc_dup_substrings,
-        "cell_mann_kendall": q_cell_mann_kendall,
         "doc_skyline": q_doc_skyline,
         "doc_quality_percentile": q_doc_quality_percentile,
         "cell_covisit": q_cell_covisit,
@@ -9908,7 +9838,6 @@ def oracle_sql() -> dict[str, str]:
         "user_hourly_fill": _user_hourly_fill_sql(),
         "cell_trend_slope": _cell_trend_slope_sql(),
         "doc_dup_substrings": _doc_dup_substrings_sql(),
-        "cell_mann_kendall": _cell_mann_kendall_sql(),
         "doc_skyline": _doc_skyline_sql(),
         "doc_quality_percentile": _doc_quality_percentile_sql(),
         "cell_covisit": _cell_covisit_sql(),

@@ -151,7 +151,6 @@ HEADLINE = [
     "media_features",
     "neardup_components",
     "doc_dup_substrings",
-    "cell_mann_kendall",
     "dsir_weights",
     "viterbi_match",
     "rendezvous_shards",
