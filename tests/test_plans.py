@@ -463,3 +463,49 @@ def test_write_ann_index_spreads_hot_cell_over_writers(spark, tmp_path):
     assert "xxhash64" in plan.split("Exchange hashpartitioning")[1][:300]
     # and the round-trip is lossless
     assert spark.read.parquet(path).count() == n
+
+
+# ----------------------------------------------------------- round-3 queries
+
+
+def test_dup_substrings_one_hash_count_no_pairs(spark, qmap):
+    """Window-hash dedup: dup hashes come from a partial+final count agg;
+    nothing doc-by-doc; top-20 is TakeOrderedAndProject."""
+    plan = _plan(qmap["doc_dup_substrings"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_feature_table_broadcasts(spark, qmap):
+    """The 256-row log-ratio table rides as a broadcast; the token stream
+    never self-joins."""
+    plan = _plan(qmap["dsir_weights"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_viterbi_is_relational_dp(spark, qmap):
+    """The Viterbi recursion is joins + hash aggregates — no Python kernel,
+    no cartesian, no per-user grouped-map."""
+    plan = _plan(qmap["viterbi_match"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert plan.count("HashAggregate") >= 10  # L-1 DP min-aggs, partial+final
+
+
+def test_cotravel_single_pair_window(spark, qmap):
+    plan = _plan(qmap["cotravel_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan  # bucket equi-join
+
+
+def test_pip_polygon_table_distributed_polyfill(spark, qmap):
+    """Polyfill runs as MapInPandas over polygon ROWS; the refine is codegen
+    (no second Python stage); no cartesian anywhere."""
+    plan = _plan(qmap["pip_polygon_table"](spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
