@@ -8634,6 +8634,177 @@ def _pip_polygon_table_sql() -> str:
     """
 
 
+_PCA_DIM, _PCA_ROUNDS = 64, 8
+
+
+def q_pca_top_component(spark, sf_dir):
+    """Top principal component of the embedding table by POWER ITERATION —
+    the dimensionality audit an embedding pipeline runs (anisotropy /
+    matryoshka-truncation checks; Arora et al.'s 'common discourse vector'
+    removal uses exactly this vector). Three stages, all distributed:
+
+      1. moments — ONE mapInPandas pass emits per-Arrow-batch partial
+         (n, Σx[64], Σxxᵀ[4096]) rows (the block outer-product form — at
+         100 TB the shuffle carries O(partitions) rows of 4 KB, never a
+         64×-exploded corpus); partials reduce via one posexplode + agg;
+         the reduced moment sums are ROUNDED AT 5 dp — magnitudes are
+         O(n·0.015), so the grid dwarfs fold-order ulp noise by ~10⁹ and
+         every downstream value becomes a pure function of identical
+         inputs on both engines (a bare 9-dp round on the CANCELLING
+         covariance subtraction measurably flipped knife edges ~4%/run).
+      2. covariance — C[i,j] = g/n − (s_i/n)(s_j/n) with NO rounding:
+         exact IEEE ops on bit-identical rounded moments are themselves
+         bit-identical across engines; rounding here would quantize onto
+         a lattice whose next-stage sums land EXACTLY on half boundaries,
+         where engine rounding implementations legitimately disagree (the
+         failure mode this operator's first draft hit).
+      3. iteration — 8 unrolled power rounds RELATIONALLY on (i, j, c):
+         w = ROUND(C·v, 9) (the only fold-order-sensitive sums), ‖w‖ =
+         ROUND(sqrt(Σw²), 9) (sqrt de-lattices), v = w/‖w‖ EXACT (pure
+         function of identical inputs — rounding v would re-lattice the
+         next round's products); start v₀ = 1/√dim. The DuckDB twin
+         unrolls the same rounds as MATERIALIZED CTEs.
+
+    Output: the 64 loadings of the principal axis + the Rayleigh
+    eigenvalue estimate, both 6 dp (computed from the final w via a fresh
+    sqrt, never by re-rounding a 9-dp value — a 9-dp lattice point can sit
+    exactly on a 6-dp half boundary)."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = _PCA_DIM
+
+    def gram(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            mat = np.array(b["v"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(mat)],
+                    "s": [mat.sum(axis=0).tolist()],
+                    "g": [(mat.T @ mat).reshape(-1).tolist()],
+                }
+            )
+
+    partials = e.mapInPandas(
+        gram, "n long, s array<double>, g array<double>"
+    )
+    tot = partials.agg(F.sum("n").alias("n"))
+    s_tab = (
+        partials.select(F.posexplode("s").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.round(F.sum("x"), 5).alias("s"))
+    )
+    g_tab = (
+        partials.select(F.posexplode("g").alias("k", "x"))
+        .groupBy("k")
+        .agg(F.round(F.sum("x"), 5).alias("g"))
+        .select(
+            (F.col("k") / dim).cast("int").alias("i"),
+            (F.col("k") % dim).cast("int").alias("j"),
+            "g",
+        )
+    )
+    cov = (
+        g_tab.join(s_tab.select(F.col("i"), F.col("s").alias("si")), "i")
+        .join(s_tab.select(F.col("i").alias("j"), F.col("s").alias("sj")), "j")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("g") / F.col("n")
+                - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v0 = float(1.0 / np.sqrt(dim))
+    vdf = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"), F.lit(v0).alias("v")
+    )
+    lam = None
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            cov.join(F.broadcast(vdf), "j")
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("c") * F.col("v")), 9).alias("w"))
+        )
+        nrm = w.agg(
+            F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 9).alias("nrm")
+        )
+        lam = w.agg(
+            F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("eigenvalue")
+        )
+        vdf = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("i").alias("j"),
+                (F.col("w") / F.col("nrm")).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        vdf.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("j").cast("long").alias("i"),
+            F.round("v", 6).alias("loading"),
+            "eigenvalue",
+        )
+        .orderBy("i")
+    )
+
+
+def _pca_top_component_sql() -> str:
+    dim, rounds = _PCA_DIM, _PCA_ROUNDS
+    v0 = float(1.0 / np.sqrt(dim))
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"""w{t} AS (
+            SELECT c.i, ROUND(SUM(c.c * v.v), 9) AS w
+            FROM cov c JOIN v{t - 1} v ON c.j = v.j
+            GROUP BY c.i),
+        n{t} AS (SELECT ROUND(SQRT(SUM(w * w)), 9) AS nrm FROM w{t}),
+        v{t} AS MATERIALIZED (
+            SELECT i AS j, w / nrm AS v
+            FROM w{t} CROSS JOIN n{t})"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        tot AS (SELECT COUNT(*) AS n FROM e),
+        el AS MATERIALIZED (
+            SELECT t.i - 1 AS i, v[t.i] AS x
+            FROM e CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) t),
+        s_tab AS MATERIALIZED (SELECT i, ROUND(SUM(x), 5) AS s FROM el GROUP BY 1),
+        g_tab AS MATERIALIZED (
+            SELECT t1.i - 1 AS i, t2.j - 1 AS j,
+                   ROUND(SUM(v[t1.i] * v[t2.j]), 5) AS g
+            FROM e
+            CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) t1
+            CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS j) t2
+            GROUP BY 1, 2),
+        cov AS MATERIALIZED (
+            SELECT g.i, g.j,
+                   g.g / t.n - (si.s / t.n) * (sj.s / t.n) AS c
+            FROM g_tab g
+            JOIN s_tab si ON si.i = g.i
+            JOIN s_tab sj ON sj.i = g.j
+            CROSS JOIN tot t),
+        v0 AS (SELECT unnest(generate_series(0, {dim - 1})) AS j, {v0!r} AS v),
+        {chain}
+        SELECT v.j AS i, ROUND(v.v, 6) AS loading, lam.eigenvalue
+        FROM v{rounds} v CROSS JOIN
+             (SELECT ROUND(SQRT(SUM(w * w)), 6) AS eigenvalue
+              FROM w{rounds}) lam
+        ORDER BY i
+    """
+
+
 _HRW_SHARDS = 8
 
 
@@ -9667,6 +9838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viterbi_match": q_viterbi_match,
         "rendezvous_shards": q_rendezvous_shards,
         "pip_polygon_table": q_pip_polygon_table,
+        "pca_top_component": q_pca_top_component,
         "cotravel_pairs": q_cotravel_pairs,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
@@ -9791,6 +9963,7 @@ def oracle_sql() -> dict[str, str]:
         "viterbi_match": _viterbi_match_sql(),
         "rendezvous_shards": _rendezvous_shards_sql(),
         "pip_polygon_table": _pip_polygon_table_sql(),
+        "pca_top_component": _pca_top_component_sql(),
         "cotravel_pairs": _cotravel_pairs_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),

@@ -156,6 +156,7 @@ HEADLINE = [
     "rendezvous_shards",
     "pip_polygon_table",
     "cotravel_pairs",
+    "pca_top_component",
 ]
 
 SEED = 77
