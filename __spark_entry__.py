@@ -8723,39 +8723,49 @@ def q_pca_top_component(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     v0 = float(1.0 / np.sqrt(dim))
-    vdf = spark.range(dim).select(
-        F.col("id").cast("int").alias("j"), F.lit(v0).alias("v")
-    )
-    lam = None
+    # per-round: ONE small agg job over the cached 4096-row cov table with
+    # the current v as a literal array (no join, no per-round checkpoint —
+    # a fully lazy 8-round plan cost 3x more in Catalyst re-analysis, and
+    # eager per-round checkpoints 2x in scheduler round-trips; measured).
+    # The norm is rounded on the driver with BigDecimal-identical HALF_UP
+    # (Decimal on the shortest repr — the teleport codec technique);
+    # division is an exact IEEE op, so v stays bit-identical to an
+    # in-engine formulation.
+    import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r9(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000000001"), ROUND_HALF_UP))
+
+    v = [v0] * dim
+    lam_raw = 0.0
     for _ in range(_PCA_ROUNDS):
-        w = (
-            cov.join(F.broadcast(vdf), "j")
-            .groupBy("i")
-            .agg(F.round(F.sum(F.col("c") * F.col("v")), 9).alias("w"))
-        )
-        nrm = w.agg(
-            F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 9).alias("nrm")
-        )
-        lam = w.agg(
-            F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("eigenvalue")
-        )
-        vdf = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
-                F.col("i").alias("j"),
-                (F.col("w") / F.col("nrm")).alias("v"),
+        lit = F.array(*[F.lit(float(x)) for x in v])
+        rows = (
+            cov.groupBy("i")
+            .agg(
+                F.round(
+                    F.sum(F.col("c") * F.element_at(lit, F.col("j") + 1)), 9
+                ).alias("w")
             )
-            .localCheckpoint(eager=True)
+            .collect()
         )
-    return (
-        vdf.crossJoin(F.broadcast(lam))
-        .select(
-            F.col("j").cast("long").alias("i"),
-            F.round("v", 6).alias("loading"),
-            "eigenvalue",
-        )
-        .orderBy("i")
+        wmap = {r.i: r.w for r in rows}
+        ws = [wmap.get(i, 0.0) for i in range(dim)]
+        s2 = 0.0
+        for x in ws:  # fixed i-order fold; 9-dp round absorbs the oracle's
+            s2 += x * x  # arbitrary-order SUM
+        lam_raw = _math.sqrt(s2)
+        nrm = _r9(lam_raw)
+        v = [x / nrm for x in ws]
+    out = spark.createDataFrame(
+        [(int(i), float(x)) for i, x in enumerate(v)], "i long, v double"
     )
+    return out.select(
+        "i",
+        F.round("v", 6).alias("loading"),
+        F.round(F.lit(float(lam_raw)), 6).alias("eigenvalue"),
+    ).orderBy("i")
 
 
 def _pca_top_component_sql() -> str:
