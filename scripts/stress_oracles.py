@@ -1,0 +1,50 @@
+"""Flakiness stress for the float-heavy oracles: run each query 3x in
+one session and require a SINGLE (spark_hash, duck_hash, match=True)
+outcome — catches fold-order / lattice-rounding nondeterminism (the
+class that made the first PCA draft ~2/3 flaky) before the driver's
+sampled gate can trip on it. Usage: python scripts/stress_oracles.py
+[sf_dir]."""
+import sys
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+import importlib.util
+spec = importlib.util.spec_from_file_location("entry", "/root/repo/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+import duckdb
+from check_oracles import value_hash, TABLES
+from raptor_service_spark.session import get_spark
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+spark = get_spark()
+spark.sparkContext.setLogLevel("ERROR")
+
+NAMES = [
+    "kmeans_geo", "cell_pagerank", "cell_sssp", "gravity_fit",
+    "theil_sen_cells", "mmr_retrieval", "dtw_pairs", "huff_demand",
+    "spacetime_scan", "idw_interpolation", "morans_i", "getis_hotspots",
+    "gearys_c", "hourly_acf", "ivf_knn_ann", "pca_top_component",
+    "interarrival_fit", "doc_bigram_ppl", "bpe_merges", "cell_gini",
+    "user_burstiness", "deviational_ellipse", "cross_k", "knox_test",
+    "viterbi_match", "dsir_weights", "local_moran", "ripley_k",
+    "emerging_hotspots", "colocation_quotient", "g_function", "quadrat_csr",
+]
+qs, os_ = mod.queries(), mod.oracle_sql()
+bad = 0
+for name in NAMES:
+    hs = set()
+    for r in range(3):
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+        sdf = qs[name](spark, SF)
+        srows = sdf.collect()
+        sh = value_hash(srows, sdf.columns)
+        dres = con.execute(os_[name])
+        dh = value_hash(dres.fetchall(), [d[0] for d in dres.description])
+        hs.add((sh, dh, sh == dh))
+        con.close()
+    ok = all(m for _, _, m in hs) and len({a for a, _, _ in hs}) == 1 and len({b for _, b, _ in hs}) == 1
+    print(f"{name:28s} {'STABLE' if ok else 'FLAKY/FAIL ' + str(hs)}")
+    bad += 0 if ok else 1
+print("BAD:", bad)
