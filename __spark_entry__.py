@@ -36,7 +36,7 @@ from raptor_service_spark.functions.text import (
     quality_score,
     quality_score_sql,
 )
-from raptor_service_spark.functions.vector import cosine_dist_col
+from raptor_service_spark.functions.vector import cosine_dist_col, cosine_sim_col
 from raptor_service_spark.geo.grid import (
     cell_encode_col,
     cell_encode_sql,
@@ -953,6 +953,80 @@ def q_knn_multi(spark, sf_dir):
     )
     out = brute_force_knn_multi(e, np.stack([QVEC, QVEC2]), ["qa", "qb"], k=5)
     return out.select("qid", "id", F.round("dist", 6).alias("dist"))
+
+
+_COLBERT_QS = [
+    np.round(gen_query_vectors(seed=111 + i, n=1, dim=64)[0], 6) for i in range(4)
+]
+_COLBERT_GROUP = 4
+
+
+def q_colbert_maxsim(spark, sf_dir):
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020):
+    documents are MULTI-VECTOR (here: groups of 4 consecutive embeddings —
+    the per-span vector shape of the interleaved corpus) and score(doc) =
+    Σ_{{q ∈ query}} max_{{d ∈ doc}} cos(q, d) — every query vector matches
+    its best span, summed. Fully relational MaxSim: one pass computes the
+    4 query cosines per span vector (codegen zip_with kernels), a per-doc
+    agg takes the 4 MAXes and sums them, TakeOrderedAndProject emits the
+    top-10. At 100 TB: no join, no shuffle beyond the one doc-keyed agg —
+    the scan dominates exactly as a late-interaction index scan should.
+    Per-q maxes pre-rounded 9 dp (fold-free MAX, sum of 4 rounded terms),
+    score 6 dp."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        F.floor(F.col("vec_id") / _COLBERT_GROUP).cast("long").alias("doc_grp"),
+        F.col("embedding").alias("v"),
+    )
+    sims = e.select(
+        "doc_grp",
+        *[
+            cosine_sim_col(F.col("v"), q).alias(f"s{i}")
+            for i, q in enumerate(_COLBERT_QS)
+        ],
+    )
+    maxes = sims.groupBy("doc_grp").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[F.round(F.max(f"s{i}"), 9).alias(f"m{i}") for i in range(len(_COLBERT_QS))],
+    )
+    score = None
+    for i in range(len(_COLBERT_QS)):
+        term = F.col(f"m{i}")
+        score = term if score is None else score + term
+    return (
+        maxes.select(
+            "doc_grp", "n_vecs", F.round(score, 6).alias("maxsim_score")
+        )
+        .orderBy(F.col("maxsim_score").desc(), "doc_grp")
+        .limit(10)
+    )
+
+
+def _colbert_maxsim_sql() -> str:
+    qlits = [
+        "[" + ", ".join(f"{x:.6f}" for x in q) + "]" for q in _COLBERT_QS
+    ]
+    demb = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    sims = ", ".join(
+        f"list_cosine_similarity({demb}, {ql}) AS s{i}"
+        for i, ql in enumerate(qlits)
+    )
+    maxes = ", ".join(
+        f"ROUND(MAX(s{i}), 9) AS m{i}" for i in range(len(qlits))
+    )
+    total = " + ".join(f"m{i}" for i in range(len(qlits)))
+    return f"""
+        WITH sims AS (
+            SELECT CAST(FLOOR(vec_id / {_COLBERT_GROUP}) AS BIGINT) AS doc_grp,
+                   {sims}
+            FROM embeddings),
+        maxes AS (
+            SELECT doc_grp, COUNT(*) AS n_vecs, {maxes}
+            FROM sims GROUP BY 1)
+        SELECT doc_grp, n_vecs, ROUND({total}, 6) AS maxsim_score
+        FROM maxes
+        ORDER BY maxsim_score DESC, doc_grp
+        LIMIT 10
+    """
 
 
 def q_knn_filtered(spark, sf_dir):
@@ -9808,6 +9882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_top10": q_knn_top10,
         "knn_filtered": q_knn_filtered,
         "knn_multi": q_knn_multi,
+        "colbert_maxsim": q_colbert_maxsim,
         "spans_explode": q_spans_explode,
         "span_dedup": q_span_dedup,
         "curation_pipeline": q_curation_pipeline,
@@ -10319,6 +10394,7 @@ def oracle_sql() -> dict[str, str]:
                              WHERE lang = 'en' AND n_chars >= 300)
             ORDER BY dist ASC, vec_id ASC LIMIT 10
         """,
+        "colbert_maxsim": _colbert_maxsim_sql(),
         "knn_multi": f"""
             WITH q(qid, qv) AS (VALUES ('qa', {QVEC_SQL}), ('qb', {QVEC2_SQL})),
             scored AS (

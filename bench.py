@@ -157,6 +157,7 @@ HEADLINE = [
     "pip_polygon_table",
     "cotravel_pairs",
     "pca_top_component",
+    "colbert_maxsim",
 ]
 
 SEED = 77
