@@ -5505,6 +5505,110 @@ def _cotravel_pairs_sql() -> str:
     """
 
 
+_REACH_SEED_USER, _REACH_ROUNDS = 0, 12
+
+
+def q_contact_reach(spark, sf_dir):
+    """Temporal (time-respecting) reachability over the co-location contact
+    graph — the contact-tracing / influence-spread primitive: user 0 is
+    'exposed' at their first active day; exposure propagates along contact
+    edges (ua, ub, day) only FORWARD in time (a contact infects only if it
+    happens at-or-after the carrier's own exposure day), and each user
+    records their EARLIEST possible exposure day. Classic temporal-graph
+    semantics (Holme & Saramäki) — a plain transitive closure would
+    overcount by ignoring edge ordering.
+
+    Spark: min-day frontier iteration (the dedup_components dataflow) —
+    each round one join of the O(users) exposure table against the
+    aggregated contact-edge table + a min-agg; rounds bounded by the
+    temporal diameter (≤ days in corpus); localCheckpoint per round.
+    Oracle: DuckDB recursive CTE over (user, day) states with the same
+    day-ordering predicate, MIN per user. All-integer output."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    pres = ev.select(
+        "user_id",
+        cell_encode_col(lat, lng, 3).alias("cell"),
+        day.alias("day"),
+    ).distinct()
+    a, b = pres.alias("a"), pres.alias("b")
+    contacts = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"),
+            F.col("b.user_id").alias("ub"),
+            F.col("a.day").alias("day"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_day = (
+        pres.filter(F.col("user_id") == _REACH_SEED_USER)
+        .agg(F.min("day"))
+        .collect()[0][0]
+    )
+    inf = spark.createDataFrame(
+        [(_REACH_SEED_USER, int(seed_day))], "user_id long, day_exposed long"
+    ).localCheckpoint(eager=True)
+    for _ in range(_REACH_ROUNDS):
+        spread = (
+            inf.join(contacts, inf.user_id == contacts.ua)
+            .filter(F.col("day") >= F.col("day_exposed"))
+            .select(F.col("ub").alias("user_id"), F.col("day").alias("day_exposed"))
+        )
+        new_inf = (
+            inf.unionByName(spread)
+            .groupBy("user_id")
+            .agg(F.min("day_exposed").alias("day_exposed"))
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: same users, same min days
+        changed = (
+            new_inf.unionByName(inf).distinct().count() != inf.count()
+            or new_inf.count() != inf.count()
+        )
+        inf = new_inf
+        if not changed:
+            break
+    return inf.orderBy("user_id")
+
+
+def _contact_reach_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH RECURSIVE pres AS (
+            SELECT DISTINCT user_id, {cell} AS cell,
+                   CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+            FROM events),
+        contacts AS (
+            SELECT DISTINCT a.user_id AS ua, b.user_id AS ub, a.day
+            FROM pres a JOIN pres b
+              ON a.cell = b.cell AND a.day = b.day
+             AND a.user_id != b.user_id),
+        seed AS (SELECT {_REACH_SEED_USER} AS user_id, MIN(day) AS day
+                 FROM pres WHERE user_id = {_REACH_SEED_USER}),
+        states(user_id, day) AS (
+            SELECT user_id, day FROM seed
+            UNION
+            SELECT c.ub, c.day
+            FROM states s JOIN contacts c
+              ON c.ua = s.user_id AND c.day >= s.day)
+        SELECT user_id, CAST(MIN(day) AS BIGINT) AS day_exposed
+        FROM states GROUP BY 1 ORDER BY 1
+    """
+
+
 def q_traj_crossings(spark, sf_dir):
     """Trajectory-crossing join: per user pair, how many of their movement
     segments physically intersect (closed semantics). Cover-cell candidates
@@ -9925,6 +10029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_polygon_table": q_pip_polygon_table,
         "pca_top_component": q_pca_top_component,
         "cotravel_pairs": q_cotravel_pairs,
+        "contact_reach": q_contact_reach,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -10050,6 +10155,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_polygon_table": _pip_polygon_table_sql(),
         "pca_top_component": _pca_top_component_sql(),
         "cotravel_pairs": _cotravel_pairs_sql(),
+        "contact_reach": _contact_reach_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -158,6 +158,7 @@ HEADLINE = [
     "cotravel_pairs",
     "pca_top_component",
     "colbert_maxsim",
+    "contact_reach",
 ]
 
 SEED = 77
