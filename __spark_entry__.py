@@ -5560,6 +5560,7 @@ def q_contact_reach(spark, sf_dir):
     inf = spark.createDataFrame(
         [(_REACH_SEED_USER, int(seed_day))], "user_id long, day_exposed long"
     ).localCheckpoint(eager=True)
+    prev_sig = None
     for _ in range(_REACH_ROUNDS):
         spread = (
             inf.join(contacts, inf.user_id == contacts.ua)
@@ -5572,14 +5573,17 @@ def q_contact_reach(spark, sf_dir):
             .agg(F.min("day_exposed").alias("day_exposed"))
             .localCheckpoint(eager=True)
         )
-        # fixpoint: same users, same min days
-        changed = (
-            new_inf.unionByName(inf).distinct().count() != inf.count()
-            or new_inf.count() != inf.count()
+        # monotone iteration (users only added, days only decrease), so the
+        # fixpoint test is ONE agg: unchanged (count, sum(day))
+        sig = tuple(
+            new_inf.agg(
+                F.count(F.lit(1)), F.sum("day_exposed")
+            ).collect()[0]
         )
         inf = new_inf
-        if not changed:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     return inf.orderBy("user_id")
 
 
