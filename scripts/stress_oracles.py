@@ -28,6 +28,7 @@ NAMES = [
     "user_burstiness", "deviational_ellipse", "cross_k", "knox_test",
     "viterbi_match", "dsir_weights", "local_moran", "ripley_k",
     "emerging_hotspots", "colocation_quotient", "g_function", "quadrat_csr",
+    "colbert_maxsim", "contact_reach", "cotravel_pairs", "doc_dup_substrings",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 bad = 0
