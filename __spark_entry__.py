@@ -9842,6 +9842,540 @@ def _doc_tfidf_terms_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# geostatistics (semivariogram + model fit), IPF matrix balancing, and the
+# distributed-sketch trio (KMV distinct, Bloom semi-join, count-min sketch)
+# ---------------------------------------------------------------------------
+
+_VG_SAMPLE_MOD, _VG_HMAX, _VG_BINW = 4, 6.0, 1.0
+
+
+def _vg_points(spark, sf_dir):
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .filter(F.col("event_id") % _VG_SAMPLE_MOD == 0)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    return ev.withColumn("lat", lat).withColumn("lng", lng)
+
+
+def _vg_bins(spark, sf_dir):
+    """Shared per-bin (n_pairs, sum dist, sum sqdiff) stream for the
+    semivariogram and its model fit: the ε-ring pair join (each pair found
+    exactly once — no dedup shuffle) feeds ONE partial+final agg to
+    <= hmax/binw rows. 9-dp post-sum rounding per repo convention."""
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    pts = _vg_points(spark, sf_dir)
+    pr = within_distance_join(pts, pts, eps=_VG_HMAX).filter(
+        F.col("l.event_id") < F.col("r.event_id")
+    )
+    dv = F.col("l.value") - F.col("r.value")
+    pairs = pr.select(
+        F.floor(F.col("dist") / F.lit(_VG_BINW)).cast("long").alias("bin"),
+        F.col("dist"),
+        F.round(dv * dv, 9).alias("sq"),
+    ).filter(F.col("bin") < F.lit(int(_VG_HMAX / _VG_BINW)))
+    return pairs.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("dist"), 9).alias("sd"),
+        F.round(F.sum("sq"), 9).alias("ss"),
+    )
+
+
+def q_semivariogram(spark, sf_dir):
+    """Empirical semivariogram of the event value field — THE geostatistics
+    primitive under kriging/interpolation QA: γ(h) = mean((v_i−v_j)²)/2 over
+    point pairs binned by separation distance. Pairs come from the ε-ring
+    cell join (3×3 neighbor explode at auto res, each pair exactly once);
+    the variogram itself is one agg over <= 6 bins. Oracle: brute-force
+    pair join with bit-identical distance/rounding arithmetic.
+
+    Scale shape at 100 TB: the deterministic %-sample bounds the pair
+    stream; candidates are ring-bounded (never all-pairs); output is
+    O(n_bins). Reference analog: the retrieval-quality score histograms of
+    services/retrieval_service.py recast as spatial structure functions."""
+    b = _vg_bins(spark, sf_dir)
+    return b.select(
+        "bin",
+        "n_pairs",
+        F.round(F.col("sd") / F.col("n_pairs"), 6).alias("avg_h"),
+        F.round(F.col("ss") / (F.lit(2.0) * F.col("n_pairs")), 6).alias("gamma"),
+    )
+
+
+def q_variogram_fit(spark, sf_dir):
+    """Linear variogram-model fit γ(h) ≈ nugget + slope·h by OLS over the
+    empirical bins (bin midpoints vs 6-dp γ values — both engines regress
+    identical doubles; 9-dp pre-rounded sums per repo convention). The
+    nugget/slope pair is the input to kriging weights and to
+    sensor-noise-floor QA. Runs entirely on the O(n_bins) aggregated
+    table."""
+    b = _vg_bins(spark, sf_dir)
+    xy = b.select(
+        ((F.col("bin").cast("double") + F.lit(0.5)) * F.lit(_VG_BINW)).alias("x"),
+        F.round(F.col("ss") / (F.lit(2.0) * F.col("n_pairs")), 6).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.round(F.sum("x"), 9).alias("sx"),
+        F.round(F.sum("y"), 9).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 9).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 9).alias("sxy"),
+    )
+    det = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    return s.select(
+        F.col("k").cast("long").alias("n_bins"),
+        F.when(F.col("k") > 1, F.round(slope, 6)).alias("slope"),
+        F.when(
+            F.col("k") > 1,
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6),
+        ).alias("nugget"),
+    )
+
+
+def _vg_pairs_sql() -> str:
+    lat_a, lng_a = _latlng_sql("a.event_id")
+    lat_b, lng_b = _latlng_sql("b.event_id")
+    d = (
+        f"ROUND(sqrt(({lat_a} - {lat_b}) * ({lat_a} - {lat_b}) + "
+        f"({lng_a} - {lng_b}) * ({lng_a} - {lng_b})), 6)"
+    )
+    nb = int(_VG_HMAX / _VG_BINW)
+    return f"""
+        pts AS (SELECT event_id, value FROM events
+                WHERE event_id % {_VG_SAMPLE_MOD} = 0),
+        pr AS (
+            SELECT CAST(FLOOR({d} / {_VG_BINW}) AS BIGINT) AS bin, {d} AS dist,
+                   ROUND((a.value - b.value) * (a.value - b.value), 9) AS sq
+            FROM pts a JOIN pts b ON a.event_id < b.event_id
+            WHERE {d} <= {_VG_HMAX}),
+        bins AS (
+            SELECT bin, COUNT(*) AS n_pairs, ROUND(SUM(dist), 9) AS sd,
+                   ROUND(SUM(sq), 9) AS ss
+            FROM pr WHERE bin < {nb} GROUP BY 1)
+    """
+
+
+def _semivariogram_sql() -> str:
+    return f"""
+        WITH {_vg_pairs_sql()}
+        SELECT bin, n_pairs, ROUND(sd / n_pairs, 6) AS avg_h,
+               ROUND(ss / (2.0 * n_pairs), 6) AS gamma
+        FROM bins
+    """
+
+
+def _variogram_fit_sql() -> str:
+    return f"""
+        WITH {_vg_pairs_sql()},
+        xy AS (
+            SELECT (CAST(bin AS DOUBLE) + 0.5) * {_VG_BINW} AS x,
+                   ROUND(ss / (2.0 * n_pairs), 6) AS y
+            FROM bins),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS k, ROUND(SUM(x), 9) AS sx,
+                   ROUND(SUM(y), 9) AS sy, ROUND(SUM(x * x), 9) AS sxx,
+                   ROUND(SUM(x * y), 9) AS sxy
+            FROM xy)
+        SELECT CAST(k AS BIGINT) AS n_bins,
+               CASE WHEN k > 1 THEN
+                 ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) END AS slope,
+               CASE WHEN k > 1 THEN
+                 ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k,
+                       6) END AS nugget
+        FROM s
+    """
+
+
+_IPF_RES, _IPF_ROUNDS = 3, 3
+
+
+def q_od_ipf_balance(spark, sf_dir):
+    """IPF / Furness balancing of the OD flow matrix — the transport-
+    planning workhorse: the even-day transition matrix (seed) is scaled by
+    alternating row/column passes to match the odd-day origin outflow and
+    destination inflow margins (3 rounds, 9-dp per-scaling rounding so the
+    unrolled DuckDB CTEs converge on identical doubles).
+
+    Scale shape at 100 TB: the ONLY point-row cost is the user-partitioned
+    lag window + one partial+final agg to the O(cells²) matrix; every IPF
+    round is two aggs + two broadcast-sized joins on that aggregated
+    table — the driver never collects anything."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        cell_encode_col(lat, lng, _IPF_RES).alias("cell"),
+        day.alias("day"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = pts.withColumn("prev_cell", F.lag("cell").over(w)).filter(
+        F.col("prev_cell").isNotNull()
+    )
+    seed = (
+        tr.filter(F.col("day") % 2 == 0)
+        .groupBy(F.col("prev_cell").alias("i"), F.col("cell").alias("j"))
+        .agg(F.count(F.lit(1)).alias("t0"))
+    )
+    odd = tr.filter(F.col("day") % 2 == 1)
+    rt = odd.groupBy(F.col("prev_cell").alias("i")).agg(
+        F.count(F.lit(1)).alias("rt")
+    )
+    ct = odd.groupBy(F.col("cell").alias("j")).agg(F.count(F.lit(1)).alias("ct"))
+    m = seed.join(rt, "i").join(ct, "j").select(
+        "i", "j", "t0", F.col("t0").cast("double").alias("t"), "rt", "ct"
+    )
+    for _ in range(_IPF_ROUNDS):
+        rs = m.groupBy("i").agg(F.round(F.sum("t"), 9).alias("rs"))
+        m = (
+            m.join(rs, "i")
+            .withColumn("t", F.round(F.col("t") * F.col("rt") / F.col("rs"), 9))
+            .drop("rs")
+        )
+        cs = m.groupBy("j").agg(F.round(F.sum("t"), 9).alias("cs"))
+        m = (
+            m.join(cs, "j")
+            .withColumn("t", F.round(F.col("t") * F.col("ct") / F.col("cs"), 9))
+            .drop("cs")
+        )
+    # t is already the 9-dp per-round value; a further 6-dp display rounding
+    # would RE-round a short decimal (ties at the 7th-9th dp are ~1e-3/row,
+    # and Spark HALF_UP vs C-library rounding disagree on them) — so the
+    # 9-dp value IS the output, per the knife-edge lesson in ADVICE.md.
+    return m.select(
+        F.col("i").alias("cell_from"),
+        F.col("j").alias("cell_to"),
+        "t0",
+        F.col("t").alias("t_bal"),
+    )
+
+
+def _od_ipf_balance_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, _IPF_RES)
+    rounds = []
+    prev = "m0"
+    for r in range(_IPF_ROUNDS):
+        rounds.append(
+            f"""rs{r} AS (SELECT i, ROUND(SUM(t), 9) AS rs FROM {prev} GROUP BY 1),
+        mr{r} AS (
+            SELECT m.i, m.j, m.t0, ROUND(m.t * m.rt / rs.rs, 9) AS t, m.rt, m.ct
+            FROM {prev} m JOIN rs{r} rs ON m.i = rs.i),
+        cs{r} AS (SELECT j, ROUND(SUM(t), 9) AS cs FROM mr{r} GROUP BY 1),
+        mc{r} AS (
+            SELECT m.i, m.j, m.t0, ROUND(m.t * m.ct / cs.cs, 9) AS t, m.rt, m.ct
+            FROM mr{r} m JOIN cs{r} cs ON m.j = cs.j)"""
+        )
+        prev = f"mc{r}"
+    body = ",\n        ".join(rounds)
+    return f"""
+        WITH p AS (
+            SELECT user_id, ts, event_id, {cell} AS cell,
+                   CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+            FROM events),
+        tr AS (
+            SELECT cell, day,
+                   LAG(cell) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_cell
+            FROM p),
+        seed AS (
+            SELECT prev_cell AS i, cell AS j, COUNT(*) AS t0
+            FROM tr WHERE prev_cell IS NOT NULL AND day % 2 = 0 GROUP BY 1, 2),
+        rt AS (
+            SELECT prev_cell AS i, COUNT(*) AS rt
+            FROM tr WHERE prev_cell IS NOT NULL AND day % 2 = 1 GROUP BY 1),
+        ct AS (
+            SELECT cell AS j, COUNT(*) AS ct
+            FROM tr WHERE prev_cell IS NOT NULL AND day % 2 = 1 GROUP BY 1),
+        m0 AS (
+            SELECT s.i, s.j, s.t0, CAST(s.t0 AS DOUBLE) AS t, rt.rt, ct.ct
+            FROM seed s JOIN rt ON s.i = rt.i JOIN ct ON s.j = ct.j),
+        {body}
+        SELECT i AS cell_from, j AS cell_to, t0, t AS t_bal
+        FROM {prev}
+    """
+
+
+_KMV_K, _KMV_RES = 32, 2
+_KMV_DENOM = float(1 << 48)
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV / bottom-k (theta-sketch family) distinct-count estimation of
+    per-cell unique users: estimate = (k−1)/h_(k) where h_(k) is the k-th
+    smallest md5-uniform hash — next to exact COUNT(DISTINCT) for error
+    audit. THE mergeable distinct sketch a 100 TB engine ships between
+    executors instead of raw value sets: per partition keep the k smallest
+    hashes (O(k) state), merge = k-smallest of the union. Here the sketch
+    is computed relationally (dedupe → per-cell rank window → k-th value)
+    so DuckDB reproduces it bit-exactly; cells with < k users fall back to
+    the exact count (the sketch is exact until full)."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    cu = ev.select(
+        cell_encode_col(lat, lng, _KMV_RES).alias("cell"), "user_id"
+    ).distinct()
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        / F.lit(_KMV_DENOM)
+    )
+    ranked = cu.withColumn("h", h).withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("cell").orderBy("h", "user_id")),
+    )
+    per = ranked.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("hk").isNotNull(), F.round(F.lit(float(_KMV_K - 1)) / F.col("hk"), 6)
+    ).otherwise(F.col("n_exact").cast("double"))
+    return per.select("cell", "n_exact", est.alias("n_kmv"))
+
+
+def _kmv_distinct_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, _KMV_RES)
+    return f"""
+        WITH cu AS (SELECT DISTINCT {cell} AS cell, user_id FROM events),
+        hu AS (
+            SELECT cell, user_id,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                     / {_KMV_DENOM} AS h
+            FROM cu),
+        r AS (
+            SELECT cell, h,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                                      ORDER BY h, user_id) AS rk
+            FROM hu),
+        per AS (
+            SELECT cell, COUNT(*) AS n_exact,
+                   MAX(CASE WHEN rk = {_KMV_K} THEN h END) AS hk
+            FROM r GROUP BY 1)
+        SELECT cell, n_exact,
+               CASE WHEN hk IS NOT NULL THEN ROUND({float(_KMV_K - 1)} / hk, 6)
+                    ELSE CAST(n_exact AS DOUBLE) END AS n_kmv
+        FROM per
+    """
+
+
+_BLOOM_M = 4096
+
+
+def _bloom_pos(key):
+    hx = F.md5(key.cast("string"))
+    p1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % _BLOOM_M
+    p2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % _BLOOM_M
+    return p1, p2
+
+
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-filtered semi-join with false-positive accounting: a 4096-bit
+    k=2 Bloom filter built over BUILDING-segment customer keys pre-filters
+    the orders probe BEFORE the exact membership join — the
+    runtime-filter / DPP technique that turns a 100 TB shuffle join into a
+    map-side scan prune (Spark's own spark.sql.optimizer.runtimeFilter,
+    made explicit and measurable). Output per order status: probes, Bloom
+    passes, true members, false positives, and the realized FP rate vs the
+    (1−e^{-kn/m})^k design point. All bit positions are md5 arithmetic —
+    bit-exact in both engines."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    p1, p2 = _bloom_pos(F.col("key"))
+    bits = (
+        build.select(p1.alias("pos"))
+        .unionByName(build.select(p2.alias("pos")))
+        .distinct()
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    q1, q2 = _bloom_pos(F.col("o_custkey"))
+    probe = orders.withColumn("p1", q1).withColumn("p2", q2)
+    b1 = bits.select(F.col("pos").alias("p1"), F.lit(1).alias("b1_hit"))
+    b2 = bits.select(F.col("pos").alias("p2"), F.lit(1).alias("b2_hit"))
+    truth = build.select(F.col("key").alias("o_custkey"), F.lit(1).alias("is_true"))
+    flagged = (
+        probe.join(F.broadcast(b1), "p1", "left")
+        .join(F.broadcast(b2), "p2", "left")
+        .join(F.broadcast(truth), "o_custkey", "left")
+        .withColumn(
+            "pass",
+            (F.col("b1_hit").isNotNull() & F.col("b2_hit").isNotNull()).cast(
+                "long"
+            ),
+        )
+        .withColumn("hit", F.col("is_true").isNotNull().cast("long"))
+    )
+    agg = flagged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum("pass").alias("n_pass"),
+        F.sum("hit").alias("n_true"),
+        F.sum(F.col("pass") * (F.lit(1) - F.col("hit"))).alias("n_false_pos"),
+    )
+    nonmember = F.col("n_probe") - F.col("n_true")
+    return agg.select(
+        "o_orderstatus",
+        "n_probe",
+        "n_pass",
+        "n_true",
+        "n_false_pos",
+        F.when(
+            nonmember > 0, F.round(F.col("n_false_pos") / nonmember, 6)
+        ).alias("fp_rate"),
+    )
+
+
+def _bloom_semi_join_sql() -> str:
+    def pos(expr: str, off: int) -> str:
+        return (
+            f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), {off}, 8))::BIGINT"
+            f" % {_BLOOM_M})"
+        )
+
+    return f"""
+        WITH build AS (
+            SELECT c_custkey AS key FROM customer
+            WHERE c_mktsegment = 'BUILDING'),
+        bits AS (
+            SELECT DISTINCT pos FROM (
+                SELECT {pos('key', 1)} AS pos FROM build
+                UNION ALL SELECT {pos('key', 9)} AS pos FROM build)),
+        f AS (
+            SELECT o_orderstatus,
+                   CASE WHEN {pos('o_custkey', 1)} IN (SELECT pos FROM bits)
+                         AND {pos('o_custkey', 9)} IN (SELECT pos FROM bits)
+                        THEN 1 ELSE 0 END AS pass,
+                   CASE WHEN o_custkey IN (SELECT key FROM build)
+                        THEN 1 ELSE 0 END AS hit
+            FROM orders)
+        SELECT o_orderstatus, COUNT(*) AS n_probe,
+               CAST(SUM(pass) AS BIGINT) AS n_pass,
+               CAST(SUM(hit) AS BIGINT) AS n_true,
+               CAST(SUM(pass * (1 - hit)) AS BIGINT) AS n_false_pos,
+               CASE WHEN COUNT(*) - SUM(hit) > 0 THEN
+                 ROUND(CAST(SUM(pass * (1 - hit)) AS DOUBLE)
+                       / (COUNT(*) - SUM(hit)), 6) END AS fp_rate
+        FROM f GROUP BY 1
+    """
+
+
+_CMS_W, _CMS_D, _CMS_TOP = 512, 3, 20
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimation audited against exact counts:
+    a d=3 × w=512 CMS over the corpus term stream, then the exact top-20
+    terms are point-queried (estimate = min over the d counters) and the
+    guaranteed-one-sided overcount is reported per term. THE bounded-memory
+    frequency sketch for 100 TB streams: counters are mergeable partial
+    aggs (O(d·w) state per partition), never a per-term hash table. All
+    integer md5 arithmetic — exact parity."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.dedup import words_col
+
+    d = _read(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(words_col(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def bucket(r: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("term"), F.lit(f"#{r}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    sk = counts.select(F.lit(0).alias("r"), bucket(0).alias("bucket"), "n")
+    for r in range(1, _CMS_D):
+        sk = sk.unionByName(
+            counts.select(F.lit(r).alias("r"), bucket(r).alias("bucket"), "n")
+        )
+    counters = sk.groupBy("r", "bucket").agg(F.sum("n").cast("long").alias("c"))
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    top = counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _CMS_TOP
+    )
+    est = top.select(
+        "term", "n", F.col("rk").cast("long").alias("rk"),
+        *[bucket(r).alias(f"b{r}") for r in range(_CMS_D)],
+    )
+    for r in range(_CMS_D):
+        cr = counters.filter(F.col("r") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("c").alias(f"c{r}")
+        )
+        est = est.join(F.broadcast(cr), f"b{r}")
+    mn = F.least(*[F.col(f"c{r}") for r in range(_CMS_D)])
+    return est.select(
+        "term",
+        F.col("n").alias("n_exact"),
+        mn.alias("n_cms"),
+        (mn - F.col("n")).alias("overcount"),
+        "rk",
+    )
+
+
+def _cms_heavy_hitters_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    b = (
+        f"(('0x' || substr(md5(t.term || '#' || c.r), 1, 8))::BIGINT % {_CMS_W})"
+    )
+    return f"""
+        WITH terms AS (SELECT unnest({w}) AS term FROM documents),
+        counts AS (
+            SELECT term, COUNT(*) AS n FROM terms WHERE term != '' GROUP BY 1),
+        sk AS (
+            SELECT rr.r,
+                   ('0x' || substr(md5(term || '#' || rr.r), 1, 8))::BIGINT
+                     % {_CMS_W} AS bucket,
+                   n
+            FROM counts CROSS JOIN (VALUES (0), (1), (2)) rr(r)),
+        counters AS (
+            SELECT r, bucket, CAST(SUM(n) AS BIGINT) AS c
+            FROM sk GROUP BY 1, 2),
+        top AS (
+            SELECT term, n, rk FROM (
+                SELECT term, n,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rk
+                FROM counts)
+            WHERE rk <= {_CMS_TOP})
+        SELECT t.term, t.n AS n_exact, MIN(c.c) AS n_cms,
+               MIN(c.c) - t.n AS overcount, t.rk
+        FROM top t JOIN counters c ON c.bucket = {b}
+        GROUP BY t.term, t.n, t.rk
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10034,6 +10568,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top_component": q_pca_top_component,
         "cotravel_pairs": q_cotravel_pairs,
         "contact_reach": q_contact_reach,
+        "semivariogram": q_semivariogram,
+        "variogram_fit": q_variogram_fit,
+        "od_ipf_balance": q_od_ipf_balance,
+        "kmv_distinct": q_kmv_distinct,
+        "bloom_semi_join": q_bloom_semi_join,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -10160,6 +10700,12 @@ def oracle_sql() -> dict[str, str]:
         "pca_top_component": _pca_top_component_sql(),
         "cotravel_pairs": _cotravel_pairs_sql(),
         "contact_reach": _contact_reach_sql(),
+        "semivariogram": _semivariogram_sql(),
+        "variogram_fit": _variogram_fit_sql(),
+        "od_ipf_balance": _od_ipf_balance_sql(),
+        "kmv_distinct": _kmv_distinct_sql(),
+        "bloom_semi_join": _bloom_semi_join_sql(),
+        "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -159,6 +159,14 @@ HEADLINE = [
     "pca_top_component",
     "colbert_maxsim",
     "contact_reach",
+    # session-8 additions: geostatistics (variogram), IPF matrix balancing,
+    # and the distributed-sketch trio (KMV distinct, Bloom join, CMS)
+    "semivariogram",
+    "variogram_fit",
+    "od_ipf_balance",
+    "kmv_distinct",
+    "bloom_semi_join",
+    "cms_heavy_hitters",
 ]
 
 SEED = 77

@@ -29,6 +29,7 @@ NAMES = [
     "viterbi_match", "dsir_weights", "local_moran", "ripley_k",
     "emerging_hotspots", "colocation_quotient", "g_function", "quadrat_csr",
     "colbert_maxsim", "contact_reach", "cotravel_pairs", "doc_dup_substrings",
+    "semivariogram", "variogram_fit", "od_ipf_balance", "kmv_distinct",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 bad = 0
