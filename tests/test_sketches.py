@@ -1,0 +1,161 @@
+"""Property tests for the distributed-sketch trio (KMV distinct, Bloom
+semi-join, count-min heavy hitters), the semivariogram pair, and IPF
+balancing (__spark_entry__.py session-8 block) — the invariants the DuckDB
+value-hash oracles can't express: estimator error bounds, one-sidedness,
+zero-false-negative guarantees, and margin convergence."""
+from __future__ import annotations
+
+import importlib.util
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_sketch_tests", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_kmv_exact_below_k_and_bounded_error_above(entry, spark, sf_dir):
+    rows = entry.q_kmv_distinct(spark, sf_dir).collect()
+    assert rows, "kmv_distinct returned nothing"
+    k = entry._KMV_K
+    for r in rows:
+        if r.n_exact < k:
+            # sketch not full -> falls back to the exact count
+            assert r.n_kmv == float(r.n_exact), (r.cell, r.n_exact, r.n_kmv)
+        else:
+            # KMV relative std error ~ 1/sqrt(k-2) ~= 18% at k=32; the data
+            # is deterministic so the realized error is a fixed number —
+            # assert a generous 3-sigma-ish envelope
+            rel = abs(r.n_kmv - r.n_exact) / r.n_exact
+            assert rel < 0.55, (r.cell, r.n_exact, r.n_kmv, rel)
+
+
+def test_bloom_no_false_negatives_and_count_algebra(entry, spark, sf_dir):
+    rows = entry.q_bloom_semi_join(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every true member passes the filter (Bloom guarantees no false
+        # negatives), so passes decompose exactly into true + false-positive
+        assert r.n_pass == r.n_true + r.n_false_pos, r
+        assert r.n_pass <= r.n_probe
+        if r.n_probe > r.n_true:
+            # realized FP rate should sit near the (1 - e^{-kn/m})^k design
+            # point; allow a wide deterministic envelope
+            n_build = r.n_pass - r.n_false_pos  # lower bound on |build| hits
+            assert 0.0 <= r.fp_rate <= 0.5, r
+
+
+def test_cms_overcount_is_one_sided(entry, spark, sf_dir):
+    rows = entry.q_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == entry._CMS_TOP
+    for r in rows:
+        # count-min NEVER undercounts
+        assert r.n_cms >= r.n_exact, r
+        assert r.overcount == r.n_cms - r.n_exact
+
+
+def test_semivariogram_matches_numpy_bruteforce(entry, spark, sf_dir):
+    got = {r.bin: r for r in entry.q_semivariogram(spark, sf_dir).collect()}
+    # brute-force reference from the same deterministic anchors
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "value")
+        .filter(f"event_id % {entry._VG_SAMPLE_MOD} = 0")
+        .collect()
+    )
+    HM, HMOD = 2654435761, 2147483648
+    ids = np.array([r.event_id for r in ev], dtype=np.int64)
+    vals = np.array([r.value for r in ev])
+    h = (ids * HM) % HMOD
+    lat = (h % 1700) / 10.0 - 85.0 + 0.05
+    lng = ((h // 1700) % 3580) / 10.0 - 179.0 + 0.05
+    n = len(ids)
+    bins: dict[int, list] = {}
+    for i in range(n):
+        dla = lat[i] - lat[i + 1 :]
+        dln = lng[i] - lng[i + 1 :]
+        d = np.round(np.sqrt(dla * dla + dln * dln), 6)
+        sq = (vals[i] - vals[i + 1 :]) ** 2
+        for dist, s in zip(d, sq):
+            if dist <= entry._VG_HMAX:
+                b = int(dist // entry._VG_BINW)
+                if b < int(entry._VG_HMAX / entry._VG_BINW):
+                    bins.setdefault(b, []).append((dist, s))
+    assert set(got) == set(bins)
+    for b, pairs in bins.items():
+        assert got[b].n_pairs == len(pairs)
+        gamma = sum(s for _, s in pairs) / (2.0 * len(pairs))
+        assert got[b].gamma == pytest.approx(gamma, abs=2e-6)
+
+
+def test_variogram_fit_is_ols_of_bins(entry, spark, sf_dir):
+    bins = entry.q_semivariogram(spark, sf_dir).collect()
+    fit = entry.q_variogram_fit(spark, sf_dir).collect()[0]
+    assert fit.n_bins == len(bins)
+    if len(bins) > 1:
+        x = np.array([(r.bin + 0.5) * entry._VG_BINW for r in bins])
+        y = np.array([r.gamma for r in bins])
+        slope, nugget = np.polyfit(x, y, 1)
+        assert fit.slope == pytest.approx(slope, abs=1e-4)
+        assert fit.nugget == pytest.approx(nugget, abs=1e-4)
+    else:
+        assert fit.slope is None and fit.nugget is None
+
+
+def test_ipf_converges_to_margins(entry, spark, sf_dir):
+    rows = entry.q_od_ipf_balance(spark, sf_dir).collect()
+    assert rows
+    # recompute the odd-day margins the query targets
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id"
+    )
+    lat, lng = entry._latlng_cols(F.col("event_id"))
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        cell_encode_col(lat, lng, entry._IPF_RES).alias("cell"),
+        day.alias("day"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        pts.withColumn("prev_cell", F.lag("cell").over(w))
+        .filter(F.col("prev_cell").isNotNull() & (F.col("day") % 2 == 1))
+        .collect()
+    )
+    row_t: dict[int, int] = {}
+    col_t: dict[int, int] = {}
+    for r in tr:
+        row_t[r.prev_cell] = row_t.get(r.prev_cell, 0) + 1
+        col_t[r.cell] = col_t.get(r.cell, 0) + 1
+    # the matrix only keeps (i, j) with both margins present; compare the
+    # PORTION of each margin covered by surviving rows against the
+    # balanced sums — the last pass scales columns, so column margins must
+    # match essentially exactly
+    col_sum: dict[int, float] = {}
+    row_sum: dict[int, float] = {}
+    for r in rows:
+        col_sum[r.cell_to] = col_sum.get(r.cell_to, 0.0) + r.t_bal
+        row_sum[r.cell_from] = row_sum.get(r.cell_from, 0.0) + r.t_bal
+    for j, s in col_sum.items():
+        assert s == pytest.approx(col_t[j], rel=1e-6), (j, s, col_t[j])
+    # row margins converge but are one half-step behind: generous envelope
+    worst = max(
+        abs(s - row_t[i]) / row_t[i] for i, s in row_sum.items()
+    )
+    assert worst < 0.35, worst
