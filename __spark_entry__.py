@@ -10033,8 +10033,15 @@ def q_od_ipf_balance(spark, sf_dir):
         F.count(F.lit(1)).alias("rt")
     )
     ct = odd.groupBy(F.col("cell").alias("j")).agg(F.count(F.lit(1)).alias("ct"))
-    m = seed.join(rt, "i").join(ct, "j").select(
-        "i", "j", "t0", F.col("t0").cast("double").alias("t"), "rt", "ct"
+    # localCheckpoint per round (the k-core/components lineage-cut pattern):
+    # each round references m twice (m ⋈ agg(m)), so without the cut the
+    # point-row transition window re-evaluates 2^(2·rounds) times — the
+    # checkpointed matrix is O(cells²) rows, so the cut is free.
+    m = (
+        seed.join(rt, "i")
+        .join(ct, "j")
+        .select("i", "j", "t0", F.col("t0").cast("double").alias("t"), "rt", "ct")
+        .localCheckpoint(eager=False)
     )
     for _ in range(_IPF_ROUNDS):
         rs = m.groupBy("i").agg(F.round(F.sum("t"), 9).alias("rs"))
@@ -10048,6 +10055,7 @@ def q_od_ipf_balance(spark, sf_dir):
             m.join(cs, "j")
             .withColumn("t", F.round(F.col("t") * F.col("ct") / F.col("cs"), 9))
             .drop("cs")
+            .localCheckpoint(eager=False)
         )
     # t is already the 9-dp per-round value; a further 6-dp display rounding
     # would RE-round a short decimal (ties at the 7th-9th dp are ~1e-3/row,
