@@ -10384,6 +10384,380 @@ def _cms_heavy_hitters_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# histogram quantile sketch, matryoshka retrieval audit, BPE apply,
+# KMV set operations
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 128
+_HQ_QS = (0.5, 0.95, 0.99)
+
+
+def q_histogram_quantiles(spark, sf_dir):
+    """Histogram-sketch quantile estimation audited against exact order
+    statistics: per event type, P50/P95/P99 of the value column from a
+    128-bin equi-width histogram (the mergeable O(bins) state a 100 TB
+    engine keeps per partition — Spark's approxQuantile idea, made
+    deterministic) next to the exact type-1 quantile (value at rank
+    ⌈q·n⌉), with the signed sketch error per row. The exact path costs a
+    per-group sort ONCE here for audit; at scale only the histogram runs.
+    All bin arithmetic is shared-double identical in both engines."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    qdf = spark.createDataFrame([(q,) for q in _HQ_QS], "q double")
+    tq = st.crossJoin(F.broadcast(qdf)).withColumn(
+        "k", F.ceil(F.col("q") * F.col("n")).cast("long")
+    )
+    ranked = ev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("value", "event_id")
+        ),
+    )
+    exact = tq.join(
+        ranked.select("event_type", F.col("rn").alias("k"), "value"),
+        ["event_type", "k"],
+    ).select("event_type", "q", "k", F.col("value").alias("exact"), "mn", "mx")
+    width = F.col("mx") - F.col("mn")
+    evb = ev.join(F.broadcast(st), "event_type").withColumn(
+        "bin",
+        F.when(
+            width > 0,
+            F.least(
+                F.lit(_HQ_BINS - 1),
+                F.floor((F.col("value") - F.col("mn")) / width * _HQ_BINS),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    cum = (
+        evb.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cumn",
+            F.sum("c").over(
+                Window.partitionBy("event_type")
+                .orderBy("bin")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    binq = (
+        exact.join(cum.select("event_type", "bin", "cumn"), "event_type")
+        .filter(F.col("cumn") >= F.col("k"))
+        .groupBy("event_type", "q", "k", "exact", "mn", "mx")
+        .agg(F.min("bin").alias("binq"))
+    )
+    est = F.round(
+        F.col("mn")
+        + (F.col("binq") + 1) * (F.col("mx") - F.col("mn")) / F.lit(float(_HQ_BINS)),
+        6,
+    )
+    return binq.select(
+        "event_type",
+        "q",
+        "k",
+        "exact",
+        est.alias("est"),
+        F.round(est - F.col("exact"), 6).alias("err"),
+    )
+
+
+def _histogram_quantiles_sql() -> str:
+    qs = ", ".join(f"({q})" for q in _HQ_QS)
+    return f"""
+        WITH ev AS (SELECT event_type, event_id, value FROM events),
+        st AS (
+            SELECT event_type, COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx
+            FROM ev GROUP BY 1),
+        tq AS (
+            SELECT st.*, CAST(qq.q AS DOUBLE) AS q,
+                   CAST(CEIL(CAST(qq.q AS DOUBLE) * st.n) AS BIGINT) AS k
+            FROM st CROSS JOIN (VALUES {qs}) qq(q)),
+        ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn
+            FROM ev),
+        exact AS (
+            SELECT t.event_type, t.q, t.k, r.value AS exact, t.mn, t.mx
+            FROM tq t JOIN ranked r
+              ON r.event_type = t.event_type AND r.rn = t.k),
+        evb AS (
+            SELECT e.event_type,
+                   CASE WHEN s.mx > s.mn THEN LEAST({_HQ_BINS - 1},
+                        CAST(FLOOR((e.value - s.mn) / (s.mx - s.mn)
+                             * {_HQ_BINS}) AS BIGINT))
+                        ELSE 0 END AS bin
+            FROM ev e JOIN st s ON e.event_type = s.event_type),
+        cum AS (
+            SELECT event_type, bin,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cumn
+            FROM (SELECT event_type, bin, COUNT(*) AS c
+                  FROM evb GROUP BY 1, 2)),
+        binq AS (
+            SELECT x.event_type, x.q, x.k, x.exact, x.mn, x.mx,
+                   MIN(c.bin) AS binq
+            FROM exact x JOIN cum c ON c.event_type = x.event_type
+            WHERE c.cumn >= x.k
+            GROUP BY 1, 2, 3, 4, 5, 6)
+        SELECT event_type, q, k, exact,
+               ROUND(mn + (binq + 1) * (mx - mn) / {float(_HQ_BINS)}, 6) AS est,
+               ROUND(ROUND(mn + (binq + 1) * (mx - mn) / {float(_HQ_BINS)}, 6)
+                     - exact, 6) AS err
+        FROM binq
+    """
+
+
+_MAT_DIM = 16
+
+
+def q_matryoshka_recall(spark, sf_dir):
+    """Matryoshka / truncated-dimension retrieval audit: top-10 by cosine
+    over the FIRST 16 dims vs top-10 over the full 64 — the
+    coarse-to-fine trick (truncated prefix scan, full-dim rerank of
+    survivors) that cuts ANN scan IO 4×. Output is the full-outer join of
+    the two top-10 rank lists; recall@10 is the row overlap. Both scans
+    are one codegen pass each, TakeOrderedAndProject finals."""
+    from pyspark.sql import Window
+
+    e = _read(spark, sf_dir, "embeddings")
+    full = (
+        e.withColumn("d", F.round(cosine_dist_col(F.col("embedding"), QVEC), 6))
+        .withColumn(
+            "rank_full",
+            F.row_number().over(Window.orderBy("d", "vec_id")).cast("long"),
+        )
+        .filter(F.col("rank_full") <= 10)
+        .select("vec_id", "rank_full")
+    )
+    from raptor_service_spark.functions.vector import cosine_dist_col as _cd
+
+    trunc = (
+        e.withColumn(
+            "d",
+            F.round(
+                _cd(F.slice(F.col("embedding"), 1, _MAT_DIM), QVEC[:_MAT_DIM]), 6
+            ),
+        )
+        .withColumn(
+            "rank_trunc",
+            F.row_number().over(Window.orderBy("d", "vec_id")).cast("long"),
+        )
+        .filter(F.col("rank_trunc") <= 10)
+        .select("vec_id", "rank_trunc")
+    )
+    return full.join(trunc, "vec_id", "full_outer").select(
+        "vec_id", "rank_full", "rank_trunc"
+    )
+
+
+def _matryoshka_recall_sql() -> str:
+    qtrunc = "[" + ", ".join(f"{x:.6f}" for x in QVEC[:_MAT_DIM]) + "]"
+    return f"""
+        WITH full10 AS (
+            SELECT vec_id, rank_full FROM (
+                SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+                    ROUND(1.0 - list_cosine_similarity(
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                        {QVEC_SQL}), 6), vec_id) AS rank_full
+                FROM embeddings)
+            WHERE rank_full <= 10),
+        trunc10 AS (
+            SELECT vec_id, rank_trunc FROM (
+                SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+                    ROUND(1.0 - list_cosine_similarity(
+                        list_transform(embedding[1:{_MAT_DIM}],
+                                       x -> CAST(x AS DOUBLE)),
+                        {qtrunc}), 6), vec_id) AS rank_trunc
+                FROM embeddings)
+            WHERE rank_trunc <= 10)
+        SELECT COALESCE(f.vec_id, t.vec_id) AS vec_id, f.rank_full, t.rank_trunc
+        FROM full10 f FULL OUTER JOIN trunc10 t ON f.vec_id = t.vec_id
+    """
+
+
+# fixed merge vocabulary over the synthetic corpus's character stream
+_BPE_APPLY_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("r", "o"), ("ro", "w"),
+    ("j", "o"), ("jo", "i"), ("joi", "n"),
+    ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION (the encode side of bpe_merges): each word
+    is spaced into characters and a fixed 16-merge vocabulary is applied in
+    rank order as literal ' a b ' → ' ab ' replacements (two passes per
+    merge — the second pass catches the boundary-space consumed by
+    non-overlapping left-to-right replacement; exact for runs ≤ 4, and
+    bit-identical in both engines since literal replace semantics agree).
+    Output: top-20 subword tokens by corpus frequency — the vocabulary-hit
+    profile a tokenizer rollout is audited by. The whole encode is a chain
+    of 32 codegen string ops; no Python, no shuffle before the count."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.dedup import words_col
+
+    d = _read(spark, sf_dir, "documents")
+    word = F.explode(words_col(F.col("text"))).alias("word")
+    ws = d.select(word).filter(F.col("word") != "")
+    spaced = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")), F.lit(" ")
+    )
+    for a, b in _BPE_APPLY_MERGES:
+        for _ in range(2):
+            spaced = F.replace(spaced, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    toks = ws.select(F.explode(F.split(F.trim(spaced), " ")).alias("tok")).filter(
+        F.length("tok") > 1  # the vocabulary-HIT profile: merged subwords only
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("tok", "n", "rk")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    expr = "' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '"
+    for a, b in _BPE_APPLY_MERGES:
+        for _ in range(2):
+            expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+        WITH ws AS (
+            SELECT unnest({w}) AS word FROM documents),
+        toks AS (
+            SELECT unnest(string_split(trim({expr}), ' ')) AS tok
+            FROM ws WHERE word != '')
+        SELECT tok, n, rk FROM (
+            SELECT tok, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rk
+            FROM toks WHERE LENGTH(tok) > 1 GROUP BY tok)
+        WHERE rk <= 20
+    """
+
+
+def q_kmv_set_ops(spark, sf_dir):
+    """Theta-sketch-style SET OPERATIONS on KMV sketches: per res-2 cell,
+    estimate |A ∪ B| and |A ∩ B| for A = users seen on even days, B = odd
+    days — union = the k smallest hashes of A ∪ B (exactly the merge of
+    the two per-set sketches, which is WHY KMV scales: executors ship O(k)
+    states, never user sets), intersection via the theta Jaccard (fraction
+    of the union sketch present in both sets). Exact counts ride alongside
+    for the error audit; below-k cells are exact by construction."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    pres = (
+        ev.select(
+            cell_encode_col(lat, lng, _KMV_RES).alias("cell"),
+            "user_id",
+            (day % 2).alias("par"),
+        )
+        .groupBy("cell", "user_id")
+        .agg(
+            F.max((F.col("par") == 0).cast("int")).alias("in_a"),
+            F.max((F.col("par") == 1).cast("int")).alias("in_b"),
+        )
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        / F.lit(_KMV_DENOM)
+    )
+    ranked = pres.withColumn("h", h).withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("cell").orderBy("h", "user_id")),
+    )
+    per = ranked.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("n_inter"),
+        F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("hk"),
+        F.sum(
+            F.when(
+                (F.col("rk") <= _KMV_K) & (F.col("in_a") == 1) & (F.col("in_b") == 1),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("both_in_theta"),
+        F.least(F.count(F.lit(1)), F.lit(_KMV_K).cast("long")).alias("kk"),
+    )
+    union_est = F.when(
+        F.col("hk").isNotNull(), F.round(F.lit(float(_KMV_K - 1)) / F.col("hk"), 6)
+    ).otherwise(F.col("n_union").cast("double"))
+    inter_est = F.round(
+        F.col("both_in_theta") / F.col("kk") * union_est, 6
+    )
+    return per.select(
+        "cell",
+        "n_union",
+        union_est.alias("union_est"),
+        "n_inter",
+        inter_est.alias("inter_est"),
+    )
+
+
+def _kmv_set_ops_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, _KMV_RES)
+    return f"""
+        WITH pres AS (
+            SELECT {cell} AS cell, user_id,
+                   MAX(CASE WHEN CAST(FLOOR(epoch_us(ts) / 86400000000)
+                                 AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+                   MAX(CASE WHEN CAST(FLOOR(epoch_us(ts) / 86400000000)
+                                 AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END) AS in_b
+            FROM events GROUP BY 1, 2),
+        ranked AS (
+            SELECT cell, user_id, in_a, in_b,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                     / {_KMV_DENOM} AS h,
+                   ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1,
+                        12))::BIGINT / {_KMV_DENOM}, user_id) AS rk
+            FROM pres),
+        per AS (
+            SELECT cell, COUNT(*) AS n_union,
+                   CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter,
+                   MAX(CASE WHEN rk = {_KMV_K} THEN h END) AS hk,
+                   SUM(CASE WHEN rk <= {_KMV_K} AND in_a = 1 AND in_b = 1
+                            THEN 1 ELSE 0 END) AS both_in_theta,
+                   LEAST(COUNT(*), {_KMV_K}) AS kk
+            FROM ranked GROUP BY 1)
+        SELECT cell, n_union,
+               CASE WHEN hk IS NOT NULL THEN ROUND({float(_KMV_K - 1)} / hk, 6)
+                    ELSE CAST(n_union AS DOUBLE) END AS union_est,
+               n_inter,
+               ROUND(both_in_theta / kk
+                     * CASE WHEN hk IS NOT NULL
+                            THEN ROUND({float(_KMV_K - 1)} / hk, 6)
+                            ELSE CAST(n_union AS DOUBLE) END, 6) AS inter_est
+        FROM per
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10582,6 +10956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "bloom_semi_join": q_bloom_semi_join,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "histogram_quantiles": q_histogram_quantiles,
+        "matryoshka_recall": q_matryoshka_recall,
+        "bpe_encode": q_bpe_encode,
+        "kmv_set_ops": q_kmv_set_ops,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -10714,6 +11092,10 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _kmv_distinct_sql(),
         "bloom_semi_join": _bloom_semi_join_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
+        "histogram_quantiles": _histogram_quantiles_sql(),
+        "matryoshka_recall": _matryoshka_recall_sql(),
+        "bpe_encode": _bpe_encode_sql(),
+        "kmv_set_ops": _kmv_set_ops_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -167,6 +167,10 @@ HEADLINE = [
     "kmv_distinct",
     "bloom_semi_join",
     "cms_heavy_hitters",
+    "histogram_quantiles",
+    "matryoshka_recall",
+    "bpe_encode",
+    "kmv_set_ops",
 ]
 
 SEED = 77

@@ -30,6 +30,7 @@ NAMES = [
     "emerging_hotspots", "colocation_quotient", "g_function", "quadrat_csr",
     "colbert_maxsim", "contact_reach", "cotravel_pairs", "doc_dup_substrings",
     "semivariogram", "variogram_fit", "od_ipf_balance", "kmv_distinct",
+    "histogram_quantiles", "kmv_set_ops", "matryoshka_recall",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 bad = 0

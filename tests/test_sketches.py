@@ -159,3 +159,69 @@ def test_ipf_converges_to_margins(entry, spark, sf_dir):
         abs(s - row_t[i]) / row_t[i] for i, s in row_sum.items()
     )
     assert worst < 0.35, worst
+
+
+def test_histogram_quantile_est_bounds_exact(entry, spark, sf_dir):
+    rows = entry.q_histogram_quantiles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the estimate is the RIGHT edge of the first bin whose cumulative
+        # count reaches k, so it can never undershoot the exact quantile by
+        # more than one bin width and never undercounts below it
+        assert r.est >= r.exact - 1e-9, r
+        assert r.err == pytest.approx(r.est - r.exact, abs=2e-6)
+        assert r.err >= -1e-9
+
+
+def test_matryoshka_truncated_recall_reasonable(entry, spark, sf_dir):
+    rows = entry.q_matryoshka_recall(spark, sf_dir).collect()
+    full = {r.vec_id for r in rows if r.rank_full is not None}
+    trunc = {r.vec_id for r in rows if r.rank_trunc is not None}
+    assert len(full) == 10 and len(trunc) == 10
+    # 16 of 64 dims retains SOME signal on the deterministic corpus:
+    # require non-zero overlap, and the join must cover both sets
+    assert len(full & trunc) >= 1
+    assert {r.vec_id for r in rows} == full | trunc
+
+
+def test_bpe_encode_tokens_reconstruct_words(entry, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from raptor_service_spark.operators.dedup import words_col
+
+    rows = entry.q_bpe_encode(spark, sf_dir).collect()
+    # <= 20 ranked rows; the small synthetic vocab yields ~7 merged types
+    assert 5 <= len(rows) <= 20
+    toks = {r.tok for r in rows}
+    # output is the merged-subword (vocabulary-hit) profile only
+    assert all(len(t) > 1 for t in toks), toks
+    # the full-word chains in the merge table must actually fire
+    assert {"table", "scan", "row", "join", "query"} & toks, toks
+    # every reported token is buildable from the merge vocabulary
+    vocab = {a + b for a, b in entry._BPE_APPLY_MERGES}
+    assert toks <= vocab, toks - vocab
+    # subword char mass cannot exceed the corpus word-character mass
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wchars = (
+        d.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.sum(F.length("w")))
+        .collect()[0][0]
+    )
+    top_mass = sum(r.n * len(r.tok) for r in rows)
+    assert 0 < top_mass <= wchars
+
+
+def test_kmv_set_ops_exact_below_k(entry, spark, sf_dir):
+    rows = entry.q_kmv_set_ops(spark, sf_dir).collect()
+    assert rows
+    k = entry._KMV_K
+    for r in rows:
+        assert r.n_inter <= r.n_union
+        if r.n_union < k:
+            # sketch not full -> union exact and intersection exact
+            assert r.union_est == float(r.n_union)
+            assert r.inter_est == pytest.approx(r.n_inter, abs=1e-6)
+        else:
+            rel = abs(r.union_est - r.n_union) / r.n_union
+            assert rel < 0.55, r
