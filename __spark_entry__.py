@@ -10758,6 +10758,467 @@ def _kmv_set_ops_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# binary-quantized retrieval audit, drift statistics (PSI + two-sample KS),
+# Fellegi-Sunter record-linkage scoring, seasonal occupancy profile
+# ---------------------------------------------------------------------------
+
+
+def _sign_code_halves(q: np.ndarray) -> tuple[int, int]:
+    c0 = sum(1 << i for i in range(32) if q[i] > 0)
+    c1 = sum(1 << i for i in range(32) if q[32 + i] > 0)
+    return c0, c1
+
+
+def q_binary_quant_recall(spark, sf_dir):
+    """Binary (sign-bit) quantization retrieval audit — the 64×-compression
+    end of the quantization ladder (f32 → int8 → PQ → 1 bit): each 64-dim
+    embedding collapses to a 64-bit sign code, candidates rank by Hamming
+    distance (two bit_count(xor) ops), and the top-10 is joined full-outer
+    against the exact cosine top-10. At 100 TB the code column is 64 B →
+    8 B per vector, and Hamming scan is pure codegen integer ops — this
+    query MEASURES what that buys/costs in recall. Codes are built by ONE
+    posexplode + conditional-sum agg (bit-exact in both engines)."""
+    from pyspark.sql import Window
+
+    e = _read(spark, sf_dir, "embeddings")
+    q0, q1 = _sign_code_halves(QVEC)
+    pe = e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), pos % 32)")
+    codes = pe.groupBy("vec_id").agg(
+        F.sum(F.when((F.col("v") > 0) & (F.col("pos") < 32), bit).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when((F.col("v") > 0) & (F.col("pos") >= 32), bit).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    ham = (
+        F.bit_count(F.expr(f"c0 ^ CAST({q0} AS BIGINT)"))
+        + F.bit_count(F.expr(f"c1 ^ CAST({q1} AS BIGINT)"))
+    ).cast("long")
+    binr = (
+        codes.withColumn("hd", ham)
+        .withColumn(
+            "rank_bin",
+            F.row_number().over(Window.orderBy("hd", "vec_id")).cast("long"),
+        )
+        .filter(F.col("rank_bin") <= 10)
+        .select("vec_id", "hd", "rank_bin")
+    )
+    full = (
+        e.withColumn("d", F.round(cosine_dist_col(F.col("embedding"), QVEC), 6))
+        .withColumn(
+            "rank_full",
+            F.row_number().over(Window.orderBy("d", "vec_id")).cast("long"),
+        )
+        .filter(F.col("rank_full") <= 10)
+        .select("vec_id", "rank_full")
+    )
+    return full.join(binr, "vec_id", "full_outer").select(
+        "vec_id", "rank_full", "rank_bin", "hd"
+    )
+
+
+def _binary_quant_recall_sql() -> str:
+    q0, q1 = _sign_code_halves(QVEC)
+    return f"""
+        WITH pe AS (
+            SELECT vec_id, g.generate_series AS pos,
+                   embedding[g.generate_series + 1] AS v
+            FROM embeddings, generate_series(0, 63) g),
+        codes AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN v > 0 AND pos < 32
+                            THEN (CAST(1 AS BIGINT) << (pos % 32))
+                            ELSE 0 END) AS BIGINT) AS c0,
+                   CAST(SUM(CASE WHEN v > 0 AND pos >= 32
+                            THEN (CAST(1 AS BIGINT) << (pos % 32))
+                            ELSE 0 END) AS BIGINT) AS c1
+            FROM pe GROUP BY 1),
+        binr AS (
+            SELECT vec_id, hd, rank_bin FROM (
+                SELECT vec_id,
+                       bit_count(xor(c0, CAST({q0} AS BIGINT)))
+                       + bit_count(xor(c1, CAST({q1} AS BIGINT))) AS hd,
+                       ROW_NUMBER() OVER (ORDER BY
+                           bit_count(xor(c0, CAST({q0} AS BIGINT)))
+                           + bit_count(xor(c1, CAST({q1} AS BIGINT))),
+                           vec_id) AS rank_bin
+                FROM codes)
+            WHERE rank_bin <= 10),
+        full10 AS (
+            SELECT vec_id, rank_full FROM (
+                SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+                    ROUND(1.0 - list_cosine_similarity(
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                        {QVEC_SQL}), 6), vec_id) AS rank_full
+                FROM embeddings)
+            WHERE rank_full <= 10)
+        SELECT COALESCE(f.vec_id, b.vec_id) AS vec_id, f.rank_full,
+               b.rank_bin, CAST(b.hd AS BIGINT) AS hd
+        FROM full10 f FULL OUTER JOIN binr b ON f.vec_id = b.vec_id
+    """
+
+
+_PSI_BINS = 10
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index — THE data-drift screen between two
+    slices of a feature distribution (here: even-day vs odd-day event
+    values per event type): 10 equal-width buckets over the slice-union
+    range, Laplace-smoothed shares, PSI contribution (p−q)·ln(p/q) per
+    bucket. At 100 TB both slices reduce to O(types × bins) partial-agg
+    state in ONE pass — the monitoring job a training pipeline runs per
+    ingestion batch (PSI > 0.2 = investigate)."""
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts", "value")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    ev = ev.withColumn("par", (day % 2).cast("int"))
+    st = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    b = ev.join(F.broadcast(st), "event_type").withColumn(
+        "bucket",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(_PSI_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * _PSI_BINS
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    cnt = b.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("par") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("par") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    j = cnt.join(F.broadcast(tot), "event_type")
+    p = (F.col("na") + 1).cast("double") / (F.col("ta") + _PSI_BINS)
+    q = (F.col("nb") + 1).cast("double") / (F.col("tb") + _PSI_BINS)
+    return j.select(
+        "event_type",
+        "bucket",
+        F.col("na").cast("long").alias("n_base"),
+        F.col("nb").cast("long").alias("n_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi"),
+    )
+
+
+def _psi_drift_sql() -> str:
+    return f"""
+        WITH ev AS (
+            SELECT event_type, value,
+                   CAST(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) % 2
+                        AS INT) AS par
+            FROM events),
+        st AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+               FROM ev GROUP BY 1),
+        b AS (
+            SELECT e.event_type, e.par,
+                   CASE WHEN s.mx > s.mn THEN LEAST({_PSI_BINS - 1},
+                        CAST(FLOOR((e.value - s.mn) / (s.mx - s.mn)
+                             * {_PSI_BINS}) AS BIGINT))
+                        ELSE 0 END AS bucket
+            FROM ev e JOIN st s ON e.event_type = s.event_type),
+        cnt AS (
+            SELECT event_type, bucket,
+                   SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS na,
+                   SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS nb
+            FROM b GROUP BY 1, 2),
+        tot AS (SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb
+                FROM cnt GROUP BY 1)
+        SELECT c.event_type, c.bucket,
+               CAST(c.na AS BIGINT) AS n_base, CAST(c.nb AS BIGINT) AS n_cur,
+               ROUND((CAST(c.na + 1 AS DOUBLE) / (t.ta + {_PSI_BINS})
+                      - CAST(c.nb + 1 AS DOUBLE) / (t.tb + {_PSI_BINS}))
+                     * LN((CAST(c.na + 1 AS DOUBLE) / (t.ta + {_PSI_BINS}))
+                          / (CAST(c.nb + 1 AS DOUBLE) / (t.tb + {_PSI_BINS}))),
+                     6) AS psi
+        FROM cnt c JOIN tot t ON c.event_type = t.event_type
+    """
+
+
+def q_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between the even-day and
+    odd-day value distributions, per event type — the nonparametric drift
+    test next to PSI: D = max |F_a(x) − F_b(x)| over the pooled support,
+    computed as ONE cumulative window over the per-value count table
+    (never a sample×sample join). Exact-rational ECDFs in identical
+    doubles; reject flag at the α=0.05 asymptotic critical value."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts", "value")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    cnt = (
+        ev.withColumn("par", (day % 2).cast("int"))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("par") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("par") == 1, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cnt.withColumn("cuma", F.sum("ca").over(w)).withColumn(
+        "cumb", F.sum("cb").over(w)
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    d = (
+        cum.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "na",
+            "nb",
+            F.abs(
+                F.col("cuma").cast("double") / F.col("na")
+                - F.col("cumb").cast("double") / F.col("nb")
+            ).alias("diff"),
+        )
+        .groupBy("event_type", "na", "nb")
+        .agg(F.round(F.max("diff"), 6).alias("d_stat"))
+    )
+    crit = F.round(
+        F.lit(1.358)
+        * F.sqrt(
+            (F.col("na") + F.col("nb")).cast("double") / (F.col("na") * F.col("nb"))
+        ),
+        6,
+    )
+    return d.select(
+        "event_type",
+        "na",
+        "nb",
+        "d_stat",
+        crit.alias("crit_05"),
+        (F.col("d_stat") > crit).cast("int").alias("reject"),
+    )
+
+
+def _ks_two_sample_sql() -> str:
+    return """
+        WITH ev AS (
+            SELECT event_type, value,
+                   CAST(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) % 2
+                        AS INT) AS par
+            FROM events),
+        cnt AS (
+            SELECT event_type, value,
+                   SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS ca,
+                   SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS cb
+            FROM ev GROUP BY 1, 2),
+        cum AS (
+            SELECT event_type, value,
+                   SUM(ca) OVER (PARTITION BY event_type ORDER BY value
+                                 ROWS UNBOUNDED PRECEDING) AS cuma,
+                   SUM(cb) OVER (PARTITION BY event_type ORDER BY value
+                                 ROWS UNBOUNDED PRECEDING) AS cumb
+            FROM cnt),
+        tot AS (
+            SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb
+            FROM cnt GROUP BY 1),
+        d AS (
+            SELECT c.event_type, t.na, t.nb,
+                   ROUND(MAX(ABS(CAST(c.cuma AS DOUBLE) / t.na
+                                 - CAST(c.cumb AS DOUBLE) / t.nb)), 6) AS d_stat
+            FROM cum c JOIN tot t ON c.event_type = t.event_type
+            GROUP BY 1, 2, 3)
+        SELECT event_type, na, nb, d_stat,
+               ROUND(1.358 * SQRT(CAST(na + nb AS DOUBLE) / (na * nb)), 6)
+                 AS crit_05,
+               CAST(d_stat > ROUND(1.358 * SQRT(CAST(na + nb AS DOUBLE)
+                                                / (na * nb)), 6) AS INT)
+                 AS reject
+        FROM d
+    """
+
+
+# Fellegi-Sunter log2(m/u) agreement weights (literal design constants)
+_FS_W_SRC, _FS_W_LEN, _FS_W_JAC = 2.169925, 1.736966, 4.087463
+_FS_THRESHOLD = 4.0
+
+
+def q_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter record-linkage scoring over blocked candidates: the
+    probabilistic-ER decision model on top of the blocking the dedup suite
+    already provides. Blocking key = first 32 chars (exact-prefix block,
+    the duplicated corpus's natural key); per pair, three field
+    agreements — source equality, length-within-20, word-set Jaccard
+    ≥ 0.5 — each contributing its literal log2(m/u) weight; pairs above
+    the match threshold emit with their agreement pattern. Candidates are
+    ONE block equi-join (never doc×doc); the agreement tests are codegen
+    set/string ops."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    dd = d.unionByName(
+        d.select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+            "text",
+            # perturb the twin's metadata so agreements are non-trivial
+            F.when(F.col("doc_id") % 3 == 0, F.lit("srcX")).otherwise(
+                F.col("source")
+            ).alias("source"),
+            (F.col("n_chars") + F.when(F.col("doc_id") % 5 == 0, 50).otherwise(0)
+             ).alias("n_chars"),
+        )
+    )
+    from raptor_service_spark.operators.dedup import words_col
+
+    blocked = dd.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.substring("text", 1, 32).alias("blk"),
+        F.array_distinct(words_col(F.col("text"))).alias("ws"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    uni = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
+    agree_src = (F.col("a.source") == F.col("b.source")).cast("int")
+    agree_len = (
+        F.abs(F.col("a.n_chars") - F.col("b.n_chars")) < 20
+    ).cast("int")
+    agree_jac = (inter.cast("double") / uni >= 0.5).cast("int")
+    score = F.round(
+        agree_src * F.lit(_FS_W_SRC)
+        + agree_len * F.lit(_FS_W_LEN)
+        + agree_jac * F.lit(_FS_W_JAC),
+        6,
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            agree_src.alias("agree_src"),
+            agree_len.alias("agree_len"),
+            agree_jac.alias("agree_jac"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= _FS_THRESHOLD)
+    )
+
+
+def _fellegi_sunter_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    return f"""
+        WITH dd AS (
+            SELECT doc_id, text, source, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text,
+                   CASE WHEN doc_id % 3 = 0 THEN 'srcX' ELSE source END AS source,
+                   n_chars + CASE WHEN doc_id % 5 = 0 THEN 50 ELSE 0 END
+                     AS n_chars
+            FROM documents),
+        blocked AS (
+            SELECT doc_id, source, n_chars, substr(text, 1, 32) AS blk,
+                   list_distinct({w}) AS ws
+            FROM dd),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS agree_src,
+                   CASE WHEN ABS(a.n_chars - b.n_chars) < 20 THEN 1 ELSE 0 END
+                     AS agree_len,
+                   CASE WHEN CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                             / len(list_distinct(list_concat(a.ws, b.ws)))
+                             >= 0.5 THEN 1 ELSE 0 END AS agree_jac
+            FROM blocked a JOIN blocked b
+              ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, agree_src, agree_len, agree_jac,
+               ROUND(agree_src * {_FS_W_SRC} + agree_len * {_FS_W_LEN}
+                     + agree_jac * {_FS_W_JAC}, 6) AS score
+        FROM pairs
+        WHERE ROUND(agree_src * {_FS_W_SRC} + agree_len * {_FS_W_LEN}
+                    + agree_jac * {_FS_W_JAC}, 6) >= {_FS_THRESHOLD}
+    """
+
+
+_SEAS_RES, _SEAS_MIN = 2, 48
+
+
+def q_cell_seasonal(spark, sf_dir):
+    """Hour-of-day seasonal occupancy profile per res-2 cell: seasonal
+    index = hod count / (cell mean per hour) — the diurnal fingerprint
+    that separates residential/commercial tiles and feeds anomaly
+    baselines. ONE (cell, hod) partial+final agg over the points; the
+    index divides by the per-cell total on the aggregated table (window,
+    no second scan). Exact integer counts; 6-dp index."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    hod = F.hour(F.col("ts").cast("timestamp")).cast("long")
+    cnt = (
+        ev.select(
+            cell_encode_col(lat, lng, _SEAS_RES).alias("cell"), hod.alias("hod")
+        )
+        .groupBy("cell", "hod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cell")
+    tot = F.sum("n").over(w)
+    return (
+        cnt.withColumn("cell_total", tot.cast("long"))
+        .filter(F.col("cell_total") >= _SEAS_MIN)
+        .select(
+            "cell",
+            "hod",
+            "n",
+            "cell_total",
+            F.round(
+                F.col("n").cast("double")
+                / (F.col("cell_total").cast("double") / 24.0),
+                6,
+            ).alias("seasonal_idx"),
+        )
+    )
+
+
+def _cell_seasonal_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, _SEAS_RES)
+    return f"""
+        WITH cnt AS (
+            SELECT {cell} AS cell,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        t AS (
+            SELECT cell, hod, n,
+                   CAST(SUM(n) OVER (PARTITION BY cell) AS BIGINT) AS cell_total
+            FROM cnt)
+        SELECT cell, hod, n, cell_total,
+               ROUND(CAST(n AS DOUBLE) / (CAST(cell_total AS DOUBLE) / 24.0), 6)
+                 AS seasonal_idx
+        FROM t WHERE cell_total >= {_SEAS_MIN}
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10960,6 +11421,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_recall": q_matryoshka_recall,
         "bpe_encode": q_bpe_encode,
         "kmv_set_ops": q_kmv_set_ops,
+        "binary_quant_recall": q_binary_quant_recall,
+        "psi_drift": q_psi_drift,
+        "ks_two_sample": q_ks_two_sample,
+        "fellegi_sunter": q_fellegi_sunter,
+        "cell_seasonal": q_cell_seasonal,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -11096,6 +11562,11 @@ def oracle_sql() -> dict[str, str]:
         "matryoshka_recall": _matryoshka_recall_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "kmv_set_ops": _kmv_set_ops_sql(),
+        "binary_quant_recall": _binary_quant_recall_sql(),
+        "psi_drift": _psi_drift_sql(),
+        "ks_two_sample": _ks_two_sample_sql(),
+        "fellegi_sunter": _fellegi_sunter_sql(),
+        "cell_seasonal": _cell_seasonal_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -171,6 +171,11 @@ HEADLINE = [
     "matryoshka_recall",
     "bpe_encode",
     "kmv_set_ops",
+    "binary_quant_recall",
+    "psi_drift",
+    "ks_two_sample",
+    "fellegi_sunter",
+    "cell_seasonal",
 ]
 
 SEED = 77

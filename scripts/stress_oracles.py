@@ -31,6 +31,7 @@ NAMES = [
     "colbert_maxsim", "contact_reach", "cotravel_pairs", "doc_dup_substrings",
     "semivariogram", "variogram_fit", "od_ipf_balance", "kmv_distinct",
     "histogram_quantiles", "kmv_set_ops", "matryoshka_recall",
+    "psi_drift", "ks_two_sample", "binary_quant_recall",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 bad = 0

@@ -225,3 +225,92 @@ def test_kmv_set_ops_exact_below_k(entry, spark, sf_dir):
         else:
             rel = abs(r.union_est - r.n_union) / r.n_union
             assert rel < 0.55, r
+
+
+def test_binary_quant_no_better_than_exact_and_hamming_bounds(entry, spark, sf_dir):
+    rows = entry.q_binary_quant_recall(spark, sf_dir).collect()
+    full = {r.vec_id for r in rows if r.rank_full is not None}
+    binr = {r.vec_id for r in rows if r.rank_bin is not None}
+    assert len(full) == 10 and len(binr) == 10
+    for r in rows:
+        if r.hd is not None:
+            assert 0 <= r.hd <= 64, r
+    # deterministic corpus: the sign codes must retain some signal
+    assert len(full & binr) >= 1
+
+
+def test_psi_contributions_and_smoothing(entry, spark, sf_dir):
+    rows = entry.q_psi_drift(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, float] = {}
+    for r in rows:
+        # Laplace smoothing keeps every contribution finite
+        assert np.isfinite(r.psi), r
+        # PSI contribution is non-negative iff computed from the SAME
+        # p/q the sign comes from: (p-q) and ln(p/q) share sign
+        assert r.psi >= -1e-9, r
+        by_type[r.event_type] = by_type.get(r.event_type, 0.0) + r.psi
+    # even/odd-day slices of the same generator: total PSI should be small
+    for t, total in by_type.items():
+        assert total < 0.5, (t, total)
+
+
+def test_ks_statistic_matches_scipy_style_reference(entry, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    rows = entry.q_ks_two_sample(spark, sf_dir).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "ts", "value"
+    )
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    data = ev.withColumn("par", (day % 2).cast("int")).collect()
+    for r in rows:
+        a = sorted(x.value for x in data if x.event_type == r.event_type and x.par == 0)
+        b = sorted(x.value for x in data if x.event_type == r.event_type and x.par == 1)
+        assert (len(a), len(b)) == (r.na, r.nb)
+        xs = sorted(set(a) | set(b))
+        import bisect
+
+        d = max(
+            abs(bisect.bisect_right(a, x) / len(a) - bisect.bisect_right(b, x) / len(b))
+            for x in xs
+        )
+        assert r.d_stat == pytest.approx(d, abs=2e-6), (r.event_type, r.d_stat, d)
+
+
+def test_fellegi_sunter_finds_planted_twins(entry, spark, sf_dir):
+    rows = entry.q_fellegi_sunter(spark, sf_dir).collect()
+    assert rows
+    # every emitted pair clears the threshold and carries a consistent score
+    w = (entry._FS_W_SRC, entry._FS_W_LEN, entry._FS_W_JAC)
+    for r in rows:
+        expect = round(
+            r.agree_src * w[0] + r.agree_len * w[1] + r.agree_jac * w[2], 6
+        )
+        assert r.score == pytest.approx(expect, abs=1e-9)
+        assert r.score >= entry._FS_THRESHOLD
+    # the planted twins (doc, doc+1e6) must dominate the match set
+    twins = sum(1 for r in rows if r.id_b - r.id_a == 1000000)
+    assert twins >= len(rows) * 0.8
+
+
+def test_cell_seasonal_indices_average_to_one(entry, spark, sf_dir):
+    rows = entry.q_cell_seasonal(spark, sf_dir).collect()
+    assert rows
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        assert r.cell_total >= entry._SEAS_MIN
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, rs in by_cell.items():
+        # sum over present hours of n equals cell_total, and the
+        # OCCUPANCY-WEIGHTED mean of idx over all 24 slots is 1
+        assert sum(r.n for r in rs) == rs[0].cell_total
+        mean_idx = sum(r.seasonal_idx * 1 for r in rs) / 24.0
+        # present-hour indices sum to 24 when every hour is occupied;
+        # with empty hours the sum is still n-weighted consistent:
+        assert sum(r.n for r in rs) / (rs[0].cell_total / 24.0) == pytest.approx(
+            sum(r.seasonal_idx for r in rs), rel=1e-4
+        )
