@@ -9859,11 +9859,20 @@ def _vg_points(spark, sf_dir):
     return ev.withColumn("lat", lat).withColumn("lng", lng)
 
 
+_VG_BIN_CACHE: dict = {}
+
+
 def _vg_bins(spark, sf_dir):
     """Shared per-bin (n_pairs, sum dist, sum sqdiff) stream for the
     semivariogram and its model fit: the ε-ring pair join (each pair found
     exactly once — no dedup shuffle) feeds ONE partial+final agg to
-    <= hmax/binw rows. 9-dp post-sum rounding per repo convention."""
+    <= hmax/binw rows. 9-dp post-sum rounding per repo convention.
+    The aggregated bin table (≤ 6 rows) is persisted once per
+    (application, sf_dir) — the shingle-stream sharing pattern — so the
+    fit query reuses the pair join instead of re-deriving it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _VG_BIN_CACHE:
+        return _VG_BIN_CACHE[key]
     from raptor_service_spark.operators.pip_join import within_distance_join
 
     pts = _vg_points(spark, sf_dir)
@@ -9876,11 +9885,14 @@ def _vg_bins(spark, sf_dir):
         F.col("dist"),
         F.round(dv * dv, 9).alias("sq"),
     ).filter(F.col("bin") < F.lit(int(_VG_HMAX / _VG_BINW)))
-    return pairs.groupBy("bin").agg(
+    bins = pairs.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.sum("dist"), 9).alias("sd"),
         F.round(F.sum("sq"), 9).alias("ss"),
     )
+    _VG_BIN_CACHE.clear()  # one live corpus at a time; bounded memory
+    _VG_BIN_CACHE[key] = bins.persist()
+    return _VG_BIN_CACHE[key]
 
 
 def q_semivariogram(spark, sf_dir):
