@@ -10140,35 +10140,18 @@ def q_kmv_distinct(spark, sf_dir):
     audit. THE mergeable distinct sketch a 100 TB engine ships between
     executors instead of raw value sets: per partition keep the k smallest
     hashes (O(k) state), merge = k-smallest of the union. Here the sketch
-    is computed relationally (dedupe → per-cell rank window → k-th value)
-    so DuckDB reproduces it bit-exactly; cells with < k users fall back to
-    the exact count (the sketch is exact until full)."""
-    from pyspark.sql import Window
-
+    is computed relationally (dedupe → per-cell rank window → k-th value,
+    operators/sketches.py) so DuckDB reproduces it bit-exactly; cells with
+    < k users fall back to the exact count (the sketch is exact until
+    full). The streaming twin (`streaming/kmv.py`) maintains the identical
+    sketch as bounded keyed state and converges to THIS output exactly."""
     from raptor_service_spark.geo.grid import cell_encode_col
+    from raptor_service_spark.operators.sketches import kmv_distinct_agg
 
     ev = _read(spark, sf_dir, "events").select("event_id", "user_id")
     lat, lng = _latlng_cols(F.col("event_id"))
-    cu = ev.select(
-        cell_encode_col(lat, lng, _KMV_RES).alias("cell"), "user_id"
-    ).distinct()
-    h = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
-        .cast("long")
-        / F.lit(_KMV_DENOM)
-    )
-    ranked = cu.withColumn("h", h).withColumn(
-        "rk",
-        F.row_number().over(Window.partitionBy("cell").orderBy("h", "user_id")),
-    )
-    per = ranked.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("hk"),
-    )
-    est = F.when(
-        F.col("hk").isNotNull(), F.round(F.lit(float(_KMV_K - 1)) / F.col("hk"), 6)
-    ).otherwise(F.col("n_exact").cast("double"))
-    return per.select("cell", "n_exact", est.alias("n_kmv"))
+    pairs = ev.select(cell_encode_col(lat, lng, _KMV_RES).alias("cell"), "user_id")
+    return kmv_distinct_agg(pairs, k=_KMV_K)
 
 
 def _kmv_distinct_sql() -> str:
