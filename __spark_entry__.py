@@ -11214,6 +11214,393 @@ def _cell_seasonal_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# radiation OD model, A/B proportion test, BH-FDR hotspots, EWMA anomalies
+# ---------------------------------------------------------------------------
+
+_RAD_RES, _RAD_TOPC, _RAD_TOPK = 3, 24, 50
+
+
+def q_radiation_model(spark, sf_dir):
+    """Radiation model of spatial interaction (Simini et al. 2012) — the
+    parameter-free alternative to the gravity model the repo already
+    calibrates: predicted flow T_ij = m_i·(m_i·m_j) / ((m_i+s_ij)(m_i+m_j+s_ij))
+    where s_ij = total mass strictly closer to i than j is (excluding both
+    endpoints). Masses are res-3 cell occupancies; the intervening-
+    opportunity sum s_ij is a triple join that runs ENTIRELY on the
+    aggregated top-24-cell table (24³ ≈ 14k rows) — the points shuffle
+    once into the masses. Distances compare SQUARED center offsets (exact
+    float multiply/add — no rounding hazard in the strict < predicate)."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    cells = (
+        ev.select(cell_encode_col(lat, lng, _RAD_RES).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    top = (
+        cells.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("m").desc(), F.col("cell"))),
+        )
+        .filter(F.col("rk") <= _RAD_TOPC)
+        .drop("rk")
+    )
+    from raptor_service_spark.geo.grid import RES_MULTIPLIER
+
+    n = 2**_RAD_RES
+    rem = F.col("cell") - F.lit(_RAD_RES * RES_MULTIPLIER)
+    cy = F.floor(rem / n).cast("long")
+    cx = rem - cy * n
+    ctr = top.withColumn(
+        "clat", -90.0 + (cy + 0.5) * 180.0 / n
+    ).withColumn("clng", -180.0 + (cx + 0.5) * 360.0 / n)
+    a, b, c = ctr.alias("a"), ctr.alias("b"), ctr.alias("c")
+
+    def d2(p, q):
+        dla = F.col(f"{p}.clat") - F.col(f"{q}.clat")
+        dln = F.col(f"{p}.clng") - F.col(f"{q}.clng")
+        return dla * dla + dln * dln
+
+    pairs = a.join(b, F.col("a.cell") != F.col("b.cell"))
+    sij = (
+        pairs.join(
+            c,
+            (F.col("c.cell") != F.col("a.cell"))
+            & (F.col("c.cell") != F.col("b.cell"))
+            & (d2("a", "c") < d2("a", "b")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.cell").alias("cell_from"),
+            F.col("b.cell").alias("cell_to"),
+            F.col("a.m").alias("mi"),
+            F.col("b.m").alias("mj"),
+        )
+        .agg(F.coalesce(F.sum("c.m"), F.lit(0)).cast("long").alias("s_ij"))
+    )
+    t = (
+        F.col("mi").cast("double")
+        * (F.col("mi") * F.col("mj")).cast("double")
+        / (
+            (F.col("mi") + F.col("s_ij")).cast("double")
+            * (F.col("mi") + F.col("mj") + F.col("s_ij")).cast("double")
+        )
+    )
+    from pyspark.sql import Window as W2
+
+    out = sij.select(
+        "cell_from", "cell_to", "mi", "mj", "s_ij", F.round(t, 6).alias("t_rad")
+    )
+    w = W2.orderBy(F.col("t_rad").desc(), "cell_from", "cell_to")
+    return (
+        out.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _RAD_TOPK)
+    )
+
+
+def _radiation_model_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_center_sql, cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, _RAD_RES)
+    clat, clng = cell_center_sql("cell", _RAD_RES)
+    return f"""
+        WITH cells AS (
+            SELECT {cell} AS cell, COUNT(*) AS m FROM events GROUP BY 1),
+        top AS (
+            SELECT cell, m FROM (
+                SELECT cell, m,
+                       ROW_NUMBER() OVER (ORDER BY m DESC, cell) AS rk
+                FROM cells)
+            WHERE rk <= {_RAD_TOPC}),
+        ctr AS (
+            SELECT cell, m, {clat} AS clat, {clng} AS clng FROM top),
+        sij AS (
+            SELECT a.cell AS cell_from, b.cell AS cell_to,
+                   a.m AS mi, b.m AS mj,
+                   CAST(COALESCE(SUM(c.m), 0) AS BIGINT) AS s_ij
+            FROM ctr a JOIN ctr b ON a.cell != b.cell
+            LEFT JOIN ctr c
+              ON c.cell != a.cell AND c.cell != b.cell
+             AND (a.clat - c.clat) * (a.clat - c.clat)
+                 + (a.clng - c.clng) * (a.clng - c.clng)
+               < (a.clat - b.clat) * (a.clat - b.clat)
+                 + (a.clng - b.clng) * (a.clng - b.clng)
+            GROUP BY 1, 2, 3, 4),
+        scored AS (
+            SELECT cell_from, cell_to, mi, mj, s_ij,
+                   ROUND(CAST(mi AS DOUBLE) * CAST(mi * mj AS DOUBLE)
+                         / (CAST(mi + s_ij AS DOUBLE)
+                            * CAST(mi + mj + s_ij AS DOUBLE)), 6) AS t_rad
+            FROM sij)
+        SELECT cell_from, cell_to, mi, mj, s_ij, t_rad, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY t_rad DESC, cell_from,
+                                         cell_to) AS rk
+            FROM scored)
+        WHERE rk <= {_RAD_TOPK}
+    """
+
+
+_AB_VALUE_CUT = 100.0
+
+
+def q_ab_proportions(spark, sf_dir):
+    """Two-proportion z-test per event type — the experimentation-analytics
+    primitive: even-day traffic is the control arm, odd-day the treatment,
+    success = value > 100; z = (p̂_a−p̂_b)/√(p̂(1−p̂)(1/n_a+1/n_b)) with the
+    pooled rate. ONE partial+final agg over the events; 9-dp pre-rounded
+    shares so both engines divide identical doubles; |z| > 1.96 flag."""
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts", "value")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    ok = (F.col("value") > _AB_VALUE_CUT).cast("long")
+    agg = (
+        ev.withColumn("par", (day % 2).cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("par") == 0, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(F.col("par") == 0, ok).otherwise(0)).cast("long").alias("xa"),
+            F.sum(F.when(F.col("par") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+            F.sum(F.when(F.col("par") == 1, ok).otherwise(0)).cast("long").alias("xb"),
+        )
+    )
+    pa = F.col("xa").cast("double") / F.col("na")
+    pb = F.col("xb").cast("double") / F.col("nb")
+    pp = (F.col("xa") + F.col("xb")).cast("double") / (F.col("na") + F.col("nb"))
+    se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    z = F.round((pa - pb) / se, 6)
+    return agg.select(
+        "event_type",
+        "na",
+        "xa",
+        "nb",
+        "xb",
+        F.round(pa, 6).alias("p_ctl"),
+        F.round(pb, 6).alias("p_trt"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).cast("int").alias("significant"),
+    )
+
+
+def _ab_proportions_sql() -> str:
+    return f"""
+        WITH ev AS (
+            SELECT event_type, value,
+                   CAST(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) % 2
+                        AS INT) AS par
+            FROM events),
+        agg AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                   CAST(SUM(CASE WHEN par = 0 AND value > {_AB_VALUE_CUT}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+                   CAST(SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                   CAST(SUM(CASE WHEN par = 1 AND value > {_AB_VALUE_CUT}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS xb
+            FROM ev GROUP BY 1)
+        SELECT event_type, na, xa, nb, xb,
+               ROUND(CAST(xa AS DOUBLE) / na, 6) AS p_ctl,
+               ROUND(CAST(xb AS DOUBLE) / nb, 6) AS p_trt,
+               ROUND((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                     / SQRT((CAST(xa + xb AS DOUBLE) / (na + nb))
+                            * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                            * (1.0 / na + 1.0 / nb)), 6) AS z,
+               CAST(ABS(ROUND((CAST(xa AS DOUBLE) / na
+                               - CAST(xb AS DOUBLE) / nb)
+                     / SQRT((CAST(xa + xb AS DOUBLE) / (na + nb))
+                            * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                            * (1.0 / na + 1.0 / nb)), 6)) > 1.96 AS INT)
+                 AS significant
+        FROM agg
+    """
+
+
+_FDR_ALPHA = 0.05
+
+# Abramowitz-Stegun 26.2.17 normal upper-tail: ONE shared arithmetic string
+# evaluated as a Spark expression AND inside the DuckDB oracle (the repo's
+# shared-expression parity trick; `z` must be a non-negative expression).
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+
+
+def _phi_upper_sql(zexpr: str) -> str:
+    t = f"(1.0 / (1.0 + 0.2316419 * {zexpr}))"
+    poly = (
+        f"({_AS_B[0]} * {t} + {_AS_B[1]} * POWER({t}, 2) + {_AS_B[2]} * POWER({t}, 3)"
+        f" + {_AS_B[3]} * POWER({t}, 4) + {_AS_B[4]} * POWER({t}, 5))"
+    )
+    return f"(EXP(-({zexpr}) * ({zexpr}) / 2.0) / 2.5066282746310002 * {poly})"
+
+
+def q_fdr_hotspots(spark, sf_dir):
+    """Benjamini-Hochberg FDR correction over the Getis-Ord hot-spot field
+    — the multiple-testing discipline a production hot-spot monitor needs
+    (hundreds of cells tested simultaneously; per-cell α=0.05 would flag
+    ~5% of a CSR field). Per occupied cell: two-sided p from |gi_z| via
+    the shared A&S 26.2.17 polynomial (identical arithmetic string in
+    both engines), BH step-up at α=0.05 via ONE rank window + max-rank
+    threshold. Everything after the z-field runs on O(occupied cells)."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.spatial_stats import getis_gi_star
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    z = getis_gi_star(
+        d.withColumn("lat", lat).withColumn("lng", lng), res=4, top_k=None
+    ).select("cell", "gi_z")
+    p = F.least(
+        F.round(2.0 * F.expr(_phi_upper_sql("ABS(gi_z)")), 6), F.lit(1.0)
+    )
+    scored = z.withColumn("p", p)
+    w = Window.orderBy("p", "cell")
+    ranked = scored.withColumn("rk", F.row_number().over(w).cast("long")).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    flagged = ranked.withColumn(
+        "bh_ok",
+        (F.col("p") <= F.col("rk") * _FDR_ALPHA / F.col("m")).cast("int"),
+    )
+    kmax = flagged.agg(
+        F.coalesce(F.max(F.when(F.col("bh_ok") == 1, F.col("rk"))), F.lit(0))
+        .cast("long")
+        .alias("kmax")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(kmax))
+        .select(
+            "cell",
+            "gi_z",
+            "p",
+            "rk",
+            (F.col("rk") <= F.col("kmax")).cast("int").alias("rejected"),
+        )
+    )
+
+
+def _fdr_hotspots_sql() -> str:
+    from raptor_service_spark.operators.spatial_stats import getis_gi_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    zsql = getis_gi_sql("documents", lat, lng, res=4, top_k=None)
+    pu = _phi_upper_sql("ABS(gi_z)")
+    return f"""
+        WITH zfield AS ({zsql}),
+        scored AS (
+            SELECT cell, gi_z,
+                   LEAST(ROUND(2.0 * {pu}, 6), 1.0) AS p
+            FROM zfield),
+        ranked AS (
+            SELECT cell, gi_z, p,
+                   ROW_NUMBER() OVER (ORDER BY p, cell) AS rk,
+                   COUNT(*) OVER () AS m
+            FROM scored),
+        kmax AS (
+            SELECT COALESCE(MAX(CASE WHEN p <= rk * {_FDR_ALPHA} / m
+                                     THEN rk END), 0) AS kmax
+            FROM ranked)
+        SELECT r.cell, r.gi_z, r.p, r.rk,
+               CAST(r.rk <= k.kmax AS INT) AS rejected
+        FROM ranked r CROSS JOIN kmax k
+    """
+
+
+_EWMA_RES, _EWMA_ALPHA, _EWMA_LB, _EWMA_TOPK = 2, 0.3, 24, 20
+
+
+def q_ewma_anomaly(spark, sf_dir):
+    """EWMA baseline anomaly screen per res-2 cell: hourly counts, baseline
+    = normalized Σ α(1−α)^(k−1)·x_(t−k) over the last 24 hours (closed-form
+    — the recurrence unrolled as 24 codegen lag terms over ONE cell-keyed
+    window; weights renormalize over the lags actually present), flag the
+    top-20 hours by count/baseline ratio. The online-monitoring twin of
+    trending_cells/cusum_cells with the textbook exponential baseline."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    hr = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+    ).cast("long")
+    cnt = (
+        ev.select(cell_encode_col(lat, lng, _EWMA_RES).alias("cell"), hr.alias("hr"))
+        .groupBy("cell", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cell").orderBy("hr")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(1, _EWMA_LB + 1):
+        wk = _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** (k - 1)
+        lagk = F.lag("n", k).over(w)
+        gap_ok = (F.col("hr") - F.lag("hr", k).over(w)) == k  # contiguous hours only
+        num = num + F.when(lagk.isNotNull() & gap_ok, F.lit(wk) * lagk).otherwise(0.0)
+        den = den + F.when(lagk.isNotNull() & gap_ok, F.lit(wk)).otherwise(0.0)
+    scored = cnt.withColumn(
+        "baseline", F.when(den > 0, F.round(num / den, 6))
+    ).withColumn(
+        "ratio",
+        F.when(
+            F.col("baseline") >= 1.0,
+            F.round(F.col("n") / F.col("baseline"), 6),
+        ),
+    )
+    top = Window.orderBy(F.col("ratio").desc(), "cell", "hr")
+    return (
+        scored.filter(F.col("ratio").isNotNull())
+        .withColumn("rk", F.row_number().over(top).cast("long"))
+        .filter(F.col("rk") <= _EWMA_TOPK)
+        .select("cell", "hr", "n", "baseline", "ratio", "rk")
+    )
+
+
+def _ewma_anomaly_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, _EWMA_RES)
+    num_terms, den_terms = [], []
+    for k in range(1, _EWMA_LB + 1):
+        wk = _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** (k - 1)
+        lagn = f"LAG(n, {k}) OVER (PARTITION BY cell ORDER BY hr)"
+        laghr = f"LAG(hr, {k}) OVER (PARTITION BY cell ORDER BY hr)"
+        cond = f"{lagn} IS NOT NULL AND hr - {laghr} = {k}"
+        num_terms.append(f"CASE WHEN {cond} THEN {wk!r} * {lagn} ELSE 0.0 END")
+        den_terms.append(f"CASE WHEN {cond} THEN {wk!r} ELSE 0.0 END")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+        WITH cnt AS (
+            SELECT {cell} AS cell,
+                   CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        ew AS (
+            SELECT cell, hr, n, ({num}) AS num, ({den}) AS den FROM cnt),
+        scored AS (
+            SELECT cell, hr, n,
+                   CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS baseline
+            FROM ew),
+        rated AS (
+            SELECT cell, hr, n, baseline,
+                   CASE WHEN baseline >= 1.0
+                        THEN ROUND(n / baseline, 6) END AS ratio
+            FROM scored)
+        SELECT cell, hr, n, baseline, ratio, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY ratio DESC, cell, hr) AS rk
+            FROM rated WHERE ratio IS NOT NULL)
+        WHERE rk <= {_EWMA_TOPK}
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11421,6 +11808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_two_sample": q_ks_two_sample,
         "fellegi_sunter": q_fellegi_sunter,
         "cell_seasonal": q_cell_seasonal,
+        "radiation_model": q_radiation_model,
+        "ab_proportions": q_ab_proportions,
+        "fdr_hotspots": q_fdr_hotspots,
+        "ewma_anomaly": q_ewma_anomaly,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -11562,6 +11953,10 @@ def oracle_sql() -> dict[str, str]:
         "ks_two_sample": _ks_two_sample_sql(),
         "fellegi_sunter": _fellegi_sunter_sql(),
         "cell_seasonal": _cell_seasonal_sql(),
+        "radiation_model": _radiation_model_sql(),
+        "ab_proportions": _ab_proportions_sql(),
+        "fdr_hotspots": _fdr_hotspots_sql(),
+        "ewma_anomaly": _ewma_anomaly_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

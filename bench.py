@@ -176,6 +176,10 @@ HEADLINE = [
     "ks_two_sample",
     "fellegi_sunter",
     "cell_seasonal",
+    "radiation_model",
+    "ab_proportions",
+    "fdr_hotspots",
+    "ewma_anomaly",
 ]
 
 SEED = 77

@@ -171,10 +171,14 @@ def getis_gi_star(
             6,
         ).alias("gi_z"),
     )
+    if top_k is None:  # full z-field (e.g. for FDR correction downstream)
+        return z
     return z.orderBy(F.desc("gi_z"), "cell").limit(top_k)
 
 
-def getis_gi_sql(points_sql: str, lat: str, lng: str, res: int, top_k: int = 20) -> str:
+def getis_gi_sql(
+    points_sql: str, lat: str, lng: str, res: int, top_k: int | None = 20
+) -> str:
     """DuckDB twin of getis_gi_star."""
     cell = cell_encode_sql(lat, lng, res)
     nbr = kring_neighbor_sql("c.cell", res, "o.dx", "o.dy")
@@ -199,8 +203,7 @@ def getis_gi_sql(points_sql: str, lat: str, lng: str, res: int, top_k: int = 20)
                      / (s.s * SQRT((s.n_cells * r.k - r.k * r.k)
                                    / (s.n_cells - 1.0))), 6) AS gi_z
         FROM r CROSS JOIN s
-        ORDER BY gi_z DESC, cell
-        LIMIT {top_k}
+        {f"ORDER BY gi_z DESC, cell LIMIT {top_k}" if top_k is not None else ""}
     """
 
 

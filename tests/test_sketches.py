@@ -314,3 +314,53 @@ def test_cell_seasonal_indices_average_to_one(entry, spark, sf_dir):
         assert sum(r.n for r in rs) / (rs[0].cell_total / 24.0) == pytest.approx(
             sum(r.seasonal_idx for r in rs), rel=1e-4
         )
+
+
+def test_radiation_model_bounds_and_symmetric_inputs(entry, spark, sf_dir):
+    rows = entry.q_radiation_model(spark, sf_dir).collect()
+    assert len(rows) == entry._RAD_TOPK
+    for r in rows:
+        # T_ij <= m_i (radiation flows never exceed origin mass) and > 0
+        assert 0 < r.t_rad <= r.mi + 1e-9, r
+        assert r.s_ij >= 0
+        assert r.cell_from != r.cell_to
+
+
+def test_ab_proportions_z_matches_formula(entry, spark, sf_dir):
+    import math
+
+    rows = entry.q_ab_proportions(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        pa, pb = r.xa / r.na, r.xb / r.nb
+        pp = (r.xa + r.xb) / (r.na + r.nb)
+        z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / r.na + 1 / r.nb))
+        assert r.z == pytest.approx(z, abs=2e-6)
+        assert r.significant == int(abs(r.z) > 1.96)
+
+
+def test_fdr_rejected_set_is_bh_step_up(entry, spark, sf_dir):
+    rows = sorted(
+        entry.q_fdr_hotspots(spark, sf_dir).collect(), key=lambda r: r.rk
+    )
+    assert rows
+    m = len(rows)
+    ps = [r.p for r in rows]
+    assert ps == sorted(ps)  # ranked by p
+    kmax = 0
+    for i, p in enumerate(ps, start=1):
+        if p <= i * entry._FDR_ALPHA / m:
+            kmax = i
+    for r in rows:
+        assert r.rejected == int(r.rk <= kmax), (r.rk, kmax)
+    # BH rejects at least the very hottest cells on this clustered corpus
+    if kmax:
+        assert rows[0].p <= entry._FDR_ALPHA / m * 1  # rank-1 condition
+
+
+def test_ewma_baseline_is_weighted_lag_mean(entry, spark, sf_dir):
+    rows = entry.q_ewma_anomaly(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ratio == pytest.approx(r.n / r.baseline, abs=2e-6)
+        assert r.baseline >= 1.0
