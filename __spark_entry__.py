@@ -11140,11 +11140,14 @@ def _fellegi_sunter_sql() -> str:
             FROM blocked a JOIN blocked b
               ON a.blk = b.blk AND a.doc_id < b.doc_id)
         SELECT id_a, id_b, agree_src, agree_len, agree_jac,
-               ROUND(agree_src * {_FS_W_SRC} + agree_len * {_FS_W_LEN}
-                     + agree_jac * {_FS_W_JAC}, 6) AS score
+               ROUND(agree_src * CAST({_FS_W_SRC} AS DOUBLE)
+                     + agree_len * CAST({_FS_W_LEN} AS DOUBLE)
+                     + agree_jac * CAST({_FS_W_JAC} AS DOUBLE), 6) AS score
         FROM pairs
-        WHERE ROUND(agree_src * {_FS_W_SRC} + agree_len * {_FS_W_LEN}
-                    + agree_jac * {_FS_W_JAC}, 6) >= {_FS_THRESHOLD}
+        WHERE ROUND(agree_src * CAST({_FS_W_SRC} AS DOUBLE)
+                    + agree_len * CAST({_FS_W_LEN} AS DOUBLE)
+                    + agree_jac * CAST({_FS_W_JAC} AS DOUBLE), 6)
+              >= {_FS_THRESHOLD}
     """
 
 
@@ -11601,6 +11604,306 @@ def _ewma_anomaly_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# pseudo-relevance feedback, commute-flow inference, Chaikin smoothing
+# ---------------------------------------------------------------------------
+
+_PRF_FB_DOCS, _PRF_FB_TERMS, _PRF_TOPK = 5, 3, 10
+
+
+def q_prf_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval (Rocchio/RM3-lite) — the classic
+    two-pass IR loop completing the repo's retrieval stack (BM25 → hybrid
+    RRF → rerank → MMR → PRF): BM25 first pass, top-5 feedback docs, top-3
+    expansion terms by tf·idf from those docs (original terms and short
+    tokens excluded), then a SECOND BM25 pass over the expanded term set.
+    FULLY relational — the expansion terms stay a DataFrame (no driver
+    round-trip); the postings index builds ONCE (localCheckpoint, the
+    persisted-index stand-in) and feeds both passes, term stats, and the
+    expansion scorer. Output: final top-10 (doc_id, score)."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.bm25 import B, K1, doc_postings
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    post = doc_postings(docs).localCheckpoint(eager=False)
+    dlen = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dlen.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_dl"))
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avg_dl")
+    )
+    contrib = idf * F.col("tf") * F.lit(K1 + 1.0) / denom
+
+    def bm25_pass(terms_df):
+        hit = post.join(F.broadcast(terms_df), "term")
+        return (
+            hit.join(F.broadcast(dfreq), "term")
+            .join(dlen, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(contrib), 6).alias("score"))
+        )
+
+    q0 = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    first = bm25_pass(q0)
+    fb = (
+        first.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
+        )
+        .filter(F.col("rk") <= _PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    exp_scored = (
+        post.join(F.broadcast(fb), "doc_id")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("fb_tf"))
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .filter(~F.col("term").isin(list(_BM25_TERMS)) & (F.length("term") >= 3))
+        .select("term", F.round(F.col("fb_tf") * idf, 6).alias("escore"))
+    )
+    exp = (
+        exp_scored.withColumn(
+            "erk",
+            F.row_number().over(Window.orderBy(F.col("escore").desc(), "term")),
+        )
+        .filter(F.col("erk") <= _PRF_FB_TERMS)
+        .select("term")
+    )
+    second = bm25_pass(q0.unionByName(exp).distinct())
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        second.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _PRF_TOPK)
+        .select("doc_id", "score", "rk")
+    )
+
+
+def _prf_expansion_sql() -> str:
+    from raptor_service_spark.operators.bm25 import B, K1, TOKEN_PATTERN
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    idf = "ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))"
+    score_from = f"""
+        FROM post p
+        JOIN dfreq f USING (term)
+        JOIN dlen l USING (doc_id)
+        CROSS JOIN stats s"""
+    contrib = (
+        f"{idf} * p.tf * {K1 + 1.0} "
+        f"/ (p.tf + {K1} * ({1.0 - B} + {B} * l.dl / s.avg_dl))"
+    )
+    return f"""
+        WITH post AS (
+            SELECT doc_id, t.term, COUNT(*) AS tf
+            FROM documents,
+                 unnest(regexp_extract_all(lower(text),
+                        '{TOKEN_PATTERN}', 0)) AS t(term)
+            GROUP BY 1, 2),
+        dlen AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dlen),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+        first AS (
+            SELECT p.doc_id, ROUND(SUM({contrib}), 6) AS score
+            {score_from}
+            WHERE p.term IN ({terms})
+            GROUP BY 1),
+        fb AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+                FROM first)
+            WHERE rk <= {_PRF_FB_DOCS}),
+        exp AS (
+            SELECT term FROM (
+                SELECT e.term,
+                       ROW_NUMBER() OVER (ORDER BY e.escore DESC, e.term) AS erk
+                FROM (
+                    SELECT p.term,
+                           ROUND(SUM(p.tf) * {idf}, 6) AS escore
+                    FROM post p
+                    JOIN fb USING (doc_id)
+                    JOIN dfreq f USING (term)
+                    CROSS JOIN stats s
+                    WHERE p.term NOT IN ({terms}) AND LENGTH(p.term) >= 3
+                    GROUP BY p.term, f.df, s.n_docs) e)
+            WHERE erk <= {_PRF_FB_TERMS}),
+        qexp AS (
+            SELECT DISTINCT term FROM (
+                SELECT unnest(ARRAY[{terms}]) AS term
+                UNION ALL SELECT term FROM exp)),
+        second AS (
+            SELECT p.doc_id, ROUND(SUM({contrib}), 6) AS score
+            {score_from}
+            JOIN qexp q ON p.term = q.term
+            GROUP BY 1)
+        SELECT doc_id, score, rk FROM (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+            FROM second)
+        WHERE rk <= {_PRF_TOPK}
+    """
+
+
+_COMMUTE_RES = 2
+
+
+def q_commute_flows(spark, sf_dir):
+    """Home→work commute-flow inference — the trip-chaining rollup on top
+    of the mobility block: per user, home = modal res-3 cell over night
+    hours (hod < 6 ∨ ≥ 20), work = modal cell over office hours
+    (9 ≤ hod < 17), flows aggregated over users with distinct home/work.
+    ONE point agg into (user, cell, daypart) counts; both argmaxes are
+    windows on that aggregated table."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    hod = F.hour(F.col("ts").cast("timestamp"))
+    part = F.when((hod < 6) | (hod >= 20), F.lit("home")).when(
+        (hod >= 9) & (hod < 17), F.lit("work")
+    )
+    cnt = (
+        ev.select(
+            "user_id",
+            cell_encode_col(lat, lng, _COMMUTE_RES).alias("cell"),
+            part.alias("part"),
+        )
+        .filter(F.col("part").isNotNull())
+        .groupBy("user_id", "part", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id", "part").orderBy(
+        F.col("n").desc(), F.col("cell").asc()
+    )
+    modal = cnt.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    home = modal.filter(F.col("part") == "home").select(
+        "user_id", F.col("cell").alias("home_cell")
+    )
+    work = modal.filter(F.col("part") == "work").select(
+        "user_id", F.col("cell").alias("work_cell")
+    )
+    return (
+        home.join(work, "user_id")
+        .filter(F.col("home_cell") != F.col("work_cell"))
+        .groupBy("home_cell", "work_cell")
+        .agg(F.count(F.lit(1)).alias("n_commuters"))
+        .filter(F.col("n_commuters") >= 2)
+    )
+
+
+def _commute_flows_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, _COMMUTE_RES)
+    return f"""
+        WITH ev AS (
+            SELECT user_id, {cell} AS cell,
+                   CASE WHEN EXTRACT(hour FROM ts) < 6
+                          OR EXTRACT(hour FROM ts) >= 20 THEN 'home'
+                        WHEN EXTRACT(hour FROM ts) >= 9
+                         AND EXTRACT(hour FROM ts) < 17 THEN 'work' END AS part
+            FROM events),
+        cnt AS (
+            SELECT user_id, part, cell, COUNT(*) AS n
+            FROM ev WHERE part IS NOT NULL GROUP BY 1, 2, 3),
+        modal AS (
+            SELECT user_id, part, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, part
+                           ORDER BY n DESC, cell ASC) AS rk
+                FROM cnt)
+            WHERE rk = 1),
+        home AS (SELECT user_id, cell AS home_cell FROM modal
+                 WHERE part = 'home'),
+        work AS (SELECT user_id, cell AS work_cell FROM modal
+                 WHERE part = 'work')
+        SELECT h.home_cell, w.work_cell, COUNT(*) AS n_commuters
+        FROM home h JOIN work w USING (user_id)
+        WHERE h.home_cell != w.work_cell
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """
+
+
+_CHAIKIN_USERS = 8
+
+
+def q_chaikin_smooth(spark, sf_dir):
+    """Chaikin corner-cutting smoothing of user trajectories (the
+    cartographic smoothing dual of the VW simplifier already shipped):
+    each consecutive fix pair (P, N) yields Q = ¾P+¼N and R = ¼P+¾N,
+    ordered 2i/2i+1 — ONE user-keyed lead window + a 2-element inline
+    explode, pure codegen arithmetic (6-dp outputs)."""
+    from pyspark.sql import Window
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < _CHAIKIN_USERS)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select("user_id", "ts", "event_id", lat.alias("lat"), lng.alias("lng"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pts.withColumn("i", F.row_number().over(w).cast("long")).withColumn(
+        "nlat", F.lead("lat").over(w)
+    ).withColumn("nlng", F.lead("lng").over(w)).filter(F.col("nlat").isNotNull())
+    qpt = F.struct(
+        (F.col("i") * 2).alias("seq"),
+        F.round(0.75 * F.col("lat") + 0.25 * F.col("nlat"), 6).alias("slat"),
+        F.round(0.75 * F.col("lng") + 0.25 * F.col("nlng"), 6).alias("slng"),
+    )
+    rpt = F.struct(
+        (F.col("i") * 2 + 1).alias("seq"),
+        F.round(0.25 * F.col("lat") + 0.75 * F.col("nlat"), 6).alias("slat"),
+        F.round(0.25 * F.col("lng") + 0.75 * F.col("nlng"), 6).alias("slng"),
+    )
+    return seq.select(
+        "user_id", F.explode(F.array(qpt, rpt)).alias("p")
+    ).select(
+        "user_id",
+        F.col("p.seq").alias("seq"),
+        F.col("p.slat").alias("slat"),
+        F.col("p.slng").alias("slng"),
+    )
+
+
+def _chaikin_smooth_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    return f"""
+        WITH pts AS (
+            SELECT user_id, ts, event_id, {lat} AS lat, {lng} AS lng
+            FROM events WHERE user_id < {_CHAIKIN_USERS}),
+        seq AS (
+            SELECT user_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS i,
+                   lat, lng,
+                   LEAD(lat) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS nlat,
+                   LEAD(lng) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS nlng
+            FROM pts),
+        pairs AS (SELECT * FROM seq WHERE nlat IS NOT NULL)
+        SELECT user_id, i * 2 AS seq,
+               ROUND(0.75 * lat + 0.25 * nlat, 6) AS slat,
+               ROUND(0.75 * lng + 0.25 * nlng, 6) AS slng
+        FROM pairs
+        UNION ALL
+        SELECT user_id, i * 2 + 1 AS seq,
+               ROUND(0.25 * lat + 0.75 * nlat, 6) AS slat,
+               ROUND(0.25 * lng + 0.75 * nlng, 6) AS slng
+        FROM pairs
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11812,6 +12115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_proportions": q_ab_proportions,
         "fdr_hotspots": q_fdr_hotspots,
         "ewma_anomaly": q_ewma_anomaly,
+        "prf_expansion": q_prf_expansion,
+        "commute_flows": q_commute_flows,
+        "chaikin_smooth": q_chaikin_smooth,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -11957,6 +12263,9 @@ def oracle_sql() -> dict[str, str]:
         "ab_proportions": _ab_proportions_sql(),
         "fdr_hotspots": _fdr_hotspots_sql(),
         "ewma_anomaly": _ewma_anomaly_sql(),
+        "prf_expansion": _prf_expansion_sql(),
+        "commute_flows": _commute_flows_sql(),
+        "chaikin_smooth": _chaikin_smooth_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

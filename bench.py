@@ -180,6 +180,9 @@ HEADLINE = [
     "ab_proportions",
     "fdr_hotspots",
     "ewma_anomaly",
+    "prf_expansion",
+    "commute_flows",
+    "chaikin_smooth",
 ]
 
 SEED = 77

@@ -32,7 +32,7 @@ NAMES = [
     "semivariogram", "variogram_fit", "od_ipf_balance", "kmv_distinct",
     "histogram_quantiles", "kmv_set_ops", "matryoshka_recall",
     "psi_drift", "ks_two_sample", "binary_quant_recall",
-    "fdr_hotspots", "radiation_model", "ewma_anomaly",
+    "fdr_hotspots", "radiation_model", "ewma_anomaly", "prf_expansion",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 bad = 0

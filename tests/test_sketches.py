@@ -364,3 +364,58 @@ def test_ewma_baseline_is_weighted_lag_mean(entry, spark, sf_dir):
     for r in rows:
         assert r.ratio == pytest.approx(r.n / r.baseline, abs=2e-6)
         assert r.baseline >= 1.0
+
+
+def test_prf_second_pass_uses_expanded_terms(entry, spark, sf_dir):
+    from raptor_service_spark.operators.bm25 import bm25_topk
+
+    rows = entry.q_prf_expansion(spark, sf_dir).collect()
+    assert len(rows) == entry._PRF_TOPK
+    base = bm25_topk(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"),
+        list(entry._BM25_TERMS),
+        entry._PRF_TOPK,
+    ).collect()
+    # expansion must actually change scores (more terms -> scores can only
+    # grow for docs containing them); require the score SET to differ
+    assert {r.score for r in rows} != {r.score for r in base}
+    # ranks are a permutation of 1..k
+    assert sorted(r.rk for r in rows) == list(range(1, entry._PRF_TOPK + 1))
+
+
+def test_commute_flows_modal_cells(entry, spark, sf_dir):
+    rows = entry.q_commute_flows(spark, sf_dir).collect()
+    for r in rows:
+        assert r.home_cell != r.work_cell
+        assert r.n_commuters >= 2
+
+
+def test_chaikin_points_lie_between_fixes(entry, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    rows = entry.q_chaikin_smooth(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < entry._CHAIKIN_USERS)
+        .collect()
+    )
+    # 2 interpolants per consecutive pair: counts must line up per user
+    from collections import Counter
+
+    per_user = Counter(r.user_id for r in ev)
+    got = Counter(r.user_id for r in rows)
+    for u, n in per_user.items():
+        assert got[u] == 2 * (n - 1), (u, n, got[u])
+    # every smoothed point is inside the bounding box of the raw fixes
+    HM, HMOD = 2654435761, 2147483648
+    import numpy as np
+
+    ids = np.array([r.event_id for r in ev], dtype=np.int64)
+    h = (ids * HM) % HMOD
+    lat = (h % 1700) / 10.0 - 85.0 + 0.05
+    lng = ((h // 1700) % 3580) / 10.0 - 179.0 + 0.05
+    for r in rows:
+        assert lat.min() - 1e-6 <= r.slat <= lat.max() + 1e-6
+        assert lng.min() - 1e-6 <= r.slng <= lng.max() + 1e-6
