@@ -11904,6 +11904,95 @@ def _chaikin_smooth_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# perceptual-hash (aHash) image near-dup over decoded rasters
+# ---------------------------------------------------------------------------
+
+
+def q_media_ahash_dedup(spark, sf_dir):
+    """Multimodal near-duplicate detection from DECODED PIXELS: every media
+    span's raster runs through the real RTv1 encode→decode codec, aHash =
+    (pixel > image mean) 64-bit signature (two 32-bit words), and a
+    perturbed thumbnail twin per image is the planted near-dup; pairs come
+    from the 4×16-bit Hamming-LSH band join (pigeonhole-EXACT at ham ≤ 3 —
+    the simhash guarantee structure, applied to images). The oracle
+    recomputes the pixels INDEPENDENTLY via the hex-chained md5 arithmetic
+    (raster_for_ref_hex) and replicates the banding in SQL — so decode,
+    hash, and the LSH cover are all value-checked. Reference analog: the
+    media payload rip-out of markdown_extractor.py:11-100, upgraded to a
+    dedup stage."""
+    from raptor_service_spark.datagen import gen_documents_df
+    from raptor_service_spark.operators.chunking import explode_spans
+    from raptor_service_spark.operators.tiles import (
+        ahash_neardup_pairs,
+        media_ahash,
+    )
+
+    docs = gen_documents_df(spark, 40, seed=67)
+    return ahash_neardup_pairs(media_ahash(explode_spans(docs)), max_ham=3)
+
+
+def _media_ahash_dedup_sql(n_docs: int = 40, seed: int = 67) -> str:
+    from raptor_service_spark.datagen import _gen_doc
+
+    refs = []
+    for i in range(n_docs):
+        d = _gen_doc(seed, i)
+        for s in d["spans"]:
+            if s["media_ref"]:
+                refs.append(f"('{s['media_ref']}')")
+    links = "md5(media_ref)"
+    link_cols = []
+    for k in range(4):
+        link_cols.append(f"{links} AS l{k}")
+        links = f"md5({links})"
+    pixel = (
+        "('0x' || substr(CASE i // 16 WHEN 0 THEN l0 WHEN 1 THEN l1 "
+        "WHEN 2 THEN l2 ELSE l3 END, 2 * (i % 16) + 1, 2))::BIGINT // 16 * 17"
+    )
+    return f"""
+        WITH refs(media_ref) AS (VALUES {', '.join(refs)}),
+        imgs AS (
+            SELECT media_ref || '#' || tt.t AS img, media_ref, tt.t
+            FROM refs CROSS JOIN (VALUES (0), (1)) tt(t)),
+        links AS (
+            SELECT img, t, {', '.join(link_cols)} FROM imgs),
+        lists AS (
+            SELECT img, t,
+                   list_transform(range(0, 64), i -> struct_pack(
+                       i := i, p := {pixel})) AS ps
+            FROM links),
+        px AS (
+            SELECT img,
+                   u.i AS i,
+                   CASE WHEN u.i = 0 AND t = 1 THEN LEAST(u.p + 17, 255)
+                        ELSE u.p END AS p
+            FROM (SELECT img, t, unnest(ps) AS u FROM lists)),
+        stats AS (SELECT img, AVG(CAST(p AS DOUBLE)) AS mean
+                  FROM px GROUP BY 1),
+        bits AS (
+            SELECT px.img,
+                   CAST(SUM(CASE WHEN px.i < 32 AND px.p > s.mean
+                            THEN (CAST(1 AS BIGINT) << CAST(px.i % 32 AS INT))
+                            ELSE 0 END) AS BIGINT) AS w0,
+                   CAST(SUM(CASE WHEN px.i >= 32 AND px.p > s.mean
+                            THEN (CAST(1 AS BIGINT) << CAST(px.i % 32 AS INT))
+                            ELSE 0 END) AS BIGINT) AS w1
+            FROM px JOIN stats s ON px.img = s.img GROUP BY 1),
+        banded AS (
+            SELECT img, w0, w1, bb.b,
+                   CASE bb.b WHEN 0 THEN w0 % 65536 WHEN 1 THEN w0 // 65536
+                             WHEN 2 THEN w1 % 65536 ELSE w1 // 65536 END AS v
+            FROM bits CROSS JOIN (VALUES (0), (1), (2), (3)) bb(b))
+        SELECT DISTINCT a.img AS img_a, b.img AS img_b,
+               CAST(bit_count(xor(a.w0, b.w0))
+                    + bit_count(xor(a.w1, b.w1)) AS BIGINT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.v = b.v AND a.img < b.img
+        WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -12118,6 +12207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_expansion": q_prf_expansion,
         "commute_flows": q_commute_flows,
         "chaikin_smooth": q_chaikin_smooth,
+        "media_ahash_dedup": q_media_ahash_dedup,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -12266,6 +12356,7 @@ def oracle_sql() -> dict[str, str]:
         "prf_expansion": _prf_expansion_sql(),
         "commute_flows": _commute_flows_sql(),
         "chaikin_smooth": _chaikin_smooth_sql(),
+        "media_ahash_dedup": _media_ahash_dedup_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -183,6 +183,7 @@ HEADLINE = [
     "prf_expansion",
     "commute_flows",
     "chaikin_smooth",
+    "media_ahash_dedup",
 ]
 
 SEED = 77

@@ -153,6 +153,95 @@ def media_features(spans: DataFrame, dim: int = 8) -> DataFrame:
     )
 
 
+def raster_for_ref_hex(ref: str, w: int = 8, h: int = 8) -> np.ndarray:
+    """Deterministic raster whose byte stream chains md5 over HEX STRINGS
+    (L1 = md5(ref), L_{k+1} = md5(hex(L_k))) instead of raw digests — the
+    variant an ANSI-SQL oracle can recompute (DuckDB's md5 is
+    VARCHAR-only). Same 16-level quantization as raster_for_ref."""
+    need = w * h
+    buf = b""
+    link = str(ref)
+    while len(buf) < need:
+        link = hashlib.md5(link.encode()).hexdigest()
+        buf += bytes.fromhex(link)
+    raw = np.frombuffer(buf[:need], dtype=np.uint8)
+    return (raw // 16 * 17).astype(np.uint8).reshape(h, w)
+
+
+def media_ahash(spans: DataFrame, w: int = 8, h: int = 8) -> DataFrame:
+    """Perceptual average-hash per media span (+ a perturbed thumbnail twin
+    per image — the planted near-duplicate): rasters go through the REAL
+    encode→decode RLE codec, then aHash = (pixel > image mean) bits packed
+    into two 32-bit words (sign-safe BIGINTs). Strict > so the tie rule is
+    shared with the SQL twin. Output: (img, w0, w1) — 8 B of state per
+    image regardless of resolution, the 64×-compression that makes
+    image-dedup pair generation a bit-twiddling join at 10^12 scale."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"img": [], "w0": [], "w1": []}
+            for ref in pdf["media_ref"]:
+                base = decode_raster(encode_raster(raster_for_ref_hex(ref, w, h)))
+                for t in (0, 1):
+                    img = base.reshape(-1).astype(np.int64).copy()
+                    if t:  # thumbnail twin: one quant-step bump on pixel 0
+                        img[0] = min(img[0] + 17, 255)
+                    mean = img.sum() / img.size
+                    bits = (img > mean).astype(np.int64)
+                    w0 = int((bits[:32] << np.arange(32)).sum())
+                    w1 = int((bits[32:64] << np.arange(32)).sum())
+                    rows["img"].append(f"{ref}#{t}")
+                    rows["w0"].append(w0)
+                    rows["w1"].append(w1)
+            yield pd.DataFrame(rows)
+
+    media = spans.filter(F.col("media_ref") != "")
+    return media.select("media_ref").mapInPandas(
+        gen, schema="img string, w0 long, w1 long"
+    )
+
+
+def ahash_neardup_pairs(hashes: DataFrame, max_ham: int = 3) -> DataFrame:
+    """Hamming-LSH near-dup join over aHash words: 4 bands of 16 bits —
+    pigeonhole-EXACT for max_ham <= 3 (3 flipped bits cannot touch all 4
+    bands, so every qualifying pair shares a band value; same guarantee
+    structure as simhash_pairs). One band equi-join, bit_count(xor)
+    refine, distinct-pair dedup on the (small) candidate output."""
+    assert max_ham < 4, "4x16-bit banding is exact only for max_ham <= 3"
+    banded = hashes.select(
+        "img",
+        "w0",
+        "w1",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("b"), (F.col("w0") % 65536).alias("v")),
+                F.struct(
+                    F.lit(1).alias("b"), F.floor(F.col("w0") / 65536).alias("v")
+                ),
+                F.struct(F.lit(2).alias("b"), (F.col("w1") % 65536).alias("v")),
+                F.struct(
+                    F.lit(3).alias("b"), F.floor(F.col("w1") / 65536).alias("v")
+                ),
+            )
+        ).alias("band"),
+    ).select("img", "w0", "w1", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = (
+        F.bit_count(F.expr("a.w0 ^ b.w0")) + F.bit_count(F.expr("a.w1 ^ b.w1"))
+    ).cast("long")
+    return (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.v") == F.col("b.v"))
+               & (F.col("a.img") < F.col("b.img")))
+        .select(
+            F.col("a.img").alias("img_a"),
+            F.col("b.img").alias("img_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_ham)
+        .distinct()
+    )
+
+
 def resize_media(
     spans: DataFrame, out_w: int = 4, out_h: int = 4, src_w: int = 16, src_h: int = 16
 ) -> DataFrame:

@@ -419,3 +419,31 @@ def test_chaikin_points_lie_between_fixes(entry, spark, sf_dir):
     for r in rows:
         assert lat.min() - 1e-6 <= r.slat <= lat.max() + 1e-6
         assert lng.min() - 1e-6 <= r.slng <= lng.max() + 1e-6
+
+
+def test_media_ahash_finds_planted_twins(entry, spark, sf_dir):
+    import numpy as np
+
+    from raptor_service_spark.operators.tiles import (
+        decode_raster,
+        encode_raster,
+        raster_for_ref_hex,
+    )
+
+    rows = entry.q_media_ahash_dedup(spark, sf_dir).collect()
+    assert rows
+    pairs = {(r.img_a, r.img_b): r.hamming for r in rows}
+    for (a, b), h in pairs.items():
+        assert 0 <= h <= 3
+        assert a < b
+    # twin pairs (ref#0, ref#1) dominate: the one-quant-step bump flips
+    # at most a few threshold bits
+    twin = [h for (a, b), h in pairs.items() if a[:-2] == b[:-2]]
+    assert len(twin) >= len(pairs) * 0.5
+    # kernel parity: recompute one image's words by hand through the codec
+    ref = rows[0].img_a[:-2]
+    img = decode_raster(encode_raster(raster_for_ref_hex(ref))).reshape(-1)
+    mean = img.astype(np.int64).sum() / img.size
+    bits = (img > mean).astype(np.int64)
+    w0 = int((bits[:32] << np.arange(32)).sum())
+    assert w0 >= 0  # sign-safe packing
