@@ -11993,6 +11993,290 @@ def _media_ahash_dedup_sql(n_docs: int = 40, seed: int = 67) -> str:
 
 
 # ---------------------------------------------------------------------------
+# rank-biased overlap, Kaplan-Meier survival, difference-in-differences
+# ---------------------------------------------------------------------------
+
+_RBO_P, _RBO_DEPTH = 0.9, 20
+
+
+def q_rbo_rankings(spark, sf_dir):
+    """Rank-biased overlap (Webber et al. 2010) between the keyword (BM25)
+    and vector (cosine) top-20 rankings — the rank-similarity metric that
+    quantifies how much the two retrieval legs agree before fusing them
+    (the diagnostic hybrid_retrieval should be driven by). Truncated RBO:
+    Σ_{d=1..D} p^{d-1} · |A_d ∩ B_d| / d, computed relationally: both
+    rankings → depth join → per-depth overlap via two cumulative windows →
+    weighted sum (9-dp pre-round). Everything after the two top-k scans is
+    O(depth) rows."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.bm25 import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    kw = bm25_topk(docs, list(_BM25_TERMS), _RBO_DEPTH).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rka"),
+    )
+    e = _read(spark, sf_dir, "embeddings")
+    vec = (
+        e.withColumn("d", F.round(cosine_dist_col(F.col("embedding"), QVEC), 6))
+        .withColumn("rkb", F.row_number().over(Window.orderBy("d", "vec_id")))
+        .filter(F.col("rkb") <= _RBO_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), "rkb")
+    )
+    both = kw.join(vec, "doc_id")  # docs in BOTH rankings with their ranks
+    depths = spark.range(1, _RBO_DEPTH + 1).select(F.col("id").alias("d"))
+    overlap = (
+        depths.join(
+            both,
+            (F.col("rka") <= F.col("d")) & (F.col("rkb") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count(F.col("doc_id")).alias("x_d"))
+    )
+    wterm = F.round(
+        F.pow(F.lit(_RBO_P), F.col("d") - 1) * F.col("x_d") / F.col("d"), 9
+    )
+    return overlap.agg(
+        F.count(F.lit(1)).alias("depth"),
+        F.max(F.when(F.col("d") == _RBO_DEPTH, F.col("x_d")))
+        .cast("long")
+        .alias("overlap_at_k"),
+        F.round(F.round(F.sum(wterm), 9) * (1.0 - _RBO_P), 6).alias("rbo"),
+    )
+
+
+def _rbo_rankings_sql() -> str:
+    from raptor_service_spark.operators.bm25 import bm25_sql
+
+    kw = bm25_sql("documents", list(_BM25_TERMS), _RBO_DEPTH)
+    return f"""
+        WITH kw AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rka
+            FROM ({kw})),
+        vec AS (
+            SELECT doc_id, rkb FROM (
+                SELECT vec_id AS doc_id,
+                       ROW_NUMBER() OVER (ORDER BY
+                           ROUND(1.0 - list_cosine_similarity(
+                               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                               {QVEC_SQL}), 6), vec_id) AS rkb
+                FROM embeddings)
+            WHERE rkb <= {_RBO_DEPTH}),
+        both_r AS (SELECT kw.doc_id, kw.rka, vec.rkb
+                   FROM kw JOIN vec USING (doc_id)),
+        overlap AS (
+            SELECT d.d, COUNT(b.doc_id) AS x_d
+            FROM range(1, {_RBO_DEPTH + 1}) d(d)
+            LEFT JOIN both_r b ON b.rka <= d.d AND b.rkb <= d.d
+            GROUP BY 1)
+        SELECT COUNT(*) AS depth,
+               CAST(MAX(CASE WHEN d = {_RBO_DEPTH} THEN x_d END) AS BIGINT)
+                 AS overlap_at_k,
+               ROUND(ROUND(SUM(ROUND(POWER({_RBO_P}, d - 1) * x_d / d, 9)), 9)
+                     * (1.0 - {_RBO_P}), 6) AS rbo
+        FROM overlap
+    """
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve of per-user inter-event gaps (time until
+    the next ping, hours) — survival analysis joins the analytics surface:
+    each user's LAST gap to the observation end is right-CENSORED; the
+    product-limit estimator S(t) = Π_{t_i ≤ t}(1 − d_i/n_i) runs as one
+    ordered window (risk set = n − cum(events+censored before t), survival
+    via exp∘cumsum∘ln with 9-dp pre-rounds). Output: the 25 largest event
+    times with S(t). Point rows shuffle ONCE into per-gap rows."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    endt = _read(spark, sf_dir, "events").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("endu")
+    )
+    gaps = (
+        ev.select(
+            ts_us.alias("t0"),
+            F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("t1"),
+        )
+        .crossJoin(F.broadcast(endt))
+        .select(
+            F.when(
+                F.col("t1").isNotNull(),
+                F.round((F.col("t1") - F.col("t0")) / F.lit(3_600_000_000.0), 6),
+            )
+            .otherwise(
+                F.round((F.col("endu") - F.col("t0")) / F.lit(3_600_000_000.0), 6)
+            )
+            .alias("t"),
+            F.col("t1").isNotNull().cast("int").alias("event"),
+        )
+    )
+    per_t = gaps.groupBy("t").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("obs"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    km = (
+        per_t.withColumn(
+            "n_risk",
+            (
+                F.sum("obs").over(Window.partitionBy())
+                - F.coalesce(F.sum("obs").over(wt), F.lit(0))
+            ).cast("long"),
+        )
+        .filter(F.col("d") > 0)
+        .withColumn(
+            "lnterm",
+            # d == n_risk is the terminal time (everyone at risk dies):
+            # S hits exactly 0 there — ln(0) guarded, s overridden below
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.round(
+                    F.log(1.0 - F.col("d") / F.col("n_risk").cast("double")), 9
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "s",
+            F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
+                F.round(
+                    F.exp(
+                        F.round(
+                            F.sum("lnterm").over(
+                                Window.orderBy("t").rowsBetween(
+                                    Window.unboundedPreceding, 0
+                                )
+                            ),
+                            9,
+                        )
+                    ),
+                    6,
+                )
+            ),
+        )
+    )
+    wtop = Window.orderBy(F.col("t").desc())
+    return (
+        km.withColumn("rk", F.row_number().over(wtop).cast("long"))
+        .filter(F.col("rk") <= 25)
+        .select("t", "d", "n_risk", "s", "rk")
+    )
+
+
+def _kaplan_meier_sql() -> str:
+    return """
+        WITH ev AS (
+            SELECT user_id, event_id, epoch_us(ts) AS u FROM events),
+        endt AS (SELECT MAX(u) AS endu FROM ev),
+        gaps AS (
+            SELECT CASE WHEN t1 IS NOT NULL
+                        THEN ROUND((t1 - t0) / 3600000000.0, 6)
+                        ELSE ROUND((endu - t0) / 3600000000.0, 6) END AS t,
+                   CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS event
+            FROM (
+                SELECT u AS t0,
+                       LEAD(u) OVER (PARTITION BY user_id
+                                     ORDER BY u, event_id) AS t1
+                FROM ev) g CROSS JOIN endt),
+        per_t AS (
+            SELECT t, CAST(SUM(event) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS obs
+            FROM gaps GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n FROM gaps),
+        km AS (
+            SELECT t, d,
+                   CAST(n - COALESCE(SUM(obs) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_risk,
+                   obs
+            FROM per_t CROSS JOIN tot),
+        surv AS (
+            SELECT t, d, n_risk,
+                   CASE WHEN d = n_risk THEN 0.0 ELSE
+                   ROUND(EXP(ROUND(SUM(CASE WHEN d < n_risk THEN
+                                       ROUND(LN(1.0 - CAST(d AS DOUBLE)
+                                                / n_risk), 9) ELSE 0.0 END)
+                        OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW), 9)), 6) END AS s
+            FROM km WHERE d > 0)
+        SELECT t, d, n_risk, s, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY t DESC) AS rk FROM surv)
+        WHERE rk <= 25
+    """
+
+
+def q_did_estimator(spark, sf_dir):
+    """Difference-in-differences — the workhorse causal estimator on the
+    2×2 (arm × period) design: arm = user parity (stable unit assignment),
+    period = first/second half of the observation window, outcome = mean
+    event value; DiD = (T₂−T₁) − (C₂−C₁) with 9-dp pre-rounded cell means.
+    ONE partial+final agg; the estimate assembles from 4 aggregated
+    cells."""
+    ev = _read(spark, sf_dir, "events").select("ts", "user_id", "value")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    )
+    j = ev.crossJoin(F.broadcast(bounds))
+    period = (us >= (F.col("lo") + F.col("hi")) / 2).cast("int")
+    arm = (F.col("user_id") % 2).cast("int")
+    cells = (
+        j.select(arm.alias("arm"), period.alias("period"), "value")
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 9).alias("mean_val"),
+        )
+    )
+    pv = cells.groupBy().pivot("arm", [0, 1]).agg(
+        F.max(F.when(F.col("period") == 0, F.col("mean_val"))).alias("p0"),
+        F.max(F.when(F.col("period") == 1, F.col("mean_val"))).alias("p1"),
+    )
+    did = (F.col("1_p1") - F.col("1_p0")) - (F.col("0_p1") - F.col("0_p0"))
+    return pv.select(
+        F.round("0_p0", 6).alias("ctl_pre"),
+        F.round("0_p1", 6).alias("ctl_post"),
+        F.round("1_p0", 6).alias("trt_pre"),
+        F.round("1_p1", 6).alias("trt_post"),
+        F.round(did, 6).alias("did"),
+    )
+
+
+def _did_estimator_sql() -> str:
+    return """
+        WITH ev AS (SELECT user_id, value, epoch_us(ts) AS u FROM events),
+        bounds AS (SELECT MIN(u) AS lo, MAX(u) AS hi FROM ev),
+        cells AS (
+            SELECT CAST(user_id % 2 AS INT) AS arm,
+                   CAST(u >= (lo + hi) / 2 AS INT) AS period,
+                   ROUND(AVG(value), 9) AS mean_val
+            FROM ev CROSS JOIN bounds
+            GROUP BY 1, 2)
+        SELECT ROUND(MAX(CASE WHEN arm = 0 AND period = 0 THEN mean_val END),
+                     6) AS ctl_pre,
+               ROUND(MAX(CASE WHEN arm = 0 AND period = 1 THEN mean_val END),
+                     6) AS ctl_post,
+               ROUND(MAX(CASE WHEN arm = 1 AND period = 0 THEN mean_val END),
+                     6) AS trt_pre,
+               ROUND(MAX(CASE WHEN arm = 1 AND period = 1 THEN mean_val END),
+                     6) AS trt_post,
+               ROUND((MAX(CASE WHEN arm = 1 AND period = 1 THEN mean_val END)
+                      - MAX(CASE WHEN arm = 1 AND period = 0 THEN mean_val END))
+                     - (MAX(CASE WHEN arm = 0 AND period = 1 THEN mean_val END)
+                        - MAX(CASE WHEN arm = 0 AND period = 0 THEN mean_val
+                              END)), 6) AS did
+        FROM cells
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -12208,6 +12492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "commute_flows": q_commute_flows,
         "chaikin_smooth": q_chaikin_smooth,
         "media_ahash_dedup": q_media_ahash_dedup,
+        "rbo_rankings": q_rbo_rankings,
+        "kaplan_meier": q_kaplan_meier,
+        "did_estimator": q_did_estimator,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -12357,6 +12644,9 @@ def oracle_sql() -> dict[str, str]:
         "commute_flows": _commute_flows_sql(),
         "chaikin_smooth": _chaikin_smooth_sql(),
         "media_ahash_dedup": _media_ahash_dedup_sql(),
+        "rbo_rankings": _rbo_rankings_sql(),
+        "kaplan_meier": _kaplan_meier_sql(),
+        "did_estimator": _did_estimator_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

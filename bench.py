@@ -184,6 +184,9 @@ HEADLINE = [
     "commute_flows",
     "chaikin_smooth",
     "media_ahash_dedup",
+    "rbo_rankings",
+    "kaplan_meier",
+    "did_estimator",
 ]
 
 SEED = 77

@@ -33,6 +33,7 @@ NAMES = [
     "histogram_quantiles", "kmv_set_ops", "matryoshka_recall",
     "psi_drift", "ks_two_sample", "binary_quant_recall",
     "fdr_hotspots", "radiation_model", "ewma_anomaly", "prf_expansion",
+    "rbo_rankings", "kaplan_meier", "did_estimator",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 bad = 0

@@ -447,3 +447,27 @@ def test_media_ahash_finds_planted_twins(entry, spark, sf_dir):
     bits = (img > mean).astype(np.int64)
     w0 = int((bits[:32] << np.arange(32)).sum())
     assert w0 >= 0  # sign-safe packing
+
+
+def test_rbo_in_unit_interval_and_overlap_consistent(entry, spark, sf_dir):
+    r = entry.q_rbo_rankings(spark, sf_dir).collect()[0]
+    assert r.depth == entry._RBO_DEPTH
+    assert 0.0 <= r.rbo <= 1.0
+    assert 0 <= r.overlap_at_k <= entry._RBO_DEPTH
+
+
+def test_kaplan_meier_monotone_nonincreasing(entry, spark, sf_dir):
+    rows = sorted(entry.q_kaplan_meier(spark, sf_dir).collect(), key=lambda r: r.t)
+    assert rows
+    prev = 1.0
+    # within the returned (largest-t) tail, S must be non-increasing in t
+    for r in rows:
+        assert 0.0 <= r.s <= prev + 1e-9, (r.t, r.s, prev)
+        prev = r.s
+        assert 1 <= r.d <= r.n_risk
+
+
+def test_did_is_cell_mean_difference(entry, spark, sf_dir):
+    r = entry.q_did_estimator(spark, sf_dir).collect()[0]
+    did = (r.trt_post - r.trt_pre) - (r.ctl_post - r.ctl_pre)
+    assert r.did == pytest.approx(did, abs=2e-6)
