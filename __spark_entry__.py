@@ -12277,6 +12277,256 @@ def _did_estimator_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# DP noisy release, join-size estimation, cross-track deviation
+# ---------------------------------------------------------------------------
+
+_DP_EPS, _DP_RES = 1.0, 3
+
+
+def q_dp_cell_counts(spark, sf_dir):
+    """Differentially-private cell-occupancy release (Laplace mechanism,
+    ε=1, sensitivity 1) with SEEDED noise: u = md5-uniform(cell) ∈ (0,1),
+    noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) — the deterministic-replay form
+    a pipeline uses so a re-run publishes the SAME release (fresh RNG
+    would burn privacy budget per run). Pairs with kanon_cells as the
+    privacy surface. ONE partial+final agg; noise is codegen arithmetic,
+    bit-identical in both engines (argument clamped away from ln(0))."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    cnt = (
+        ev.select(cell_encode_col(lat, lng, _DP_RES).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("cell").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        / F.lit(_KMV_DENOM)
+    )
+    centered = u - 0.5
+    mag = F.greatest(1.0 - 2.0 * F.abs(centered), F.lit(1e-12))
+    noise = (
+        F.lit(-1.0 / _DP_EPS) * F.signum(centered) * F.log(mag)
+    )
+    return cnt.select(
+        "cell",
+        "n_true",
+        F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
+    )
+
+
+def _dp_cell_counts_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_encode_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, _DP_RES)
+    u = (
+        f"(('0x' || substr(md5(CAST(cell AS VARCHAR)), 1, 12))::BIGINT"
+        f" / {_KMV_DENOM})"
+    )
+    return f"""
+        WITH cnt AS (
+            SELECT {cell} AS cell, COUNT(*) AS n_true FROM events GROUP BY 1)
+        SELECT cell, n_true,
+               ROUND(n_true + (-1.0 / {_DP_EPS}) * SIGN({u} - 0.5)
+                     * LN(GREATEST(1.0 - 2.0 * ABS({u} - 0.5), 1e-12)), 6)
+                 AS n_noisy
+        FROM cnt
+    """
+
+
+_JSE_K = 64
+
+
+def q_join_size_estimate(spark, sf_dir):
+    """Join-cardinality estimation — the optimizer statistic behind every
+    join-reorder decision, computed the way a 100 TB engine must: the
+    self-join size |events ⋈ events| on user_id is Σ_u c_u² exactly (one
+    agg on aggregated counts), and the bottom-k (KMV) key sample estimates
+    it as (Σ_{sampled} c_u²)·D̂/k without ever touching the full key set —
+    the sketch the CBO ships between table stats. Output: exact vs
+    estimate vs key counts, one row."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("user_id")
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        / F.lit(_KMV_DENOM)
+    )
+    ranked = cnt.withColumn("h", h).withColumn(
+        "rk", F.row_number().over(Window.orderBy("h", "user_id"))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_size"),
+        F.max(F.when(F.col("rk") == _JSE_K, F.col("h"))).alias("hk"),
+        F.sum(F.when(F.col("rk") <= _JSE_K, F.col("c") * F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("sample_sum"),
+    )
+    d_hat = F.when(
+        F.col("hk").isNotNull(), F.round(F.lit(float(_JSE_K - 1)) / F.col("hk"), 6)
+    ).otherwise(F.col("n_keys").cast("double"))
+    est = F.round(
+        F.col("sample_sum")
+        * d_hat
+        / F.least(F.col("n_keys"), F.lit(_JSE_K)).cast("double"),
+        6,
+    )
+    return agg.select(
+        "n_keys", "exact_size", est.alias("est_size"),
+        F.round(d_hat, 6).alias("d_hat"),
+    )
+
+
+def _join_size_estimate_sql() -> str:
+    return f"""
+        WITH cnt AS (
+            SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+        ranked AS (
+            SELECT c, user_id,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                     / {_KMV_DENOM} AS h,
+                   ROW_NUMBER() OVER (ORDER BY
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1,
+                        12))::BIGINT / {_KMV_DENOM}, user_id) AS rk
+            FROM cnt),
+        agg AS (
+            SELECT COUNT(*) AS n_keys,
+                   CAST(SUM(c * c) AS BIGINT) AS exact_size,
+                   MAX(CASE WHEN rk = {_JSE_K} THEN h END) AS hk,
+                   CAST(SUM(CASE WHEN rk <= {_JSE_K} THEN c * c ELSE 0 END)
+                        AS BIGINT) AS sample_sum
+            FROM ranked)
+        SELECT n_keys, exact_size,
+               ROUND(sample_sum
+                     * (CASE WHEN hk IS NOT NULL
+                             THEN ROUND({float(_JSE_K - 1)} / hk, 6)
+                             ELSE CAST(n_keys AS DOUBLE) END)
+                     / CAST(LEAST(n_keys, {_JSE_K}) AS DOUBLE), 6) AS est_size,
+               ROUND(CASE WHEN hk IS NOT NULL
+                          THEN ROUND({float(_JSE_K - 1)} / hk, 6)
+                          ELSE CAST(n_keys AS DOUBLE) END, 6) AS d_hat
+        FROM agg
+    """
+
+
+_XT_USERS = 40
+
+
+def q_crosstrack_deviation(spark, sf_dir):
+    """Cross-track (route-deviation) screen: per user, the great-circle
+    route from first to last fix and the maximum spherical cross-track
+    distance of the intermediate fixes — the corridor-compliance check in
+    fleet/flight analytics: xt = asin(sin(δ₁₃)·sin(θ₁₃−θ₁₂))·R with δ from
+    the haversine triplet and θ the initial bearings. ONE user-keyed
+    window (first/last endpoints) + codegen trig; top-20 users by
+    deviation."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.distance import EARTH_RADIUS_KM, haversine_col
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < _XT_USERS)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select("user_id", "ts", "event_id", lat.alias("lat"), lng.alias("lng"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    withends = (
+        pts.withColumn("alat", F.first("lat").over(w))
+        .withColumn("alng", F.first("lng").over(w))
+        .withColumn("blat", F.last("lat").over(w))
+        .withColumn("blng", F.last("lng").over(w))
+    )
+
+    def bearing(lat1, lng1, lat2, lng2):
+        p1, p2 = F.radians(lat1), F.radians(lat2)
+        dl = F.radians(lng2 - lng1)
+        return F.atan2(
+            F.sin(dl) * F.cos(p2),
+            F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dl),
+        )
+
+    d13 = haversine_col(
+        F.col("alat"), F.col("alng"), F.col("lat"), F.col("lng")
+    ) / F.lit(EARTH_RADIUS_KM)
+    t13 = bearing(F.col("alat"), F.col("alng"), F.col("lat"), F.col("lng"))
+    t12 = bearing(F.col("alat"), F.col("alng"), F.col("blat"), F.col("blng"))
+    xt = F.abs(
+        F.asin(F.sin(d13) * F.sin(t13 - t12)) * F.lit(EARTH_RADIUS_KM)
+    )
+    per = (
+        withends.select("user_id", F.round(xt, 6).alias("xt"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.max("xt").alias("max_xt_km"),
+        )
+    )
+    top = Window.orderBy(F.col("max_xt_km").desc(), "user_id")
+    return (
+        per.withColumn("rk", F.row_number().over(top).cast("long"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+def _crosstrack_deviation_sql() -> str:
+    from raptor_service_spark.geo.distance import EARTH_RADIUS_KM, haversine_sql
+
+    lat, lng = _latlng_sql("event_id")
+    hav = haversine_sql("alat", "alng", "lat", "lng")
+
+    def bearing(lat1, lng1, lat2, lng2):
+        return (
+            f"atan2(sin(radians({lng2} - {lng1})) * cos(radians({lat2})), "
+            f"cos(radians({lat1})) * sin(radians({lat2})) "
+            f"- sin(radians({lat1})) * cos(radians({lat2})) "
+            f"* cos(radians({lng2} - {lng1})))"
+        )
+
+    t13 = bearing("alat", "alng", "lat", "lng")
+    t12 = bearing("alat", "alng", "blat", "blng")
+    xt = (
+        f"ABS(asin(sin({hav} / {EARTH_RADIUS_KM}) * sin({t13} - {t12})) "
+        f"* {EARTH_RADIUS_KM})"
+    )
+    return f"""
+        WITH pts AS (
+            SELECT user_id, ts, event_id, {lat} AS lat, {lng} AS lng
+            FROM events WHERE user_id < {_XT_USERS}),
+        we AS (
+            SELECT user_id, lat, lng,
+                   FIRST_VALUE(lat) OVER uw AS alat,
+                   FIRST_VALUE(lng) OVER uw AS alng,
+                   LAST_VALUE(lat) OVER uw AS blat,
+                   LAST_VALUE(lng) OVER uw AS blng
+            FROM pts
+            WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)),
+        per AS (
+            SELECT user_id, COUNT(*) AS n_fixes,
+                   MAX(ROUND({xt}, 6)) AS max_xt_km
+            FROM we GROUP BY 1)
+        SELECT user_id, n_fixes, max_xt_km, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY max_xt_km DESC, user_id)
+                   AS rk
+            FROM per)
+        WHERE rk <= 20
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -12495,6 +12745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_rankings": q_rbo_rankings,
         "kaplan_meier": q_kaplan_meier,
         "did_estimator": q_did_estimator,
+        "dp_cell_counts": q_dp_cell_counts,
+        "join_size_estimate": q_join_size_estimate,
+        "crosstrack_deviation": q_crosstrack_deviation,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -12647,6 +12900,9 @@ def oracle_sql() -> dict[str, str]:
         "rbo_rankings": _rbo_rankings_sql(),
         "kaplan_meier": _kaplan_meier_sql(),
         "did_estimator": _did_estimator_sql(),
+        "dp_cell_counts": _dp_cell_counts_sql(),
+        "join_size_estimate": _join_size_estimate_sql(),
+        "crosstrack_deviation": _crosstrack_deviation_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -187,6 +187,9 @@ HEADLINE = [
     "rbo_rankings",
     "kaplan_meier",
     "did_estimator",
+    "dp_cell_counts",
+    "join_size_estimate",
+    "crosstrack_deviation",
 ]
 
 SEED = 77

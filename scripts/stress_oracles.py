@@ -34,6 +34,7 @@ NAMES = [
     "psi_drift", "ks_two_sample", "binary_quant_recall",
     "fdr_hotspots", "radiation_model", "ewma_anomaly", "prf_expansion",
     "rbo_rankings", "kaplan_meier", "did_estimator",
+    "dp_cell_counts", "crosstrack_deviation",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 bad = 0

@@ -471,3 +471,35 @@ def test_did_is_cell_mean_difference(entry, spark, sf_dir):
     r = entry.q_did_estimator(spark, sf_dir).collect()[0]
     did = (r.trt_post - r.trt_pre) - (r.ctl_post - r.ctl_pre)
     assert r.did == pytest.approx(did, abs=2e-6)
+
+
+def test_dp_noise_is_laplace_shaped_and_release_stable(entry, spark, sf_dir):
+    rows1 = {r.cell: r for r in entry.q_dp_cell_counts(spark, sf_dir).collect()}
+    rows2 = {r.cell: r for r in entry.q_dp_cell_counts(spark, sf_dir).collect()}
+    assert rows1.keys() == rows2.keys()
+    noises = []
+    for cell, r in rows1.items():
+        # replay determinism: a re-run publishes the identical release
+        assert rows2[cell].n_noisy == r.n_noisy
+        noises.append(r.n_noisy - r.n_true)
+    # Laplace(1) noise: median |noise| ~ ln(2) ~ 0.69; sanity envelope
+    med = sorted(abs(x) for x in noises)[len(noises) // 2]
+    assert 0.05 < med < 5.0, med
+    assert any(x < 0 for x in noises) and any(x > 0 for x in noises)
+
+
+def test_join_size_estimate_near_exact(entry, spark, sf_dir):
+    r = entry.q_join_size_estimate(spark, sf_dir).collect()[0]
+    assert r.exact_size > r.n_keys  # self-join fans out
+    rel = abs(r.est_size - r.exact_size) / r.exact_size
+    # bottom-k key sampling at k=64: deterministic realized error, wide bound
+    assert rel < 0.6, (r.exact_size, r.est_size, rel)
+
+
+def test_crosstrack_bounded_by_half_circumference(entry, spark, sf_dir):
+    rows = entry.q_crosstrack_deviation(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # |xt| <= quarter circumference (asin range * R)
+        assert 0 <= r.max_xt_km <= 6371.0088 * 3.1416 / 2
+        assert r.n_fixes >= 1
