@@ -12527,6 +12527,246 @@ def _crosstrack_deviation_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Shapley attribution, query-likelihood retrieval, nDCG ranking quality
+# ---------------------------------------------------------------------------
+
+_SHAP_LOOKBACK_US = 3600 * 1_000_000
+
+
+def q_shapley_attribution(spark, sf_dir):
+    """Channel attribution by simplified Shapley value (Zhao et al. 2018):
+    each purchase's journey = the DISTINCT set of non-purchase event types
+    the user touched in the preceding hour; conversions with touch-set S
+    split credit equally across S's members (φ_i = Σ_{S∋i} v(S)/|S| — the
+    exact Shapley value when v is additive over journeys, which this
+    construction makes it). The marketing-analytics replacement for
+    last-touch. Shape: one as-of-style range join bounded by the lookback
+    window, one set agg per conversion, one explode over O(conversions ×
+    |S|≤4) rows."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), us.alias("cu_ts")
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"), us.alias("t_ts"), F.col("event_type").alias("ch")
+    )
+    j = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("t_ts") < F.col("cu_ts"))
+        & (F.col("t_ts") >= F.col("cu_ts") - F.lit(_SHAP_LOOKBACK_US)),
+    )
+    sets = j.groupBy("cid").agg(
+        F.array_sort(F.collect_set("ch")).alias("chset")
+    )
+    per_set = sets.groupBy("chset").agg(F.count(F.lit(1)).alias("v"))
+    exploded = per_set.select(
+        F.explode("chset").alias("channel"),
+        (F.col("v") / F.size("chset")).alias("share"),
+        "v",
+    )
+    return (
+        exploded.groupBy("channel")
+        .agg(
+            F.round(F.round(F.sum("share"), 9), 6).alias("phi"),
+            F.sum("v").cast("long").alias("n_journeys"),
+        )
+    )
+
+
+def _shapley_attribution_sql() -> str:
+    return f"""
+        WITH ev AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS u
+            FROM events),
+        conv AS (
+            SELECT event_id AS cid, user_id AS cu, u AS cu_ts
+            FROM ev WHERE event_type = 'purchase'),
+        touch AS (
+            SELECT user_id AS tu, u AS t_ts, event_type AS ch
+            FROM ev WHERE event_type != 'purchase'),
+        sets AS (
+            SELECT c.cid,
+                   list_sort(list_distinct(list(t.ch))) AS chset
+            FROM conv c JOIN touch t
+              ON c.cu = t.tu AND t.t_ts < c.cu_ts
+             AND t.t_ts >= c.cu_ts - {_SHAP_LOOKBACK_US}
+            GROUP BY 1),
+        per_set AS (
+            SELECT chset, COUNT(*) AS v FROM sets GROUP BY 1),
+        exploded AS (
+            SELECT unnest(chset) AS channel,
+                   CAST(v AS DOUBLE) / len(chset) AS share, v
+            FROM per_set)
+        SELECT channel,
+               ROUND(ROUND(SUM(share), 9), 6) AS phi,
+               CAST(SUM(v) AS BIGINT) AS n_journeys
+        FROM exploded GROUP BY 1
+    """
+
+
+_QL_MU = 2000.0
+
+
+def q_ql_dirichlet(spark, sf_dir):
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai-Lafferty)
+    — the language-modeling ranking next to BM25, completing the classic
+    IR model family: score(d) = Σ_q ln((tf + μ·p_c(q)) / (dl + μ)) with
+    the collection model p_c broadcast. Same one-postings-shuffle shape as
+    BM25; top-10."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.bm25 import doc_postings
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    post = doc_postings(docs).localCheckpoint(eager=False)
+    dlen = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    coll = post.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = post.agg(F.sum("tf").alias("ctot"))
+    qt = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    # every query term for every doc (missing -> tf=0 via left join)
+    grid = dlen.crossJoin(F.broadcast(qt))
+    hit = grid.join(post, ["doc_id", "term"], "left").fillna({"tf": 0})
+    scored = (
+        hit.join(F.broadcast(coll), "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "contrib",
+            F.round(
+                F.log(
+                    (F.col("tf") + _QL_MU * F.col("cf") / F.col("ctot"))
+                    / (F.col("dl") + _QL_MU)
+                ),
+                9,
+            ),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.round(F.round(F.sum("contrib"), 9), 6).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        per.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+def _ql_dirichlet_sql() -> str:
+    from raptor_service_spark.operators.bm25 import TOKEN_PATTERN
+
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return f"""
+        WITH post AS (
+            SELECT doc_id, t.term, COUNT(*) AS tf
+            FROM documents,
+                 unnest(regexp_extract_all(lower(text),
+                        '{TOKEN_PATTERN}', 0)) AS t(term)
+            GROUP BY 1, 2),
+        dlen AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY 1),
+        coll AS (SELECT term, SUM(tf) AS cf FROM post GROUP BY 1),
+        tot AS (SELECT SUM(tf) AS ctot FROM post),
+        qt(term) AS (VALUES {terms}),
+        grid AS (SELECT d.doc_id, d.dl, q.term FROM dlen d CROSS JOIN qt q),
+        hit AS (
+            SELECT g.doc_id, g.dl, g.term, COALESCE(p.tf, 0) AS tf
+            FROM grid g LEFT JOIN post p
+              ON g.doc_id = p.doc_id AND g.term = p.term),
+        scored AS (
+            SELECT h.doc_id,
+                   ROUND(LN((h.tf + {_QL_MU} * c.cf / s.ctot)
+                            / (h.dl + {_QL_MU})), 9) AS contrib
+            FROM hit h JOIN coll c ON h.term = c.term CROSS JOIN tot s),
+        per AS (
+            SELECT doc_id, ROUND(ROUND(SUM(contrib), 9), 6) AS score
+            FROM scored GROUP BY 1)
+        SELECT doc_id, score, rk FROM (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+            FROM per)
+        WHERE rk <= 10
+    """
+
+
+_NDCG_K = 10
+
+
+def q_ndcg_bm25(spark, sf_dir):
+    """nDCG@10 of the BM25 ranking against graded relevance = the doc
+    quality score (the repo's deterministic stand-in for judgments) — the
+    ranking-quality metric that closes the IR loop (retrieve → rerank →
+    EVALUATE): DCG = Σ rel_i/log2(i+1) over the ranking, IDCG from the
+    top-k relevance grades corpus-wide, one row out. All O(k) after the
+    top-k scan + one corpus-wide relevance rank."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.bm25 import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    rel = docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("rel")
+    )
+    ranked = bm25_topk(docs, list(_BM25_TERMS), _NDCG_K).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("pos"),
+    )
+    dcg = (
+        ranked.join(rel, "doc_id")
+        .select(
+            F.round(
+                F.col("rel") / F.log2(F.col("pos") + 1), 9
+            ).alias("g")
+        )
+        .agg(F.round(F.sum("g"), 9).alias("dcg"))
+    )
+    ideal = (
+        rel.withColumn(
+            "pos", F.row_number().over(Window.orderBy(F.col("rel").desc(), "doc_id"))
+        )
+        .filter(F.col("pos") <= _NDCG_K)
+        .select(F.round(F.col("rel") / F.log2(F.col("pos") + 1), 9).alias("g"))
+        .agg(F.round(F.sum("g"), 9).alias("idcg"))
+    )
+    return dcg.crossJoin(ideal).select(
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+def _ndcg_bm25_sql() -> str:
+    from raptor_service_spark.functions.text import quality_score_sql
+    from raptor_service_spark.operators.bm25 import bm25_sql
+
+    kw = bm25_sql("documents", list(_BM25_TERMS), _NDCG_K)
+    rel = quality_score_sql("text")
+    return f"""
+        WITH rel AS (
+            SELECT doc_id, ROUND({rel}, 6) AS rel FROM documents),
+        ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS pos
+            FROM ({kw})),
+        dcg AS (
+            SELECT ROUND(SUM(ROUND(r.rel / log2(ranked.pos + 1), 9)), 9)
+                     AS dcg
+            FROM ranked JOIN rel r USING (doc_id)),
+        ideal AS (
+            SELECT ROUND(SUM(ROUND(rel / log2(pos + 1), 9)), 9) AS idcg
+            FROM (
+                SELECT rel,
+                       ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS pos
+                FROM rel)
+            WHERE pos <= {_NDCG_K})
+        SELECT ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+               ROUND(dcg / idcg, 6) AS ndcg
+        FROM dcg CROSS JOIN ideal
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -12748,6 +12988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_cell_counts": q_dp_cell_counts,
         "join_size_estimate": q_join_size_estimate,
         "crosstrack_deviation": q_crosstrack_deviation,
+        "shapley_attribution": q_shapley_attribution,
+        "ql_dirichlet": q_ql_dirichlet,
+        "ndcg_bm25": q_ndcg_bm25,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -12903,6 +13146,9 @@ def oracle_sql() -> dict[str, str]:
         "dp_cell_counts": _dp_cell_counts_sql(),
         "join_size_estimate": _join_size_estimate_sql(),
         "crosstrack_deviation": _crosstrack_deviation_sql(),
+        "shapley_attribution": _shapley_attribution_sql(),
+        "ql_dirichlet": _ql_dirichlet_sql(),
+        "ndcg_bm25": _ndcg_bm25_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

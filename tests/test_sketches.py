@@ -503,3 +503,43 @@ def test_crosstrack_bounded_by_half_circumference(entry, spark, sf_dir):
         # |xt| <= quarter circumference (asin range * R)
         assert 0 <= r.max_xt_km <= 6371.0088 * 3.1416 / 2
         assert r.n_fixes >= 1
+
+
+def test_shapley_credit_conserves_conversions(entry, spark, sf_dir):
+    rows = entry.q_shapley_attribution(spark, sf_dir).collect()
+    assert rows
+    # total credit == total journeys with a non-empty touch set:
+    #each journey splits 1.0 across its set members
+    from pyspark.sql import functions as F
+
+    total_phi = sum(r.phi for r in rows)
+    # recompute journey count: every chset journey contributes exactly 1
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert total_phi > 0
+    for r in rows:
+        assert r.phi <= r.n_journeys + 1e-6  # share per journey <= 1
+
+
+def test_ql_and_bm25_agree_on_relevant_docs(entry, spark, sf_dir):
+    from raptor_service_spark.operators.bm25 import bm25_topk
+
+    ql = {r.doc_id for r in entry.q_ql_dirichlet(spark, sf_dir).collect()}
+    bm = {
+        r.doc_id
+        for r in bm25_topk(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            ),
+            list(entry._BM25_TERMS),
+            10,
+        ).collect()
+    }
+    assert len(ql) == 10
+    # two sound rankings of the same query overlap substantially
+    assert len(ql & bm) >= 3, (ql, bm)
+
+
+def test_ndcg_in_unit_interval(entry, spark, sf_dir):
+    r = entry.q_ndcg_bm25(spark, sf_dir).collect()[0]
+    assert 0 < r.dcg <= r.idcg + 1e-9
+    assert 0 < r.ndcg <= 1.0
