@@ -12767,6 +12767,299 @@ def _ndcg_bm25_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Mann-Whitney U, BM25 MRR/MAP evaluation, chi-square independence
+# ---------------------------------------------------------------------------
+
+_MW_A, _MW_B = "purchase", "click"
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test between the 'purchase' and 'click'
+    value distributions — the nonparametric two-sample location test next
+    to the existing KS drift test (distribution-shape) and the parametric
+    A/B z-test. Computed relationally from the per-value count table
+    (never a rank-per-row window over raw samples): the average rank of a
+    tied value v is c_less(v) + (t_v + 1)/2, R_a = Σ ca·r̄, U = R_a −
+    na(na+1)/2, with the exact tie-corrected variance
+    na·nb/12·((n+1) − Σ(t³−t)/(n(n−1))). One shuffle on value; all
+    rank arithmetic is multiples of 0.5 so the double sums are exact.
+    Reference analog: the drift screens next to retrieval quality,
+    services/core/build_tree_service.py preflight stats."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("event_type").isin([_MW_A, _MW_B])
+    )
+    cnt = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == _MW_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == _MW_B, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cnt.withColumn(
+        "c_less", F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+    ).withColumn(
+        "rbar",
+        F.col("c_less").cast("double")
+        + (F.col("ca") + F.col("cb") + 1).cast("double") / 2.0,
+    )
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("ca") * F.col("rbar")).alias("ra"),
+        F.sum(
+            F.pow(F.col("ca") + F.col("cb"), 3) - (F.col("ca") + F.col("cb"))
+        ).alias("tie"),
+    )
+    n = F.col("na") + F.col("nb")
+    u = F.col("ra") - F.col("na").cast("double") * (F.col("na") + 1) / 2.0
+    mean_u = F.col("na").cast("double") * F.col("nb") / 2.0
+    var_u = (
+        F.col("na").cast("double")
+        * F.col("nb")
+        / 12.0
+        * ((n + 1).cast("double") - F.col("tie") / (n * (n - 1)).cast("double"))
+    )
+    z = F.round((u - mean_u) / F.sqrt(var_u), 6)
+    return agg.select(
+        "na",
+        "nb",
+        F.round(u, 6).alias("u_stat"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).cast("int").alias("reject_05"),
+    )
+
+
+def _mann_whitney_sql() -> str:
+    return f"""
+        WITH ev AS (
+            SELECT event_type, value FROM events
+            WHERE event_type IN ('{_MW_A}', '{_MW_B}')),
+        cnt AS (
+            SELECT value,
+                   SUM(CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END) AS ca,
+                   SUM(CASE WHEN event_type = '{_MW_B}' THEN 1 ELSE 0 END) AS cb
+            FROM ev GROUP BY 1),
+        ranked AS (
+            SELECT ca, cb,
+                   COALESCE(SUM(ca + cb) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS c_less
+            FROM cnt),
+        agg AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb,
+                   SUM(ca * (c_less + (ca + cb + 1) / 2.0)) AS ra,
+                   SUM(POW(ca + cb, 3) - (ca + cb)) AS tie
+            FROM ranked)
+        SELECT na, nb,
+               ROUND(ra - na * (na + 1) / 2.0, 6) AS u_stat,
+               ROUND((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                     / SQRT(na * CAST(nb AS DOUBLE) / 12.0
+                            * ((na + nb + 1)
+                               - tie / (CAST(na + nb AS DOUBLE)
+                                        * (na + nb - 1)))), 6) AS z,
+               CAST(ABS((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                     / SQRT(na * CAST(nb AS DOUBLE) / 12.0
+                            * ((na + nb + 1)
+                               - tie / (CAST(na + nb AS DOUBLE)
+                                        * (na + nb - 1))))) > 1.96
+                    AS INT) AS reject_05
+        FROM agg
+    """
+
+
+_REL_T = 0.95
+_EVAL_K = 10
+
+
+def q_bm25_eval(spark, sf_dir):
+    """MRR and MAP@10 / recall@10 of the BM25 ranking against binary
+    relevance (quality_score ≥ 0.95, ~top-15% of the corpus) — completes
+    the ranking-evaluation family next to nDCG (graded) and RBO
+    (rank-vs-rank): MRR = 1/pos of the first relevant hit, AP@10 =
+    Σ_rel precision@i / min(R, 10). O(k) after the top-k scan plus one
+    corpus-wide relevance count."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.bm25 import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    rel = docs.select(
+        "doc_id", (quality_score(F.col("text")) >= _REL_T).cast("int").alias("rel")
+    )
+    r_tot = rel.agg(F.sum("rel").cast("long").alias("r_total"))
+    ranked = bm25_topk(docs, list(_BM25_TERMS), _EVAL_K).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("pos"),
+    )
+    hits = ranked.join(rel, "doc_id")
+    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    prec = hits.withColumn("cum_rel", F.sum("rel").over(w)).withColumn(
+        "p_at_i",
+        F.when(
+            F.col("rel") == 1,
+            F.round(F.col("cum_rel").cast("double") / F.col("pos"), 9),
+        ).otherwise(F.lit(0.0)),
+    )
+    agg = prec.agg(
+        F.coalesce(
+            F.round(1.0 / F.min(F.when(F.col("rel") == 1, F.col("pos"))), 6),
+            F.lit(0.0),
+        ).alias("mrr"),
+        F.sum("p_at_i").alias("sum_p"),
+        F.sum("rel").cast("long").alias("n_rel_topk"),
+    )
+    return agg.crossJoin(r_tot).select(
+        "mrr",
+        F.round(
+            F.col("sum_p") / F.least(F.col("r_total"), F.lit(_EVAL_K)).cast("double"),
+            6,
+        ).alias("ap10"),
+        F.round(F.col("n_rel_topk").cast("double") / F.col("r_total"), 6).alias(
+            "recall10"
+        ),
+        "n_rel_topk",
+        "r_total",
+    )
+
+
+def _bm25_eval_sql() -> str:
+    from raptor_service_spark.functions.text import quality_score_sql
+    from raptor_service_spark.operators.bm25 import bm25_sql
+
+    kw = bm25_sql("documents", list(_BM25_TERMS), _EVAL_K)
+    qs = quality_score_sql("text")
+    return f"""
+        WITH rel AS (
+            SELECT doc_id,
+                   CASE WHEN {qs} >= {_REL_T} THEN 1 ELSE 0 END AS rel
+            FROM documents),
+        r_tot AS (SELECT CAST(SUM(rel) AS BIGINT) AS r_total FROM rel),
+        ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS pos
+            FROM ({kw})),
+        hits AS (
+            SELECT r.pos, l.rel FROM ranked r JOIN rel l USING (doc_id)),
+        prec AS (
+            SELECT pos, rel,
+                   CASE WHEN rel = 1 THEN
+                       ROUND(CAST(SUM(rel) OVER (ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / pos, 9)
+                   ELSE 0.0 END AS p_at_i
+            FROM hits),
+        agg AS (
+            SELECT COALESCE(ROUND(1.0 / MIN(CASE WHEN rel = 1 THEN pos END),
+                                  6), 0.0) AS mrr,
+                   SUM(p_at_i) AS sum_p,
+                   CAST(SUM(rel) AS BIGINT) AS n_rel_topk
+            FROM prec)
+        SELECT mrr,
+               ROUND(sum_p / LEAST(r_total, {_EVAL_K}), 6) AS ap10,
+               ROUND(CAST(n_rel_topk AS DOUBLE) / r_total, 6) AS recall10,
+               n_rel_topk, r_total
+        FROM agg CROSS JOIN r_tot
+    """
+
+
+def q_chi2_independence(spark, sf_dir):
+    """Chi-square test of independence between event_type and day-of-week
+    (UTC, epoch-day mod 7) with Cramér's V effect size — the categorical
+    counterpart of the numeric two-sample screens (KS, Mann-Whitney):
+    χ² = Σ (o − e)²/e over the r×c contingency table with expected
+    counts from the margins. One count shuffle; the table itself is
+    O(r·c) = O(35) rows, margins broadcast."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+            % 7
+        )
+        .cast("int")
+        .alias("dow"),
+    )
+    obs = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    row_t = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_t = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("event_type").alias("r"),
+        F.count_distinct("dow").alias("c"),
+    )
+    # full grid (absent cells have o=0 but e>0 and still contribute)
+    grid = row_t.crossJoin(col_t).join(obs, ["event_type", "dow"], "left").fillna(
+        {"o": 0}
+    )
+    contrib = grid.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.pow(
+                F.col("o").cast("double")
+                - F.col("rt").cast("double") * F.col("ct") / F.col("n"),
+                2,
+            )
+            / (F.col("rt").cast("double") * F.col("ct") / F.col("n")),
+            9,
+        ).alias("x"),
+        "n",
+        "r",
+        "c",
+    )
+    return contrib.groupBy("n", "r", "c").agg(
+        F.round(F.sum("x"), 6).alias("chi2")
+    ).select(
+        "chi2",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1)).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _chi2_independence_sql() -> str:
+    return """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) % 7
+                        AS INT) AS dow
+            FROM events),
+        obs AS (
+            SELECT event_type, dow, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+        row_t AS (SELECT event_type, SUM(o) AS rt FROM obs GROUP BY 1),
+        col_t AS (SELECT dow, SUM(o) AS ct FROM obs GROUP BY 1),
+        tot AS (
+            SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS r,
+                   COUNT(DISTINCT dow) AS c
+            FROM obs),
+        grid AS (
+            SELECT r.event_type, c.dow, r.rt, c.ct, COALESCE(o.o, 0) AS o
+            FROM row_t r CROSS JOIN col_t c
+            LEFT JOIN obs o ON o.event_type = r.event_type AND o.dow = c.dow),
+        contrib AS (
+            SELECT ROUND(POW(o - CAST(rt AS DOUBLE) * ct / t.n, 2)
+                         / (CAST(rt AS DOUBLE) * ct / t.n), 9) AS x,
+                   t.n, t.r, t.c
+            FROM grid CROSS JOIN tot t),
+        agg AS (
+            SELECT n, r, c, ROUND(SUM(x), 6) AS chi2
+            FROM contrib GROUP BY 1, 2, 3)
+        SELECT chi2,
+               CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+               ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v,
+               CAST(n AS BIGINT) AS n
+        FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -12991,6 +13284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapley_attribution": q_shapley_attribution,
         "ql_dirichlet": q_ql_dirichlet,
         "ndcg_bm25": q_ndcg_bm25,
+        "mann_whitney": q_mann_whitney,
+        "bm25_eval": q_bm25_eval,
+        "chi2_independence": q_chi2_independence,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -13149,6 +13445,9 @@ def oracle_sql() -> dict[str, str]:
         "shapley_attribution": _shapley_attribution_sql(),
         "ql_dirichlet": _ql_dirichlet_sql(),
         "ndcg_bm25": _ndcg_bm25_sql(),
+        "mann_whitney": _mann_whitney_sql(),
+        "bm25_eval": _bm25_eval_sql(),
+        "chi2_independence": _chi2_independence_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -543,3 +543,32 @@ def test_ndcg_in_unit_interval(entry, spark, sf_dir):
     r = entry.q_ndcg_bm25(spark, sf_dir).collect()[0]
     assert 0 < r.dcg <= r.idcg + 1e-9
     assert 0 < r.ndcg <= 1.0
+
+
+def test_mann_whitney_u_bounds_and_symmetry(entry, spark, sf_dir):
+    r = entry.q_mann_whitney(spark, sf_dir).collect()[0]
+    # U ranges over [0, na*nb]; z finite; reject flag consistent with z
+    assert 0 <= r.u_stat <= r.na * r.nb
+    assert abs(r.z) < 50
+    assert r.reject_05 == (1 if abs(r.z) > 1.96 else 0)
+
+
+def test_bm25_eval_metric_algebra(entry, spark, sf_dir):
+    r = entry.q_bm25_eval(spark, sf_dir).collect()[0]
+    # MRR/AP/recall all in [0,1]; AP <= 1 requires the min(R,k) denominator
+    assert 0 <= r.mrr <= 1
+    assert 0 <= r.ap10 <= 1 + 1e-9
+    assert 0 <= r.recall10 <= 1 + 1e-9
+    assert 0 <= r.n_rel_topk <= 10
+    assert r.n_rel_topk <= r.r_total
+    # if anything relevant was retrieved, MRR and AP are both positive
+    if r.n_rel_topk > 0:
+        assert r.mrr > 0 and r.ap10 > 0
+
+
+def test_chi2_nonnegative_and_cramers_v_unit(entry, spark, sf_dir):
+    r = entry.q_chi2_independence(spark, sf_dir).collect()[0]
+    assert r.chi2 >= 0
+    assert r.dof == (5 - 1) * (7 - 1)  # 5 event types x 7 days-of-week
+    assert 0 <= r.cramers_v <= 1 + 1e-9
+    assert r.n > 0
