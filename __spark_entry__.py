@@ -13060,6 +13060,252 @@ def _chi2_independence_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# CUPED variance reduction, shingle containment join, clustering coefficient
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT_DAY = 15
+
+
+def q_cuped_adjustment(spark, sf_dir):
+    """CUPED variance-reduced A/B read (Deng et al., WSDM 2013): users are
+    hashed into arms (md5 bucket parity — the hash_split convention, so
+    assignment is partition/order-independent), X = each user's
+    pre-period mean value (first 15 days), Y = post-period mean;
+    θ = cov(X,Y)/var(X) pooled, adjusted effect = (Ȳb−Ȳa) − θ(X̄b−X̄a),
+    and the variance reduction is corr(X,Y)² in closed form (no second
+    pass). Shape: one per-user agg shuffle, then O(1) scalar algebra —
+    the sums-then-ratio OLS protocol with 9-dp pre-rounding."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    dmin = ev.agg(F.min(day).alias("d0"))
+    rel = ev.crossJoin(F.broadcast(dmin)).select(
+        "user_id", "value", (day - F.col("d0")).alias("d")
+    )
+    per_user = (
+        rel.groupBy("user_id")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("d") < _CUPED_SPLIT_DAY, F.col("value"))), 9
+            ).alias("x"),
+            F.round(
+                F.avg(F.when(F.col("d") >= _CUPED_SPLIT_DAY, F.col("value"))), 9
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .withColumn(
+            "arm",
+            (
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+                .cast("long")
+                % 2
+            ).cast("int"),
+        )
+    )
+    s = lambda c: F.round(F.sum(c), 9)
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        s(F.col("x")).alias("sx"),
+        s(F.col("y")).alias("sy"),
+        s(F.col("x") * F.col("y")).alias("sxy"),
+        s(F.col("x") * F.col("x")).alias("sxx"),
+        s(F.col("y") * F.col("y")).alias("syy"),
+    )
+    arm = per_user.groupBy("arm").agg(
+        F.round(F.avg("x"), 9).alias("mx"), F.round(F.avg("y"), 9).alias("my")
+    )
+    a = arm.filter(F.col("arm") == 0).select(
+        F.col("mx").alias("mxa"), F.col("my").alias("mya")
+    )
+    b = arm.filter(F.col("arm") == 1).select(
+        F.col("mx").alias("mxb"), F.col("my").alias("myb")
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    theta = F.round(cov / varx, 9)
+    return (
+        g.crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.col("n").cast("long").alias("n_users"),
+            F.round(theta, 6).alias("theta"),
+            F.round(F.col("myb") - F.col("mya"), 6).alias("diff_raw"),
+            F.round(
+                (F.col("myb") - F.col("mya"))
+                - theta * (F.col("mxb") - F.col("mxa")),
+                6,
+            ).alias("diff_adj"),
+            F.round(cov * cov / (varx * vary), 6).alias("var_red"),
+        )
+    )
+
+
+def _cuped_adjustment_sql() -> str:
+    return f"""
+        WITH ev AS (
+            SELECT user_id, value,
+                   CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+            FROM events),
+        dmin AS (SELECT MIN(day) AS d0 FROM ev),
+        rel AS (
+            SELECT user_id, value, day - d0 AS d FROM ev CROSS JOIN dmin),
+        per_user AS (
+            SELECT user_id,
+                   ROUND(AVG(CASE WHEN d < {_CUPED_SPLIT_DAY} THEN value END),
+                         9) AS x,
+                   ROUND(AVG(CASE WHEN d >= {_CUPED_SPLIT_DAY} THEN value END),
+                         9) AS y,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                        ::BIGINT % 2 AS INT) AS arm
+            FROM rel GROUP BY user_id
+            HAVING x IS NOT NULL AND y IS NOT NULL),
+        g AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   ROUND(SUM(x), 9) AS sx, ROUND(SUM(y), 9) AS sy,
+                   ROUND(SUM(x * y), 9) AS sxy,
+                   ROUND(SUM(x * x), 9) AS sxx,
+                   ROUND(SUM(y * y), 9) AS syy
+            FROM per_user),
+        arm AS (
+            SELECT arm, ROUND(AVG(x), 9) AS mx, ROUND(AVG(y), 9) AS my
+            FROM per_user GROUP BY 1),
+        a AS (SELECT mx AS mxa, my AS mya FROM arm WHERE arm = 0),
+        b AS (SELECT mx AS mxb, my AS myb FROM arm WHERE arm = 1)
+        SELECT CAST(n AS BIGINT) AS n_users,
+               ROUND(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9), 6)
+                   AS theta,
+               ROUND(myb - mya, 6) AS diff_raw,
+               ROUND((myb - mya)
+                     - ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+                       * (mxb - mxa), 6) AS diff_adj,
+               ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                   AS var_red
+        FROM g CROSS JOIN a CROSS JOIN b
+    """
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle-containment join (quote/subset detection): ordered
+    doc pairs with |Sa ∩ Sb|/|Sa| >= 0.6 over word-3-gram sets, |Sa| >= 5 —
+    the near-dup signal Jaccard misses when a short doc is embedded in a
+    long one. One-sided prefix-filtered candidates (see
+    operators/dedup.py:set_containment_pairs for the exactness argument);
+    the DuckDB twin is the brute-force all-pairs filter."""
+    from raptor_service_spark.operators.dedup import (
+        distinct_shingle_rows,
+        set_containment_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dg = distinct_shingle_rows(docs, "text", "doc_id", 3)
+    return set_containment_pairs(dg, threshold=0.6, min_size=5)
+
+
+def _containment_pairs_sql() -> str:
+    from raptor_service_spark.operators.dedup import containment_pairs_sql
+
+    return containment_pairs_sql(
+        "documents", "text", "doc_id", 3, threshold=0.6, min_size=5
+    )
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient over the cell co-visitation graph
+    (res-3 cells, edge when >= 3 shared users): cc(v) = 2·t(v)/(d(v)·
+    (d(v)−1)) with t(v) from relational triangle enumeration — the
+    network-cohesion measure next to the global triangle count
+    (od_triangles) and k-core. Shape: triangles enumerate each a<b<c once
+    via two oriented-edge joins; the per-node explode is 3 rows per
+    triangle; degree is one agg over the symmetric edge list. Edge count
+    is covisit-thresholded, so fanout is graph-sized, never event-sized."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    basket = ev.select(
+        "user_id", cell_encode_col(lat, lng, 3).alias("cell")
+    ).dropDuplicates(["user_id", "cell"])
+    a = basket.select("user_id", F.col("cell").alias("u"))
+    b = basket.select("user_id", F.col("cell").alias("v"))
+    edges = (
+        a.join(b, "user_id")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .fillna({"tri": 0})
+        .select(
+            F.col("node").alias("cell"),
+            F.col("deg").cast("long").alias("deg"),
+            F.col("tri").cast("long").alias("tri"),
+            F.round(
+                2.0
+                * F.col("tri").cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                6,
+            ).alias("cc"),
+        )
+    )
+
+
+def _clustering_coeff_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH basket AS (SELECT DISTINCT user_id, {cell} AS cell FROM events),
+        edges AS (
+            SELECT a.cell AS u, b.cell AS v
+            FROM basket a JOIN basket b
+              ON a.user_id = b.user_id AND a.cell < b.cell
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        deg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT u AS node FROM edges
+                UNION ALL SELECT v FROM edges)
+            GROUP BY 1),
+        tri AS (
+            SELECT node, COUNT(*) AS tri FROM (
+                SELECT unnest([e1.u, e1.v, e2.v]) AS node
+                FROM edges e1
+                JOIN edges e2 ON e1.v = e2.u
+                JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+            GROUP BY 1)
+        SELECT d.node AS cell,
+               CAST(d.deg AS BIGINT) AS deg,
+               CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+               ROUND(2.0 * COALESCE(t.tri, 0)
+                     / (d.deg * CAST(d.deg - 1 AS DOUBLE)), 6) AS cc
+        FROM deg d LEFT JOIN tri t ON d.node = t.node
+        WHERE d.deg >= 2
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13287,6 +13533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "bm25_eval": q_bm25_eval,
         "chi2_independence": q_chi2_independence,
+        "cuped_adjustment": q_cuped_adjustment,
+        "containment_pairs": q_containment_pairs,
+        "clustering_coeff": q_clustering_coeff,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -13448,6 +13697,9 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney": _mann_whitney_sql(),
         "bm25_eval": _bm25_eval_sql(),
         "chi2_independence": _chi2_independence_sql(),
+        "cuped_adjustment": _cuped_adjustment_sql(),
+        "containment_pairs": _containment_pairs_sql(),
+        "clustering_coeff": _clustering_coeff_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

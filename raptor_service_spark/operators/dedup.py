@@ -414,6 +414,95 @@ def set_jaccard_pairs(dg: DataFrame, threshold: float) -> DataFrame:
     return _array_jaccard(cand, dg, threshold)
 
 
+def set_containment_pairs(
+    dg: DataFrame, threshold: float = 0.6, min_size: int = 5
+) -> DataFrame:
+    """Exact ASYMMETRIC containment join over DISTINCT (id, g) element rows:
+    ordered pairs (a, b), a != b, with C(a→b) = |Sa ∩ Sb| / |Sa| >= t and
+    |Sa| >= min_size — the quote/subset-detection primitive Jaccard misses
+    (a short doc fully embedded in a long one has low Jaccard but
+    containment 1.0).
+
+    Candidate generation is the one-sided prefix filter: order grams by
+    ascending global document frequency (rare first, tie on gram) and index
+    only each CONTAINED side's first |Sa| - ceil(t'·|Sa|) + 1 grams; if
+    C >= t' then the overlap o >= ceil(t'·|Sa|) cannot avoid that prefix
+    (pigeonhole), so joining a-prefix grams against the FULL stream of b is
+    exact. The b side carries every gram, but the a-prefix side excludes
+    the corpus-common grams (they sort last), so a stop-gram shared by f
+    docs contributes prefix_count(g)·f candidate rows, never f². The size
+    filter |Sb| >= ceil(t'·|Sa|) prunes partners too small to hold the
+    required overlap. Verification mirrors _array_jaccard: one gram array
+    per doc, codegen array_intersect. t' carries the 1e-6 rounding margin
+    (6-dp final compare), the set_jaccard_pairs convention."""
+    t_margin = threshold - 1e-6
+    dg = dg.localCheckpoint(eager=False)
+    sized = dg.withColumn("s", F.count("*").over(Window.partitionBy("id")))
+    freq = dg.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = sized.join(freq, "g").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "g")),
+    )
+    plen = F.col("s") - F.ceil(F.lit(t_margin) * F.col("s")) + F.lit(1)
+    prefix = ranked.filter(
+        (F.col("rn") <= plen) & (F.col("s") >= min_size)
+    ).select("id", "g", "s")
+    full = sized.select("id", "g", "s")
+    cand = (
+        prefix.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (F.col("b.s") >= F.ceil(F.lit(t_margin) * F.col("a.s"))),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = dg.groupBy("id").agg(F.collect_list("g").alias("sh"))
+    return (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size("sh_a"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "containment"
+        )
+    )
+
+
+def containment_pairs_sql(
+    table: str,
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+    min_size: int = 5,
+) -> str:
+    """Brute-force DuckDB twin of set_containment_pairs (ordered pairs)."""
+    sh = shingles_sql(text_expr, k)
+    inter = "len(list_intersect(a.sh, b.sh))"
+    return f"""
+        WITH d AS (SELECT {id_col} AS id, {sh} AS sh FROM {table})
+        SELECT a.id AS doc_a, b.id AS doc_b,
+               ROUND(CAST({inter} AS DOUBLE) / len(a.sh), 6) AS containment
+        FROM d a JOIN d b ON a.id != b.id
+        WHERE len(a.sh) >= {min_size}
+          AND ROUND(CAST({inter} AS DOUBLE) / len(a.sh), 6) >= {threshold}
+    """
+
+
 def ngram_jaccard_pairs_sql(
     table: str, text_expr: str = "text", id_col: str = "doc_id",
     k: int = 3, threshold: float = 0.5,

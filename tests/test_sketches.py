@@ -572,3 +572,52 @@ def test_chi2_nonnegative_and_cramers_v_unit(entry, spark, sf_dir):
     assert r.dof == (5 - 1) * (7 - 1)  # 5 event types x 7 days-of-week
     assert 0 <= r.cramers_v <= 1 + 1e-9
     assert r.n > 0
+
+
+def test_cuped_variance_reduction_bounds(entry, spark, sf_dir):
+    r = entry.q_cuped_adjustment(spark, sf_dir).collect()[0]
+    # var_red = corr(X,Y)^2 by construction -> [0,1]; adjusted diff moves
+    # from the raw diff by exactly theta * (pre-period imbalance)
+    assert r.n_users > 0
+    assert 0 <= r.var_red <= 1 + 1e-9
+    assert abs(r.diff_adj - r.diff_raw) <= abs(r.theta) * 1e3  # finite algebra
+
+
+def test_containment_asymmetric_and_superset_of_jaccard(entry, spark, sf_dir):
+    from raptor_service_spark.operators.dedup import (
+        distinct_shingle_rows,
+        ngram_jaccard_pairs,
+        set_containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dg = distinct_shingle_rows(docs, "text", "doc_id", 3)
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+    for r in set_containment_pairs(dg, 0.6, 5).collect()}
+    assert cont, "no containment pairs found"
+    for (a, b), c in cont.items():
+        assert a != b and 0.6 <= c <= 1.0
+    # every jaccard>=0.6 pair (both docs >=5 shingles) implies BOTH ordered
+    # containments >= 0.6: J <= C in each direction
+    jac = ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.6, shingles=dg)
+    sizes = {r.id: r.n for r in dg.groupBy("id").count().withColumnRenamed("count", "n").collect()}
+    for r in jac.collect():
+        if sizes[r.doc_a] >= 5:
+            assert (r.doc_a, r.doc_b) in cont, (r.doc_a, r.doc_b)
+        if sizes[r.doc_b] >= 5:
+            assert (r.doc_b, r.doc_a) in cont, (r.doc_b, r.doc_a)
+
+
+def test_clustering_coeff_in_unit_interval_and_triangle_consistency(
+    entry, spark, sf_dir
+):
+    rows = entry.q_clustering_coeff(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.deg >= 2
+        assert 0 <= r.cc <= 1 + 1e-9
+        # triangles at a node cannot exceed deg-choose-2
+        assert r.tri <= r.deg * (r.deg - 1) // 2
