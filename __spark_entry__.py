@@ -88,6 +88,13 @@ def _latlng_sql(doc_expr: str) -> tuple[str, str]:
 QVEC = np.round(gen_query_vectors(seed=99, n=1, dim=64)[0], 6)
 QVEC_SQL = "[" + ", ".join(f"{x:.6f}" for x in QVEC) + "]"
 
+
+def _round_half_up(x, dp: int):
+    """DuckDB/Spark ROUND semantics (half away from zero) for numpy —
+    np.round is half-to-even and diverges on exact .5 scaled values."""
+    p = 10.0**dp
+    return np.copysign(np.floor(np.abs(np.asarray(x, dtype=np.float64)) * p + 0.5), x) / p
+
 TRI = [(10.0, 20.0), (40.0, 60.0), (-20.0, 70.0)]  # (lat, lng)
 RECT = [(-30.0, -120.0), (-30.0, -60.0), (10.0, -60.0), (10.0, -120.0)]
 
@@ -13306,6 +13313,229 @@ def _clustering_coeff_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# HITS hub/authority, Rocchio pseudo-feedback, CDC chunk dedup
+# ---------------------------------------------------------------------------
+
+
+def q_hits_scores(spark, sf_dir):
+    """HITS hub/authority over the res-3 OD cell-transition graph (same
+    edge set as cell_pagerank, unweighted): authorities = tiles
+    trajectories flow INTO from many good hubs, hubs = tiles that feed
+    many good authorities — the two-sided centrality PageRank collapses
+    into one. 3 max-normalized iterations, 9-dp per-step rounding;
+    iteration mechanics in operators/cell_graph.py:hits."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+    from raptor_service_spark.operators.cell_graph import hits
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("cell", cell_encode_col(lat, lng, 3))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        pts.withColumn("prev_cell", F.lag("cell").over(w))
+        .filter(
+            F.col("prev_cell").isNotNull() & (F.col("prev_cell") != F.col("cell"))
+        )
+        .select(F.col("prev_cell").alias("src"), F.col("cell").alias("dst"))
+    )
+    return hits(edges, n_iters=3)
+
+
+def _hits_scores_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import hits_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    edges = f"""
+        SELECT prev_cell AS src, cell AS dst
+        FROM (SELECT cell, LAG(cell) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_cell
+              FROM (SELECT user_id, ts, event_id, {cell} AS cell FROM events))
+        WHERE prev_cell IS NOT NULL AND prev_cell != cell
+    """
+    return hits_sql(edges, n_iters=3)
+
+
+_ROCCHIO_A, _ROCCHIO_B, _ROCCHIO_G = 1.0, 0.75, 0.15
+
+
+def q_rocchio_feedback(spark, sf_dir):
+    """Rocchio pseudo-relevance feedback in EMBEDDING space (the
+    vector-side twin of the term-side prf_expansion): stage-1 cosine
+    top-50 for QVEC, pseudo-relevant = ranks 1-10, pseudo-negative =
+    ranks 41-50; q' = α·q + β·centroid(rel) − γ·centroid(neg) with
+    per-dim centroids rounded to 6 dp (the kmeans/IVF literal-vector
+    protocol), then one re-scan re-ranks the corpus against the literal
+    q'. Scale shape: stage 1 is TakeOrderedAndProject; the centroid
+    arithmetic is O(50·dim) on the driver; stage 2 is the same codegen
+    scan as knn_top10 — never a dim-wise shuffle."""
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    cand = (
+        e.withColumn("dist", F.round(cosine_dist_col(F.col("embedding"), QVEC), 9))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(50)
+    )
+    # deterministic ranks: re-sort the 50 collected rows driver-side
+    rows = sorted(
+        cand.select("vec_id", "dist", "embedding").collect(),
+        key=lambda r: (r.dist, r.vec_id),
+    )
+    rel = np.mean([np.array(r.embedding, dtype=np.float64) for r in rows[:10]], axis=0)
+    neg = np.mean([np.array(r.embedding, dtype=np.float64) for r in rows[40:50]], axis=0)
+    qprime = _round_half_up(
+        _ROCCHIO_A * QVEC
+        + _ROCCHIO_B * _round_half_up(rel, 6)
+        - _ROCCHIO_G * _round_half_up(neg, 6),
+        6,
+    )
+    return (
+        e.withColumn("dist", F.round(cosine_dist_col(F.col("embedding"), qprime), 6))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", "dist")
+    )
+
+
+def _rocchio_feedback_sql() -> str:
+    demb = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    return f"""
+        WITH cand AS (
+            SELECT vec_id, {demb} AS v,
+                   ROUND(1.0 - list_cosine_similarity({demb}, {QVEC_SQL}), 9)
+                       AS dist
+            FROM embeddings
+            ORDER BY dist ASC, vec_id ASC LIMIT 50),
+        ranked AS (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY dist ASC, vec_id ASC) AS rk
+            FROM cand),
+        relc AS (
+            SELECT i, ROUND(AVG(v[i]), 6) AS c
+            FROM ranked CROSS JOIN generate_series(1, 64) g(i)
+            WHERE rk <= 10 GROUP BY i),
+        negc AS (
+            SELECT i, ROUND(AVG(v[i]), 6) AS c
+            FROM ranked CROSS JOIN generate_series(1, 64) g(i)
+            WHERE rk >= 41 GROUP BY i),
+        qp AS (
+            SELECT list(ROUND({_ROCCHIO_A} * q.x + {_ROCCHIO_B} * r.c
+                              - {_ROCCHIO_G} * n.c, 6) ORDER BY r.i) AS qv
+            FROM relc r
+            JOIN negc n ON r.i = n.i
+            JOIN (SELECT i, ({QVEC_SQL})[i] AS x
+                  FROM generate_series(1, 64) g(i)) q
+              ON q.i = r.i)
+        SELECT e.vec_id, e.label,
+               ROUND(1.0 - list_cosine_similarity({demb}, qp.qv), 6) AS dist
+        FROM embeddings e CROSS JOIN qp
+        ORDER BY dist ASC, vec_id ASC LIMIT 10
+    """
+
+
+_CDC_W = 16  # rolling window (chars) hashed at each position
+_CDC_D = 64  # divisor: boundary when bucket == 0 -> ~64-char expected chunks
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (the storage/backup-system dedup
+    family — LBFS/FastCDC lineage — missing from the shingle/minhash
+    families): a chunk boundary falls AFTER position i when the md5 of
+    the 16-char window ending at i hits bucket 0 of 64, so boundaries
+    depend only on local content and survive insertions that shift
+    offsets (the failure mode of fixed-size blocks). Chunks are re-hashed
+    and counted corpus-wide; output = the top-20 most-duplicated chunks
+    (hash, length, n_occurrences, n_docs). Everything runs as codegen
+    array expressions (sequence → transform(md5) → filter) with ONE row
+    per doc until the final chunk explode — no per-position shuffle; the
+    window md5 stream is the winnowing fingerprint cost class."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    # boundary positions: i in [W, len], bucket(md5(window ending at i))==0
+    pos = F.when(n >= _CDC_W, F.sequence(F.lit(_CDC_W), n)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    bounds = F.filter(
+        pos,
+        lambda i: (
+            F.conv(
+                F.substring(
+                    F.md5(F.substring(F.col("text"), (i - _CDC_W + 1), _CDC_W)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CDC_D
+        )
+        == 0,
+    )
+    # chunk start offsets: 1 + [0, b1, b2, ...]; ends: [b1, ..., bk, len]
+    starts = F.concat(F.array(F.lit(0)), bounds)
+    ends = F.concat(bounds, F.array(n))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.substring(F.col("text"), s + 1, e - s),
+    )
+    ex = (
+        docs.select("doc_id", F.explode(chunks).alias("chunk"))
+        .filter(F.length("chunk") > 0)
+        .select("doc_id", F.md5("chunk").alias("h"), F.length("chunk").alias("len"))
+    )
+    return (
+        ex.groupBy("h", "len")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occ").desc(), F.col("h").asc())
+        .limit(20)
+        .select(
+            "h",
+            F.col("len").cast("long").alias("len"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def _cdc_chunks_sql() -> str:
+    w, d = _CDC_W, _CDC_D
+    return f"""
+        WITH b AS (
+            SELECT doc_id, text, length(text) AS n,
+                   CASE WHEN length(text) >= {w} THEN
+                       list_filter(generate_series({w}, length(text)),
+                           i -> ('0x' || substr(md5(substr(text, i - {w} + 1,
+                                                           {w})), 1, 8))
+                                ::BIGINT % {d} = 0)
+                   ELSE [] END AS bounds
+            FROM documents),
+        ch AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(generate_series(1, len(bounds) + 1),
+                       j -> substr(text,
+                            (CASE WHEN j = 1 THEN 0
+                                  ELSE bounds[j - 1] END) + 1,
+                            (CASE WHEN j = len(bounds) + 1 THEN n
+                                  ELSE bounds[j] END)
+                            - (CASE WHEN j = 1 THEN 0
+                                    ELSE bounds[j - 1] END)))) AS chunk
+            FROM b),
+        ex AS (
+            SELECT doc_id, md5(chunk) AS h, length(chunk) AS len
+            FROM ch WHERE length(chunk) > 0)
+        SELECT h, CAST(len AS BIGINT) AS len,
+               CAST(COUNT(*) AS BIGINT) AS n_occ,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM ex GROUP BY 1, 2
+        ORDER BY n_occ DESC, h ASC LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13536,6 +13766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjustment": q_cuped_adjustment,
         "containment_pairs": q_containment_pairs,
         "clustering_coeff": q_clustering_coeff,
+        "hits_scores": q_hits_scores,
+        "rocchio_feedback": q_rocchio_feedback,
+        "cdc_chunks": q_cdc_chunks,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -13700,6 +13933,9 @@ def oracle_sql() -> dict[str, str]:
         "cuped_adjustment": _cuped_adjustment_sql(),
         "containment_pairs": _containment_pairs_sql(),
         "clustering_coeff": _clustering_coeff_sql(),
+        "hits_scores": _hits_scores_sql(),
+        "rocchio_feedback": _rocchio_feedback_sql(),
+        "cdc_chunks": _cdc_chunks_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

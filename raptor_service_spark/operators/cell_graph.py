@@ -218,6 +218,108 @@ def pagerank_sql(
     """
 
 
+def hits(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg 1999) hub/authority scores over a directed edge
+    list, fixed iteration count: a_t(v) = Σ_{u→v} h_{t-1}(u), h_t(u) =
+    Σ_{u→v} a_t(v), each vector max-normalized and rounded to 9 dp per
+    step (the pagerank cross-engine discipline; max-norm instead of L2
+    keeps the oracle arithmetic a plain MAX). Output (cell, auth, hub),
+    6 dp. Every round is two joins of the O(nodes) score table into the
+    edge list + partial+final aggs; each max() is an O(1) broadcast
+    scalar."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("cell"))
+        .unionByName(e.select(F.col("dst").alias("cell")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("h", F.lit(1.0))
+    auth = None
+    for _ in range(n_iters):
+        raw_a = (
+            e.join(hub.withColumnRenamed("cell", "src"), "src")
+            .groupBy("dst")
+            .agg(F.round(F.sum("h"), 9).alias("ar"))
+        )
+        amax = raw_a.agg(F.max("ar").alias("m"))
+        auth = (
+            nodes.join(raw_a, nodes.cell == raw_a.dst, "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "cell",
+                F.round(F.coalesce("ar", F.lit(0.0)) / F.col("m"), 9).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        raw_h = (
+            e.join(auth.withColumnRenamed("cell", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.round(F.sum("a"), 9).alias("hr"))
+        )
+        hmax = raw_h.agg(F.max("hr").alias("m"))
+        hub = (
+            nodes.join(raw_h, nodes.cell == raw_h.src, "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "cell",
+                F.round(F.coalesce("hr", F.lit(0.0)) / F.col("m"), 9).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return auth.join(hub, "cell").select(
+        "cell", F.round("a", 6).alias("auth"), F.round("h", 6).alias("hub")
+    )
+
+
+def hits_sql(edges_sql: str, n_iters: int = 3) -> str:
+    """DuckDB twin of hits: identical unrolled iterations.
+
+    ``edges_sql`` must yield (src, dst) rows (deduplicated here).
+    """
+    steps = []
+    for t in range(1, n_iters + 1):
+        steps.append(
+            f"""ar{t} AS (
+            SELECT e.dst, ROUND(SUM(p.h), 9) AS ar
+            FROM e JOIN h{t - 1} p ON e.src = p.cell GROUP BY 1),
+        a{t} AS (
+            SELECT n.cell,
+                   ROUND(COALESCE(r.ar, 0.0) / (SELECT MAX(ar) FROM ar{t}),
+                         9) AS a
+            FROM nodes n LEFT JOIN ar{t} r ON n.cell = r.dst),
+        hr{t} AS (
+            SELECT e.src, ROUND(SUM(p.a), 9) AS hr
+            FROM e JOIN a{t} p ON e.dst = p.cell GROUP BY 1),
+        h{t} AS (
+            SELECT n.cell,
+                   ROUND(COALESCE(r.hr, 0.0) / (SELECT MAX(hr) FROM hr{t}),
+                         9) AS h
+            FROM nodes n LEFT JOIN hr{t} r ON n.cell = r.src)"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+        nodes AS (SELECT DISTINCT src AS cell FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        h0 AS (SELECT cell, 1.0 AS h FROM nodes),
+        {chain}
+        SELECT n.cell, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
+        FROM nodes n
+        JOIN a{n_iters} a ON n.cell = a.cell
+        JOIN h{n_iters} h ON n.cell = h.cell
+    """
+
+
 def sssp(
     occ_w: DataFrame,
     seed_cell: int,
