@@ -13536,6 +13536,629 @@ def _cdc_chunks_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch: graph structure (assortativity, modularity, link prediction),
+# corpus statistics (JSD, Kneser-Ney), geometry (shoelace), sketches (HLL)
+# ---------------------------------------------------------------------------
+
+
+def _od_cell_edges(spark, sf_dir, res: int = 3) -> DataFrame:
+    """Directed res-`res` OD cell-transition edges with counts — the shared
+    edge construction of cell_pagerank / hits_scores / cell_markov."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("cell", cell_encode_col(lat, lng, res))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        pts.withColumn("prev_cell", F.lag("cell").over(w))
+        .filter(F.col("prev_cell").isNotNull() & (F.col("prev_cell") != F.col("cell")))
+        .groupBy(F.col("prev_cell").alias("src"), F.col("cell").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _od_cell_edges_sql(res: int = 3) -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, res)
+    return f"""
+        SELECT prev_cell AS src, cell AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT cell, LAG(cell) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_cell
+              FROM (SELECT user_id, ts, event_id, {cell} AS cell FROM events))
+        WHERE prev_cell IS NOT NULL AND prev_cell != cell
+        GROUP BY 1, 2
+    """
+
+
+def _undirected_cell_edges(spark, sf_dir, res: int = 3) -> DataFrame:
+    """Undirected collapse of the OD graph: (a<b, w = both-direction count)."""
+    e = _od_cell_edges(spark, sf_dir, res)
+    return (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "cnt",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("w"))
+    )
+
+
+def _undirected_cell_edges_sql(res: int = 3) -> str:
+    return f"""
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+               CAST(SUM(cnt) AS BIGINT) AS w
+        FROM ({_od_cell_edges_sql(res)}) GROUP BY 1, 2
+    """
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    res-3 OD cell graph: Pearson correlation of the degrees at the two ends
+    of every edge (both orientations) — do hubs connect to hubs (r>0,
+    social-network shape) or to leaves (r<0, infrastructure shape)?
+    Everything is exact integer sums (degrees, cross products) until the
+    single final division, so the float is bit-identical across engines.
+    Scale shape: one edge agg + two broadcast-size joins of the O(cells)
+    degree table; no quadratic anywhere."""
+    e = _undirected_cell_edges(spark, sf_dir).select("a", "b")
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ends = (
+        e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "dx"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "dy"), "b")
+        .select("dx", "dy")
+    )
+    both = ends.unionByName(ends.select(F.col("dy").alias("dx"), F.col("dx").alias("dy")))
+    s = both.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    return s.select(
+        (F.col("n") / F.lit(2)).cast("long").alias("m_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+def _degree_assortativity_sql() -> str:
+    return f"""
+        WITH e AS (SELECT a, b FROM ({_undirected_cell_edges_sql()})),
+        deg AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+        ends AS (
+            SELECT da.deg AS dx, db.deg AS dy
+            FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+        bth AS (SELECT dx, dy FROM ends UNION ALL SELECT dy, dx FROM ends),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dx) AS sx,
+                     SUM(dx * dx) AS sxx, SUM(dx * dy) AS sxy FROM bth)
+        SELECT CAST(n / 2 AS BIGINT) AS m_edges,
+               ROUND(CAST(n * sxy - sx * sx AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+        FROM s
+    """
+
+
+def q_cell_modularity(spark, sf_dir):
+    """Newman modularity of the res-1 parent-tile partition of the weighted
+    res-3 OD graph — do trajectories stay inside coarse regions (Q near 1)
+    or cross them freely (Q near 0)? Q = Σ_c [W_in(c)/W − (d_c/2W)²] over
+    communities c = the 16 res-1 ancestors; every term is an exact integer
+    sum (weights are transition counts) so the float division is
+    bit-identical across engines. One edge agg + O(cells) degree agg."""
+    from raptor_service_spark.geo.grid import cell_parent_col
+
+    e = _undirected_cell_edges(spark, sf_dir)
+    e = e.withColumn("ca", cell_parent_col(F.col("a"), 3, 1)).withColumn(
+        "cb", cell_parent_col(F.col("b"), 3, 1)
+    )
+    tot = e.agg(F.sum("w").alias("w_tot"))
+    w_in = (
+        e.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.sum("w").alias("w_in"))
+    )
+    d_c = (
+        e.select(F.col("ca").alias("c"), F.col("w"))
+        .unionByName(e.select(F.col("cb").alias("c"), F.col("w")))
+        .groupBy("c")
+        .agg(F.sum("w").alias("d_c"))
+    )
+    per = (
+        d_c.join(w_in, "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce("w_in", F.lit(0)).cast("double").alias("wi"),
+            F.col("d_c").cast("double").alias("dc"),
+            F.col("w_tot").cast("double").alias("wt"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.max(F.col("wt").cast("long")).alias("w_total"),
+        F.round(
+            F.sum(
+                F.col("wi") / F.col("wt")
+                - (F.col("dc") / (F.lit(2.0) * F.col("wt")))
+                * (F.col("dc") / (F.lit(2.0) * F.col("wt")))
+            ),
+            6,
+        ).alias("q_modularity"),
+    )
+
+
+def _cell_modularity_sql() -> str:
+    ca = cell_parent_sql("a", 3, 1)
+    cb = cell_parent_sql("b", 3, 1)
+    return f"""
+        WITH e AS (SELECT a, b, w, {ca} AS ca, {cb} AS cb
+                   FROM ({_undirected_cell_edges_sql()})),
+        tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_tot FROM e),
+        w_in AS (SELECT ca AS c, CAST(SUM(w) AS BIGINT) AS w_in FROM e
+                 WHERE ca = cb GROUP BY 1),
+        d_c AS (SELECT c, CAST(SUM(w) AS BIGINT) AS d_c
+                FROM (SELECT ca AS c, w FROM e UNION ALL SELECT cb, w FROM e)
+                GROUP BY c),
+        per AS (SELECT CAST(COALESCE(w.w_in, 0) AS DOUBLE) AS wi,
+                       CAST(d.d_c AS DOUBLE) AS dc,
+                       CAST(t.w_tot AS DOUBLE) AS wt
+                FROM d_c d LEFT JOIN w_in w ON d.c = w.c CROSS JOIN tot t)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+               CAST(MAX(wt) AS BIGINT) AS w_total,
+               ROUND(SUM(wi / wt - (dc / (2.0 * wt)) * (dc / (2.0 * wt))), 6)
+                   AS q_modularity
+        FROM per
+    """
+
+
+def q_link_prediction(spark, sf_dir):
+    """Link prediction over the undirected res-3 OD graph: for every
+    NON-adjacent cell pair with ≥1 common neighbor, the three classic
+    scores — common-neighbor count, Jaccard of neighborhoods, Adamic-Adar
+    Σ 1/ln(deg(z)) (z ranges over shared neighbors; deg(z) ≥ 2 whenever z
+    is shared, so the log is positive). Top-20 by (AA desc, a, b). Scale
+    shape: candidates come from ONE 2-hop equi-join through the shared
+    neighbor (bounded by Σ deg², the standard triangle-count budget), the
+    existing-edge filter is an anti-join, and per-z AA terms are pre-rounded
+    to 9 dp before the SUM (cross-engine float discipline)."""
+    e = _undirected_cell_edges(spark, sf_dir).select("a", "b")
+    nbr = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = nbr.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    hop2 = (
+        nbr.withColumnRenamed("a", "x").withColumnRenamed("b", "z")
+        .join(
+            nbr.select(F.col("a").alias("z"), F.col("b").alias("y")),
+            "z",
+        )
+        .filter(F.col("x") < F.col("y"))
+        .join(
+            e.select(F.col("a").alias("x"), F.col("b").alias("y")),
+            ["x", "y"],
+            "left_anti",
+        )
+    )
+    scored = (
+        hop2.join(deg.withColumnRenamed("v", "z"), "z")
+        .withColumn("aa_term", F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 9))
+        .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cn"), F.round(F.sum("aa_term"), 6).alias("aa"))
+    )
+    out = (
+        scored.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn") / (F.col("da") + F.col("db") - F.col("cn")), 6
+            ).alias("jaccard"),
+            "aa",
+        )
+    )
+    return out.orderBy(F.col("aa").desc(), "a", "b").limit(20)
+
+
+def _link_prediction_sql() -> str:
+    return f"""
+        WITH e AS (SELECT a, b FROM ({_undirected_cell_edges_sql()})),
+        nbr AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM nbr GROUP BY 1),
+        hop2 AS (
+            SELECT n1.a AS x, n1.b AS z, n2.b AS y
+            FROM nbr n1 JOIN nbr n2 ON n1.b = n2.a
+            WHERE n1.a < n2.b
+              AND NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.a = n1.a AND e.b = n2.b)),
+        scored AS (
+            SELECT x AS a, y AS b, CAST(COUNT(*) AS BIGINT) AS cn,
+                   ROUND(SUM(ROUND(1.0 / LN(CAST(d.deg AS DOUBLE)), 9)), 6)
+                       AS aa
+            FROM hop2 JOIN deg d ON hop2.z = d.v
+            GROUP BY 1, 2)
+        SELECT s.a, s.b, s.cn,
+               ROUND(CAST(s.cn AS DOUBLE) / (da.deg + db.deg - s.cn), 6)
+                   AS jaccard,
+               s.aa
+        FROM scored s JOIN deg da ON s.a = da.v JOIN deg db ON s.b = db.v
+        ORDER BY aa DESC, a, b LIMIT 20
+    """
+
+
+_JSD_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+
+
+def q_jsd_sources(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence (nats) between the term
+    distributions of five corpus sources — the drift/contrast matrix a
+    data-mixing pipeline keeps per shard (symmetric, bounded by ln 2,
+    defined even with disjoint support — the failure modes of plain KL).
+    Dense (source × term) grid via cross join of the O(vocab) term list
+    (vocab-sized, broadcastable), per-term contributions pre-rounded to
+    9 dp before the pair SUM. One token scan feeds everything."""
+    from raptor_service_spark.operators.dedup import words_col
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("source").isin(_JSD_SOURCES))
+    toks = d.select("source", F.explode(words_col(F.col("text"))).alias("term"))
+    cnt = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = cnt.select("term").distinct()
+    srcs = tot.select("source", "n")
+    dense = (
+        vocab.crossJoin(F.broadcast(srcs))
+        .join(cnt, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            (F.coalesce("c", F.lit(0)).cast("double") / F.col("n")).alias("p"),
+        )
+    )
+    pairs = (
+        dense.withColumnRenamed("source", "src_a").withColumnRenamed("p", "pa")
+        .join(
+            dense.withColumnRenamed("source", "src_b").withColumnRenamed("p", "pb"),
+            "term",
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    term_c = F.round(
+        F.when(
+            F.col("pa") > 0,
+            F.lit(0.5) * F.col("pa") * F.log(F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb"))),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("pb") > 0,
+            F.lit(0.5) * F.col("pb") * F.log(F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb"))),
+        ).otherwise(F.lit(0.0)),
+        9,
+    )
+    return (
+        pairs.withColumn("t", term_c)
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.sum("t"), 6).alias("jsd"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _jsd_sources_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    srcs = ", ".join(f"'{s}'" for s in _JSD_SOURCES)
+    return f"""
+        WITH toks AS (
+            SELECT source, unnest({words_sql("text")}) AS term
+            FROM documents WHERE source IN ({srcs})),
+        cnt AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+                FROM toks GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        vocab AS (SELECT DISTINCT term FROM cnt),
+        dense AS (
+            SELECT t.source, v.term,
+                   CAST(COALESCE(c.c, 0) AS DOUBLE) / t.n AS p
+            FROM vocab v CROSS JOIN tot t
+            LEFT JOIN cnt c ON c.source = t.source AND c.term = v.term),
+        pairs AS (
+            SELECT da.source AS src_a, db.source AS src_b,
+                   da.p AS pa, db.p AS pb
+            FROM dense da JOIN dense db ON da.term = db.term
+            WHERE da.source < db.source)
+        SELECT src_a, src_b,
+               ROUND(SUM(ROUND(
+                   CASE WHEN pa > 0
+                        THEN 0.5 * pa * LN(2.0 * pa / (pa + pb)) ELSE 0 END
+                 + CASE WHEN pb > 0
+                        THEN 0.5 * pb * LN(2.0 * pb / (pa + pb)) ELSE 0 END,
+               9)), 6) AS jsd
+        FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def q_polygon_metrics(spark, sf_dir):
+    """Shoelace geometry over the polygon TABLE (the pip_polygon_table
+    fixtures): signed-area → area, perimeter, and the area-weighted
+    centroid of every polygon, computed ARRAY-side (aggregate over the
+    vertex array with wraparound indexing — one row per polygon end to
+    end, no explode, no UDF). x = lng, y = lat, planar degree space (the
+    repo's polygon convention). The vertex floats are one shared Python
+    literal source for both engines, so results are bit-identical."""
+    pt = spark.createDataFrame(
+        [(f"q{k}", poly) for k, poly in enumerate(_pipt_polys())],
+        "qid string, verts array<array<double>>",
+    )
+    n = F.size("verts")
+    # cross_i = x_i * y_j - x_j * y_i with j = (i + 1) mod n; verts are
+    # [lat, lng] pairs -> x = v[1], y = v[0]
+    cross_i = (
+        "transform(sequence(0, size(verts) - 1), i -> "
+        "verts[i][1] * verts[(i + 1) % size(verts)][0] "
+        "- verts[(i + 1) % size(verts)][1] * verts[i][0])"
+    )
+    seg_len = (
+        "transform(sequence(0, size(verts) - 1), i -> "
+        "sqrt((verts[(i + 1) % size(verts)][1] - verts[i][1]) "
+        "   * (verts[(i + 1) % size(verts)][1] - verts[i][1]) "
+        "   + (verts[(i + 1) % size(verts)][0] - verts[i][0]) "
+        "   * (verts[(i + 1) % size(verts)][0] - verts[i][0])))"
+    )
+    cx_terms = (
+        "transform(sequence(0, size(verts) - 1), i -> "
+        "(verts[i][1] + verts[(i + 1) % size(verts)][1]) * "
+        "(verts[i][1] * verts[(i + 1) % size(verts)][0] "
+        " - verts[(i + 1) % size(verts)][1] * verts[i][0]))"
+    )
+    cy_terms = (
+        "transform(sequence(0, size(verts) - 1), i -> "
+        "(verts[i][0] + verts[(i + 1) % size(verts)][0]) * "
+        "(verts[i][1] * verts[(i + 1) % size(verts)][0] "
+        " - verts[(i + 1) % size(verts)][1] * verts[i][0]))"
+    )
+    ssum = "aggregate({0}, cast(0.0 as double), (acc, t) -> acc + t)"
+    s = F.expr(ssum.format(cross_i))
+    return pt.select(
+        "qid",
+        n.cast("long").alias("n_verts"),
+        F.round(F.abs(s) / 2.0, 6).alias("area"),
+        F.round(F.expr(ssum.format(seg_len)), 6).alias("perimeter"),
+        F.round(F.expr(ssum.format(cx_terms)) / (F.lit(3.0) * s), 6).alias("centroid_lng"),
+        F.round(F.expr(ssum.format(cy_terms)) / (F.lit(3.0) * s), 6).alias("centroid_lat"),
+    ).orderBy("qid")
+
+
+def _polygon_metrics_sql() -> str:
+    rows = []
+    for k, poly in enumerate(_pipt_polys()):
+        verts = ", ".join(f"[{a!r}, {b!r}]" for a, b in poly)
+        rows.append(f"('q{k}', [{verts}])")
+    vals = ",\n               ".join(rows)
+    j = "((i % len(verts)) + 1)"  # 1-based wraparound successor of 1-based i
+    cross_i = (
+        f"list_transform(generate_series(1, len(verts)), i -> "
+        f"verts[i][2] * verts[{j}][1] - verts[{j}][2] * verts[i][1])"
+    )
+    seg_len = (
+        f"list_transform(generate_series(1, len(verts)), i -> "
+        f"sqrt((verts[{j}][2] - verts[i][2]) * (verts[{j}][2] - verts[i][2]) "
+        f"   + (verts[{j}][1] - verts[i][1]) * (verts[{j}][1] - verts[i][1])))"
+    )
+    cx_terms = (
+        f"list_transform(generate_series(1, len(verts)), i -> "
+        f"(verts[i][2] + verts[{j}][2]) * "
+        f"(verts[i][2] * verts[{j}][1] - verts[{j}][2] * verts[i][1]))"
+    )
+    cy_terms = (
+        f"list_transform(generate_series(1, len(verts)), i -> "
+        f"(verts[i][1] + verts[{j}][1]) * "
+        f"(verts[i][2] * verts[{j}][1] - verts[{j}][2] * verts[i][1]))"
+    )
+    red = "list_aggregate({0}, 'sum')"
+    return f"""
+        WITH pt0(qid, verts) AS (VALUES
+               {vals}),
+        pt AS (SELECT qid, CAST(verts AS DOUBLE[][]) AS verts FROM pt0),
+        m AS (SELECT qid, len(verts) AS n_verts,
+                     {red.format(cross_i)} AS s,
+                     {red.format(seg_len)} AS per,
+                     {red.format(cx_terms)} AS cxs,
+                     {red.format(cy_terms)} AS cys
+              FROM pt)
+        SELECT qid, CAST(n_verts AS BIGINT) AS n_verts,
+               ROUND(ABS(s) / 2.0, 6) AS area,
+               ROUND(per, 6) AS perimeter,
+               ROUND(cxs / (3.0 * s), 6) AS centroid_lng,
+               ROUND(cys / (3.0 * s), 6) AS centroid_lat
+        FROM m ORDER BY qid
+    """
+
+
+_KN_D = 0.75
+_KN_MIN_C = 30
+
+
+def q_kn_bigram_lm(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities — the n-gram smoothing
+    the pre-neural LM era standardized on (and the one BPE-era data work
+    still uses for contamination/perplexity screens): P(w2|w1) =
+    max(c12−d,0)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/|bigram types|, d=0.75.
+    The continuation counts (type counts, not token counts) are what
+    distinguish KN from the add-k smoothing in doc_bigram_ppl. Everything
+    is joins of AGGREGATED count tables (bigram counts, left/right type
+    marginals) — one token scan, vocab-bounded intermediates. Top-20 by
+    probability among bigrams seen ≥ 30 times."""
+    from raptor_service_spark.operators.dedup import words_col
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select("doc_id", words_col(F.col("text")).alias("ws"))
+    bi = toks.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> named_struct('w1', ws[i - 1], 'w2', ws[i]))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_rev"))
+    n_types = c12.agg(F.count(F.lit(1)).alias("n_bi_types"))
+    out = (
+        c12.filter(F.col("c12") >= _KN_MIN_C)
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.greatest(F.col("c12") - F.lit(_KN_D), F.lit(0.0)) / F.col("c1")
+                + F.lit(_KN_D)
+                * F.col("n1p_fwd")
+                / F.col("c1")
+                * (F.col("n1p_rev") / F.col("n_bi_types")),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+    return out.orderBy(F.col("p_kn").desc(), "w1", "w2").limit(20)
+
+
+def _kn_bigram_lm_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    return f"""
+        WITH toks AS (SELECT doc_id, {w} AS ws FROM documents),
+        bi AS (
+            SELECT b.w1, b.w2 FROM (
+                SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                       i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+                FROM toks WHERE len(ws) >= 2)),
+        c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                FROM bi GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                      CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+               FROM c12 GROUP BY 1),
+        cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_rev
+                 FROM c12 GROUP BY 1),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi_types FROM c12)
+        SELECT b.w1, b.w2, b.c12,
+               ROUND(GREATEST(b.c12 - {_KN_D}, 0.0) / c1.c1
+                     + {_KN_D} * c1.n1p_fwd / c1.c1
+                       * (CAST(cont.n1p_rev AS DOUBLE) / nt.n_bi_types), 6)
+                   AS p_kn
+        FROM c12 b JOIN c1 ON b.w1 = c1.w1 JOIN cont ON b.w2 = cont.w2
+        CROSS JOIN nt
+        WHERE b.c12 >= {_KN_MIN_C}
+        ORDER BY p_kn DESC, b.w1, b.w2 LIMIT 20
+    """
+
+
+_HLL_P = 8  # 2^8 = 256 registers
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count of event ids with 256 registers, next to
+    the exact answer — the constant-memory mergeable sketch every
+    distributed engine ships (vs the KMV sketch in kmv_distinct). Register
+    j = h mod 256, rank = trailing-zero count of h>>8 plus 1 (bit_count on
+    the isolated lowest set bit — identical integer ops both engines, md5
+    the shared hash); estimator = α·m²/Σ2^-M with the linear-counting
+    small-range branch. ONE partial+final agg to 256 rows, then scalar
+    math; merging register maxes is exactly how this runs at 1000
+    executors."""
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    # h DIV 256 must stay in INTEGER arithmetic: a double division would
+    # lose bits of the 60-bit hash past 2^53 (DuckDB's // is exact)
+    hashed = ev.select(h.alias("h")).selectExpr("h % 256 AS j", "h DIV 256 AS w")
+    regs = (
+        hashed.withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(53)).otherwise(
+                F.expr("bit_count((w & -w) - 1) + 1")
+            ),
+        )
+        .groupBy("j")
+        .agg(F.max("rho").alias("m"))
+    )
+    sums = regs.agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.sum(F.round(F.pow(F.lit(2.0), -F.col("m")), 9)).alias("s_occ"),
+    )
+    exact = ev.agg(F.count_distinct("event_id").alias("n_exact"))
+    est_raw = F.lit(_HLL_ALPHA) * F.lit(256.0 * 256.0) / (
+        F.lit(256.0) - F.col("occ") + F.col("s_occ")
+    )
+    v = F.lit(256) - F.col("occ")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * 256.0)) & (v > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / v.cast("double")),
+    ).otherwise(est_raw)
+    return (
+        sums.crossJoin(F.broadcast(exact))
+        .select(
+            "n_exact",
+            v.cast("long").alias("zero_regs"),
+            F.round(est, 3).alias("hll_est"),
+            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+def _hll_distinct_sql() -> str:
+    return f"""
+        WITH h AS (
+            SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                       AS hv
+            FROM events),
+        parts AS (SELECT hv % 256 AS j, hv // 256 AS w FROM h),
+        regs AS (
+            SELECT j, MAX(CASE WHEN w = 0 THEN 53
+                               ELSE bit_count((w & -w) - 1) + 1 END) AS m
+            FROM parts GROUP BY j),
+        sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS occ,
+                        SUM(ROUND(POWER(2.0, -m), 9)) AS s_occ
+                 FROM regs),
+        exact AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_exact
+                  FROM events),
+        est AS (
+            SELECT n_exact, 256 - occ AS zero_regs,
+                   CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536.0
+                       / (256.0 - occ + s_occ) AS raw
+            FROM sums CROSS JOIN exact)
+        SELECT n_exact, CAST(zero_regs AS BIGINT) AS zero_regs,
+               ROUND(CASE WHEN raw <= 640.0 AND zero_regs > 0
+                          THEN 256.0 * LN(256.0 / zero_regs)
+                          ELSE raw END, 3) AS hll_est,
+               ROUND(ABS(CASE WHEN raw <= 640.0 AND zero_regs > 0
+                              THEN 256.0 * LN(256.0 / zero_regs)
+                              ELSE raw END - n_exact) / n_exact, 6) AS rel_err
+        FROM est
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13769,6 +14392,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "rocchio_feedback": q_rocchio_feedback,
         "cdc_chunks": q_cdc_chunks,
+        "degree_assortativity": q_degree_assortativity,
+        "cell_modularity": q_cell_modularity,
+        "link_prediction": q_link_prediction,
+        "jsd_sources": q_jsd_sources,
+        "polygon_metrics": q_polygon_metrics,
+        "kn_bigram_lm": q_kn_bigram_lm,
+        "hll_distinct": q_hll_distinct,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -13936,6 +14566,13 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_scores_sql(),
         "rocchio_feedback": _rocchio_feedback_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
+        "degree_assortativity": _degree_assortativity_sql(),
+        "cell_modularity": _cell_modularity_sql(),
+        "link_prediction": _link_prediction_sql(),
+        "jsd_sources": _jsd_sources_sql(),
+        "polygon_metrics": _polygon_metrics_sql(),
+        "kn_bigram_lm": _kn_bigram_lm_sql(),
+        "hll_distinct": _hll_distinct_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
