@@ -14159,6 +14159,501 @@ def _hll_distinct_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 2: TextRank, personalized PageRank, LPA communities,
+# NB language classifier, k-means silhouette, SymSpell lookup, logistic GD
+# ---------------------------------------------------------------------------
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph (adjacent-token pairs, both directions,
+    weight = count) — unsupervised keyword salience that, unlike TF-IDF,
+    rewards terms central to the corpus graph rather than merely frequent.
+    Reuses the oracle-green pagerank iteration core (4 damped rounds, 9-dp
+    per-round rounding); the graph is vocab-bounded so every iteration is
+    O(vocab + vocab-pairs). Top-20 terms."""
+    from raptor_service_spark.operators.cell_graph import pagerank
+    from raptor_service_spark.operators.dedup import words_col
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(words_col(F.col("text")).alias("ws")).filter(F.size("ws") >= 2)
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> named_struct('w1', ws[i - 1], 'w2', ws[i]))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    edges = (
+        bi.unionByName(bi.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
+        .groupBy(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = pagerank(edges, n_iters=4, damping=0.85)
+    return (
+        pr.select(F.col("cell").alias("term"), "pr")
+        .orderBy(F.col("pr").desc(), "term")
+        .limit(20)
+    )
+
+
+def _textrank_keywords_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import pagerank_sql
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    edges = f"""
+        SELECT w1 AS src, w2 AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+        FROM (SELECT b.w1, b.w2 FROM (
+                SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                       i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+                FROM (SELECT {w} AS ws FROM documents) WHERE len(ws) >= 2)
+              UNION ALL
+              SELECT b.w2, b.w1 FROM (
+                SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                       i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b
+                FROM (SELECT {w} AS ws FROM documents) WHERE len(ws) >= 2))
+        GROUP BY 1, 2
+    """
+    inner = pagerank_sql(edges, n_iters=4, damping=0.85)
+    return f"""
+        SELECT cell AS term, pr FROM ({inner})
+        ORDER BY pr DESC, term LIMIT 20
+    """
+
+
+def q_ppr_scores(spark, sf_dir):
+    """Personalized PageRank from the most-visited res-3 cell (random walk
+    with restart): reachability-biased centrality — "where do trajectories
+    that pass through the hub END UP". Seed = argmax total in-degree (tie:
+    smaller cell id), computed from the same edge agg that feeds the walk
+    (O(1) driver rows); 5 damped rounds, 9-dp per-round rounding. Top-20
+    cells by score."""
+    from raptor_service_spark.operators.cell_graph import ppr
+
+    edges = _od_cell_edges(spark, sf_dir).withColumn(
+        "w", F.col("cnt").cast("double")
+    )
+    seed = (
+        edges.groupBy("dst")
+        .agg(F.sum("cnt").alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("dst").asc())
+        .limit(1)
+        .collect()[0]["dst"]
+    )
+    return (
+        ppr(edges, seed=seed, n_iters=5, damping=0.85)
+        .orderBy(F.col("pr").desc(), "cell")
+        .limit(20)
+    )
+
+
+def _ppr_scores_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import ppr_sql
+
+    seed = (
+        "(SELECT dst FROM e GROUP BY dst "
+        "ORDER BY SUM(cnt) DESC, dst ASC LIMIT 1)"
+    )
+    edges = f"SELECT src, dst, cnt, CAST(cnt AS DOUBLE) AS w FROM ({_od_cell_edges_sql()})"
+    inner = ppr_sql(edges, seed=seed, n_iters=5, damping=0.85)
+    return f"SELECT cell, pr FROM ({inner}) ORDER BY pr DESC, cell LIMIT 20"
+
+
+def q_lpa_communities(spark, sf_dir):
+    """Label-propagation communities over the undirected res-3 OD graph —
+    the near-linear community detector (Raghavan 2007), deterministic
+    variant: most-frequent neighbor label, ties to the smallest label, 4
+    synchronous rounds (the randomized original can never be
+    oracle-checked). Output (cell, label, n_members)."""
+    from raptor_service_spark.operators.cell_graph import lpa
+
+    e = _undirected_cell_edges(spark, sf_dir)
+    return lpa(e, n_iters=4, src="a", dst="b").orderBy("cell")
+
+
+def _lpa_communities_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import lpa_sql
+
+    edges = f"SELECT a AS src, b AS dst FROM ({_undirected_cell_edges_sql()})"
+    return f"SELECT * FROM ({lpa_sql(edges, n_iters=4)}) ORDER BY cell"
+
+
+_NB_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_nb_langid(spark, sf_dir):
+    """Multinomial naive-Bayes language classifier trained ON the corpus
+    (add-one smoothing over the shared vocabulary) and applied back to it,
+    reported as a confusion matrix against the gold lang column — langs
+    here share one vocabulary and differ only in term FREQUENCIES, exactly
+    the regime where the frequency-profile NB beats the n-gram-presence
+    heuristic in lang_id. Scale shape: one token scan → (doc, term) tf and
+    (lang, term) counts; the model is a vocab×langs grid (broadcast-size);
+    scoring is one equi-join on term + a per-(doc, lang) sum + an argmax
+    window; per-term contributions pre-round to 9 dp (float discipline)."""
+    from pyspark.sql import Window
+    from raptor_service_spark.operators.dedup import words_col
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(words_col(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cl = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    nl = cl.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    vocab = toks.select("term").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    prior = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("d_l"))
+        .crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("d_tot"))))
+        .select("lang", F.log(F.col("d_l") / F.col("d_tot")).alias("logprior"))
+    )
+    model = (
+        vocab.crossJoin(F.broadcast(nl))
+        .join(cl, ["lang", "term"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "lang",
+            "term",
+            F.log(
+                (F.coalesce("c", F.lit(0)) + F.lit(1.0)) / (F.col("n_l") + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    scores = (
+        tf.join(model, "term")
+        .withColumn("contrib", F.round(F.col("tf") * F.col("logp"), 9))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("contrib").alias("s"))
+        .join(prior, "lang")
+        .select("doc_id", "lang", F.round(F.col("s") + F.col("logprior"), 6).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang").asc())
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _nb_langid_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest({w}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks GROUP BY 1, 2),
+        cl AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks GROUP BY 1, 2),
+        nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l FROM cl GROUP BY 1),
+        vocab AS (SELECT DISTINCT term FROM toks),
+        vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        prior AS (
+            SELECT lang, LN(CAST(COUNT(*) AS DOUBLE)
+                            / (SELECT COUNT(*) FROM documents)) AS logprior
+            FROM documents GROUP BY 1),
+        model AS (
+            SELECT nl.lang, vocab.term,
+                   LN((COALESCE(cl.c, 0) + 1.0) / (nl.n_l + vs.v)) AS logp
+            FROM vocab CROSS JOIN nl CROSS JOIN vs
+            LEFT JOIN cl ON cl.lang = nl.lang AND cl.term = vocab.term),
+        scores AS (
+            SELECT tf.doc_id, m.lang,
+                   ROUND(SUM(ROUND(tf.tf * m.logp, 9)) + ANY_VALUE(p.logprior), 6)
+                       AS score
+            FROM tf JOIN model m ON tf.term = m.term
+            JOIN prior p ON p.lang = m.lang
+            GROUP BY 1, 2),
+        pred AS (
+            SELECT doc_id, lang AS pred_lang FROM (
+                SELECT doc_id, lang, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+                FROM scores)
+            WHERE rn = 1)
+        SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def q_silhouette_kmeans(spark, sf_dir):
+    """Simplified silhouette of the kmeans_geo model (k=8, 4 Lloyd
+    rounds): per point a = distance to its own centroid, b = distance to
+    the nearest OTHER centroid, s = (b−a)/max(a,b) — the standard cluster-
+    quality audit, centroid-simplified so it is O(n·k) instead of O(n²).
+    Points are scored against the FINAL centroids (one extra assignment
+    pass). The k centroids are O(k) driver literals (the kmeans_geo
+    protocol); scoring is a flat codegen projection + one agg. Per-point s
+    pre-rounds to 9 dp; per-cluster mean to 6."""
+    from raptor_service_spark.operators.clustering import kmeans_centroids
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.select(F.col("doc_id").alias("id"), lng.alias("x"), lat.alias("y"))
+    cents = kmeans_centroids(pts, k=8, n_iters=4)
+    pairs = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        (F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
+                        + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy))
+                    ).alias("d2"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cx, cy in cents
+            ]
+        )
+    )
+    scored = pts.withColumn("p", pairs).select(
+        F.col("p")[0]["cid"].alias("cid"),
+        F.round(
+            (F.sqrt(F.col("p")[1]["d2"]) - F.sqrt(F.col("p")[0]["d2"]))
+            / F.greatest(F.sqrt(F.col("p")[0]["d2"]), F.sqrt(F.col("p")[1]["d2"])),
+            9,
+        ).alias("s"),
+    )
+    return (
+        scored.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.round(F.avg("s"), 6).alias("mean_sil"))
+        .orderBy("cid")
+    )
+
+
+def _silhouette_kmeans_sql() -> str:
+    from raptor_service_spark.operators.clustering import kmeans_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    src = f"(SELECT doc_id AS id, {lng} AS x, {lat} AS y FROM documents)"
+    inner = kmeans_sql(src, k=8, n_iters=4)
+    # strip the final SELECT: reuse the CTE chain up to c4, then rescore
+    body = inner[inner.index("WITH") : inner.rindex("SELECT")].rstrip()
+    return f"""
+        {body},
+        ranked AS (
+            SELECT p.id, c.cid,
+                   (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)
+                       AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.id
+                       ORDER BY (p.x - c.cx) * (p.x - c.cx)
+                              + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+            FROM p CROSS JOIN c4 c),
+        sil AS (
+            SELECT r1.cid,
+                   ROUND((SQRT(r2.d2) - SQRT(r1.d2))
+                         / GREATEST(SQRT(r1.d2), SQRT(r2.d2)), 9) AS s
+            FROM (SELECT * FROM ranked WHERE rn = 1) r1
+            JOIN (SELECT * FROM ranked WHERE rn = 2) r2 USING (id))
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+               ROUND(AVG(s), 6) AS mean_sil
+        FROM sil GROUP BY cid ORDER BY cid
+    """
+
+
+def q_symspell_lookup(spark, sf_dir):
+    """SymSpell-style spelling lookup: queries are document titles with
+    their 3rd character deleted (deterministic corruption, derived
+    identically in both engines from docs 0-49), the dictionary is every
+    distinct title with its frequency; candidate pairs come from the
+    DELETE-1 NEIGHBORHOOD equi-join (a string and its 1-deletes — edit
+    distance ≤1 ⇒ the variant sets intersect, so the join loses nothing),
+    verified with true levenshtein and resolved best-match-per-query by
+    (distance, frequency DESC, title). The delete-neighborhood trick is
+    what makes fuzzy lookup O(n·L) candidates instead of n×m — the lookup-
+    side complement of the PassJoin similarity JOIN in fuzzy_title_pairs."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TITLE_SPARK).alias("title")
+    )
+    dict_t = d.groupBy("title").agg(F.count(F.lit(1)).alias("freq"))
+    dels = (
+        "array_distinct(concat(array({0}), "
+        "transform(sequence(1, length({0})), "
+        "i -> concat(substring({0}, 1, i - 1), substring({0}, i + 1, length({0}))))))"
+    )
+    dvar = dict_t.select(
+        "title",
+        "freq",
+        F.explode(F.expr(dels.format("title"))).alias("v"),
+    )
+    q = d.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.concat(
+            F.substring("title", 1, 2),
+            F.expr("substring(title, 4, length(title))"),
+        ).alias("q"),
+    )
+    qvar = q.select(
+        "doc_id", "q", F.explode(F.expr(dels.format("q"))).alias("v")
+    )
+    cand = qvar.join(dvar, "v").select("doc_id", "q", "title", "freq").distinct()
+    hit = cand.withColumn("ed", F.levenshtein("q", "title")).filter(F.col("ed") <= 1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("ed").asc(), F.col("freq").desc(), F.col("title").asc()
+    )
+    return (
+        hit.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "q", F.col("title").alias("match"), "ed", "freq")
+        .orderBy("doc_id")
+    )
+
+
+def _symspell_lookup_sql() -> str:
+    dels = (
+        "list_distinct(list_append(list_transform(generate_series(1, length({0})), "
+        "i -> substr({0}, 1, i - 1) || substr({0}, i + 1, length({0}))), {0}))"
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, {_TITLE_SQL} AS title FROM documents),
+        dict_t AS (SELECT title, CAST(COUNT(*) AS BIGINT) AS freq
+                   FROM d GROUP BY 1),
+        dvar AS (SELECT title, freq, unnest({dels.format("title")}) AS v
+                 FROM dict_t),
+        q AS (SELECT doc_id,
+                     substr(title, 1, 2) || substr(title, 4, length(title)) AS q
+              FROM d WHERE doc_id < 50),
+        qvar AS (SELECT doc_id, q, unnest({dels.format("q")}) AS v FROM q),
+        cand AS (SELECT DISTINCT doc_id, q, title, freq
+                 FROM qvar JOIN dvar USING (v)),
+        hit AS (SELECT *, levenshtein(q, title) AS ed FROM cand
+                WHERE levenshtein(q, title) <= 1)
+        SELECT doc_id, q, title AS match, CAST(ed AS INTEGER) AS ed, freq
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY ed ASC, freq DESC, title ASC) AS rn
+              FROM hit)
+        WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+_LR_ETA = 0.5
+_LR_ROUNDS = 5
+
+
+def _logreg_feats_spark(d: DataFrame) -> DataFrame:
+    from raptor_service_spark.operators.dedup import words_col
+
+    ws = words_col(F.col("text"))
+    n_tok = F.size(ws)
+    stop = F.size(F.filter(ws, lambda t: (t == "the") | (t == "a")))
+    return d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.round(n_tok / F.lit(100.0), 6).alias("x1"),
+        F.round(
+            (F.length(F.col("text")) - n_tok + 1) / n_tok.cast("double"), 6
+        ).alias("x2"),
+        F.round(stop / n_tok.cast("double"), 6).alias("x3"),
+    )
+
+
+def q_logreg_train(spark, sf_dir):
+    """Logistic regression by full-batch gradient descent, trained
+    relationally: y = (lang = 'en'), features are pinned 6-dp text stats
+    (token count/100, mean word length, the/a stopword ratio) + intercept;
+    5 rounds of w ← w − η/n · Σ x·(σ(w·x) − y) with σ pre-rounded to 9 dp
+    and weights re-rounded to 9 dp per round (the kmeans/PageRank
+    cross-engine protocol: the model lives as O(1) driver literals, each
+    round is ONE codegen agg over the feature table — the MLlib dataflow
+    shape). Output: final weights + training accuracy at threshold 0.5."""
+    d = _read(spark, sf_dir, "documents")
+    feats = _logreg_feats_spark(d).localCheckpoint(eager=True)
+    n = feats.count()
+    wv = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LR_ROUNDS):
+        z = sum(F.col(f"x{j}") * F.lit(wv[j]) for j in range(4))
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+        g = feats.select(
+            *[
+                F.sum(F.round((p - F.col("y")) * F.col(f"x{j}"), 9)).alias(f"g{j}")
+                for j in range(4)
+            ]
+        ).collect()[0]
+        wv = [
+            _round_half_up(wv[j] - _LR_ETA * g[f"g{j}"] / n, 9).item()
+            for j in range(4)
+        ]
+    z = sum(F.col(f"x{j}") * F.lit(wv[j]) for j in range(4))
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    acc = feats.select(
+        F.round(
+            F.avg(
+                F.when((p > 0.5) == (F.col("y") > 0.5), F.lit(1.0)).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            6,
+        ).alias("accuracy")
+    ).collect()[0]["accuracy"]
+    return spark.createDataFrame(
+        [(wv[0], wv[1], wv[2], wv[3], float(acc))],
+        "w0 double, w1 double, w2 double, w3 double, accuracy double",
+    )
+
+
+def _logreg_feats_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    return f"""
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               1.0 AS x0,
+               ROUND(len({w}) / 100.0, 6) AS x1,
+               ROUND((length(text) - len({w}) + 1)
+                     / CAST(len({w}) AS DOUBLE), 6) AS x2,
+               ROUND(len(list_filter({w}, t -> t = 'the' OR t = 'a'))
+                     / CAST(len({w}) AS DOUBLE), 6) AS x3
+        FROM documents
+    """
+
+
+def _logreg_train_sql() -> str:
+    dot = "w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3"
+    sig = f"ROUND(1.0 / (1.0 + EXP(-({dot}))), 9)"
+    steps = []
+    for t in range(1, _LR_ROUNDS + 1):
+        gsel = ", ".join(
+            f"SUM(ROUND(({sig} - f.y) * f.x{j}, 9)) AS g{j}" for j in range(4)
+        )
+        wsel = ", ".join(
+            f"ROUND(w.w{j} - {_LR_ETA} * g.g{j} / n.n, 9) AS w{j}" for j in range(4)
+        )
+        steps.append(
+            f"g{t} AS (SELECT {gsel} FROM feats f CROSS JOIN w{t - 1} w),\n"
+            f"        w{t} AS (SELECT {wsel} FROM w{t - 1} w "
+            f"CROSS JOIN g{t} g CROSS JOIN nn n)"
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH feats AS ({_logreg_feats_sql()}),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
+        w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+        {chain},
+        acc AS (
+            SELECT ROUND(AVG(CASE WHEN ({sig} > 0.5) = (f.y > 0.5)
+                                  THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+            FROM feats f CROSS JOIN w{_LR_ROUNDS} w)
+        SELECT w.w0, w.w1, w.w2, w.w3, a.accuracy
+        FROM w{_LR_ROUNDS} w CROSS JOIN acc a
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -14399,6 +14894,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_metrics": q_polygon_metrics,
         "kn_bigram_lm": q_kn_bigram_lm,
         "hll_distinct": q_hll_distinct,
+        "textrank_keywords": q_textrank_keywords,
+        "ppr_scores": q_ppr_scores,
+        "lpa_communities": q_lpa_communities,
+        "nb_langid": q_nb_langid,
+        "silhouette_kmeans": q_silhouette_kmeans,
+        "symspell_lookup": q_symspell_lookup,
+        "logreg_train": q_logreg_train,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -14573,6 +15075,13 @@ def oracle_sql() -> dict[str, str]:
         "polygon_metrics": _polygon_metrics_sql(),
         "kn_bigram_lm": _kn_bigram_lm_sql(),
         "hll_distinct": _hll_distinct_sql(),
+        "textrank_keywords": _textrank_keywords_sql(),
+        "ppr_scores": _ppr_scores_sql(),
+        "lpa_communities": _lpa_communities_sql(),
+        "nb_langid": _nb_langid_sql(),
+        "silhouette_kmeans": _silhouette_kmeans_sql(),
+        "symspell_lookup": _symspell_lookup_sql(),
+        "logreg_train": _logreg_train_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

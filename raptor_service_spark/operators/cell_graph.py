@@ -32,7 +32,7 @@ round in both engines; ranks still order nodes by incoming flow.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from raptor_service_spark.operators.neighborhood import (
@@ -483,4 +483,166 @@ def kcore_sql(
         ),
         {chain}
         SELECT src AS cell, COUNT(*) AS deg FROM {prev} GROUP BY 1
+    """
+
+
+def ppr(
+    edges: DataFrame,
+    seed: int,
+    n_iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass lands entirely on ``seed``
+    instead of spreading uniformly — "what is reachable FROM here",
+    the query-biased variant retrieval and recommendation stacks use
+    (random-walk-with-restart). pr_0 = 1{v=seed};
+    pr_{t+1}(v) = (1-d)·1{v=seed} + d·Σ_{u→v} pr_t(u)·w(u,v)/outw(u),
+    per-round 9-dp rounding (the pagerank cross-engine discipline).
+    Dangling mass is dropped, as in pagerank. Edge input: (src, dst, w).
+    Scale: identical to pagerank — one O(nodes) join per round into the
+    edge list + partial+final agg."""
+    e = edges.select("src", "dst", "w").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("cell"))
+        .unionByName(e.select(F.col("dst").alias("cell")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = (
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("share"))
+        .localCheckpoint(eager=True)
+    )
+    is_seed = F.when(F.col("cell") == seed, F.lit(1.0)).otherwise(F.lit(0.0))
+    pr = nodes.withColumn("pr", is_seed)
+    for _ in range(n_iters):
+        contrib = (
+            ew.join(pr.withColumnRenamed("cell", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("share")).alias("inflow"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.cell == contrib.dst, "left")
+            .select(
+                "cell",
+                F.round(
+                    (F.lit(1.0) - F.lit(damping)) * is_seed
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                    9,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("cell", F.round("pr", 6).alias("pr"))
+
+
+def ppr_sql(edges_sql: str, seed: int, n_iters: int = 5, damping: float = 0.85) -> str:
+    """DuckDB twin of ppr: identical unrolled rounds."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    steps = []
+    for t in range(1, n_iters + 1):
+        steps.append(
+            f"""p{t} AS (
+            SELECT n.cell,
+                   ROUND((1.0 - {d}) * (CASE WHEN n.cell = {seed}
+                                             THEN 1.0 ELSE 0.0 END)
+                         + {d} * COALESCE(i.inflow, 0.0), 9) AS pr
+            FROM nodes n
+            LEFT JOIN (
+                SELECT ew.dst, SUM(p.pr * ew.share) AS inflow
+                FROM ew JOIN p{t - 1} p ON ew.src = p.cell
+                GROUP BY ew.dst
+            ) i ON n.cell = i.dst
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH e AS ({edges_sql}),
+        nodes AS (SELECT DISTINCT src AS cell FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        ow AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+        ew AS (SELECT e.src, e.dst, e.w / ow.outw AS share
+               FROM e JOIN ow USING (src)),
+        p0 AS (SELECT cell, CASE WHEN cell = {seed} THEN 1.0 ELSE 0.0 END AS pr
+               FROM nodes),
+        {chain}
+        SELECT cell, ROUND(pr, 6) AS pr FROM p{n_iters}
+    """
+
+
+def lpa(
+    edges: DataFrame,
+    n_iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007, deterministic
+    variant): labels start as node ids; each round every node adopts the
+    label MOST FREQUENT among its neighbors, ties broken toward the
+    SMALLEST label (the determinism knob — classic LPA breaks ties
+    randomly, which can never be oracle-checked). Undirected: both edge
+    orientations feed each node's neighborhood. Fixed ``n_iters`` rounds
+    (no convergence test — cross-engine round count must match). Output
+    (cell, label, n_members). Each round is one join of the O(nodes)
+    label table into the edge list + a count agg + an argmax window over
+    (node, label) counts — all node/edge bounded."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    nbr = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = nbr.select(F.col("a").alias("cell")).distinct().localCheckpoint(eager=True)
+    lab = nodes.withColumn("label", F.col("cell"))
+    w_arg = Window.partitionBy("a").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(n_iters):
+        votes = (
+            nbr.join(lab.withColumnRenamed("cell", "b"), "b")
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        lab = (
+            votes.withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("cell"), "label")
+            .localCheckpoint(eager=True)
+        )
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return lab.join(sizes, "label").select("cell", "label", "n_members")
+
+
+def lpa_sql(edges_sql: str, n_iters: int = 4) -> str:
+    """DuckDB twin of lpa: identical unrolled rounds (same argmax order)."""
+    steps = []
+    for t in range(1, n_iters + 1):
+        steps.append(
+            f"""v{t} AS (
+            SELECT nbr.a, l.label, COUNT(*) AS cnt
+            FROM nbr JOIN l{t - 1} l ON nbr.b = l.cell
+            GROUP BY 1, 2
+        ),
+        l{t} AS (
+            SELECT a AS cell, label FROM (
+                SELECT a, label, ROW_NUMBER() OVER (
+                    PARTITION BY a ORDER BY cnt DESC, label ASC) AS rn
+                FROM v{t})
+            WHERE rn = 1
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH e0 AS ({edges_sql}),
+        e AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM e0
+                                         UNION ALL SELECT dst, src FROM e0)),
+        nbr AS (SELECT a, b FROM e),
+        nodes AS (SELECT DISTINCT a AS cell FROM nbr),
+        l0 AS (SELECT cell, cell AS label FROM nodes),
+        {chain}
+        SELECT l.cell, l.label, s.n_members
+        FROM l{n_iters} l
+        JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+              FROM l{n_iters} GROUP BY 1) s USING (label)
     """

@@ -139,3 +139,38 @@ def kmeans_sql(src_sql: str, k: int = 8, n_iters: int = 4) -> str:
         SELECT cid, n_points, ROUND(cx, 6) AS cx, ROUND(cy, 6) AS cy
         FROM c{n_iters} ORDER BY cid
     """
+
+
+def kmeans_centroids(
+    pts: DataFrame,
+    k: int = 8,
+    n_iters: int = 4,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> list[tuple[int, float, float]]:
+    """The same Lloyd rounds as ``kmeans`` but returning the FINAL 9-dp
+    centroid list (cid, cx, cy) — the raw model, for downstream scoring
+    (silhouette, assignment audits). O(k) driver rows per round."""
+    base = pts.select(
+        F.col(id_col).alias("id"), F.col(x).alias("x"), F.col(y).alias("y")
+    ).localCheckpoint(eager=True)
+    init = (
+        base.orderBy("id")
+        .limit(k)
+        .select(F.round("x", 9).alias("x"), F.round("y", 9).alias("y"), "id")
+        .orderBy("id")
+        .collect()
+    )
+    cents = [(i, r.x, r.y) for i, r in enumerate(init)]
+    for _ in range(n_iters):
+        agg = (
+            base.withColumn("cid", _assign(base, cents, "x", "y"))
+            .groupBy("cid")
+            .agg(
+                F.round(F.avg("x"), 9).alias("cx"),
+                F.round(F.avg("y"), 9).alias("cy"),
+            )
+        )
+        cents = [(r.cid, r.cx, r.cy) for r in agg.orderBy("cid").collect()]
+    return cents
