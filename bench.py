@@ -190,6 +190,21 @@ HEADLINE = [
     "dp_cell_counts",
     "join_size_estimate",
     "crosstrack_deviation",
+    # session-9 additions: two-sided centrality, vector-space PRF, CDC
+    # dedup, graph structure, corpus drift, LM smoothing, sketches, ML
+    "hits_scores",
+    "rocchio_feedback",
+    "cdc_chunks",
+    "link_prediction",
+    "jsd_sources",
+    "kn_bigram_lm",
+    "hll_distinct",
+    "textrank_keywords",
+    "lpa_communities",
+    "nb_langid",
+    "silhouette_kmeans",
+    "symspell_lookup",
+    "logreg_train",
 ]
 
 SEED = 77
