@@ -14654,6 +14654,251 @@ def _logreg_train_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 3: Moran correlogram, Monge-Elkan ER similarity, media
+# scene-cut detection over decoded pixels
+# ---------------------------------------------------------------------------
+
+
+def q_moran_correlogram(spark, sf_dir):
+    """Spatial correlogram — Moran's I at ring-shell lags 1..3 over the
+    res-5 document density surface: the RANGE of spatial autocorrelation
+    (where I decays to ~E[I]), the autocorrelation analog of the
+    semivariogram's range reading. One point shuffle; each lag is an
+    O(occupied × shell) join over the cached cell-count table."""
+    from raptor_service_spark.operators.spatial_stats import moran_correlogram
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    return moran_correlogram(
+        d.withColumn("lat", lat).withColumn("lng", lng), res=5, max_lag=3
+    )
+
+
+def _moran_correlogram_sql() -> str:
+    from raptor_service_spark.operators.spatial_stats import moran_correlogram_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    return moran_correlogram_sql("documents", lat, lng, res=5, max_lag=3)
+
+
+def q_monge_elkan_pairs(spark, sf_dir):
+    """Monge-Elkan hybrid string similarity for entity resolution: for
+    first-word-blocked title pairs, ME(a→b) = mean over a's tokens of the
+    best levenshtein similarity against b's tokens (sim = 1 − d/max_len) —
+    the token-order-tolerant field comparator record linkage stacks layer
+    over Fellegi-Sunter agreement bits. Blocking keeps candidates to
+    same-first-word pairs (the SNM posture); each pair expands to ≤3×3
+    token comparisons — bounded fanout, codegen levenshtein. Symmetrized
+    as max(ME(a→b), ME(b→a)); per-token bests pre-round 9 dp. Top-20
+    non-identical pairs by (sim DESC, doc_a, doc_b)."""
+    from pyspark.sql import Window
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TITLE_SPARK).alias("title")
+    ).filter(F.col("doc_id") < 800)
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("ta"),
+        F.substring_index("title", " ", 1).alias("blk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("tb"),
+        F.substring_index("title", " ", 1).alias("blk"),
+    )
+    pairs = a.join(b, "blk").filter(
+        (F.col("doc_a") < F.col("doc_b")) & (F.col("ta") != F.col("tb"))
+    )
+    toks = pairs.select(
+        "doc_a",
+        "doc_b",
+        "ta",
+        "tb",
+        F.posexplode(F.split("ta", " ")).alias("ia", "wa"),
+    ).select(
+        "doc_a", "doc_b", "tb", "ia", "wa",
+        F.posexplode(F.split("tb", " ")).alias("ib", "wb"),
+    )
+    sim = toks.withColumn(
+        "s",
+        F.lit(1.0)
+        - F.levenshtein("wa", "wb")
+        / F.greatest(F.length("wa"), F.length("wb")).cast("double"),
+    )
+    best_a = (
+        sim.groupBy("doc_a", "doc_b", "ia")
+        .agg(F.round(F.max("s"), 9).alias("best"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.avg("best"), 9).alias("me_ab"))
+    )
+    best_b = (
+        sim.groupBy("doc_a", "doc_b", "ib")
+        .agg(F.round(F.max("s"), 9).alias("best"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.avg("best"), 9).alias("me_ba"))
+    )
+    out = best_a.join(best_b, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.greatest("me_ab", "me_ba"), 6).alias("me_sim"),
+    )
+    return out.orderBy(F.col("me_sim").desc(), "doc_a", "doc_b").limit(20)
+
+
+def _monge_elkan_pairs_sql() -> str:
+    return f"""
+        WITH d AS (SELECT doc_id, {_TITLE_SQL} AS title FROM documents
+                   WHERE doc_id < 800),
+        t AS (SELECT doc_id, title, string_split(title, ' ')[1] AS blk FROM d),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.title AS ta, b.title AS tb
+            FROM t a JOIN t b ON a.blk = b.blk
+            WHERE a.doc_id < b.doc_id AND a.title != b.title),
+        toks AS (
+            SELECT doc_a, doc_b, ua.i AS ia, ua.w AS wa, ub.i AS ib, ub.w AS wb
+            FROM pairs,
+                 LATERAL (SELECT unnest(generate_series(1, len(string_split(ta, ' ')))) AS i,
+                                 unnest(string_split(ta, ' ')) AS w) ua,
+                 LATERAL (SELECT unnest(generate_series(1, len(string_split(tb, ' ')))) AS i,
+                                 unnest(string_split(tb, ' ')) AS w) ub),
+        sim AS (
+            SELECT doc_a, doc_b, ia, ib,
+                   1.0 - levenshtein(wa, wb)
+                         / CAST(GREATEST(length(wa), length(wb)) AS DOUBLE) AS s
+            FROM toks),
+        me_ab AS (
+            SELECT doc_a, doc_b, ROUND(AVG(best), 9) AS me_ab
+            FROM (SELECT doc_a, doc_b, ia, ROUND(MAX(s), 9) AS best
+                  FROM sim GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        me_ba AS (
+            SELECT doc_a, doc_b, ROUND(AVG(best), 9) AS me_ba
+            FROM (SELECT doc_a, doc_b, ib, ROUND(MAX(s), 9) AS best
+                  FROM sim GROUP BY 1, 2, 3) GROUP BY 1, 2)
+        SELECT a.doc_a, a.doc_b, ROUND(GREATEST(a.me_ab, b.me_ba), 6) AS me_sim
+        FROM me_ab a JOIN me_ba b USING (doc_a, doc_b)
+        ORDER BY me_sim DESC, doc_a, doc_b LIMIT 20
+    """
+
+
+_SCENE_CUT_THRESH = 60.0
+_SCENE_DOCS, _SCENE_SEED = 40, 71
+
+
+def q_media_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over the interleaved media track: consecutive
+    media spans of a document are treated as a frame sequence; each frame
+    decodes through the REAL RTv1 RLE codec and a cut fires when the mean
+    absolute pixel difference exceeds the threshold — the shot-boundary
+    primitive of video curation pipelines, running on decoded pixels (the
+    mad is exact integer arithmetic / 64). Frame pairing is ONE per-doc lag
+    window over span positions; decode is a mapInPandas Arrow kernel.
+    Oracle: the pixels are recomputed INDEPENDENTLY via the hex-chained md5
+    SQL arithmetic (the media_ahash_dedup technique), so codec, pairing,
+    and the cut rule are all value-checked."""
+    from raptor_service_spark.datagen import gen_documents_df
+    from raptor_service_spark.operators.chunking import explode_spans
+
+    docs = gen_documents_df(spark, _SCENE_DOCS, seed=_SCENE_SEED)
+    media = explode_spans(docs).filter(F.col("media_ref") != "").select(
+        "doc_id", "idx", "media_ref"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    pairs = (
+        media.withColumn("ref_a", F.lag("media_ref").over(w))
+        .filter(F.col("ref_a").isNotNull())
+        .select("doc_id", "idx", "ref_a", F.col("media_ref").alias("ref_b"))
+    )
+
+    def kern(batches):
+        import pandas as pd
+
+        from raptor_service_spark.operators.tiles import (
+            decode_raster,
+            encode_raster,
+            raster_for_ref_hex,
+        )
+
+        for pdf in batches:
+            mads = []
+            for ra, rb in zip(pdf["ref_a"], pdf["ref_b"]):
+                pa = decode_raster(encode_raster(raster_for_ref_hex(ra))).astype(
+                    "int64"
+                )
+                pb = decode_raster(encode_raster(raster_for_ref_hex(rb))).astype(
+                    "int64"
+                )
+                mads.append(int(np.abs(pa - pb).sum()))
+            out = pdf.copy()
+            out["mad"] = [m / 64.0 for m in mads]
+            yield out
+
+    scored = pairs.mapInPandas(
+        kern,
+        schema="doc_id string, idx int, ref_a string, ref_b string, mad double",
+    )
+    return scored.select(
+        "doc_id",
+        F.col("idx").cast("long").alias("idx"),
+        "ref_a",
+        "ref_b",
+        "mad",
+        (F.col("mad") > _SCENE_CUT_THRESH).alias("is_cut"),
+    ).orderBy("doc_id", "idx")
+
+
+def _media_scene_cuts_sql() -> str:
+    from raptor_service_spark.datagen import _gen_doc
+
+    rows = []
+    for i in range(_SCENE_DOCS):
+        d = _gen_doc(_SCENE_SEED, i)
+        for j, s in enumerate(d["spans"]):
+            if s["media_ref"]:
+                rows.append(f"('{d['doc_id']}', {j}, '{s['media_ref']}')")
+    links = "md5(ref)"
+    link_cols = []
+    for k in range(4):
+        link_cols.append(f"{links} AS l{k}")
+        links = f"md5({links})"
+    pixel = (
+        "('0x' || substr(CASE i // 16 WHEN 0 THEN l0 WHEN 1 THEN l1 "
+        "WHEN 2 THEN l2 ELSE l3 END, 2 * (i % 16) + 1, 2))::BIGINT // 16 * 17"
+    )
+    return f"""
+        WITH spans(doc_id, idx, ref) AS (VALUES {', '.join(rows)}),
+        pairs AS (
+            SELECT doc_id, idx, ref_a, ref AS ref_b FROM (
+                SELECT doc_id, idx, ref,
+                       LAG(ref) OVER (PARTITION BY doc_id ORDER BY idx) AS ref_a
+                FROM spans)
+            WHERE ref_a IS NOT NULL),
+        refs AS (SELECT DISTINCT ref FROM
+                    (SELECT ref_a AS ref FROM pairs
+                     UNION ALL SELECT ref_b FROM pairs)),
+        links AS (SELECT ref, {', '.join(link_cols)} FROM refs),
+        px AS (
+            SELECT ref, u.i AS i, u.p AS p
+            FROM (SELECT ref,
+                         unnest(list_transform(range(0, 64), i -> struct_pack(
+                             i := i, p := {pixel}))) AS u
+                  FROM links)),
+        mads AS (
+            SELECT pr.doc_id, pr.idx, pr.ref_a, pr.ref_b,
+                   SUM(ABS(pa.p - pb.p)) / 64.0 AS mad
+            FROM pairs pr
+            JOIN px pa ON pa.ref = pr.ref_a
+            JOIN px pb ON pb.ref = pr.ref_b AND pa.i = pb.i
+            GROUP BY 1, 2, 3, 4)
+        SELECT doc_id, CAST(idx AS BIGINT) AS idx, ref_a, ref_b, mad,
+               mad > {_SCENE_CUT_THRESH} AS is_cut
+        FROM mads ORDER BY doc_id, idx
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -14901,6 +15146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette_kmeans": q_silhouette_kmeans,
         "symspell_lookup": q_symspell_lookup,
         "logreg_train": q_logreg_train,
+        "moran_correlogram": q_moran_correlogram,
+        "monge_elkan_pairs": q_monge_elkan_pairs,
+        "media_scene_cuts": q_media_scene_cuts,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -15082,6 +15330,9 @@ def oracle_sql() -> dict[str, str]:
         "silhouette_kmeans": _silhouette_kmeans_sql(),
         "symspell_lookup": _symspell_lookup_sql(),
         "logreg_train": _logreg_train_sql(),
+        "moran_correlogram": _moran_correlogram_sql(),
+        "monge_elkan_pairs": _monge_elkan_pairs_sql(),
+        "media_scene_cuts": _media_scene_cuts_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

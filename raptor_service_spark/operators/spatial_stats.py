@@ -981,3 +981,98 @@ def cross_k_sql(
         FROM c CROSS JOIN s CROSS JOIN m
         ORDER BY d
     """
+
+
+def _shell(lag: int) -> list[tuple[int, int]]:
+    """Chebyshev ring SHELL at distance exactly ``lag`` (the correlogram's
+    distance band; lag 1 == the queen ring)."""
+    return [
+        (dx, dy)
+        for dx, dy in _offsets(lag)
+        if max(abs(dx), abs(dy)) == lag
+    ]
+
+
+def moran_correlogram(
+    points: DataFrame,
+    res: int,
+    max_lag: int = 3,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Spatial correlogram: global Moran's I at Chebyshev ring-shell lags
+    1..max_lag — HOW FAR autocorrelation reaches, not just whether it
+    exists (the range-finding companion to the single-ring morans_i; its
+    sill/range reading mirrors the semivariogram's). One point shuffle
+    builds the cell-count table once; each lag is an O(occupied × shell)
+    explode-join over it. Output (lag, n_cells, s0, morans_i)."""
+    cnt = _cell_counts(points, res, lat_col, lng_col).localCheckpoint(eager=True)
+    stats = cnt.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.avg("x").alias("m"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("x").alias("sx"),
+    )
+    outs = []
+    for lag in range(1, max_lag + 1):
+        nbrs = F.filter(
+            F.array(
+                *[kring_neighbor_col("cell", res, dx, dy) for dx, dy in _shell(lag)]
+            ),
+            lambda c: c.isNotNull(),
+        )
+        pairs = cnt.select("cell", "x", F.explode(nbrs).alias("nbr"))
+        joined = pairs.join(
+            cnt.select(F.col("cell").alias("nbr"), F.col("x").alias("nbr_x")), "nbr"
+        ).crossJoin(F.broadcast(stats))
+        outs.append(
+            joined.agg(
+                F.lit(lag).alias("lag"),
+                F.max("n_cells").cast("long").alias("n_cells"),
+                F.count(F.lit(1)).alias("s0"),
+                F.round(
+                    (F.max("n_cells") / F.count(F.lit(1)))
+                    * F.sum((F.col("x") - F.col("m")) * (F.col("nbr_x") - F.col("m")))
+                    / F.max(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_cells")),
+                    6,
+                ).alias("morans_i"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("lag")
+
+
+def moran_correlogram_sql(
+    points_sql: str, lat: str, lng: str, res: int, max_lag: int = 3
+) -> str:
+    """DuckDB twin of moran_correlogram (per-lag blocks UNION ALL'd)."""
+    cell = cell_encode_sql(lat, lng, res)
+    nbr = kring_neighbor_sql("c.cell", res, "o.dx", "o.dy")
+    blocks = []
+    for lag in range(1, max_lag + 1):
+        offs = ", ".join(f"({dx}, {dy})" for dx, dy in _shell(lag))
+        blocks.append(
+            f"""
+        SELECT {lag} AS lag, CAST(s.n_cells AS BIGINT) AS n_cells,
+               CAST(COUNT(*) AS BIGINT) AS s0,
+               ROUND((s.n_cells / CAST(COUNT(*) AS DOUBLE))
+                     * SUM((j.x - s.m) * (j.nbr_x - s.m))
+                     / MAX(s.sxx - s.sx * s.sx / s.n_cells), 6) AS morans_i
+        FROM (SELECT p.x, c2.x AS nbr_x
+              FROM (SELECT c.cell, c.x, {nbr} AS nbr
+                    FROM c CROSS JOIN (VALUES {offs}) o(dx, dy)
+                    WHERE {nbr} IS NOT NULL) p
+              JOIN c c2 ON p.nbr = c2.cell) j
+        CROSS JOIN s
+        GROUP BY s.n_cells, s.m"""
+        )
+    union = "\n        UNION ALL\n".join(blocks)
+    return f"""
+        WITH c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS DOUBLE) AS x
+                   FROM {points_sql} GROUP BY 1),
+        s AS (SELECT COUNT(*) AS n_cells, AVG(x) AS m,
+                     SUM(x * x) AS sxx, SUM(x) AS sx FROM c)
+        SELECT * FROM ({union}) ORDER BY lag
+    """
