@@ -14899,6 +14899,357 @@ def _media_scene_cuts_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 4: permutation test, MaxScore pruning audit, MinHash
+# sketch-accuracy audit
+# ---------------------------------------------------------------------------
+
+_PERM_B = 200
+
+
+def q_permutation_test(spark, sf_dir):
+    """Two-sample permutation test (Fisher randomization): is the mean
+    n_chars of English docs different from the rest? Null distribution =
+    200 deterministic md5-keyed permutations — per replicate b every doc
+    gets key md5(doc_id·'#'·b), the n_en smallest keys form the pseudo-'en'
+    arm (EXACT group sizes, a true permutation, not Bernoulli relabeling) —
+    so the release replays identically everywhere (the dp_cell_counts
+    seeded-mechanism discipline). p = (1 + #{|diff_b| ≥ |obs|}) / (B+1).
+    Scale shape: the B-fold explode is declared O(B·n) and feeds ONE rank
+    window partitioned by replicate + one agg; all means come from exact
+    integer sums, so the ≥ comparisons are bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = d.agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("n_chars"))).alias("s_en"),
+        F.count(F.when(F.col("lang") == "en", F.lit(1))).alias("n_en"),
+        F.sum(F.when(F.col("lang") != "en", F.col("n_chars"))).alias("s_ot"),
+        F.count(F.when(F.col("lang") != "en", F.lit(1))).alias("n_ot"),
+    )
+    obs = base.select(
+        (F.col("s_en") / F.col("n_en") - F.col("s_ot") / F.col("n_ot")).alias(
+            "obs"
+        ),
+        "n_en",
+    )
+    reps = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b"),
+    ).withColumn(
+        "k", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("b")))
+    )
+    w = Window.partitionBy("b").orderBy("k", "doc_id")
+    ranked = reps.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(obs)
+    )
+    diffs = ranked.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("rk") <= F.col("n_en"), F.col("n_chars")))
+            / F.max("n_en")
+            - F.sum(F.when(F.col("rk") > F.col("n_en"), F.col("n_chars")))
+            / (F.count(F.lit(1)) - F.max("n_en"))
+        ).alias("diff"),
+        F.max(F.abs(F.col("obs"))).alias("abs_obs"),
+    )
+    return (
+        diffs.agg(
+            F.count(F.lit(1)).alias("n_perms"),
+            F.sum(
+                F.when(F.abs(F.col("diff")) >= F.col("abs_obs"), 1).otherwise(0)
+            ).alias("n_extreme"),
+            F.round(F.max(F.col("abs_obs")), 6).alias("abs_obs_diff"),
+        )
+        .select(
+            "abs_obs_diff",
+            "n_perms",
+            F.col("n_extreme").cast("long").alias("n_extreme"),
+            F.round(
+                (F.lit(1) + F.col("n_extreme")) / (F.lit(_PERM_B) + F.lit(1.0)), 6
+            ).alias("p_value"),
+        )
+    )
+
+
+def _permutation_test_sql() -> str:
+    return f"""
+        WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        base AS (
+            SELECT SUM(CASE WHEN lang = 'en' THEN n_chars END) AS s_en,
+                   COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+                   SUM(CASE WHEN lang != 'en' THEN n_chars END) AS s_ot,
+                   COUNT(CASE WHEN lang != 'en' THEN 1 END) AS n_ot
+            FROM d),
+        obs AS (SELECT CAST(s_en AS DOUBLE) / n_en
+                       - CAST(s_ot AS DOUBLE) / n_ot AS obs, n_en FROM base),
+        reps AS (
+            SELECT doc_id, n_chars, b.b,
+                   md5(CAST(doc_id AS VARCHAR) || '#' || b.b) AS k
+            FROM d CROSS JOIN (SELECT unnest(generate_series(1, {_PERM_B})) AS b) b),
+        ranked AS (
+            SELECT n_chars, b,
+                   ROW_NUMBER() OVER (PARTITION BY b ORDER BY k, doc_id) AS rk
+            FROM reps),
+        diffs AS (
+            SELECT r.b,
+                   CAST(SUM(CASE WHEN r.rk <= o.n_en THEN r.n_chars END)
+                        AS DOUBLE) / MAX(o.n_en)
+                   - CAST(SUM(CASE WHEN r.rk > o.n_en THEN r.n_chars END)
+                          AS DOUBLE) / (COUNT(*) - MAX(o.n_en)) AS diff,
+                   MAX(ABS(o.obs)) AS abs_obs
+            FROM ranked r CROSS JOIN obs o GROUP BY r.b)
+        SELECT ROUND(MAX(abs_obs), 6) AS abs_obs_diff,
+               CAST(COUNT(*) AS BIGINT) AS n_perms,
+               CAST(SUM(CASE WHEN ABS(diff) >= abs_obs THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_extreme,
+               ROUND((1 + SUM(CASE WHEN ABS(diff) >= abs_obs THEN 1 ELSE 0 END))
+                     / ({_PERM_B} + 1.0), 6) AS p_value
+        FROM diffs
+    """
+
+
+_MAXSCORE_Q = ["hash", "join", "scan", "window"]
+_MS_K1, _MS_B, _MS_TOPK = 1.2, 0.75, 10
+
+
+def q_maxscore_pruning(spark, sf_dir):
+    """MaxScore static-pruning audit — the engine-internals statistic
+    behind WAND/MaxScore DAAT retrieval: per query term the BM25 upper
+    bound UB_t = max over docs; a candidate doc whose Σ UB over ITS OWN
+    matching terms cannot beat θ (the exact 10th-best full score) is
+    skippable without scoring. Reported: candidates, θ, skippable count +
+    fraction — how much of the postings traversal the bound eliminates.
+    All on aggregated (doc, term, tf) rows; per-term scores pre-round 9 dp
+    (the BM25 float discipline)."""
+    from raptor_service_spark.operators.dedup import words_col
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(words_col(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(_MAXSCORE_Q))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * F.col("tf")
+                * (_MS_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _MS_K1
+                    * (1.0 - _MS_B + _MS_B * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            ),
+        )
+    )
+    full = scored.groupBy("doc_id").agg(F.round(F.sum("score"), 6).alias("s"))
+    theta = full.orderBy(F.col("s").desc(), "doc_id").limit(_MS_TOPK).agg(
+        F.min("s").alias("theta")
+    )
+    ub = scored.groupBy("term").agg(F.max("score").alias("ub"))
+    per_doc_ub = (
+        scored.join(F.broadcast(ub), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("ub"), 6).alias("ub_sum"))
+    )
+    return (
+        per_doc_ub.crossJoin(F.broadcast(theta))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("theta").alias("theta"),
+            F.sum(
+                F.when(F.col("ub_sum") < F.col("theta"), 1).otherwise(0)
+            ).cast("long").alias("n_skippable"),
+        )
+        .select(
+            "n_candidates",
+            "theta",
+            "n_skippable",
+            F.round(F.col("n_skippable") / F.col("n_candidates"), 6).alias(
+                "skip_frac"
+            ),
+        )
+    )
+
+
+def _maxscore_pruning_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    qterms = ", ".join(f"'{t}'" for t in _MAXSCORE_Q)
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest({w}) AS term FROM documents),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM toks GROUP BY 1),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl
+                  FROM dl),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks WHERE term IN ({qterms}) GROUP BY 1, 2),
+        df_t AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM tf GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * tf.tf * ({_MS_K1} + 1.0)
+                         / (tf.tf + {_MS_K1} * (1.0 - {_MS_B}
+                            + {_MS_B} * dl.dl / s.avgdl)), 9) AS score
+            FROM tf JOIN dl USING (doc_id) JOIN df_t d USING (term)
+            CROSS JOIN stats s),
+        full_s AS (SELECT doc_id, ROUND(SUM(score), 6) AS s
+                   FROM scored GROUP BY 1),
+        theta AS (SELECT MIN(s) AS theta FROM (
+                      SELECT s FROM full_s ORDER BY s DESC, doc_id
+                      LIMIT {_MS_TOPK})),
+        ub AS (SELECT term, MAX(score) AS ub FROM scored GROUP BY 1),
+        per_doc AS (SELECT sc.doc_id, ROUND(SUM(u.ub), 6) AS ub_sum
+                    FROM scored sc JOIN ub u USING (term) GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               MAX(t.theta) AS theta,
+               CAST(SUM(CASE WHEN p.ub_sum < t.theta THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_skippable,
+               ROUND(SUM(CASE WHEN p.ub_sum < t.theta THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS skip_frac
+        FROM per_doc p CROSS JOIN theta t
+    """
+
+
+_MHA_BANDS = 8
+
+
+def q_minhash_jaccard_audit(spark, sf_dir):
+    """Sketch-accuracy audit for MinHash: over every band-candidate pair,
+    the signature estimate (fraction of equal minhash components) next to
+    the EXACT shingle Jaccard and their absolute error — the measurement
+    that justifies (bands, threshold) choices before a 100 TB dedup run.
+    Top-20 worst-estimated pairs. Same candidacy predicate and signature
+    arithmetic as minhash_pairs; exact Jaccard via the shared distinct
+    shingle stream (one gram equi-join, prefix-bounded candidates)."""
+    from raptor_service_spark.operators.dedup import shingle_rows
+
+    docs = _docs_with_dups(spark, sf_dir)
+    ex = _shared_shingles3(spark, sf_dir)
+    if ex is None:
+        ex = shingle_rows(docs, "text", "doc_id", 3)
+    aggs = []
+    for g in range(_MHA_BANDS // 4):
+        h = F.md5(F.concat(F.lit(f"{g}|"), F.col("g")))
+        for c in range(4):
+            aggs.append(
+                F.min(F.substring(h, c * 8 + 1, 8)).alias(f"h{g * 4 + c}")
+            )
+    wide = ex.groupBy("id").agg(*aggs).localCheckpoint(eager=True)
+    buckets = wide.select(
+        "id",
+        F.posexplode(F.array(*[f"h{b}" for b in range(_MHA_BANDS)])).alias(
+            "band", "h"
+        ),
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    wa = wide.select(
+        F.col("id").alias("doc_a"), *[F.col(f"h{b}").alias(f"a{b}") for b in range(_MHA_BANDS)]
+    )
+    wb = wide.select(
+        F.col("id").alias("doc_b"), *[F.col(f"h{b}").alias(f"b{b}") for b in range(_MHA_BANDS)]
+    )
+    est = cand.join(wa, "doc_a").join(wb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            sum(
+                F.when(F.col(f"a{b}") == F.col(f"b{b}"), 1).otherwise(0)
+                for b in range(_MHA_BANDS)
+            )
+            / F.lit(float(_MHA_BANDS)),
+            6,
+        ).alias("est_sim"),
+    )
+    dg = ex.dropDuplicates(["id", "g"])
+    sizes = dg.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(dg.select(F.col("id").alias("doc_a"), "g"), "doc_a")
+        .join(dg.select(F.col("id").alias("doc_b"), "g"), ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce("inter", F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce("inter", F.lit(0))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    out = est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_sim",
+        "jaccard",
+        F.round(F.abs(F.col("est_sim") - F.col("jaccard")), 6).alias("abs_err"),
+    )
+    return out.orderBy(F.col("abs_err").desc(), "doc_a", "doc_b").limit(20)
+
+
+def _minhash_jaccard_audit_sql() -> str:
+    from raptor_service_spark.operators.dedup import (
+        jaccard_sql,
+        minhash_sig_sql,
+        shingles_sql,
+    )
+
+    sh = shingles_sql("text", 3)
+    sig = minhash_sig_sql("sh", _MHA_BANDS)
+    jac = jaccard_sql("a.sh", "b.sh")
+    eq = (
+        f"len(list_filter(generate_series(1, {_MHA_BANDS}), "
+        f"i -> a.sig[i] = b.sig[i])) / {float(_MHA_BANDS)}"
+    )
+    return f"""
+        WITH d AS (SELECT doc_id AS id, {sh} AS sh FROM {_DOCS_WITH_DUPS_SQL}),
+        s AS (SELECT id, sh, {sig} AS sig FROM d)
+        SELECT a.id AS doc_a, b.id AS doc_b,
+               ROUND({eq}, 6) AS est_sim,
+               ROUND({jac}, 6) AS jaccard,
+               ROUND(ABS(ROUND({eq}, 6) - ROUND({jac}, 6)), 6) AS abs_err
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE list_has_any(a.sig, b.sig)
+        ORDER BY abs_err DESC, doc_a, doc_b LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -15149,6 +15500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_correlogram": q_moran_correlogram,
         "monge_elkan_pairs": q_monge_elkan_pairs,
         "media_scene_cuts": q_media_scene_cuts,
+        "permutation_test": q_permutation_test,
+        "maxscore_pruning": q_maxscore_pruning,
+        "minhash_jaccard_audit": q_minhash_jaccard_audit,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -15333,6 +15687,9 @@ def oracle_sql() -> dict[str, str]:
         "moran_correlogram": _moran_correlogram_sql(),
         "monge_elkan_pairs": _monge_elkan_pairs_sql(),
         "media_scene_cuts": _media_scene_cuts_sql(),
+        "permutation_test": _permutation_test_sql(),
+        "maxscore_pruning": _maxscore_pruning_sql(),
+        "minhash_jaccard_audit": _minhash_jaccard_audit_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
