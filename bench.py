@@ -205,6 +205,12 @@ HEADLINE = [
     "silhouette_kmeans",
     "symspell_lookup",
     "logreg_train",
+    "moran_correlogram",
+    "monge_elkan_pairs",
+    "media_scene_cuts",
+    "permutation_test",
+    "maxscore_pruning",
+    "minhash_jaccard_audit",
 ]
 
 SEED = 77
