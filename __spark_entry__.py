@@ -15250,6 +15250,545 @@ def _minhash_jaccard_audit_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 5: Markov removal-effect attribution, graph eccentricity,
+# l-diversity / t-closeness privacy audit
+# ---------------------------------------------------------------------------
+
+_MKV_CHANNELS = ["click", "error", "signup", "view"]
+_MKV_ROUNDS = 20
+
+
+def _mkv_trans_spark(spark, sf_dir) -> DataFrame:
+    """(src, dst, p): first-order journey transition probabilities.
+    Journeys = per-user touches (non-purchase events strictly before the
+    first purchase, ordered by ts/event_id), absorbed into 'conv' if the
+    user purchased else 'null'; 'start' precedes the first touch (users
+    whose first event is the purchase transition start→conv directly)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fp"))
+    )
+    t = ev.filter(F.col("event_type") != "purchase").join(fp, "user_id", "left")
+    touches = t.filter(
+        F.col("fp").isNull() | (F.struct("ts", "event_id") < F.col("fp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = touches.select(
+        "user_id",
+        F.col("event_type").alias("ch"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).join(fp.select("user_id", F.lit(1).alias("has_fp")), "user_id", "left")
+    starts = seq.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("src"), F.col("ch").alias("dst")
+    )
+    mids = seq.filter(F.col("nxt").isNotNull()).select(
+        F.col("ch").alias("src"), F.col("nxt").alias("dst")
+    )
+    ends = seq.filter(F.col("rn") == F.col("n")).select(
+        F.col("ch").alias("src"),
+        F.when(F.col("has_fp") == 1, F.lit("conv")).otherwise(F.lit("null")).alias("dst"),
+    )
+    only_purchase = (
+        fp.join(
+            touches.select("user_id").distinct(), "user_id", "left_anti"
+        ).select(F.lit("start").alias("src"), F.lit("conv").alias("dst"))
+    )
+    trans = starts.unionByName(mids).unionByName(ends).unionByName(only_purchase)
+    cnt = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("n"))
+    return cnt.join(tot, "src").select(
+        "src", "dst", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+
+
+_MKV_TRANS_SQL = """
+        ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+        fp AS (SELECT user_id, MIN(ROW(ts, event_id)) AS fp
+               FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+        touches AS (
+            SELECT e.user_id, e.ts, e.event_id, e.event_type
+            FROM ev e LEFT JOIN fp USING (user_id)
+            WHERE e.event_type != 'purchase'
+              AND (fp.fp IS NULL OR ROW(e.ts, e.event_id) < fp.fp)),
+        seq AS (
+            SELECT t.user_id, t.event_type AS ch,
+                   ROW_NUMBER() OVER (PARTITION BY t.user_id
+                                      ORDER BY t.ts, t.event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY t.user_id) AS n,
+                   LEAD(t.event_type) OVER (PARTITION BY t.user_id
+                                            ORDER BY t.ts, t.event_id) AS nxt,
+                   CASE WHEN fp.user_id IS NOT NULL THEN 1 END AS has_fp
+            FROM touches t LEFT JOIN fp ON t.user_id = fp.user_id),
+        trans_raw AS (
+            SELECT 'start' AS src, ch AS dst FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT ch, nxt FROM seq WHERE nxt IS NOT NULL
+            UNION ALL
+            SELECT ch, CASE WHEN has_fp = 1 THEN 'conv' ELSE 'null' END
+            FROM seq WHERE rn = n
+            UNION ALL
+            SELECT 'start', 'conv' FROM fp
+            WHERE fp.user_id NOT IN (SELECT DISTINCT user_id FROM touches)),
+        cnt AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+                FROM trans_raw GROUP BY 1, 2),
+        trans AS MATERIALIZED (
+            SELECT cnt.src, cnt.dst, CAST(cnt.c AS DOUBLE) / tot.n AS p
+            FROM cnt JOIN (SELECT src, SUM(c) AS n FROM cnt GROUP BY 1) tot
+              USING (src))
+"""
+
+
+def q_markov_attribution(spark, sf_dir):
+    """Markov removal-effect channel attribution (the data-driven
+    alternative to Shapley in shapley_attribution): first-order journey
+    chain over touch channels with absorbing conv/null; per channel r the
+    chain is re-solved with r knocked out (transitions into r fail to
+    null) and the attribution is the normalized conversion-probability
+    drop. Conversion probabilities come from 20 unrolled value-iteration
+    rounds (v ← b + T·v, 9-dp per round — the PageRank discipline). The
+    transition matrix is O(channels²) and collected to the driver (the
+    kmeans O(k)-literals protocol); journeys are built in ONE user-window
+    pass."""
+    rows = _mkv_trans_spark(spark, sf_dir).collect()
+    p = {(r.src, r.dst): r.p for r in rows}
+    states = ["start"] + _MKV_CHANNELS
+
+    def solve(excluded: str | None) -> float:
+        v = {s: 0.0 for s in states}
+        for _ in range(_MKV_ROUNDS):
+            nv = {}
+            for s in states:
+                if s == excluded:
+                    continue
+                acc = p.get((s, "conv"), 0.0)
+                for c in _MKV_CHANNELS:
+                    if c != excluded:
+                        acc += p.get((s, c), 0.0) * v[c]
+                nv[s] = float(_round_half_up(acc, 9))
+            for s in states:
+                v[s] = nv.get(s, 0.0)
+        return v["start"]
+
+    v_full = solve(None)
+    out = []
+    effects = {}
+    for ch in _MKV_CHANNELS:
+        effects[ch] = float(_round_half_up((v_full - solve(ch)) / v_full, 9))
+    tot_eff = float(np.sum([effects[c] for c in _MKV_CHANNELS]))
+    for ch in _MKV_CHANNELS:
+        out.append(
+            (
+                ch,
+                float(_round_half_up(effects[ch], 6)),
+                float(_round_half_up(effects[ch] / tot_eff, 6)),
+                float(_round_half_up(v_full, 6)),
+            )
+        )
+    return spark.createDataFrame(
+        out, "channel string, removal_effect double, attribution double, p_conv double"
+    ).orderBy("channel")
+
+
+def _markov_attribution_sql() -> str:
+    states = ["start"] + _MKV_CHANNELS
+
+    def chain(tag: str, excluded: str | None) -> tuple[str, str]:
+        st = [s for s in states if s != excluded]
+        chs = [c for c in _MKV_CHANNELS if c != excluded]
+        sts = ", ".join(f"('{s}')" for s in st)
+        steps = [
+            f"v{tag}0(s, v) AS MATERIALIZED (SELECT s, 0.0 FROM (VALUES {sts}) st(s))"
+        ]
+        for t in range(1, _MKV_ROUNDS + 1):
+            chl = ", ".join(f"'{c}'" for c in chs)
+            steps.append(
+                f"""v{tag}{t} AS MATERIALIZED (
+            SELECT st.s,
+                   ROUND(COALESCE(bc.p, 0.0) + COALESCE(tv.acc, 0.0), 9) AS v
+            FROM (SELECT s FROM v{tag}0) st
+            LEFT JOIN (SELECT src, p FROM trans WHERE dst = 'conv') bc
+              ON bc.src = st.s
+            LEFT JOIN (
+                SELECT tr.src, SUM(tr.p * pv.v) AS acc
+                FROM trans tr JOIN v{tag}{t - 1} pv ON tr.dst = pv.s
+                WHERE tr.dst IN ({chl})
+                GROUP BY tr.src) tv
+              ON tv.src = st.s
+        )"""
+            )
+        final = f"(SELECT v FROM v{tag}{_MKV_ROUNDS} WHERE s = 'start')"
+        return ",\n        ".join(steps), final
+
+    chains, finals = [], {}
+    c_sql, f_sql = chain("f", None)
+    chains.append(c_sql)
+    finals["__full__"] = f_sql
+    for ch in _MKV_CHANNELS:
+        c_sql, f_sql = chain(ch, ch)
+        chains.append(c_sql)
+        finals[ch] = f_sql
+    eff = ", ".join(
+        f"ROUND(({finals['__full__']} - {finals[ch]}) / {finals['__full__']}, 9)"
+        f" AS e_{ch}"
+        for ch in _MKV_CHANNELS
+    )
+    rows = ", ".join(
+        f"('{ch}', e_{ch})" for ch in _MKV_CHANNELS
+    )
+    tot = " + ".join(f"e_{ch}" for ch in _MKV_CHANNELS)
+    chain_sql = ",\n        ".join(chains)
+    return f"""
+        WITH {_MKV_TRANS_SQL.strip()},
+        {chain_sql},
+        eff AS (SELECT {eff}),
+        unp AS (SELECT u.channel, u.e, ({tot}) AS tot,
+                       {finals['__full__']} AS vf
+                FROM eff, LATERAL (VALUES {rows}) u(channel, e))
+        SELECT channel, ROUND(e, 6) AS removal_effect,
+               ROUND(e / tot, 6) AS attribution,
+               ROUND(vf, 6) AS p_conv
+        FROM unp ORDER BY channel
+    """
+
+
+def q_graph_eccentricity(spark, sf_dir):
+    """Eccentricity sample / diameter lower bound of the occupied res-4
+    cell lattice: BFS hop labeling from the 4 busiest cells (the standard
+    multi-source diameter probe — exact diameter is all-pairs). Per seed:
+    reached-set size and eccentricity (max hop within the 8-round cap).
+    Seeds are O(1) driver rows recomputed identically as scalar subqueries
+    in the oracle; each BFS round is one frontier equi-join + anti-join
+    (operators/cell_graph.py:bfs_hops)."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+    from raptor_service_spark.operators.cell_graph import bfs_hops
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    occ = d.select(cell_encode_col(lat, lng, 4).alias("cell"))
+    seeds = [
+        r.cell
+        for r in occ.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "cell")
+        .limit(4)
+        .collect()
+    ]
+    outs = []
+    for s in sorted(seeds):
+        h = bfs_hops(occ, s, res=4, max_hops=8)
+        outs.append(
+            h.agg(
+                F.lit(s).alias("seed_cell"),
+                F.count(F.lit(1)).alias("n_reached"),
+                F.max("hops").alias("ecc"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("seed_cell")
+
+
+def _graph_eccentricity_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import bfs_hops_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, 4)
+    base = f"SELECT {cell} AS cell FROM documents"
+    blocks = []
+    for k in range(4):
+        seed = (
+            f"(SELECT cell FROM (SELECT cell, COUNT(*) AS c FROM ({base}) "
+            f"GROUP BY 1 ORDER BY c DESC, cell LIMIT 1 OFFSET {k}))"
+        )
+        inner = bfs_hops_sql(base, seed, res=4, max_hops=8)
+        blocks.append(
+            f"""SELECT {seed} AS seed_cell,
+                   CAST(COUNT(*) AS BIGINT) AS n_reached,
+                   CAST(MAX(hops) AS BIGINT) AS ecc
+            FROM ({inner})"""
+        )
+    union = "\n        UNION ALL\n        ".join(blocks)
+    return f"SELECT * FROM ({union}) ORDER BY seed_cell"
+
+
+_PRIV_MIN_K = 5
+
+
+def q_ldiv_tcloseness(spark, sf_dir):
+    """l-diversity + t-closeness audit of the res-4 cell quasi-identifier
+    (the companions of kanon_cells' k-anonymity): per cell with k ≥ 5 docs,
+    l = distinct langs (low l ⇒ attribute disclosure) and the t-closeness
+    distance = total variation between the cell's lang distribution and
+    the global one (categorical EMD). Top-20 riskiest cells by (l ASC,
+    tvd DESC, cell). Two aggs over the (cell, lang) table + a broadcast
+    join of the O(langs) global distribution; per-lang terms pre-round
+    9 dp."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("cell", cell_encode_col(lat, lng, 4))
+    cl = pts.groupBy("cell", "lang").agg(F.count(F.lit(1)).alias("c"))
+    ck = cl.groupBy("cell").agg(
+        F.sum("c").alias("k"), F.count(F.lit(1)).alias("l_div")
+    ).filter(F.col("k") >= _PRIV_MIN_K)
+    gl = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("gc"))
+        .crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("n"))))
+        .select("lang", (F.col("gc").cast("double") / F.col("n")).alias("gp"))
+    )
+    # dense (cell, lang) grid so absent langs contribute |0 - gp|
+    dense = (
+        ck.select("cell", "k", "l_div")
+        .crossJoin(F.broadcast(gl))
+        .join(cl, ["cell", "lang"], "left")
+        .withColumn(
+            "term",
+            F.round(
+                F.abs(
+                    F.coalesce("c", F.lit(0)).cast("double") / F.col("k")
+                    - F.col("gp")
+                ),
+                9,
+            ),
+        )
+    )
+    out = dense.groupBy("cell", "k", "l_div").agg(
+        F.round(F.lit(0.5) * F.sum("term"), 6).alias("tvd")
+    )
+    return out.orderBy(
+        F.col("l_div").asc(), F.col("tvd").desc(), F.col("cell").asc()
+    ).limit(20)
+
+
+def _ldiv_tcloseness_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, 4)
+    return f"""
+        WITH pts AS (SELECT {cell} AS cell, lang FROM documents),
+        cl AS (SELECT cell, lang, CAST(COUNT(*) AS BIGINT) AS c
+               FROM pts GROUP BY 1, 2),
+        ck AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS k,
+                      CAST(COUNT(*) AS BIGINT) AS l_div
+               FROM cl GROUP BY 1 HAVING SUM(c) >= {_PRIV_MIN_K}),
+        gl AS (SELECT lang, CAST(COUNT(*) AS DOUBLE)
+                            / (SELECT COUNT(*) FROM documents) AS gp
+               FROM documents GROUP BY 1),
+        dense AS (
+            SELECT ck.cell, ck.k, ck.l_div,
+                   ROUND(ABS(CAST(COALESCE(cl.c, 0) AS DOUBLE) / ck.k
+                             - gl.gp), 9) AS term
+            FROM ck CROSS JOIN gl
+            LEFT JOIN cl ON cl.cell = ck.cell AND cl.lang = gl.lang)
+        SELECT cell, k, l_div, ROUND(0.5 * SUM(term), 6) AS tvd
+        FROM dense GROUP BY 1, 2, 3
+        ORDER BY l_div ASC, tvd DESC, cell ASC LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# round-3 batch 6: directional semivariogram (anisotropy), cell lead-lag
+# cross-correlation
+# ---------------------------------------------------------------------------
+
+_VG_TAN22 = 0.4142135623730951  # tan(22.5°) — shared literal, no trig calls
+
+
+def q_semivariogram_dir(spark, sf_dir):
+    """DIRECTIONAL semivariogram — the anisotropy probe kriging QA runs
+    after the omnidirectional one: pair (v_i−v_j)²/2 binned by separation
+    distance AND by 4 bearing sectors (E-W, NE-SW, N-S, NW-SE, 45° wide).
+    Sector classification is pure sign/ratio arithmetic against the
+    tan(22.5°) literal — NO atan2, so there is no libm cross-engine term
+    anywhere (boundaries land in sectors 0/2 by the ≤ rule). Pairs come
+    from the same ε-ring join as the variogram; output is O(sectors×bins)."""
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    pts = _vg_points(spark, sf_dir)
+    pr = within_distance_join(pts, pts, eps=_VG_HMAX).filter(
+        F.col("l.event_id") < F.col("r.event_id")
+    )
+    dx = F.col("r.lng") - F.col("l.lng")
+    dy = F.col("r.lat") - F.col("l.lat")
+    adx, ady = F.abs(dx), F.abs(dy)
+    sector = (
+        F.when(ady <= adx * F.lit(_VG_TAN22), F.lit(0))
+        .when(adx <= ady * F.lit(_VG_TAN22), F.lit(2))
+        .when(dx * dy > 0, F.lit(1))
+        .otherwise(F.lit(3))
+    )
+    dv = F.col("l.value") - F.col("r.value")
+    pairs = pr.select(
+        sector.alias("sector"),
+        F.floor(F.col("dist") / F.lit(_VG_BINW)).cast("long").alias("bin"),
+        F.col("dist"),
+        F.round(dv * dv, 9).alias("sq"),
+    ).filter(F.col("bin") < F.lit(int(_VG_HMAX / _VG_BINW)))
+    return (
+        pairs.groupBy("sector", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.round(F.sum("dist"), 9) / F.count(F.lit(1)), 6).alias("avg_h"),
+            F.round(
+                F.round(F.sum("sq"), 9) / (F.lit(2.0) * F.count(F.lit(1))), 6
+            ).alias("gamma"),
+        )
+        .orderBy("sector", "bin")
+    )
+
+
+def _semivariogram_dir_sql() -> str:
+    # mirror _vg_points + brute-force pair join (oracle may be quadratic)
+    lat, lng = _latlng_sql("event_id")
+    pts = (
+        f"SELECT event_id, value, {lat} AS lat, {lng} AS lng FROM events "
+        f"WHERE event_id % {_VG_SAMPLE_MOD} = 0"
+    )
+    return f"""
+        WITH p AS ({pts}),
+        pr AS (
+            SELECT a.value AS va, b.value AS vb,
+                   b.lng - a.lng AS dx, b.lat - a.lat AS dy,
+                   ROUND(SQRT((a.lat - b.lat) * (a.lat - b.lat)
+                              + (a.lng - b.lng) * (a.lng - b.lng)), 6) AS dist
+            FROM p a JOIN p b ON a.event_id < b.event_id),
+        cls AS (
+            SELECT CASE
+                       WHEN ABS(dy) <= ABS(dx) * {_VG_TAN22!r} THEN 0
+                       WHEN ABS(dx) <= ABS(dy) * {_VG_TAN22!r} THEN 2
+                       WHEN dx * dy > 0 THEN 1
+                       ELSE 3 END AS sector,
+                   CAST(FLOOR(dist / {_VG_BINW!r}) AS BIGINT) AS bin,
+                   dist, ROUND((va - vb) * (va - vb), 9) AS sq
+            FROM pr WHERE dist <= {_VG_HMAX!r})
+        SELECT sector, bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(ROUND(SUM(dist), 9) / COUNT(*), 6) AS avg_h,
+               ROUND(ROUND(SUM(sq), 9) / (2.0 * COUNT(*)), 6) AS gamma
+        FROM cls WHERE bin < {int(_VG_HMAX / _VG_BINW)}
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+_XC_MAX_LAG = 3
+
+
+def q_cell_xcorr(spark, sf_dir):
+    """Lead-lag cross-correlation between the two busiest res-3 cells'
+    hourly event-count series (lags −3..+3): does activity in the hub
+    PRECEDE activity in the runner-up (propagation) or track it? Series
+    are dense over the global hour span (missing hours = 0 — the honest
+    grid; join-only overlap would bias r); Pearson r per lag from exact
+    integer sums. Scale shape: one (cell, hour) agg; the dense grid and
+    the 7-lag explode run on the two O(hours) aggregated series."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(
+        cell_encode_col(lat, lng, 3).alias("cell"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000)
+        ).alias("hr"),
+    )
+    top2 = [
+        r.cell
+        for r in pts.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "cell")
+        .limit(2)
+        .collect()
+    ]
+    a_cell, b_cell = sorted(top2)
+    span = pts.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr")
+    )
+    cnts = (
+        pts.filter(F.col("cell").isin([a_cell, b_cell]))
+        .groupBy("cell", "hr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    xa = grid.join(
+        cnts.filter(F.col("cell") == a_cell).select("hr", F.col("c").alias("xa")),
+        "hr",
+        "left",
+    ).select("hr", F.coalesce("xa", F.lit(0)).alias("xa"))
+    xb = grid.join(
+        cnts.filter(F.col("cell") == b_cell).select("hr", F.col("c").alias("xb")),
+        "hr",
+        "left",
+    ).select(F.col("hr").alias("hrb"), F.coalesce("xb", F.lit(0)).alias("xb"))
+    lags = xa.crossJoin(
+        spark.range(-_XC_MAX_LAG, _XC_MAX_LAG + 1).select(
+            F.col("id").alias("lag")
+        )
+    )
+    j = lags.join(xb, lags.hr + lags.lag == xb.hrb).select("lag", "xa", "xb")
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "lag", F.col("n").alias("n_hours"), F.round(r, 6).alias("xcorr")
+    ).orderBy("lag")
+
+
+def _cell_xcorr_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH pts AS (
+            SELECT {cell} AS cell,
+                   CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr
+            FROM events),
+        top2 AS (SELECT cell FROM pts GROUP BY cell
+                 ORDER BY COUNT(*) DESC, cell LIMIT 2),
+        ab AS (SELECT MIN(cell) AS a_cell, MAX(cell) AS b_cell FROM top2),
+        span AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM pts),
+        grid AS (SELECT unnest(generate_series(h0, h1)) AS hr FROM span),
+        cnts AS (SELECT cell, hr, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM pts WHERE cell IN (SELECT cell FROM top2)
+                 GROUP BY 1, 2),
+        xa AS (SELECT g.hr, COALESCE(c.c, 0) AS xa
+               FROM grid g LEFT JOIN cnts c
+                 ON c.hr = g.hr AND c.cell = (SELECT a_cell FROM ab)),
+        xb AS (SELECT g.hr AS hrb, COALESCE(c.c, 0) AS xb
+               FROM grid g LEFT JOIN cnts c
+                 ON c.hr = g.hr AND c.cell = (SELECT b_cell FROM ab)),
+        j AS (SELECT l.lag, xa.xa, xb.xb
+              FROM xa CROSS JOIN (SELECT unnest(generate_series(
+                       -{_XC_MAX_LAG}, {_XC_MAX_LAG})) AS lag) l
+              JOIN xb ON xa.hr + l.lag = xb.hrb),
+        s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(xa) AS sx, SUM(xb) AS sy,
+                     SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy,
+                     SUM(xa * xb) AS sxy
+              FROM j GROUP BY 1)
+        SELECT lag, n AS n_hours,
+               ROUND((n * sxy - sx * sy)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS xcorr
+        FROM s ORDER BY lag
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -15503,6 +16042,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "permutation_test": q_permutation_test,
         "maxscore_pruning": q_maxscore_pruning,
         "minhash_jaccard_audit": q_minhash_jaccard_audit,
+        "markov_attribution": q_markov_attribution,
+        "graph_eccentricity": q_graph_eccentricity,
+        "ldiv_tcloseness": q_ldiv_tcloseness,
+        "semivariogram_dir": q_semivariogram_dir,
+        "cell_xcorr": q_cell_xcorr,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -15690,6 +16234,11 @@ def oracle_sql() -> dict[str, str]:
         "permutation_test": _permutation_test_sql(),
         "maxscore_pruning": _maxscore_pruning_sql(),
         "minhash_jaccard_audit": _minhash_jaccard_audit_sql(),
+        "markov_attribution": _markov_attribution_sql(),
+        "graph_eccentricity": _graph_eccentricity_sql(),
+        "ldiv_tcloseness": _ldiv_tcloseness_sql(),
+        "semivariogram_dir": _semivariogram_dir_sql(),
+        "cell_xcorr": _cell_xcorr_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
