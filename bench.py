@@ -211,6 +211,11 @@ HEADLINE = [
     "permutation_test",
     "maxscore_pruning",
     "minhash_jaccard_audit",
+    "markov_attribution",
+    "graph_eccentricity",
+    "ldiv_tcloseness",
+    "semivariogram_dir",
+    "cell_xcorr",
 ]
 
 SEED = 77
