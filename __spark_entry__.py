@@ -15789,6 +15789,207 @@ def _cell_xcorr_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 7: sequence alignment (NW global + SW local), JL random-
+# projection distance-preservation audit
+# ---------------------------------------------------------------------------
+
+_ALIGN_L = 12
+_ALIGN_DOCS = 30
+
+
+def q_align_titles(spark, sf_dir):
+    """Needleman-Wunsch (global) + Smith-Waterman (local) alignment scores
+    between document title prefixes — the DP family member edit-distance
+    joins can't express (SW finds the best-matching SUBSTRING pair;
+    match=2 / mismatch=−1 / gap=−1). The L×L DP unrolls anti-diagonal by
+    anti-diagonal into flat INTEGER codegen Projects (operators/align.py —
+    the dtw_levels technique), so both engines agree exactly with no float
+    protocol. Operands pad to L=12 with side-distinct sentinels ('~' vs
+    '^') so pad positions never match. All-pairs over 30 titles (bounded
+    cohort, the dtw_pairs posture); top-20 by (sw DESC, nw DESC, a, b)."""
+    from raptor_service_spark.operators.align import align_levels, sw_max_expr
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _ALIGN_DOCS)
+        .select(
+            "doc_id",
+            F.rpad(F.substring(F.expr(_TITLE_SPARK), 1, _ALIGN_L), _ALIGN_L, "~").alias("sa"),
+            F.rpad(F.substring(F.expr(_TITLE_SPARK), 1, _ALIGN_L), _ALIGN_L, "^").alias("sb"),
+        )
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), "sa")
+    b = d.select(F.col("doc_id").alias("doc_b"), "sb")
+    out = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+    a_ch = lambda i: f"substring(sa, {i + 1}, 1)"
+    b_ch = lambda j: f"substring(sb, {j + 1}, 1)"
+    for level in align_levels(_ALIGN_L, a_ch, b_ch):
+        out = out.withColumns({name: F.expr(e) for name, e in level})
+    return (
+        out.select(
+            "doc_a",
+            "doc_b",
+            F.col(f"nw_{_ALIGN_L - 1}_{_ALIGN_L - 1}").cast("long").alias("nw"),
+            F.expr(sw_max_expr(_ALIGN_L)).cast("long").alias("sw"),
+        )
+        .orderBy(F.col("sw").desc(), F.col("nw").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+def _align_titles_sql() -> str:
+    from raptor_service_spark.operators.align import align_levels, sw_max_expr
+
+    a_ch = lambda i: f"substring(sa, {i + 1}, 1)"
+    b_ch = lambda j: f"substring(sb, {j + 1}, 1)"
+    levels = align_levels(_ALIGN_L, a_ch, b_ch)
+    ctes, prev = [], "pairs"
+    for k, level in enumerate(levels):
+        cols = ", ".join(f"{e} AS {name}" for name, e in level)
+        ctes.append(f"l{k} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"l{k}"
+    chain = ",\n        ".join(ctes)
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   rpad(substring({_TITLE_SQL}, 1, {_ALIGN_L}), {_ALIGN_L}, '~') AS sa,
+                   rpad(substring({_TITLE_SQL}, 1, {_ALIGN_L}), {_ALIGN_L}, '^') AS sb
+            FROM documents WHERE doc_id < {_ALIGN_DOCS}),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sa, b.sb
+            FROM d a JOIN d b ON a.doc_id < b.doc_id),
+        {chain}
+        SELECT doc_a, doc_b,
+               CAST(nw_{_ALIGN_L - 1}_{_ALIGN_L - 1} AS BIGINT) AS nw,
+               CAST({sw_max_expr(_ALIGN_L)} AS BIGINT) AS sw
+        FROM {prev}
+        ORDER BY sw DESC, nw DESC, doc_a, doc_b LIMIT 20
+    """
+
+
+_JL_K = 16
+_JL_DIM = 64
+_JL_VECS = 20
+
+
+def _jl_signs(k: int) -> list[int]:
+    """Column k of the deterministic ±1 projection matrix: sign =
+    md5('d|k') hex-prefix parity — one Python source feeds both engines'
+    literals."""
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"{d}|{k}".encode()).hexdigest()[:4], 16) % 2 == 0 else -1
+        for d in range(_JL_DIM)
+    ]
+
+
+def q_jl_projection_audit(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection audit: embeddings project
+    64→16 dims through a deterministic ±1/√16 sign matrix (sign =
+    md5(d·'|'·k) parity — the same seeded-mechanism discipline as
+    dp_cell_counts), and the audit reports, per sampled pair, the squared-
+    distance ratio ‖p(x)−p(y)‖²/‖x−y‖² — the measured distortion that
+    justifies projection-first ANN prefilters. One posexplode + (dim×k)
+    agg builds projections; distances are array-side codegen. Top-20 most
+    distorted pairs of the 190-pair sample."""
+    e = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _JL_VECS)
+        .select("vec_id", "embedding")
+    )
+    # The ±1 sign matrix is a CONSTANT — built once in Python (md5 parity)
+    # and inlined as array literals, so each projection is an ORDERED
+    # array-side fold in both engines (a groupBy SUM reassociates floats:
+    # observed 1-ulp knife edge on the 9-dp rounded projection).
+    full = e.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("fv")
+    )
+    proj_cols = []
+    for k in range(_JL_K):
+        signs = "array(" + ", ".join(
+            f"cast({s} as double)" for s in _jl_signs(k)
+        ) + ")"
+        proj_cols.append(
+            f"round(aggregate(zip_with(fv, {signs}, "
+            f"(x, s) -> round(x * s, 9)), cast(0.0 as double), "
+            f"(acc, t) -> acc + t) / 4.0, 9)"
+        )
+    t = full.withColumn("pv", F.expr("array(" + ", ".join(proj_cols) + ")"))
+    a = t.select(F.col("vec_id").alias("vec_a"), F.col("fv").alias("fa"), F.col("pv").alias("pa"))
+    b = t.select(F.col("vec_id").alias("vec_b"), F.col("fv").alias("fb"), F.col("pv").alias("pb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    # display via TRUNCATION (floor of the scaled double): the fold gives
+    # bit-identical doubles in both engines, and floor of the same double
+    # is deterministic — ROUND is not on exact 9-dp knife edges (F.round
+    # is BigDecimal shortest-decimal HALF_UP, DuckDB rounds the binary
+    # value; the 9-dp projection grid makes exact .5 boundaries COMMON)
+    d2 = (
+        "floor(aggregate(zip_with({0}, {1}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, t) -> acc + t) * 1e9) / 1e9"
+    )
+    out = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.expr(d2.format("fa", "fb")).alias("d64"),
+        F.expr(d2.format("pa", "pb")).alias("d16"),
+    ).select(
+        "vec_a",
+        "vec_b",
+        "d64",
+        "d16",
+        (F.floor(F.col("d16") / F.col("d64") * 1e6) / 1e6).alias("ratio"),
+    )
+    return out.orderBy(
+        F.abs(F.col("ratio") - 1.0).desc(), "vec_a", "vec_b"
+    ).limit(20)
+
+
+def _jl_projection_audit_sql() -> str:
+    # list_reduce = guaranteed left-to-right fold, mirroring Spark's
+    # aggregate() element order (unordered sums reassociate floats —
+    # observed 1-ulp divergence on the 9-dp rounded projection)
+    d2 = (
+        "FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len({0})), "
+        "i -> ({0}[i] - {1}[i]) * ({0}[i] - {1}[i]))), (acc, t) -> acc + t)"
+        " * 1e9) / 1e9"
+    )
+    proj_cols = []
+    for k in range(_JL_K):
+        signs = "[" + ", ".join(
+            f"CAST({s} AS DOUBLE)" for s in _jl_signs(k)
+        ) + "]"
+        proj_cols.append(
+            f"ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, len(fv)), "
+            f"i -> ROUND(fv[i] * ({signs})[i], 9))), "
+            f"(acc, t) -> acc + t) / 4.0, 9)"
+        )
+    pv = "[" + ", ".join(proj_cols) + "]"
+    return f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+            FROM embeddings WHERE vec_id < {_JL_VECS}),
+        t AS (SELECT vec_id, fv, {pv} AS pv FROM e),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.fv AS fa, b.fv AS fb, a.pv AS pa, b.pv AS pb
+            FROM t a JOIN t b ON a.vec_id < b.vec_id),
+        m AS (
+            SELECT vec_a, vec_b,
+                   ROUND({d2.format("fa", "fb")}, 9) AS d64,
+                   ROUND({d2.format("pa", "pb")}, 9) AS d16
+            FROM pairs)
+        SELECT vec_a, vec_b, d64, d16,
+               FLOOR(d16 / d64 * 1e6) / 1e6 AS ratio
+        FROM m ORDER BY ABS(FLOOR(d16 / d64 * 1e6) / 1e6 - 1.0) DESC,
+                 vec_a, vec_b
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16047,6 +16248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ldiv_tcloseness": q_ldiv_tcloseness,
         "semivariogram_dir": q_semivariogram_dir,
         "cell_xcorr": q_cell_xcorr,
+        "align_titles": q_align_titles,
+        "jl_projection_audit": q_jl_projection_audit,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -16239,6 +16442,8 @@ def oracle_sql() -> dict[str, str]:
         "ldiv_tcloseness": _ldiv_tcloseness_sql(),
         "semivariogram_dir": _semivariogram_dir_sql(),
         "cell_xcorr": _cell_xcorr_sql(),
+        "align_titles": _align_titles_sql(),
+        "jl_projection_audit": _jl_projection_audit_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
