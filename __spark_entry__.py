@@ -15990,6 +15990,153 @@ def _jl_projection_audit_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 8: spherical centroid (circular statistics), mobility
+# entropy rate (predictability)
+# ---------------------------------------------------------------------------
+
+
+def q_spherical_centroid(spark, sf_dir):
+    """Spherical mean + resultant length per res-2 tile — the CORRECT
+    centroid on a sphere (arithmetic lat/lng means break across the
+    antimeridian; the 3D unit-vector mean doesn't): R̄ near 1 = tight
+    cluster, near 0 = dispersed (circular-statistics concentration).
+    One point agg to (cells × 3 sums); per-point vector terms pre-round
+    9 dp, outputs 6 dp (the crosstrack trig discipline). Ordered by
+    cell."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    rl, rg = F.radians(lat), F.radians(lng)
+    pts = d.select(
+        cell_encode_col(lat, lng, 2).alias("cell"),
+        F.round(F.cos(rl) * F.cos(rg), 9).alias("ux"),
+        F.round(F.cos(rl) * F.sin(rg), 9).alias("uy"),
+        F.round(F.sin(rl), 9).alias("uz"),
+    )
+    s = pts.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("ux").alias("mx"),
+        F.avg("uy").alias("my"),
+        F.avg("uz").alias("mz"),
+    )
+    rbar = F.sqrt(
+        F.col("mx") * F.col("mx") + F.col("my") * F.col("my") + F.col("mz") * F.col("mz")
+    )
+    return s.select(
+        "cell",
+        "n_docs",
+        F.round(
+            F.degrees(F.atan2(F.col("mz"), F.sqrt(F.col("mx") * F.col("mx") + F.col("my") * F.col("my")))),
+            6,
+        ).alias("clat"),
+        F.round(F.degrees(F.atan2(F.col("my"), F.col("mx"))), 6).alias("clng"),
+        F.round(rbar, 6).alias("rbar"),
+    ).orderBy("cell")
+
+
+def _spherical_centroid_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    return f"""
+        WITH pts AS (
+            SELECT {cell_encode_sql(lat, lng, 2)} AS cell,
+                   ROUND(COS(RADIANS({lat})) * COS(RADIANS({lng})), 9) AS ux,
+                   ROUND(COS(RADIANS({lat})) * SIN(RADIANS({lng})), 9) AS uy,
+                   ROUND(SIN(RADIANS({lat})), 9) AS uz
+            FROM documents),
+        s AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     AVG(ux) AS mx, AVG(uy) AS my, AVG(uz) AS mz
+              FROM pts GROUP BY 1)
+        SELECT cell, n_docs,
+               ROUND(DEGREES(ATAN2(mz, SQRT(mx * mx + my * my))), 6) AS clat,
+               ROUND(DEGREES(ATAN2(my, mx)), 6) AS clng,
+               ROUND(SQRT(mx * mx + my * my + mz * mz), 6) AS rbar
+        FROM s ORDER BY cell
+    """
+
+
+_ENT_MIN_MOVES = 20
+
+
+def q_mobility_entropy_rate(spark, sf_dir):
+    """Per-user mobility predictability: the plug-in entropy RATE of the
+    first-order cell-transition chain, −Σ_ij (c_ij/total)·ln(c_ij/total_i)
+    (Song et al.'s predictability-bound ingredient) — low rate = routine
+    mover, high = erratic. Users with ≥ 20 transitions; the 20 most
+    predictable. Everything runs on the aggregated per-user transition
+    counts (exact integer divisions; 9-dp term pre-rounds)."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("cell", cell_encode_col(lat, lng, 4))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        pts.withColumn("prev", F.lag("cell").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("user_id", F.col("prev").alias("src"), F.col("cell").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row_tot = tr.groupBy("user_id", "src").agg(F.sum("c").alias("tot_i"))
+    usr_tot = tr.groupBy("user_id").agg(F.sum("c").alias("tot"))
+    terms = (
+        tr.join(row_tot, ["user_id", "src"])
+        .join(usr_tot, "user_id")
+        .withColumn(
+            "t",
+            F.round(
+                -(F.col("c") / F.col("tot"))
+                * F.log(F.col("c") / F.col("tot_i")),
+                9,
+            ),
+        )
+    )
+    out = (
+        terms.groupBy("user_id")
+        .agg(
+            F.max("tot").alias("n_moves"),
+            F.round(F.sum("t"), 6).alias("entropy_rate"),
+        )
+        .filter(F.col("n_moves") >= _ENT_MIN_MOVES)
+    )
+    return out.orderBy(F.col("entropy_rate").asc(), "user_id").limit(20)
+
+
+def _mobility_entropy_rate_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 4)
+    return f"""
+        WITH pts AS (
+            SELECT user_id, ts, event_id, {cell} AS cell FROM events),
+        tr AS (
+            SELECT user_id, prev AS src, cell AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT user_id, cell,
+                         LAG(cell) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+                  FROM pts)
+            WHERE prev IS NOT NULL GROUP BY 1, 2, 3),
+        row_tot AS (SELECT user_id, src, CAST(SUM(c) AS BIGINT) AS tot_i
+                    FROM tr GROUP BY 1, 2),
+        usr_tot AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS tot
+                    FROM tr GROUP BY 1),
+        terms AS (
+            SELECT tr.user_id, u.tot,
+                   ROUND(-(CAST(tr.c AS DOUBLE) / u.tot)
+                         * LN(CAST(tr.c AS DOUBLE) / r.tot_i), 9) AS t
+            FROM tr JOIN row_tot r USING (user_id, src)
+            JOIN usr_tot u USING (user_id))
+        SELECT user_id, CAST(MAX(tot) AS BIGINT) AS n_moves,
+               ROUND(SUM(t), 6) AS entropy_rate
+        FROM terms GROUP BY user_id
+        HAVING MAX(tot) >= {_ENT_MIN_MOVES}
+        ORDER BY entropy_rate ASC, user_id LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16250,6 +16397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_xcorr": q_cell_xcorr,
         "align_titles": q_align_titles,
         "jl_projection_audit": q_jl_projection_audit,
+        "spherical_centroid": q_spherical_centroid,
+        "mobility_entropy_rate": q_mobility_entropy_rate,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -16444,6 +16593,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_xcorr": _cell_xcorr_sql(),
         "align_titles": _align_titles_sql(),
         "jl_projection_audit": _jl_projection_audit_sql(),
+        "spherical_centroid": _spherical_centroid_sql(),
+        "mobility_entropy_rate": _mobility_entropy_rate_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
