@@ -16137,6 +16137,148 @@ def _mobility_entropy_rate_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 9: term burstiness (Church-Gale), colocation participation
+# index (Shekhar)
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_DF = 50
+
+
+def q_term_burstiness(spark, sf_dir):
+    """Term burstiness (Church & Gale): mean occurrences per CONTAINING
+    document (cf/df) against the Poisson expectation λ/(1−e^−λ) — terms
+    whose ratio is far above 1 clump into few documents (content words);
+    ratio ≈ 1 means Poisson scatter (function words). The
+    corpus-linguistics screen a curation pipeline uses to find template
+    artifacts. Two aggs over the token stream; the Poisson term is scalar
+    math on aggregated counts. Top-20 by ratio among df ≥ 50 terms."""
+    from raptor_service_spark.operators.dedup import words_col
+
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(words_col(F.col("text"))).alias("term"))
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf"), F.count_distinct("doc_id").alias("df")
+    )
+    n = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    lam = F.col("cf") / F.col("n_docs")
+    poisson_mean = lam / (F.lit(1.0) - F.exp(-lam))
+    out = (
+        stats.filter(F.col("df") >= _BURST_MIN_DF)
+        .crossJoin(n)
+        .select(
+            "term",
+            "cf",
+            "df",
+            F.round(F.col("cf") / F.col("df"), 6).alias("burstiness"),
+            F.round((F.col("cf") / F.col("df")) / poisson_mean, 6).alias(
+                "poisson_ratio"
+            ),
+        )
+    )
+    return out.orderBy(F.col("poisson_ratio").desc(), "term").limit(20)
+
+
+def _term_burstiness_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest({w}) AS term FROM documents),
+        stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf,
+                         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM toks GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT term, cf, df,
+               ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness,
+               ROUND((CAST(cf AS DOUBLE) / df)
+                     / ((CAST(cf AS DOUBLE) / n_docs)
+                        / (1.0 - EXP(-(CAST(cf AS DOUBLE) / n_docs)))), 6)
+                   AS poisson_ratio
+        FROM stats CROSS JOIN n
+        WHERE df >= {_BURST_MIN_DF}
+        ORDER BY poisson_ratio DESC, term LIMIT 20
+    """
+
+
+_COLOC_EPS = 10.0
+
+
+def q_participation_index(spark, sf_dir):
+    """Colocation participation index (Shekhar & Huang): for every lang
+    pair, the fraction of each side's docs having an ε-neighbor of the
+    other lang; PI = min of the two fractions — the standard colocation-
+    pattern-mining interest measure (vs the ratio-based colocation
+    quotient already covered). Neighbor pairs come from the one-shuffle
+    ε cell/ring join; everything after runs on (docs × langs)-bounded
+    distinct pairs. Exact count ratios — no float hazard."""
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng)
+    pr = within_distance_join(pts, pts, eps=_COLOC_EPS).filter(
+        F.col("l.doc_id") != F.col("r.doc_id")
+    )
+    nbr = pr.select(
+        F.col("l.doc_id").alias("a"),
+        F.col("l.lang").alias("la"),
+        F.col("r.lang").alias("lb"),
+    ).distinct()
+    tot = d.groupBy(F.col("lang").alias("la")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    part = nbr.groupBy("la", "lb").agg(F.count_distinct("a").alias("n_part"))
+    pr_tbl = part.join(tot, "la").select(
+        "la", "lb", "n_part", "n_a",
+        F.round(F.col("n_part") / F.col("n_a"), 6).alias("pr_ab"),
+    )
+    rev = pr_tbl.select(
+        F.col("lb").alias("la"), F.col("la").alias("lb"),
+        F.col("pr_ab").alias("pr_ba"),
+    )
+    out = (
+        pr_tbl.join(rev, ["la", "lb"])
+        .filter(F.col("la") < F.col("lb"))
+        .select(
+            F.col("la").alias("lang_a"),
+            F.col("lb").alias("lang_b"),
+            "pr_ab",
+            "pr_ba",
+            F.least("pr_ab", "pr_ba").alias("pi"),
+        )
+    )
+    return out.orderBy("lang_a", "lang_b")
+
+
+def _participation_index_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    return f"""
+        WITH p AS (SELECT doc_id, lang, {lat} AS lat, {lng} AS lng
+                   FROM documents),
+        nbr AS (
+            SELECT DISTINCT a.doc_id AS a, a.lang AS la, b.lang AS lb
+            FROM p a JOIN p b
+              ON a.doc_id != b.doc_id
+             AND ROUND(SQRT((a.lat - b.lat) * (a.lat - b.lat)
+                            + (a.lng - b.lng) * (a.lng - b.lng)), 6)
+                 <= {_COLOC_EPS!r}),
+        tot AS (SELECT lang AS la, CAST(COUNT(*) AS BIGINT) AS n_a
+                FROM documents GROUP BY 1),
+        part AS (SELECT la, lb, CAST(COUNT(DISTINCT a) AS BIGINT) AS n_part
+                 FROM nbr GROUP BY 1, 2),
+        pr_tbl AS (
+            SELECT part.la, part.lb, part.n_part, tot.n_a,
+                   ROUND(CAST(part.n_part AS DOUBLE) / tot.n_a, 6) AS pr_ab
+            FROM part JOIN tot USING (la))
+        SELECT p1.la AS lang_a, p1.lb AS lang_b, p1.pr_ab,
+               p2.pr_ab AS pr_ba, LEAST(p1.pr_ab, p2.pr_ab) AS pi
+        FROM pr_tbl p1 JOIN pr_tbl p2 ON p1.la = p2.lb AND p1.lb = p2.la
+        WHERE p1.la < p1.lb
+        ORDER BY lang_a, lang_b
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16399,6 +16541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_projection_audit": q_jl_projection_audit,
         "spherical_centroid": q_spherical_centroid,
         "mobility_entropy_rate": q_mobility_entropy_rate,
+        "term_burstiness": q_term_burstiness,
+        "participation_index": q_participation_index,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -16595,6 +16739,8 @@ def oracle_sql() -> dict[str, str]:
         "jl_projection_audit": _jl_projection_audit_sql(),
         "spherical_centroid": _spherical_centroid_sql(),
         "mobility_entropy_rate": _mobility_entropy_rate_sql(),
+        "term_burstiness": _term_burstiness_sql(),
+        "participation_index": _participation_index_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -216,6 +216,10 @@ HEADLINE = [
     "ldiv_tcloseness",
     "semivariogram_dir",
     "cell_xcorr",
+    "align_titles",
+    "jl_projection_audit",
+    "spherical_centroid",
+    "mobility_entropy_rate",
 ]
 
 SEED = 77
