@@ -16279,6 +16279,283 @@ def _participation_index_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 10: greedy set cover (coverage-max selection), segregation
+# indices, ε-percolation curve
+# ---------------------------------------------------------------------------
+
+_SC_ROUNDS, _SC_POOL = 5, 100
+
+
+def q_greedy_set_cover(spark, sf_dir):
+    """Greedy maximum-coverage selection (the 1−1/e-approximate classic):
+    pick 5 documents that together cover the most distinct vocabulary —
+    the coverage-maximizing subset selection used for summary/eval-set
+    picking in curation. Each round is ONE anti-join + agg over the
+    aggregated (doc, term) table, argmax collected to the driver (O(1)
+    rows, the kmeans-literals protocol), ties to the smaller doc_id.
+    Output (round, doc_id, gain, covered_total)."""
+    from raptor_service_spark.operators.dedup import words_col
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < _SC_POOL)
+    terms = (
+        d.select("doc_id", F.explode(words_col(F.col("text"))).alias("term"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = None
+    rows, total = [], 0
+    for rnd in range(1, _SC_ROUNDS + 1):
+        cand = terms if covered is None else terms.join(covered, "term", "left_anti")
+        top = (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pick, gain = top[0]["doc_id"], top[0]["gain"]
+        total += gain
+        rows.append((rnd, int(pick), int(gain), int(total)))
+        sel_terms = terms.filter(F.col("doc_id") == pick).select("term")
+        covered = (
+            sel_terms
+            if covered is None
+            else covered.unionByName(sel_terms).distinct()
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, "round int, doc_id long, gain long, covered_total long"
+    ).orderBy("round")
+
+
+def _greedy_set_cover_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    steps = [
+        "c0(term) AS MATERIALIZED (SELECT term FROM terms WHERE 1 = 0)"
+    ]
+    picks = []
+    for r in range(1, _SC_ROUNDS + 1):
+        steps.append(
+            f"""p{r} AS MATERIALIZED (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+            FROM terms t WHERE NOT EXISTS (
+                SELECT 1 FROM c{r - 1} c WHERE c.term = t.term)
+            GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT term FROM c{r - 1}
+            UNION
+            SELECT term FROM terms WHERE doc_id = (SELECT doc_id FROM p{r})
+        )"""
+        )
+        picks.append(
+            f"SELECT {r} AS round, doc_id, gain FROM p{r}"
+        )
+    chain = ",\n        ".join(steps)
+    un = "\n            UNION ALL\n            ".join(picks)
+    return f"""
+        WITH terms AS MATERIALIZED (
+            SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest({w}) AS term
+                FROM documents WHERE doc_id < {_SC_POOL})),
+        {chain},
+        sel AS ({un})
+        SELECT CAST(round AS INTEGER) AS round, doc_id, gain,
+               CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT)
+                   AS covered_total
+        FROM sel ORDER BY round
+    """
+
+
+def q_segregation_indices(spark, sf_dir):
+    """Duncan & Duncan segregation profile per language over res-3 tiles:
+    dissimilarity D = ½Σ|l_i/L − o_i/O| (share of the group that would
+    have to move for an even spread), isolation P* = Σ(l_i/L)(l_i/t_i),
+    exposure = Σ(l_i/L)(o_i/t_i) — the spatial-demography classics, here
+    as corpus-mixing diagnostics. One (cell, lang) agg; all ratios exact
+    integer divisions, 9-dp term pre-rounds."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("cell", cell_encode_col(lat, lng, 3))
+    cl = pts.groupBy("cell", "lang").agg(F.count(F.lit(1)).alias("c"))
+    ct = cl.groupBy("cell").agg(F.sum("c").alias("t"))
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("l_tot"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        ct.crossJoin(F.broadcast(langs))
+        .join(cl, ["cell", "lang"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "l_tot",
+            F.coalesce("c", F.lit(0)).alias("l_i"),
+            (F.col("t") - F.coalesce("c", F.lit(0))).alias("o_i"),
+            "t",
+            (F.col("n") - F.col("l_tot")).alias("o_tot"),
+        )
+    )
+    out = grid.groupBy("lang", "l_tot").agg(
+        F.round(
+            F.lit(0.5)
+            * F.sum(
+                F.round(
+                    F.abs(
+                        F.col("l_i") / F.col("l_tot")
+                        - F.col("o_i") / F.col("o_tot")
+                    ),
+                    9,
+                )
+            ),
+            6,
+        ).alias("dissimilarity"),
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("l_i") / F.col("l_tot")) * (F.col("l_i") / F.col("t")), 9
+                )
+            ),
+            6,
+        ).alias("isolation"),
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("l_i") / F.col("l_tot")) * (F.col("o_i") / F.col("t")), 9
+                )
+            ),
+            6,
+        ).alias("exposure"),
+    )
+    return out.select(
+        "lang", F.col("l_tot").alias("n_docs"), "dissimilarity", "isolation", "exposure"
+    ).orderBy("lang")
+
+
+def _segregation_indices_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH pts AS (SELECT {cell} AS cell, lang FROM documents),
+        cl AS (SELECT cell, lang, CAST(COUNT(*) AS BIGINT) AS c
+               FROM pts GROUP BY 1, 2),
+        ct AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS t FROM cl GROUP BY 1),
+        langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS l_tot
+                  FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        grid AS (
+            SELECT langs.lang, langs.l_tot,
+                   COALESCE(cl.c, 0) AS l_i,
+                   ct.t - COALESCE(cl.c, 0) AS o_i,
+                   ct.t, tot.n - langs.l_tot AS o_tot
+            FROM ct CROSS JOIN langs CROSS JOIN tot
+            LEFT JOIN cl ON cl.cell = ct.cell AND cl.lang = langs.lang)
+        SELECT lang, l_tot AS n_docs,
+               ROUND(0.5 * SUM(ROUND(ABS(CAST(l_i AS DOUBLE) / l_tot
+                                         - CAST(o_i AS DOUBLE) / o_tot), 9)),
+                     6) AS dissimilarity,
+               ROUND(SUM(ROUND((CAST(l_i AS DOUBLE) / l_tot)
+                               * (CAST(l_i AS DOUBLE) / t), 9)), 6)
+                   AS isolation,
+               ROUND(SUM(ROUND((CAST(l_i AS DOUBLE) / l_tot)
+                               * (CAST(o_i AS DOUBLE) / t), 9)), 6)
+                   AS exposure
+        FROM grid GROUP BY 1, 2 ORDER BY lang
+    """
+
+
+_PERC_EPS = [6.0, 10.0, 14.0]
+_PERC_POOL = 3000
+
+
+def q_percolation_curve(spark, sf_dir):
+    """ε-percolation curve of the document point set: at each radius, the
+    number of connected components of the ε-graph and the giant-component
+    fraction — WHERE the corpus's spatial graph snaps together (the
+    threshold picker for geo_clusters/geo_dbscan radii). Per ε: one
+    cell/ring ε-join (each pair once) + the large/small-star components
+    loop; everything else is O(nodes). Bounded doc pool (the dtw cohort
+    posture)."""
+    from raptor_service_spark.operators.dedup import dedup_components
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < _PERC_POOL).select(
+        "doc_id"
+    )
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.withColumn("lat", lat).withColumn("lng", lng).localCheckpoint(eager=True)
+    n_nodes = pts.count()
+    outs = []
+    for eps in _PERC_EPS:
+        pairs = (
+            within_distance_join(pts, pts, eps=eps)
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+            )
+        )
+        comp = dedup_components(pairs)
+        full = pts.select(F.col("doc_id").alias("id")).join(
+            comp, "id", "left"
+        ).select(F.coalesce("comp", "id").alias("comp"))
+        sizes = full.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+        outs.append(
+            sizes.agg(
+                F.lit(eps).alias("eps"),
+                F.lit(n_nodes).cast("long").alias("n_nodes"),
+                F.count(F.lit(1)).alias("n_components"),
+                F.round(F.max("sz") / F.lit(float(n_nodes)), 6).alias("giant_frac"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("eps")
+
+
+def _percolation_curve_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    blocks = []
+    for eps in _PERC_EPS:
+        blocks.append(
+            f"""
+        SELECT CAST({eps!r} AS DOUBLE) AS eps,
+               (SELECT COUNT(*) FROM p) AS n_nodes,
+               CAST(COUNT(*) AS BIGINT) AS n_components,
+               ROUND(MAX(sz) / CAST((SELECT COUNT(*) FROM p) AS DOUBLE), 6)
+                   AS giant_frac
+        FROM (
+            WITH RECURSIVE pr AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM p a JOIN p b ON a.doc_id < b.doc_id
+                WHERE ROUND(SQRT((a.lat - b.lat) * (a.lat - b.lat)
+                                 + (a.lng - b.lng) * (a.lng - b.lng)), 6)
+                      <= {eps!r}),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+                      UNION SELECT doc_b, doc_a FROM pr),
+            reach(id, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, reach.r FROM edges e
+                JOIN reach ON e.dst = reach.id),
+            comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+            lab AS (SELECT p.doc_id, COALESCE(c.comp, p.doc_id) AS comp
+                    FROM p LEFT JOIN comp c ON p.doc_id = c.id)
+            SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM lab GROUP BY comp)"""
+        )
+    union = "\n        UNION ALL\n        ".join(blocks)
+    return f"""
+        WITH p AS (SELECT doc_id, {lat} AS lat, {lng} AS lng
+                   FROM documents WHERE doc_id < {_PERC_POOL})
+        SELECT * FROM ({union}) ORDER BY eps
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16543,6 +16820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mobility_entropy_rate": q_mobility_entropy_rate,
         "term_burstiness": q_term_burstiness,
         "participation_index": q_participation_index,
+        "greedy_set_cover": q_greedy_set_cover,
+        "segregation_indices": q_segregation_indices,
+        "percolation_curve": q_percolation_curve,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -16741,6 +17021,9 @@ def oracle_sql() -> dict[str, str]:
         "mobility_entropy_rate": _mobility_entropy_rate_sql(),
         "term_burstiness": _term_burstiness_sql(),
         "participation_index": _participation_index_sql(),
+        "greedy_set_cover": _greedy_set_cover_sql(),
+        "segregation_indices": _segregation_indices_sql(),
+        "percolation_curve": _percolation_curve_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
