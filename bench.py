@@ -220,6 +220,11 @@ HEADLINE = [
     "jl_projection_audit",
     "spherical_centroid",
     "mobility_entropy_rate",
+    "term_burstiness",
+    "participation_index",
+    "greedy_set_cover",
+    "segregation_indices",
+    "percolation_curve",
 ]
 
 SEED = 77
