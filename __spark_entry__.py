@@ -16556,6 +16556,281 @@ def _percolation_curve_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 11: STL-lite seasonal decomposition, binary-segmentation
+# change point, deterministic RANSAC line fit
+# ---------------------------------------------------------------------------
+
+
+def q_stl_lite(spark, sf_dir):
+    """Seasonal-trend decomposition (moving-average STL-lite) of the
+    global hourly event series: trend = centered 25-hour MA (only where
+    the full window exists), seasonal profile = per hour-of-day mean of
+    the detrended series, remainder = x − trend − seasonal. Output: the
+    24-row seasonal profile + mean |remainder| per hod — the load-shape
+    summary capacity planning reads. Dense hour grid (missing hours = 0);
+    ONE agg + two windows + one agg, all on the O(hours) series."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("ts")
+    hr = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+    ).cast("long")
+    cnt = ev.select(hr.alias("hr")).groupBy("hr").agg(F.count(F.lit(1)).alias("n"))
+    span = cnt.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = span.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr"))
+    x = grid.join(cnt, "hr", "left").select(
+        "hr", F.coalesce("n", F.lit(0)).cast("double").alias("x")
+    )
+    w = Window.orderBy("hr").rowsBetween(-12, 12)
+    t = x.withColumn("n_win", F.count(F.lit(1)).over(w)).withColumn(
+        "trend", F.round(F.avg("x").over(w), 9)
+    )
+    det = t.filter(F.col("n_win") == 25).select(
+        F.pmod(F.col("hr"), F.lit(24)).alias("hod"),
+        "hr",
+        "x",
+        (F.col("x") - F.col("trend")).alias("d"),
+    )
+    seas = det.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n_obs"), F.round(F.avg("d"), 9).alias("s")
+    )
+    rem = det.join(seas.select("hod", "s"), "hod").select(
+        "hod", F.abs(F.col("d") - F.col("s")).alias("ar")
+    )
+    out = (
+        seas.join(
+            rem.groupBy("hod").agg(F.round(F.avg("ar"), 6).alias("mean_abs_rem")),
+            "hod",
+        )
+        .select("hod", "n_obs", F.round("s", 6).alias("seasonal"), "mean_abs_rem")
+    )
+    return out.orderBy("hod")
+
+
+def _stl_lite_sql() -> str:
+    return """
+        WITH cnt AS (
+            SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1),
+        span AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM cnt),
+        grid AS (SELECT unnest(generate_series(h0, h1)) AS hr FROM span),
+        x AS (SELECT g.hr, CAST(COALESCE(c.n, 0) AS DOUBLE) AS x
+              FROM grid g LEFT JOIN cnt c USING (hr)),
+        t AS (SELECT hr, x,
+                     COUNT(*) OVER wnd AS n_win,
+                     ROUND(AVG(x) OVER wnd, 9) AS trend
+              FROM x WINDOW wnd AS (ORDER BY hr
+                                    ROWS BETWEEN 12 PRECEDING
+                                             AND 12 FOLLOWING)),
+        det AS (SELECT hr % 24 AS hod, hr, x, x - trend AS d
+                FROM t WHERE n_win = 25),
+        seas AS (SELECT hod, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                        ROUND(AVG(d), 9) AS s
+                 FROM det GROUP BY 1),
+        rem AS (SELECT det.hod, ABS(det.d - seas.s) AS ar
+                FROM det JOIN seas USING (hod))
+        SELECT seas.hod, seas.n_obs, ROUND(seas.s, 6) AS seasonal,
+               r.mean_abs_rem
+        FROM seas JOIN (SELECT hod, ROUND(AVG(ar), 6) AS mean_abs_rem
+                        FROM rem GROUP BY 1) r USING (hod)
+        ORDER BY hod
+    """
+
+
+_CP_MARGIN = 24
+
+
+def q_changepoint_detect(spark, sf_dir):
+    """Binary-segmentation change point on the global hourly event series:
+    the split minimizing two-segment SSE (equivalently maximizing the
+    between-segment variance drop) with a 24-hour edge margin — the
+    offline twin of the CUSUM screen. Prefix sums via ONE cumulative
+    window make every candidate split O(1); all sums exact integers until
+    the final divisions. Output one row: split hour, segment means, SSE
+    drop."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("ts")
+    hr = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+    ).cast("long")
+    cnt = ev.select(hr.alias("hr")).groupBy("hr").agg(F.count(F.lit(1)).alias("n"))
+    span = cnt.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = span.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr"))
+    x = grid.join(cnt, "hr", "left").select(
+        "hr", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    pre = x.select(
+        "hr",
+        F.row_number().over(Window.orderBy("hr")).alias("t"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    tot = pre.agg(
+        F.max("t").alias("tn"), F.max("s1").alias("ts1"), F.max("s2").alias("ts2")
+    )
+    cand = pre.crossJoin(F.broadcast(tot)).filter(
+        (F.col("t") >= _CP_MARGIN) & (F.col("t") <= F.col("tn") - _CP_MARGIN)
+    )
+    sse = (
+        F.col("ts2")
+        - F.col("s1") * F.col("s1") / F.col("t")
+        - (F.col("ts1") - F.col("s1"))
+        * (F.col("ts1") - F.col("s1"))
+        / (F.col("tn") - F.col("t"))
+    )
+    sse_full = F.col("ts2") - F.col("ts1") * F.col("ts1") / F.col("tn")
+    scored = cand.select(
+        "hr",
+        "t",
+        "tn",
+        F.round(sse, 9).alias("sse_split"),
+        F.round(sse_full, 9).alias("sse_full"),
+        F.round(F.col("s1") / F.col("t"), 6).alias("mean_before"),
+        F.round(
+            (F.col("ts1") - F.col("s1")) / (F.col("tn") - F.col("t")), 6
+        ).alias("mean_after"),
+    )
+    return (
+        scored.orderBy(F.col("sse_split").asc(), F.col("hr").asc())
+        .limit(1)
+        .select(
+            F.col("hr").alias("split_hr"),
+            F.col("tn").cast("long").alias("n_hours"),
+            "mean_before",
+            "mean_after",
+            "sse_full",
+            "sse_split",
+            F.round(F.col("sse_full") - F.col("sse_split"), 6).alias("sse_drop"),
+        )
+    )
+
+
+def _changepoint_detect_sql() -> str:
+    return f"""
+        WITH cnt AS (
+            SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1),
+        span AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM cnt),
+        grid AS (SELECT unnest(generate_series(h0, h1)) AS hr FROM span),
+        x AS (SELECT g.hr, COALESCE(c.n, 0) AS n
+              FROM grid g LEFT JOIN cnt c USING (hr)),
+        pre AS (SELECT hr,
+                       ROW_NUMBER() OVER (ORDER BY hr) AS t,
+                       SUM(n) OVER (ORDER BY hr) AS s1,
+                       SUM(n * n) OVER (ORDER BY hr) AS s2
+                FROM x),
+        tot AS (SELECT MAX(t) AS tn, MAX(s1) AS ts1, MAX(s2) AS ts2 FROM pre),
+        scored AS (
+            SELECT hr, t, tn,
+                   ROUND(ts2 - CAST(s1 * s1 AS DOUBLE) / t
+                         - CAST((ts1 - s1) * (ts1 - s1) AS DOUBLE)
+                           / (tn - t), 9) AS sse_split,
+                   ROUND(ts2 - CAST(ts1 * ts1 AS DOUBLE) / tn, 9) AS sse_full,
+                   ROUND(CAST(s1 AS DOUBLE) / t, 6) AS mean_before,
+                   ROUND(CAST(ts1 - s1 AS DOUBLE) / (tn - t), 6) AS mean_after
+            FROM pre CROSS JOIN tot
+            WHERE t >= {_CP_MARGIN} AND t <= tn - {_CP_MARGIN})
+        SELECT hr AS split_hr, CAST(tn AS BIGINT) AS n_hours,
+               mean_before, mean_after, sse_full, sse_split,
+               ROUND(sse_full - sse_split, 6) AS sse_drop
+        FROM scored ORDER BY sse_split ASC, hr ASC LIMIT 1
+    """
+
+
+_RANSAC_K = 20
+_RANSAC_TOL = 40.0
+
+
+def q_ransac_fit(spark, sf_dir):
+    """Deterministic RANSAC line fit of n_chars vs token count per doc:
+    20 candidate lines through md5-rank-paired sample points (seeded
+    mechanism — replays identically, the dp_cell_counts discipline),
+    inliers = |y − (a + b·x)| ≤ 40, winner by (inliers DESC, candidate
+    ASC). The robust-estimation classic next to theil_sen_cells. Scale
+    shape: candidates are O(1) driver rows; scoring is ONE k×n
+    explode-agg over broadcast candidate lines."""
+    from raptor_service_spark.operators.dedup import words_col
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(words_col(F.col("text"))).cast("double").alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+    ranked = d.withColumn("k", F.md5(F.col("doc_id").cast("string"))).orderBy("k")
+    pts = ranked.limit(2 * _RANSAC_K).collect()
+    cands = []
+    for k in range(_RANSAC_K):
+        p1, p2 = pts[2 * k], pts[2 * k + 1]
+        if p2.x == p1.x:
+            continue
+        b = float(_round_half_up((p2.y - p1.y) / (p2.x - p1.x), 9))
+        a = float(_round_half_up(p1.y - b * p1.x, 9))
+        cands.append((k, a, b))
+    cdf = spark.createDataFrame(cands, "cand int, a double, b double")
+    scored = d.crossJoin(F.broadcast(cdf)).withColumn(
+        "inlier",
+        F.when(
+            F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+            <= _RANSAC_TOL,
+            1,
+        ).otherwise(0),
+    )
+    per = scored.groupBy("cand", "a", "b").agg(
+        F.sum("inlier").alias("n_inliers"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per.orderBy(F.col("n_inliers").desc(), F.col("cand").asc())
+        .limit(1)
+        .select(
+            "cand",
+            F.col("b").alias("slope"),
+            F.col("a").alias("intercept"),
+            F.col("n_inliers").cast("long").alias("n_inliers"),
+            F.round(F.col("n_inliers") / F.col("n"), 6).alias("inlier_frac"),
+        )
+    )
+
+
+def _ransac_fit_sql() -> str:
+    from raptor_service_spark.operators.dedup import words_sql
+
+    w = words_sql("text")
+    return f"""
+        WITH d AS (
+            SELECT doc_id, CAST(len({w}) AS DOUBLE) AS x,
+                   CAST(n_chars AS DOUBLE) AS y
+            FROM documents),
+        ranked AS (
+            SELECT d.*, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+            FROM d),
+        smp AS (SELECT * FROM ranked WHERE rk <= {2 * _RANSAC_K}),
+        cands AS (
+            SELECT CAST((p1.rk - 1) / 2 AS INTEGER) AS cand,
+                   ROUND(p1.y - ROUND((p2.y - p1.y) / (p2.x - p1.x), 9)
+                         * p1.x, 9) AS a,
+                   ROUND((p2.y - p1.y) / (p2.x - p1.x), 9) AS b
+            FROM smp p1 JOIN smp p2
+              ON p2.rk = p1.rk + 1 AND p1.rk % 2 = 1
+            WHERE p2.x != p1.x),
+        scored AS (
+            SELECT c.cand, c.a, c.b,
+                   CAST(SUM(CASE WHEN ABS(d.y - (c.a + c.b * d.x))
+                                      <= {_RANSAC_TOL!r} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_inliers,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM d CROSS JOIN cands c GROUP BY 1, 2, 3)
+        SELECT cand, b AS slope, a AS intercept, n_inliers,
+               ROUND(CAST(n_inliers AS DOUBLE) / n, 6) AS inlier_frac
+        FROM scored ORDER BY n_inliers DESC, cand ASC LIMIT 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16823,6 +17098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_set_cover": q_greedy_set_cover,
         "segregation_indices": q_segregation_indices,
         "percolation_curve": q_percolation_curve,
+        "stl_lite": q_stl_lite,
+        "changepoint_detect": q_changepoint_detect,
+        "ransac_fit": q_ransac_fit,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -17024,6 +17302,9 @@ def oracle_sql() -> dict[str, str]:
         "greedy_set_cover": _greedy_set_cover_sql(),
         "segregation_indices": _segregation_indices_sql(),
         "percolation_curve": _percolation_curve_sql(),
+        "stl_lite": _stl_lite_sql(),
+        "changepoint_detect": _changepoint_detect_sql(),
+        "ransac_fit": _ransac_fit_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
