@@ -16831,6 +16831,176 @@ def _ransac_fit_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 12: next-cell prediction eval (temporal split), interleaved
+# span-position layout profile
+# ---------------------------------------------------------------------------
+
+
+def q_next_cell_eval(spark, sf_dir):
+    """Next-cell prediction accuracy with a TEMPORAL train/test split —
+    the eval protocol (never random splits on time series) applied to the
+    first-order mobility model: train the per-cell argmax next-cell table
+    on even days, score it on odd-day transitions; baseline = predicting
+    the globally most common destination. Everything runs on aggregated
+    transition counts; argmax ties break toward the smaller cell id.
+    Output one row: transition counts, model accuracy, baseline accuracy,
+    lift."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("cell", cell_encode_col(lat, lng, 4)).withColumn(
+        "day", F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        pts.withColumn("prev", F.lag("cell").over(w))
+        .withColumn("prev_day", F.lag("day").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.col("prev").alias("src"),
+            F.col("cell").alias("dst"),
+            # a transition belongs to the day of its ORIGIN fix
+            F.col("prev_day").alias("day"),
+        )
+    )
+    train = tr.filter(F.col("day") % 2 == 0).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wa = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("dst").asc())
+    model = (
+        train.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("pred"))
+    )
+    base = (
+        train.groupBy("dst")
+        .agg(F.sum("c").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("dst").asc())
+        .limit(1)
+        .select(F.col("dst").alias("base_pred"))
+    )
+    test = tr.filter(F.col("day") % 2 == 1)
+    scored = test.join(model, "src", "left").crossJoin(F.broadcast(base))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.when(F.col("pred") == F.col("dst"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.sum(F.when(F.col("base_pred") == F.col("dst"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_base"),
+    ).select(
+        "n_test",
+        "n_correct",
+        F.round(F.col("n_correct") / F.col("n_test"), 6).alias("accuracy"),
+        F.round(F.col("n_base") / F.col("n_test"), 6).alias("baseline_acc"),
+        # lift from EXACT counts (dividing the rounded rates re-rounds)
+        F.round(F.col("n_correct") / F.col("n_base"), 6).alias("lift"),
+    )
+
+
+def _next_cell_eval_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 4)
+    return """
+        WITH pts AS (
+            SELECT user_id, ts, event_id, {cell} AS cell,
+                   CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+            FROM events),
+        tr AS (
+            SELECT prev AS src, cell AS dst, prev_day AS day
+            FROM (SELECT cell, day,
+                         LAG(cell) OVER wnd AS prev,
+                         LAG(day) OVER wnd AS prev_day
+                  FROM pts WINDOW wnd AS (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+            WHERE prev IS NOT NULL),
+        train AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM tr WHERE day % 2 = 0 GROUP BY 1, 2),
+        model AS (
+            SELECT src, dst AS pred FROM (
+                SELECT src, dst, ROW_NUMBER() OVER (
+                    PARTITION BY src ORDER BY c DESC, dst ASC) AS rn
+                FROM train) WHERE rn = 1),
+        base AS (SELECT dst AS base_pred FROM train
+                 GROUP BY dst ORDER BY SUM(c) DESC, dst ASC LIMIT 1),
+        test AS (SELECT * FROM tr WHERE day % 2 = 1),
+        scored AS (SELECT t.dst, m.pred, b.base_pred
+                   FROM test t LEFT JOIN model m USING (src)
+                   CROSS JOIN base b)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN pred = dst THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_correct,
+               ROUND(CAST(SUM(CASE WHEN pred = dst THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS accuracy,
+               ROUND(CAST(SUM(CASE WHEN base_pred = dst THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS baseline_acc,
+               ROUND(CAST(SUM(CASE WHEN pred = dst THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / SUM(CASE WHEN base_pred = dst THEN 1 ELSE 0 END), 6)
+                   AS lift
+        FROM scored
+    """.replace("{cell}", cell)
+
+
+_SPP_DOCS, _SPP_SEED = 200, 63
+
+
+def q_span_position_profile(spark, sf_dir):
+    """Layout profile of the interleaved corpus: P(media | position
+    decile) — WHERE media spans sit inside documents (leading figures vs
+    trailing galleries), the structural statistic an interleaved
+    text+image training mix is balanced against. Position = idx/n_spans
+    decile; one explode + one agg. Oracle replays the deterministic
+    generator as golden VALUES (the span_transitions technique)."""
+    from raptor_service_spark.datagen import gen_documents_df
+    from raptor_service_spark.operators.chunking import explode_spans
+
+    docs = gen_documents_df(spark, _SPP_DOCS, seed=_SPP_SEED)
+    sp = explode_spans(docs)
+    n = sp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dec = sp.join(n, "doc_id").select(
+        F.least(
+            F.lit(9), F.floor(F.col("idx") * 10 / F.col("n")).cast("int")
+        ).alias("decile"),
+        F.when(F.col("media_ref") != "", 1).otherwise(0).alias("is_media"),
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("is_media").cast("long").alias("n_media"),
+            F.round(F.avg(F.col("is_media").cast("double")), 6).alias(
+                "media_frac"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+def _span_position_profile_sql() -> str:
+    from raptor_service_spark.datagen import _gen_doc
+
+    rows = []
+    for i in range(_SPP_DOCS):
+        d = _gen_doc(_SPP_SEED, i)
+        nn = len(d["spans"])
+        for j, s in enumerate(d["spans"]):
+            rows.append(f"({j}, {nn}, {1 if s['media_ref'] else 0})")
+    return f"""
+        WITH spans(idx, n, is_media) AS (VALUES {', '.join(rows)})
+        SELECT CAST(LEAST(9, FLOOR(idx * 10 / n)) AS INTEGER) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(is_media) AS BIGINT) AS n_media,
+               ROUND(AVG(CAST(is_media AS DOUBLE)), 6) AS media_frac
+        FROM spans GROUP BY 1 ORDER BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -17101,6 +17271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_lite": q_stl_lite,
         "changepoint_detect": q_changepoint_detect,
         "ransac_fit": q_ransac_fit,
+        "next_cell_eval": q_next_cell_eval,
+        "span_position_profile": q_span_position_profile,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -17305,6 +17477,8 @@ def oracle_sql() -> dict[str, str]:
         "stl_lite": _stl_lite_sql(),
         "changepoint_detect": _changepoint_detect_sql(),
         "ransac_fit": _ransac_fit_sql(),
+        "next_cell_eval": _next_cell_eval_sql(),
+        "span_position_profile": _span_position_profile_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
