@@ -225,6 +225,11 @@ HEADLINE = [
     "greedy_set_cover",
     "segregation_indices",
     "percolation_curve",
+    "stl_lite",
+    "changepoint_detect",
+    "ransac_fit",
+    "next_cell_eval",
+    "span_position_profile",
 ]
 
 SEED = 77
