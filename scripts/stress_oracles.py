@@ -35,8 +35,18 @@ NAMES = [
     "fdr_hotspots", "radiation_model", "ewma_anomaly", "prf_expansion",
     "rbo_rankings", "kaplan_meier", "did_estimator",
     "dp_cell_counts", "crosstrack_deviation",
+    # round-3 session-9 float-heavy additions
+    "hits_scores", "rocchio_feedback", "jsd_sources", "kn_bigram_lm",
+    "hll_distinct", "textrank_keywords", "ppr_scores", "nb_langid",
+    "silhouette_kmeans", "logreg_train", "moran_correlogram",
+    "monge_elkan_pairs", "markov_attribution", "semivariogram_dir",
+    "cell_xcorr", "jl_projection_audit", "spherical_centroid",
+    "mobility_entropy_rate", "term_burstiness", "segregation_indices",
+    "stl_lite", "changepoint_detect", "ransac_fit", "next_cell_eval",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
+if len(sys.argv) > 2:  # optional: restrict to named queries
+    NAMES = sys.argv[2:]
 bad = 0
 for name in NAMES:
     hs = set()
