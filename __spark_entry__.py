@@ -9867,6 +9867,33 @@ def _vg_points(spark, sf_dir):
 
 
 _VG_BIN_CACHE: dict = {}
+_VG_PAIR_CACHE: dict = {}
+
+
+def _vg_pairs(spark, sf_dir):
+    """The ε-ring pair stream (dist, va, vb, dx, dy), derived and PERSISTED
+    once per (application, sf_dir) — shared by the omnidirectional bins
+    (`_vg_bins`) and the directional variogram (one ring join feeds both;
+    the shingle-stream sharing pattern)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _VG_PAIR_CACHE:
+        return _VG_PAIR_CACHE[key]
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    pts = _vg_points(spark, sf_dir)
+    pr = within_distance_join(pts, pts, eps=_VG_HMAX).filter(
+        F.col("l.event_id") < F.col("r.event_id")
+    )
+    out = pr.select(
+        "dist",
+        F.col("l.value").alias("va"),
+        F.col("r.value").alias("vb"),
+        (F.col("r.lng") - F.col("l.lng")).alias("dx"),
+        (F.col("r.lat") - F.col("l.lat")).alias("dy"),
+    )
+    _VG_PAIR_CACHE.clear()  # one live corpus at a time; bounded memory
+    _VG_PAIR_CACHE[key] = out.persist()
+    return _VG_PAIR_CACHE[key]
 
 
 def _vg_bins(spark, sf_dir):
@@ -9880,13 +9907,8 @@ def _vg_bins(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _VG_BIN_CACHE:
         return _VG_BIN_CACHE[key]
-    from raptor_service_spark.operators.pip_join import within_distance_join
-
-    pts = _vg_points(spark, sf_dir)
-    pr = within_distance_join(pts, pts, eps=_VG_HMAX).filter(
-        F.col("l.event_id") < F.col("r.event_id")
-    )
-    dv = F.col("l.value") - F.col("r.value")
+    pr = _vg_pairs(spark, sf_dir)
+    dv = F.col("va") - F.col("vb")
     pairs = pr.select(
         F.floor(F.col("dist") / F.lit(_VG_BINW)).cast("long").alias("bin"),
         F.col("dist"),
@@ -15609,15 +15631,12 @@ def q_semivariogram_dir(spark, sf_dir):
     Sector classification is pure sign/ratio arithmetic against the
     tan(22.5°) literal — NO atan2, so there is no libm cross-engine term
     anywhere (boundaries land in sectors 0/2 by the ≤ rule). Pairs come
-    from the same ε-ring join as the variogram; output is O(sectors×bins)."""
-    from raptor_service_spark.operators.pip_join import within_distance_join
-
-    pts = _vg_points(spark, sf_dir)
-    pr = within_distance_join(pts, pts, eps=_VG_HMAX).filter(
-        F.col("l.event_id") < F.col("r.event_id")
-    )
-    dx = F.col("r.lng") - F.col("l.lng")
-    dy = F.col("r.lat") - F.col("l.lat")
+    from the SHARED persisted ε-ring pair stream (`_vg_pairs` — one ring
+    join feeds this and the omnidirectional bins); output is
+    O(sectors×bins)."""
+    pr = _vg_pairs(spark, sf_dir)
+    dx = F.col("dx")
+    dy = F.col("dy")
     adx, ady = F.abs(dx), F.abs(dy)
     sector = (
         F.when(ady <= adx * F.lit(_VG_TAN22), F.lit(0))
@@ -15625,7 +15644,7 @@ def q_semivariogram_dir(spark, sf_dir):
         .when(dx * dy > 0, F.lit(1))
         .otherwise(F.lit(3))
     )
-    dv = F.col("l.value") - F.col("r.value")
+    dv = F.col("va") - F.col("vb")
     pairs = pr.select(
         sector.alias("sector"),
         F.floor(F.col("dist") / F.lit(_VG_BINW)).cast("long").alias("bin"),
@@ -16488,15 +16507,22 @@ def q_percolation_curve(spark, sf_dir):
     lat, lng = _latlng_cols(F.col("doc_id"))
     pts = d.withColumn("lat", lat).withColumn("lng", lng).localCheckpoint(eager=True)
     n_nodes = pts.count()
+    # ONE ε-join at the largest radius; smaller radii are dist-filters of
+    # it (within_distance_join keeps the rounded dist and its ring cover
+    # at eps_max is a superset of every smaller ε's) — 3 joins → 1.
+    all_pairs = (
+        within_distance_join(pts, pts, eps=max(_PERC_EPS))
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            "dist",
+        )
+        .localCheckpoint(eager=True)
+    )
     outs = []
     for eps in _PERC_EPS:
-        pairs = (
-            within_distance_join(pts, pts, eps=eps)
-            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-            .select(
-                F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-            )
-        )
+        pairs = all_pairs.filter(F.col("dist") <= eps).select("doc_a", "doc_b")
         comp = dedup_components(pairs)
         full = pts.select(F.col("doc_id").alias("id")).join(
             comp, "id", "left"
