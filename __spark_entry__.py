@@ -17027,6 +17027,134 @@ def _span_position_profile_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# round-3 batch 13: multi-probe LSH recall audit
+# ---------------------------------------------------------------------------
+
+_MP_PLANES = 8
+
+
+def _lsh_plane(p: int) -> list[int]:
+    """±1 hyperplane p of the cosine-LSH code: md5('lsh{p}|{d}') parity —
+    one Python source feeds both engines (and the Python query-code
+    computation)."""
+    import hashlib
+
+    return [
+        1
+        if int(hashlib.md5(f"lsh{p}|{d}".encode()).hexdigest()[:4], 16) % 2 == 0
+        else -1
+        for d in range(64)
+    ]
+
+
+def _lsh_code_py(v) -> int:
+    code = 0
+    for p in range(_MP_PLANES):
+        s = _lsh_plane(p)
+        if float(np.dot(np.asarray(v, dtype=np.float64), np.asarray(s, dtype=np.float64))) > 0:
+            code |= 1 << p
+    return code
+
+
+def q_multiprobe_lsh_recall(spark, sf_dir):
+    """Multi-probe LSH audit (Lv et al. 2007): recall@10 of cosine
+    hyperplane-LSH candidates against the exact top-10, single-bucket vs
+    multi-probe (all Hamming-1 buckets) — the measurement that justifies
+    probing over building more tables. 8 deterministic ±1 hyperplanes;
+    sign folds are ordered array aggregates (identical doubles both
+    engines; |dot| is O(1) so the >0 sign cannot knife-edge). One scan
+    computes every code; candidates/recall run on flag columns — no
+    pair join anywhere. Two queries × two modes."""
+    e = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fold = (
+        "aggregate(zip_with(transform(embedding, x -> cast(x as double)), "
+        "{0}, (x, s) -> x * s), cast(0.0 as double), (acc, t) -> acc + t)"
+    )
+    code_expr = None
+    for p in range(_MP_PLANES):
+        signs = "array(" + ", ".join(
+            f"cast({s} as double)" for s in _lsh_plane(p)
+        ) + ")"
+        bit = F.when(F.expr(fold.format(signs)) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        code_expr = bit if code_expr is None else code_expr + bit
+    coded = e.withColumn("code", code_expr.cast("long")).localCheckpoint(
+        eager=True
+    )
+    outs = []
+    for qid, q in (("qa", QVEC), ("qb", QVEC2)):
+        qc = _lsh_code_py(q)
+        top = (
+            coded.withColumn("dist", F.round(cosine_dist_col(F.col("embedding"), q), 6))
+            .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id", "code")
+        )
+        for mode, pred in (
+            ("single", F.col("code") == qc),
+            ("multiprobe", F.expr(f"bit_count(code ^ {qc})") <= 1),
+        ):
+            n_cand = coded.filter(pred).count()
+            hits = top.filter(pred).count()
+            outs.append((qid, mode, int(n_cand), int(hits), round(hits / 10.0, 6)))
+    return spark.createDataFrame(
+        outs, "qid string, mode string, n_cand long, hits long, recall double"
+    ).orderBy("qid", "mode")
+
+
+def _multiprobe_lsh_recall_sql() -> str:
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, 64), "
+        "i -> fv[i] * ({0})[i])), (acc, t) -> acc + t)"
+    )
+    bits = []
+    for p in range(_MP_PLANES):
+        signs = "[" + ", ".join(
+            f"CAST({s} AS DOUBLE)" for s in _lsh_plane(p)
+        ) + "]"
+        bits.append(
+            f"(CASE WHEN {fold.format(signs)} > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    code = " + ".join(bits)
+    blocks = []
+    for qid, q in (("qa", QVEC), ("qb", QVEC2)):
+        qsql = "[" + ", ".join(f"{x:.6f}" for x in q) + "]"
+        qc = _lsh_code_py(q)
+        top = f"""(SELECT vec_id, code FROM (
+                SELECT vec_id, code,
+                       ROUND(1.0 - list_cosine_similarity(
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                           {qsql}), 6) AS dist
+                FROM coded)
+            ORDER BY dist ASC, vec_id ASC LIMIT 10)"""
+        for mode, pred in (
+            ("single", f"code = {qc}"),
+            ("multiprobe", f"bit_count(xor(code, {qc}::BIGINT)) <= 1"),
+        ):
+            blocks.append(
+                f"""SELECT '{qid}' AS qid, '{mode}' AS mode,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM coded
+                    WHERE {pred}) AS n_cand,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {top} t
+                    WHERE {pred.replace('code', 't.code')}) AS hits,
+                   (SELECT ROUND(COUNT(*) / 10.0, 6) FROM {top} t
+                    WHERE {pred.replace('code', 't.code')}) AS recall"""
+            )
+    union = "\n        UNION ALL\n        ".join(blocks)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+            FROM embeddings),
+        coded AS MATERIALIZED (
+            SELECT vec_id, embedding, {code} AS code FROM e)
+        SELECT * FROM ({union}) ORDER BY qid, mode
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -17299,6 +17427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ransac_fit": q_ransac_fit,
         "next_cell_eval": q_next_cell_eval,
         "span_position_profile": q_span_position_profile,
+        "multiprobe_lsh_recall": q_multiprobe_lsh_recall,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -17505,6 +17634,7 @@ def oracle_sql() -> dict[str, str]:
         "ransac_fit": _ransac_fit_sql(),
         "next_cell_eval": _next_cell_eval_sql(),
         "span_position_profile": _span_position_profile_sql(),
+        "multiprobe_lsh_recall": _multiprobe_lsh_recall_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
