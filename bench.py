@@ -230,6 +230,7 @@ HEADLINE = [
     "ransac_fit",
     "next_cell_eval",
     "span_position_profile",
+    "multiprobe_lsh_recall",
 ]
 
 SEED = 77
