@@ -5544,6 +5544,11 @@ def q_contact_reach(spark, sf_dir):
         day.alias("day"),
     ).distinct()
     a, b = pres.alias("a"), pres.alias("b")
+    # One row per DIRECTED contact pair with its sorted day list: the
+    # per-(ua,ub) collect_set replaces the edge-day distinct (one shuffle,
+    # not two) and shrinks every propagation round's join from
+    # O(edge-days) to O(pairs) — each round then picks the earliest
+    # applicable day array-side instead of re-scanning all day copies.
     contacts = (
         a.join(
             b,
@@ -5556,7 +5561,8 @@ def q_contact_reach(spark, sf_dir):
             F.col("b.user_id").alias("ub"),
             F.col("a.day").alias("day"),
         )
-        .distinct()
+        .groupBy("ua", "ub")
+        .agg(F.sort_array(F.collect_set("day")).alias("days"))
         .localCheckpoint(eager=True)
     )
     seed_day = (
@@ -5571,8 +5577,14 @@ def q_contact_reach(spark, sf_dir):
     for _ in range(_REACH_ROUNDS):
         spread = (
             inf.join(contacts, inf.user_id == contacts.ua)
-            .filter(F.col("day") >= F.col("day_exposed"))
-            .select(F.col("ub").alias("user_id"), F.col("day").alias("day_exposed"))
+            .select(
+                F.col("ub").alias("user_id"),
+                # earliest contact day at-or-after the carrier's exposure
+                F.array_min(
+                    F.filter("days", lambda d: d >= F.col("day_exposed"))
+                ).alias("day_exposed"),
+            )
+            .filter(F.col("day_exposed").isNotNull())
         )
         new_inf = (
             inf.unionByName(spread)
@@ -15488,7 +15500,7 @@ def q_graph_eccentricity(spark, sf_dir):
     in the oracle; each BFS round is one frontier equi-join + anti-join
     (operators/cell_graph.py:bfs_hops)."""
     from raptor_service_spark.geo.grid import cell_encode_col
-    from raptor_service_spark.operators.cell_graph import bfs_hops
+    from raptor_service_spark.operators.cell_graph import _adjacency, bfs_hops
 
     d = _read(spark, sf_dir, "documents").select("doc_id")
     lat, lng = _latlng_cols(F.col("doc_id"))
@@ -15501,16 +15513,25 @@ def q_graph_eccentricity(spark, sf_dir):
         .limit(4)
         .collect()
     ]
-    outs = []
-    for s in sorted(seeds):
-        h = bfs_hops(occ, s, res=4, max_hops=8)
-        outs.append(
-            h.agg(
-                F.lit(s).alias("seed_cell"),
-                F.count(F.lit(1)).alias("n_reached"),
-                F.max("hops").alias("ecc"),
-            )
+    # Build the occupied lattice + adjacency ONCE (they are seed-independent)
+    # and run the 4 BFS loops on concurrent driver threads — each round is a
+    # small latency-bound job, so overlapping the seeds' rounds turns the
+    # probe's wall cost from sum-of-seeds into ~max-of-seeds.
+    occ_d = occ.distinct().localCheckpoint(eager=True)
+    edges = _adjacency(occ_d, 4).localCheckpoint(eager=True)
+
+    def _one_seed(s):
+        h = bfs_hops(occ_d, s, res=4, max_hops=8, edges=edges)
+        return h.agg(
+            F.lit(s).alias("seed_cell"),
+            F.count(F.lit(1)).alias("n_reached"),
+            F.max("hops").alias("ecc"),
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(seeds)) as ex:
+        outs = list(ex.map(_one_seed, sorted(seeds)))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -16520,22 +16541,30 @@ def q_percolation_curve(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
-    outs = []
-    for eps in _PERC_EPS:
+    # The three ε component loops are independent driver-stepped iterations
+    # (each star round is a small job + eager checkpoint — latency-bound,
+    # not throughput-bound at this pool size), so run them on concurrent
+    # driver threads: the Spark scheduler interleaves their jobs and the
+    # wall cost becomes ~max instead of sum. On a real cluster the same
+    # overlap hides per-round scheduling latency across executors.
+    def _one_eps(eps):
         pairs = all_pairs.filter(F.col("dist") <= eps).select("doc_a", "doc_b")
         comp = dedup_components(pairs)
         full = pts.select(F.col("doc_id").alias("id")).join(
             comp, "id", "left"
         ).select(F.coalesce("comp", "id").alias("comp"))
         sizes = full.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
-        outs.append(
-            sizes.agg(
-                F.lit(eps).alias("eps"),
-                F.lit(n_nodes).cast("long").alias("n_nodes"),
-                F.count(F.lit(1)).alias("n_components"),
-                F.round(F.max("sz") / F.lit(float(n_nodes)), 6).alias("giant_frac"),
-            )
+        return sizes.agg(
+            F.lit(eps).alias("eps"),
+            F.lit(n_nodes).cast("long").alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_components"),
+            F.round(F.max("sz") / F.lit(float(n_nodes)), 6).alias("giant_frac"),
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_PERC_EPS)) as ex:
+        outs = list(ex.map(_one_eps, _PERC_EPS))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -17155,6 +17184,612 @@ def _multiprobe_lsh_recall_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Rayleigh circular-uniformity test over movement directions (session 10)
+# ---------------------------------------------------------------------------
+
+_RAYL_RES, _RAYL_MIN_N, _RAYL_TOPK = 2, 30, 20
+
+
+def q_rayleigh_bearing(spark, sf_dir):
+    """Rayleigh test for directional bias of movement per res-2 tile — the
+    circular-statistics screen behind flow-field maps (is motion in this
+    tile uniformly scattered, or does it share a preferred heading?). Each
+    consecutive same-user event pair is a displacement; its UNIT vector
+    (dx/‖d‖, dy/‖d‖) is the direction sample — the resultant length
+    R̄ = ‖Σ uᵢ‖/n and Rayleigh z = n·R̄² need no trig at all (no libm
+    divergence; SQRT is IEEE-exact in both engines). One lag window + one
+    cell agg; per-term 9-dp pre-rounds per repo convention; display via
+    floor-truncation. Top-20 most-directional tiles with n ≥ 30.
+
+    Reference analog: the retrieval-direction diagnostics of
+    services/retrieval_service.py recast as circular statistics; completes
+    the bearing family (bearing_rose = histogram, spherical_centroid =
+    mean direction, rayleigh = significance)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.withColumn("dlat", F.col("lat") - F.lag("lat").over(w))
+        .withColumn("dlng", F.col("lng") - F.lag("lng").over(w))
+        .withColumn("lat0", F.lag("lat").over(w))
+        .withColumn("lng0", F.lag("lng").over(w))
+        .filter(
+            F.col("dlat").isNotNull() & ((F.col("dlat") != 0) | (F.col("dlng") != 0))
+        )
+    )
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ln = F.sqrt(F.col("dlat") * F.col("dlat") + F.col("dlng") * F.col("dlng"))
+    u = seg.select(
+        cell_encode_col(F.col("lat0"), F.col("lng0"), _RAYL_RES).alias("cell"),
+        F.round(F.col("dlng") / ln, 9).alias("ux"),
+        F.round(F.col("dlat") / ln, 9).alias("uy"),
+    )
+    agg = u.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.sum("ux").alias("sx"),
+        F.sum("uy").alias("sy"),
+    )
+    r2 = F.col("sx") * F.col("sx") + F.col("sy") * F.col("sy")
+    out = (
+        agg.filter(F.col("n_moves") >= _RAYL_MIN_N)
+        .select(
+            "cell",
+            "n_moves",
+            (F.floor(F.sqrt(r2) / F.col("n_moves") * 1e6) / 1e6).alias("rbar"),
+            # z from the raw sum of squares (NOT sqrt-then-resquare — that
+            # round-trips through a different double)
+            (F.floor(r2 / F.col("n_moves") * 1e6) / 1e6).alias("z"),
+        )
+    )
+    top = Window.orderBy(F.col("z").desc(), "cell")
+    return (
+        out.withColumn("rk", F.row_number().over(top).cast("long"))
+        .filter(F.col("rk") <= _RAYL_TOPK)
+        .select("cell", "n_moves", "rbar", "z", "rk")
+    )
+
+
+def _rayleigh_bearing_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql("lat0", "lng0", _RAYL_RES)
+    return f"""
+        WITH p AS (SELECT user_id, ts, event_id, {lat} AS lat, {lng} AS lng
+                   FROM events),
+        s AS (SELECT user_id,
+                     lat - LAG(lat) OVER w AS dlat,
+                     lng - LAG(lng) OVER w AS dlng,
+                     LAG(lat) OVER w AS lat0,
+                     LAG(lng) OVER w AS lng0
+              FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        u AS (SELECT {cell} AS cell,
+                     ROUND(dlng / SQRT(dlat * dlat + dlng * dlng), 9) AS ux,
+                     ROUND(dlat / SQRT(dlat * dlat + dlng * dlng), 9) AS uy
+              FROM s
+              WHERE dlat IS NOT NULL AND (dlat != 0 OR dlng != 0)),
+        a AS (SELECT cell, COUNT(*) AS n_moves,
+                     SUM(ux) AS sx, SUM(uy) AS sy
+              FROM u GROUP BY 1),
+        sc AS (SELECT cell, n_moves,
+                      FLOOR(SQRT(sx * sx + sy * sy) / n_moves * 1e6) / 1e6
+                          AS rbar,
+                      FLOOR((sx * sx + sy * sy) / n_moves * 1e6) / 1e6 AS z
+               FROM a WHERE n_moves >= {_RAYL_MIN_N})
+        SELECT cell, n_moves, rbar, z, rk FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY z DESC, cell) AS BIGINT)
+                          AS rk
+            FROM sc)
+        WHERE rk <= {_RAYL_TOPK}
+    """
+
+
+# ---------------------------------------------------------------------------
+# deterministic bootstrap confidence interval (session 10)
+# ---------------------------------------------------------------------------
+
+_BOOT_B, _BOOT_POOL = 200, 2000
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Nonparametric bootstrap CI for the mean document length — the
+    uncertainty quote every corpus-stat release should carry. B=200
+    deterministic resamples-with-replacement: draw (b, j) picks the doc
+    ranked 1 + (md5('boot|b|j') mod n) — indexable replay, the
+    dp_cell_counts seeded-mechanism discipline (no RNG, identical on every
+    engine/run). Every replicate mean is an exact integer sum over n draws
+    divided by the same n, so cross-engine ordering of means is
+    bit-identical; CI = percentile method at ranks 5 / 196 of the 200
+    sorted means. Scale shape: the B·n draw explode is declared O(B·n) and
+    feeds ONE equi-join on rank + one agg (the permutation_test posture);
+    display via floor-truncation of exact ratios."""
+    from pyspark.sql import Window
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BOOT_POOL)
+        .select("doc_id", "n_chars")
+    )
+    cnt = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
+    )
+    ranked = d.withColumn(
+        "rk", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    draws = (
+        ranked.select(F.col("rk").alias("j"))
+        .select("j", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"))
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "b",
+            "n",
+            (
+                F.lit(1)
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("boot|"), F.col("b"), F.lit("|"), F.col("j")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("idx"),
+        )
+    )
+    means = (
+        draws.join(ranked, draws.idx == ranked.rk)
+        .groupBy("b")
+        .agg((F.sum("n_chars") / F.max("n")).alias("mean_b"))
+    )
+    mw = Window.orderBy("mean_b", "b")
+    sel = means.withColumn("q", F.row_number().over(mw))
+    lo_rk, hi_rk = 5, 196
+    trunc6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        cnt.crossJoin(
+            sel.filter(F.col("q") == lo_rk).select(
+                trunc6(F.col("mean_b")).alias("ci_lo")
+            )
+        )
+        .crossJoin(
+            sel.filter(F.col("q") == hi_rk).select(
+                trunc6(F.col("mean_b")).alias("ci_hi")
+            )
+        )
+        .select(
+            F.col("n").alias("n_docs"),
+            F.lit(_BOOT_B).cast("long").alias("n_reps"),
+            trunc6(F.col("s") / F.col("n")).alias("obs_mean"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+def _bootstrap_ci_sql() -> str:
+    return f"""
+        WITH d AS (SELECT doc_id, n_chars FROM documents
+                   WHERE doc_id < {_BOOT_POOL}),
+        cnt AS (SELECT COUNT(*) AS n, SUM(n_chars) AS s FROM d),
+        ranked AS (SELECT n_chars,
+                          ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+                   FROM d),
+        draws AS (
+            SELECT b, n,
+                   1 + ('0x' || substr(md5('boot|' || CAST(b AS VARCHAR)
+                                       || '|' || CAST(j AS VARCHAR)), 1, 8)
+                       )::BIGINT % n AS idx
+            FROM (SELECT rk AS j FROM ranked),
+                 (SELECT UNNEST(generate_series(1, {_BOOT_B})) AS b),
+                 cnt),
+        means AS (
+            SELECT b, SUM(r.n_chars) / CAST(MAX(dr.n) AS DOUBLE) AS mean_b
+            FROM draws dr JOIN ranked r ON dr.idx = r.rk
+            GROUP BY b),
+        sel AS (SELECT mean_b,
+                       ROW_NUMBER() OVER (ORDER BY mean_b, b) AS q
+                FROM means)
+        SELECT CAST(cnt.n AS BIGINT) AS n_docs,
+               CAST({_BOOT_B} AS BIGINT) AS n_reps,
+               FLOOR(cnt.s / CAST(cnt.n AS DOUBLE) * 1e6) / 1e6 AS obs_mean,
+               (SELECT FLOOR(mean_b * 1e6) / 1e6 FROM sel WHERE q = 5)
+                   AS ci_lo,
+               (SELECT FLOOR(mean_b * 1e6) / 1e6 FROM sel WHERE q = 196)
+                   AS ci_hi
+        FROM cnt
+    """
+
+
+# ---------------------------------------------------------------------------
+# 11-point interpolated precision-recall curve (session 10)
+# ---------------------------------------------------------------------------
+
+_PR_POOL, _PR_K = 500, 500
+
+
+def q_pr_curve_11pt(spark, sf_dir):
+    """TREC-style 11-point interpolated precision-recall curve of the BM25
+    ranking against binary relevance (quality_score ≥ 0.95) on a bounded
+    500-doc pool — the full-curve companion to the scalar eval family
+    (bm25_eval MRR/MAP, ndcg_bm25, rbo_rankings): p_interp(r) =
+    max{precision@i : recall@i ≥ r} at r = 0.0, 0.1, ..., 1.0. Ranking the
+    whole pool (k = pool) lets recall reach its true maximum. Precision and
+    recall are exact integer ratios at every cutoff, so the ≥-level
+    comparisons are bit-identical cross-engine; the 11×k level join is a
+    broadcast-tiny theta join. Missing levels (recall never reached) report
+    the standard 0.0."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.bm25 import bm25_topk
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PR_POOL)
+        .select("doc_id", "text")
+    )
+    rel = docs.select(
+        "doc_id", (quality_score(F.col("text")) >= _REL_T).cast("int").alias("rel")
+    )
+    r_tot = rel.agg(F.sum("rel").cast("long").alias("r_total"))
+    ranked = bm25_topk(docs, list(_BM25_TERMS), _PR_K).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("pos"),
+    )
+    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    pr = (
+        ranked.join(rel, "doc_id")
+        .withColumn("cum_rel", F.sum("rel").over(w))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            (F.col("cum_rel").cast("double") / F.col("pos")).alias("p_i"),
+            (F.col("cum_rel").cast("double") / F.col("r_total")).alias("rec_i"),
+        )
+    )
+    levels = spark.range(0, 11).select(
+        (F.col("id") / F.lit(10.0)).alias("recall_level")
+    )
+    curve = (
+        levels.join(
+            F.broadcast(pr), F.col("rec_i") >= F.col("recall_level"), "left"
+        )
+        .groupBy("recall_level")
+        .agg(
+            (F.floor(F.coalesce(F.max("p_i"), F.lit(0.0)) * 1e6) / 1e6).alias(
+                "p_interp"
+            )
+        )
+    )
+    return curve.orderBy("recall_level")
+
+
+def _pr_curve_11pt_sql() -> str:
+    from raptor_service_spark.functions.text import quality_score_sql
+    from raptor_service_spark.operators.bm25 import bm25_sql
+
+    pool = f"(SELECT doc_id, text FROM documents WHERE doc_id < {_PR_POOL})"
+    kw = bm25_sql(pool, list(_BM25_TERMS), _PR_K)
+    qs = quality_score_sql("text")
+    return f"""
+        WITH pool AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id < {_PR_POOL}),
+        rel AS (SELECT doc_id,
+                       CASE WHEN {qs} >= {_REL_T} THEN 1 ELSE 0 END AS rel
+                FROM pool),
+        rtot AS (SELECT CAST(SUM(rel) AS BIGINT) AS r_total FROM rel),
+        ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS pos
+            FROM ({kw})),
+        pr AS (
+            SELECT SUM(rel) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW)
+                       / CAST(pos AS DOUBLE) AS p_i,
+                   SUM(rel) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW)
+                       / CAST((SELECT r_total FROM rtot) AS DOUBLE) AS rec_i
+            FROM ranked JOIN rel USING (doc_id)),
+        levels AS (SELECT UNNEST(generate_series(0, 10)) / 10.0
+                       AS recall_level)
+        SELECT recall_level,
+               FLOOR(COALESCE(MAX(p_i), 0.0) * 1e6) / 1e6 AS p_interp
+        FROM levels LEFT JOIN pr ON pr.rec_i >= levels.recall_level
+        GROUP BY recall_level
+        ORDER BY recall_level
+    """
+
+
+# ---------------------------------------------------------------------------
+# Kalman track smoothing as an ordered array fold (session 10)
+# ---------------------------------------------------------------------------
+
+_KAL_POOL, _KAL_MIN_FIX = 300, 5
+_KAL_Q, _KAL_R = 0.01, 0.25
+
+
+def _kalman_step_expr(ea, arr):
+    """The per-fix Kalman update, emitted from ONE Python source for both
+    engines (the shared-literal discipline): random-walk predict
+    p1 = p + Q, gain k = p1/(p1+R), state += k·innovation, p = (1−k)·p1,
+    plus the |innovation| L1 accumulator. ``ea(name, i)`` renders 1-based
+    element access; ``arr(parts)`` renders an array literal. No let
+    bindings exist in either engine's lambda, so k/p1 are substituted
+    textually — byte-identical arithmetic on both sides."""
+    a1, a2, a3, a4 = (ea("acc", i) for i in range(1, 5))
+    z1, z2 = ea("z", 1), ea("z", 2)
+    p1 = f"round({a3} + {_KAL_Q!r}, 9)"
+    k = f"round({p1} / ({p1} + {_KAL_R!r}), 9)"
+    return arr(
+        [
+            f"round({a1} + {k} * ({z1} - {a1}), 9)",
+            f"round({a2} + {k} * ({z2} - {a2}), 9)",
+            f"round((1.0 - {k}) * {p1}, 9)",
+            f"round({a4} + round(abs({z1} - {a1}) + abs({z2} - {a2}), 9), 9)",
+        ]
+    )
+
+
+def q_kalman_tracks(spark, sf_dir):
+    """Per-user 2-D random-walk Kalman smoother over the ordered fix
+    sequence — the GPS-denoising step a mobility pipeline runs before
+    stay-point / trajectory analysis. State (x_lat, x_lng, p) folds over
+    the user's (ts, event_id)-sorted track with per-step 9-dp rounding as
+    ONE ordered array fold (aggregate ↔ list_reduce — a groupBy SUM would
+    reassociate floats and the filter is order-dependent anyway); also
+    accumulates the L1 innovation total (the track's noise mass). One
+    collect_list shuffle per user, O(track) fold, no UDF. Users with ≥ 5
+    fixes in the bounded pool; display via floor-truncation."""
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < _KAL_POOL)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("event_id").alias("e"),
+        lat.alias("a"),
+        lng.alias("g"),
+    )
+    tracks = (
+        pts.groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(t, e, a, g))), "
+                "s -> array(s.a, s.g))"
+            ).alias("pts")
+        )
+        .filter(F.size("pts") >= _KAL_MIN_FIX)
+    )
+    step = _kalman_step_expr(
+        lambda n, i: f"element_at({n}, {i})",
+        lambda parts: "array(" + ", ".join(parts) + ")",
+    )
+    fold = (
+        "aggregate(slice(pts, 2, size(pts) - 1), "
+        "array(element_at(element_at(pts, 1), 1), "
+        "element_at(element_at(pts, 1), 2), "
+        "cast(1.0 as double), cast(0.0 as double)), "
+        f"(acc, z) -> {step})"
+    )
+    out = tracks.select(
+        "user_id",
+        F.size("pts").cast("long").alias("n_fixes"),
+        F.expr(fold).alias("st"),
+    )
+    t6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return out.select(
+        "user_id",
+        "n_fixes",
+        t6(F.expr("element_at(st, 1)")).alias("x_lat"),
+        t6(F.expr("element_at(st, 2)")).alias("x_lng"),
+        t6(F.expr("element_at(st, 3)")).alias("p_var"),
+        t6(F.expr("element_at(st, 4)")).alias("innov_l1"),
+    ).orderBy("user_id")
+
+
+def _kalman_tracks_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    step = _kalman_step_expr(
+        lambda n, i: f"{n}[{i}]",
+        lambda parts: "[" + ", ".join(parts) + "]",
+    )
+    fold = (
+        "list_reduce(list_prepend("
+        "[pts[1][1], pts[1][2], CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)], "
+        f"pts[2:]), (acc, z) -> {step})"
+    )
+    return f"""
+        WITH p AS (
+            SELECT user_id, epoch_us(ts) AS t, event_id AS e,
+                   {lat} AS a, {lng} AS g
+            FROM events WHERE user_id < {_KAL_POOL}),
+        tr AS (
+            SELECT user_id,
+                   list_transform(
+                       list_sort(list({{'t': t, 'e': e, 'a': a, 'g': g}})),
+                       s -> [s.a, s.g]) AS pts
+            FROM p GROUP BY user_id),
+        ok AS (SELECT user_id, pts FROM tr WHERE len(pts) >= {_KAL_MIN_FIX}),
+        st AS (SELECT user_id, CAST(len(pts) AS BIGINT) AS n_fixes,
+                      {fold} AS s
+               FROM ok)
+        SELECT user_id, n_fixes,
+               FLOOR(s[1] * 1e6) / 1e6 AS x_lat,
+               FLOOR(s[2] * 1e6) / 1e6 AS x_lng,
+               FLOOR(s[3] * 1e6) / 1e6 AS p_var,
+               FLOOR(s[4] * 1e6) / 1e6 AS innov_l1
+        FROM st ORDER BY user_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend exponential smoothing (session 10)
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_RES = 0.5, 0.25, 3
+
+
+def _holt_step_expr(ea, arr):
+    """Holt's double-exponential update from ONE Python source for both
+    engines: l' = αx + (1−α)(l+b), b' = β(l'−l) + (1−β)b, SSE += (x−l−b)²
+    (one-step-ahead forecast error BEFORE the update — the honest
+    in-sample error). l' is substituted textually (no let bindings)."""
+    l, b, sse = ea("acc", 1), ea("acc", 2), ea("acc", 3)
+    x = ea("z", 1)
+    lp = (
+        f"round({_HOLT_ALPHA!r} * {x} + "
+        f"(1.0 - {_HOLT_ALPHA!r}) * ({l} + {b}), 9)"
+    )
+    return arr(
+        [
+            lp,
+            f"round({_HOLT_BETA!r} * ({lp} - {l}) + "
+            f"(1.0 - {_HOLT_BETA!r}) * {b}, 9)",
+            f"round({sse} + round(({x} - {l} - {b}) * ({x} - {l} - {b}), 9), 9)",
+        ]
+    )
+
+
+def q_holt_trend_cells(spark, sf_dir):
+    """Holt linear-trend smoothing of the two busiest res-3 cells' hourly
+    count series — the forecasting baseline next to the diagnostic family
+    (stl_lite = decomposition, ewma_anomaly = level-only monitor, holt adds
+    the trend term and a 1..3-hour-ahead forecast). Series are DENSE over
+    the global hour span (missing hours = 0, the cell_xcorr convention);
+    the recursion folds as ONE ordered array fold per cell with per-step
+    9-dp rounding (aggregate ↔ list_reduce); init l₀ = x₁, b₀ = 0. Scale
+    shape: one (cell, hour) agg + an O(hours) fold per cell; busiest cells
+    recomputed as scalar subqueries in the oracle."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(
+        cell_encode_col(lat, lng, _HOLT_RES).alias("cell"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000)
+        ).alias("hr"),
+    )
+    top2 = sorted(
+        r.cell
+        for r in pts.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "cell")
+        .limit(2)
+        .collect()
+    )
+    span = pts.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr")
+    ).crossJoin(
+        spark.createDataFrame([(c,) for c in top2], "cell long")
+    )
+    cnts = (
+        pts.filter(F.col("cell").isin(top2))
+        .groupBy("cell", "hr")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    series = (
+        grid.join(cnts, ["cell", "hr"], "left")
+        .select("cell", "hr", F.coalesce("c", F.lit(0)).alias("x"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(hr, x))), "
+                "s -> array(cast(s.x as double)))"
+            ).alias("xs")
+        )
+    )
+    step = _holt_step_expr(
+        lambda n, i: f"element_at({n}, {i})",
+        lambda parts: "array(" + ", ".join(parts) + ")",
+    )
+    fold = (
+        "aggregate(slice(xs, 2, size(xs) - 1), "
+        "array(element_at(element_at(xs, 1), 1), "
+        "cast(0.0 as double), cast(0.0 as double)), "
+        f"(acc, z) -> {step})"
+    )
+    out = series.select(
+        "cell", F.size("xs").cast("long").alias("n_hours"), F.expr(fold).alias("st")
+    )
+    t6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    lvl = F.expr("element_at(st, 1)")
+    trd = F.expr("element_at(st, 2)")
+    return out.select(
+        "cell",
+        "n_hours",
+        t6(lvl).alias("level"),
+        t6(trd).alias("trend"),
+        t6(lvl + trd).alias("fc_1h"),
+        t6(lvl + 2 * trd).alias("fc_2h"),
+        t6(lvl + 3 * trd).alias("fc_3h"),
+        t6(F.expr("element_at(st, 3)")).alias("sse"),
+    ).orderBy("cell")
+
+
+def _holt_trend_cells_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, _HOLT_RES)
+    step = _holt_step_expr(
+        lambda n, i: f"{n}[{i}]",
+        lambda parts: "[" + ", ".join(parts) + "]",
+    )
+    fold = (
+        "list_reduce(list_prepend("
+        "[xs[1][1], CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)], "
+        f"xs[2:]), (acc, z) -> {step})"
+    )
+    top2 = (
+        "(SELECT cell FROM (SELECT cell, COUNT(*) AS c FROM p "
+        "GROUP BY 1 ORDER BY c DESC, cell LIMIT 2))"
+    )
+    return f"""
+        WITH p AS (
+            SELECT {cell} AS cell,
+                   CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr
+            FROM events),
+        span AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM p),
+        grid AS (
+            SELECT t.cell, UNNEST(generate_series(span.h0, span.h1)) AS hr
+            FROM span, {top2} AS t(cell)),
+        cnts AS (
+            SELECT cell, hr, COUNT(*) AS c FROM p
+            WHERE cell IN {top2} GROUP BY 1, 2),
+        xs AS (
+            SELECT g.cell, g.hr, COALESCE(c.c, 0) AS x
+            FROM grid g LEFT JOIN cnts c ON g.cell = c.cell AND g.hr = c.hr),
+        ser AS (
+            SELECT cell,
+                   list_transform(list_sort(list({{'hr': hr, 'x': x}})),
+                                  s -> [CAST(s.x AS DOUBLE)]) AS xs
+            FROM xs GROUP BY cell),
+        st AS (SELECT cell, CAST(len(xs) AS BIGINT) AS n_hours,
+                      {fold} AS s
+               FROM ser)
+        SELECT cell, n_hours,
+               FLOOR(s[1] * 1e6) / 1e6 AS level,
+               FLOOR(s[2] * 1e6) / 1e6 AS trend,
+               FLOOR((s[1] + s[2]) * 1e6) / 1e6 AS fc_1h,
+               FLOOR((s[1] + 2 * s[2]) * 1e6) / 1e6 AS fc_2h,
+               FLOOR((s[1] + 3 * s[2]) * 1e6) / 1e6 AS fc_3h,
+               FLOOR(s[3] * 1e6) / 1e6 AS sse
+        FROM st ORDER BY cell
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -17428,6 +18063,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_cell_eval": q_next_cell_eval,
         "span_position_profile": q_span_position_profile,
         "multiprobe_lsh_recall": q_multiprobe_lsh_recall,
+        "rayleigh_bearing": q_rayleigh_bearing,
+        "bootstrap_ci": q_bootstrap_ci,
+        "pr_curve_11pt": q_pr_curve_11pt,
+        "kalman_tracks": q_kalman_tracks,
+        "holt_trend_cells": q_holt_trend_cells,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -17635,6 +18275,11 @@ def oracle_sql() -> dict[str, str]:
         "next_cell_eval": _next_cell_eval_sql(),
         "span_position_profile": _span_position_profile_sql(),
         "multiprobe_lsh_recall": _multiprobe_lsh_recall_sql(),
+        "rayleigh_bearing": _rayleigh_bearing_sql(),
+        "bootstrap_ci": _bootstrap_ci_sql(),
+        "pr_curve_11pt": _pr_curve_11pt_sql(),
+        "kalman_tracks": _kalman_tracks_sql(),
+        "holt_trend_cells": _holt_trend_cells_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

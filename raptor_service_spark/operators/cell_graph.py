@@ -59,6 +59,7 @@ def bfs_hops(
     seed_cell: int,
     res: int,
     max_hops: int = 6,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Hop distance from ``seed_cell`` over occupied-cell 8-adjacency.
 
@@ -67,9 +68,15 @@ def bfs_hops(
     included at 0; empty if the seed cell is not occupied). Each round is
     one equi-join frontier expansion + one anti-join against the visited
     set — O(frontier * 8) rows, never the full graph.
+
+    ``edges`` (optional): a precomputed, materialized ``_adjacency(occ,
+    res)`` over an ALREADY-DISTINCT ``occ`` — lets multi-seed callers
+    (diameter probes) build the lattice once and share it across BFS runs
+    instead of re-deriving it per seed.
     """
-    occ = occ.select("cell").distinct().localCheckpoint(eager=True)
-    edges = _adjacency(occ, res).localCheckpoint(eager=True)
+    if edges is None:
+        occ = occ.select("cell").distinct().localCheckpoint(eager=True)
+        edges = _adjacency(occ, res).localCheckpoint(eager=True)
     visited = (
         occ.filter(F.col("cell") == F.lit(seed_cell))
         .withColumn("hops", F.lit(0).cast("long"))
