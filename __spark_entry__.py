@@ -17790,6 +17790,152 @@ def _holt_trend_cells_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside embedding clusters (session 10)
+# ---------------------------------------------------------------------------
+
+_SEM_POOL, _SEM_K, _SEM_T = 300, 4, 0.55
+
+# argmin over the k=4 seed distances with min-id tie-break — ONE Python
+# source rendered into both engines (the shared-CASE discipline)
+_SEM_CID_CASE = (
+    "CASE WHEN rd0 <= rd1 AND rd0 <= rd2 AND rd0 <= rd3 THEN 0 "
+    "WHEN rd1 <= rd2 AND rd1 <= rd3 THEN 1 "
+    "WHEN rd2 <= rd3 THEN 2 ELSE 3 END"
+)
+
+
+def q_semdedup_clusters(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): partition embeddings into semantic
+    clusters, then dedup WITHIN each cluster by pairwise cosine ≥ τ —
+    the published recipe that makes embedding dedup tractable because the
+    quadratic only runs inside cluster buckets, never corpus-wide. The
+    cluster stage here is deterministic nearest-seed assignment (seeds =
+    first k vectors; one broadcast O(k·dim) + one scan — the same
+    assignment dataflow as k-means' E-step, whose iterated form
+    ivf_knn_ann/kmeans_geo already carry), distances as ordered zip_with
+    folds with a shared argmin CASE. Dedup keeps the min vec_id of every
+    near-dup pair (drop b where some a<b has cos(a,b) ≥ τ — the greedy
+    keep-first scan). Corpus = embeddings + planted exact duplicates
+    (the cosine_neardup fixture). Per cluster: members, dropped, kept."""
+    pool = _emb_with_dups(spark, sf_dir).filter(
+        (F.col("vec_id") % 1000000) < _SEM_POOL
+    )
+    e = pool.select(
+        "vec_id",
+        "embedding",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("fv"),
+    )
+    assigned = e
+    for j in range(_SEM_K):
+        seed = e.filter(F.col("vec_id") == j).select(F.col("fv").alias(f"s{j}"))
+        assigned = assigned.crossJoin(F.broadcast(seed))
+        assigned = assigned.withColumn(
+            f"rd{j}",
+            F.round(
+                F.expr(
+                    f"aggregate(zip_with(fv, s{j}, (x, y) -> (x - y) * (x - y)), "
+                    "cast(0.0 as double), (acc, t) -> acc + t)"
+                ),
+                9,
+            ),
+        )
+    assigned = assigned.select(
+        "vec_id", "embedding", F.expr(_SEM_CID_CASE).cast("long").alias("cid")
+    ).localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cid"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("cid").alias("cid_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            "va", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            "vb", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    dropped = (
+        a.join(b, (F.col("cid") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= _SEM_T)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    stats = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    drops = (
+        assigned.join(dropped, "vec_id")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        stats.join(drops, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _semdedup_clusters_sql() -> str:
+    d2 = (
+        "ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len(fv)), "
+        "i -> (fv[i] - {s}[i]) * (fv[i] - {s}[i]))), "
+        "(acc, t) -> acc + t), 9)"
+    )
+    seeds = "".join(
+        f", (SELECT fv AS s{j} FROM e WHERE vec_id = {j}) seed{j}"
+        for j in range(_SEM_K)
+    )
+    rds = ", ".join(d2.format(s=f"s{j}") + f" AS rd{j}" for j in range(_SEM_K))
+    da = "list_transform(a.embedding, x -> CAST(x AS DOUBLE))"
+    db = "list_transform(b.embedding, x -> CAST(x AS DOUBLE))"
+    cos = f"list_cosine_similarity({da}, {db})"
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+            FROM {_EMB_WITH_DUPS_SQL}
+            WHERE vec_id % 1000000 < {_SEM_POOL}),
+        rd AS (SELECT vec_id, embedding, {rds} FROM e{seeds}),
+        assigned AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   CAST({_SEM_CID_CASE} AS BIGINT) AS cid
+            FROM rd),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE ROUND({cos}, 6) >= {_SEM_T}),
+        stats AS (SELECT cid, COUNT(*) AS n_members FROM assigned GROUP BY 1),
+        drops AS (
+            SELECT cid, COUNT(*) AS n_dropped
+            FROM assigned JOIN dropped USING (vec_id) GROUP BY 1)
+        SELECT stats.cid, stats.n_members,
+               CAST(COALESCE(drops.n_dropped, 0) AS BIGINT) AS n_dropped,
+               CAST(stats.n_members - COALESCE(drops.n_dropped, 0) AS BIGINT)
+                   AS n_kept
+        FROM stats LEFT JOIN drops ON stats.cid = drops.cid
+        ORDER BY stats.cid
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -18068,6 +18214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_curve_11pt": q_pr_curve_11pt,
         "kalman_tracks": q_kalman_tracks,
         "holt_trend_cells": q_holt_trend_cells,
+        "semdedup_clusters": q_semdedup_clusters,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -18280,6 +18427,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_curve_11pt": _pr_curve_11pt_sql(),
         "kalman_tracks": _kalman_tracks_sql(),
         "holt_trend_cells": _holt_trend_cells_sql(),
+        "semdedup_clusters": _semdedup_clusters_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
