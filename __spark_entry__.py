@@ -17936,6 +17936,212 @@ def _semdedup_clusters_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# pLSA topic model as relational EM (session 10)
+# ---------------------------------------------------------------------------
+
+_PLSA_POOL, _PLSA_V, _PLSA_K, _PLSA_R, _PLSA_TOP = 120, 30, 3, 3, 5
+
+
+def _plsa_init(kind: str, idx: str, k: str) -> str:
+    """Deterministic symmetry-breaking init weight, ONE Python source for
+    both engines: v = 1.0 + 0.1·((idx·a + k·b) mod m) with distinct
+    (a, b, m) per parameter family (uniform init is an EM fixed point)."""
+    a, b, m = (7, 13, 5) if kind == "theta" else (11, 17, 7)
+    # CAST literals to DOUBLE: DuckDB would otherwise run this in DECIMAL
+    # arithmetic (Spark literals are doubles) and the init grids diverge
+    return (
+        f"CAST(1.0 AS DOUBLE) + CAST(0.1 AS DOUBLE) * "
+        f"(({idx} * {a} + {k} * {b}) % {m})"
+    )
+
+
+def q_plsa_topics(spark, sf_dir):
+    """pLSA topic model (Hofmann 1999) trained by 3 relational EM rounds
+    over the aggregated (doc, term, tf) table — the topic-mixture
+    decomposition a curation pipeline uses for corpus composition audits
+    and diversity-aware sampling, expressed entirely as joins + aggs on
+    O(docs·vocab) rows (the dataflow LDA-at-scale systems run; no UDF, no
+    driver state beyond the loop counter). E-step: p(k|d,w) ∝ θ_dk·φ_kw
+    normalized per (d,w); M-step re-estimates both parameter tables with
+    9-dp rounding after every normalization (the logreg_train/kmeans_geo
+    unrolled-rounds protocol — the oracle replays the identical rounds as
+    MATERIALIZED CTE chains). Deterministic modular-arithmetic init breaks
+    the uniform-init symmetry identically in both engines. Output: top-5
+    terms per topic. Scale shape: parameter tables are O(docs·K) and
+    O(K·vocab); each round is two equi-joins + three aggs on the bounded
+    cnt×K stream; vocab/doc pools bound everything (the dtw cohort
+    posture)."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.bm25 import doc_postings
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PLSA_POOL)
+        .select("doc_id", "text")
+    )
+    post = doc_postings(docs).localCheckpoint(eager=True)
+    vocab = (
+        post.groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+        .withColumn(
+            "rw",
+            F.row_number().over(Window.orderBy(F.col("cf").desc(), "term")),
+        )
+        .filter(F.col("rw") <= _PLSA_V)
+        .select("term", "rw")
+        .localCheckpoint(eager=True)
+    )
+    cnt = (
+        post.join(vocab, "term")
+        .select(F.col("doc_id").alias("d"), F.col("term").alias("w"), "rw", "tf")
+        .localCheckpoint(eager=True)
+    )
+    ks = spark.range(_PLSA_K).select(F.col("id").cast("long").alias("k"))
+    # deterministic init, normalized per row-group, 9-dp
+    th_raw = (
+        cnt.select("d")
+        .distinct()
+        .crossJoin(F.broadcast(ks))
+        .withColumn("v", F.expr(_plsa_init("theta", "d", "k")))
+    )
+    th_norm = th_raw.groupBy("d").agg(F.sum("v").alias("z"))
+    theta = (
+        th_raw.join(th_norm, "d")
+        .select("d", "k", F.round(F.col("v") / F.col("z"), 9).alias("th"))
+        .localCheckpoint(eager=True)
+    )
+    ph_raw = vocab.crossJoin(F.broadcast(ks)).withColumn(
+        "v", F.expr(_plsa_init("phi", "rw", "k"))
+    )
+    ph_norm = ph_raw.groupBy("k").agg(F.sum("v").alias("z"))
+    phi = (
+        ph_raw.join(ph_norm, "k")
+        .select("k", F.col("term").alias("w"), F.round(F.col("v") / F.col("z"), 9).alias("ph"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_PLSA_R):
+        j = (
+            cnt.join(theta, "d")
+            .join(phi, ["k", "w"])
+            .withColumn("pr", F.round(F.col("th") * F.col("ph"), 9))
+        )
+        z = j.groupBy("d", "w").agg(F.round(F.sum("pr"), 9).alias("z"))
+        wgt = (
+            j.join(z, ["d", "w"])
+            .withColumn("p", F.round(F.col("pr") / F.col("z"), 9))
+            .withColumn("wt", F.round(F.col("tf") * F.col("p"), 9))
+            .select("d", "w", "k", "wt")
+            .localCheckpoint(eager=True)
+        )
+        s_kw = wgt.groupBy("k", "w").agg(F.round(F.sum("wt"), 9).alias("s"))
+        tot_k = s_kw.groupBy("k").agg(F.round(F.sum("s"), 9).alias("tot"))
+        phi = (
+            s_kw.join(tot_k, "k")
+            .select("k", "w", F.round(F.col("s") / F.col("tot"), 9).alias("ph"))
+            .localCheckpoint(eager=True)
+        )
+        s_dk = wgt.groupBy("d", "k").agg(F.round(F.sum("wt"), 9).alias("s"))
+        tot_d = s_dk.groupBy("d").agg(F.round(F.sum("s"), 9).alias("tot"))
+        theta = (
+            s_dk.join(tot_d, "d")
+            .select("d", "k", F.round(F.col("s") / F.col("tot"), 9).alias("th"))
+            .localCheckpoint(eager=True)
+        )
+    top = Window.partitionBy("k").orderBy(F.col("ph").desc(), "w")
+    return (
+        phi.withColumn("rk", F.row_number().over(top).cast("long"))
+        .filter(F.col("rk") <= _PLSA_TOP)
+        .select(
+            "k",
+            F.col("w").alias("term"),
+            (F.floor(F.col("ph") * 1e6) / 1e6).alias("phi"),
+            "rk",
+        )
+        .orderBy("k", "rk")
+    )
+
+
+def _plsa_topics_sql() -> str:
+    from raptor_service_spark.operators.bm25 import TOKEN_PATTERN
+
+    rounds = []
+    prev_th, prev_ph = "theta0", "phi0"
+    for r in range(1, _PLSA_R + 1):
+        rounds.append(
+            f"""
+        j{r} AS (
+            SELECT cnt.d, cnt.w, t.k, cnt.tf,
+                   ROUND(t.th * p.ph, 9) AS pr
+            FROM cnt JOIN {prev_th} t ON cnt.d = t.d
+                     JOIN {prev_ph} p ON p.k = t.k AND p.w = cnt.w),
+        z{r} AS (SELECT d, w, ROUND(SUM(pr), 9) AS z FROM j{r} GROUP BY 1, 2),
+        wgt{r} AS MATERIALIZED (
+            SELECT j.d, j.w, j.k,
+                   ROUND(j.tf * ROUND(j.pr / z.z, 9), 9) AS wt
+            FROM j{r} j JOIN z{r} z ON j.d = z.d AND j.w = z.w),
+        skw{r} AS (SELECT k, w, ROUND(SUM(wt), 9) AS s
+                   FROM wgt{r} GROUP BY 1, 2),
+        totk{r} AS (SELECT k, ROUND(SUM(s), 9) AS tot FROM skw{r} GROUP BY 1),
+        phi{r} AS MATERIALIZED (
+            SELECT s.k, s.w, ROUND(s.s / t.tot, 9) AS ph
+            FROM skw{r} s JOIN totk{r} t ON s.k = t.k),
+        sdk{r} AS (SELECT d, k, ROUND(SUM(wt), 9) AS s
+                   FROM wgt{r} GROUP BY 1, 2),
+        totd{r} AS (SELECT d, ROUND(SUM(s), 9) AS tot FROM sdk{r} GROUP BY 1),
+        theta{r} AS MATERIALIZED (
+            SELECT s.d, s.k, ROUND(s.s / t.tot, 9) AS th
+            FROM sdk{r} s JOIN totd{r} t ON s.d = t.d)"""
+        )
+        prev_th, prev_ph = f"theta{r}", f"phi{r}"
+    chain = ",".join(rounds)
+    th_init = _plsa_init("theta", "d", "k")
+    ph_init = _plsa_init("phi", "rw", "k")
+    return f"""
+        WITH pool AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id < {_PLSA_POOL}),
+        post AS MATERIALIZED (
+            SELECT doc_id, t.term, COUNT(*) AS tf
+            FROM pool,
+                 unnest(regexp_extract_all(lower(text),
+                        '{TOKEN_PATTERN}', 0)) AS t(term)
+            GROUP BY 1, 2),
+        vocab AS MATERIALIZED (
+            SELECT term, rw FROM (
+                SELECT term,
+                       ROW_NUMBER() OVER (ORDER BY SUM(tf) DESC, term) AS rw
+                FROM post GROUP BY term)
+            WHERE rw <= {_PLSA_V}),
+        cnt AS MATERIALIZED (
+            SELECT p.doc_id AS d, p.term AS w, v.rw, p.tf
+            FROM post p JOIN vocab v ON p.term = v.term),
+        ks AS (SELECT CAST(UNNEST(generate_series(0, {_PLSA_K - 1})) AS BIGINT)
+                   AS k),
+        thraw AS (
+            SELECT d, k, {th_init} AS v
+            FROM (SELECT DISTINCT d FROM cnt), ks),
+        theta0 AS MATERIALIZED (
+            SELECT t.d, t.k, ROUND(t.v / z.z, 9) AS th
+            FROM thraw t JOIN (SELECT d, SUM(v) AS z FROM thraw GROUP BY 1) z
+              ON t.d = z.d),
+        phraw AS (
+            SELECT v.term AS w, k, {ph_init} AS v
+            FROM vocab v, ks),
+        phi0 AS MATERIALIZED (
+            SELECT p.k, p.w, ROUND(p.v / z.z, 9) AS ph
+            FROM phraw p JOIN (SELECT k, SUM(v) AS z FROM phraw GROUP BY 1) z
+              ON p.k = z.k),{chain}
+        SELECT k, w AS term, FLOOR(ph * 1e6) / 1e6 AS phi, rk
+        FROM (SELECT k, w, ph,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY k
+                          ORDER BY ph DESC, w) AS BIGINT) AS rk
+              FROM phi{_PLSA_R})
+        WHERE rk <= {_PLSA_TOP}
+        ORDER BY k, rk
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -18215,6 +18421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kalman_tracks": q_kalman_tracks,
         "holt_trend_cells": q_holt_trend_cells,
         "semdedup_clusters": q_semdedup_clusters,
+        "plsa_topics": q_plsa_topics,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -18428,6 +18635,7 @@ def oracle_sql() -> dict[str, str]:
         "kalman_tracks": _kalman_tracks_sql(),
         "holt_trend_cells": _holt_trend_cells_sql(),
         "semdedup_clusters": _semdedup_clusters_sql(),
+        "plsa_topics": _plsa_topics_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

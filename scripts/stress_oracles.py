@@ -43,6 +43,9 @@ NAMES = [
     "cell_xcorr", "jl_projection_audit", "spherical_centroid",
     "mobility_entropy_rate", "term_burstiness", "segregation_indices",
     "stl_lite", "changepoint_detect", "ransac_fit", "next_cell_eval",
+    # round-3 session-10 float-heavy additions
+    "rayleigh_bearing", "bootstrap_ci", "pr_curve_11pt", "kalman_tracks",
+    "holt_trend_cells", "semdedup_clusters", "plsa_topics",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
