@@ -231,6 +231,14 @@ HEADLINE = [
     "next_cell_eval",
     "span_position_profile",
     "multiprobe_lsh_recall",
+    # session 10
+    "rayleigh_bearing",
+    "bootstrap_ci",
+    "pr_curve_11pt",
+    "kalman_tracks",
+    "holt_trend_cells",
+    "semdedup_clusters",
+    "plsa_topics",
 ]
 
 SEED = 77
