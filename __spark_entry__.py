@@ -18142,6 +18142,332 @@ def _plsa_topics_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Epanechnikov KDE hotspot surface (session 10)
+# ---------------------------------------------------------------------------
+
+_KDE_RES, _KDE_K, _KDE_TOPK = 4, 2, 20
+
+
+def q_kde_hotspots(spark, sf_dir):
+    """Kernel density estimate over the tile grid — the smoothed hotspot
+    surface (heat map) next to the raw-count family (hot_cells = argmax
+    counts, cell_kring_smooth = uniform ring mean, getis_hotspots =
+    significance): density(c) = Σ_{|Δ|∞ ≤ 2} n(c+Δ)·K(r) with the
+    Epanechnikov kernel K(r) = 1 − (r/3)² at Chebyshev ring distance r.
+    Scaled ×9 the weights are the INTEGERS {9, 8, 5}, so the whole surface
+    is exact integer arithmetic — no float protocol at all. One count agg
+    + a 25-offset JVM-side explode + one ring join (the kring_smooth
+    dataflow); top-20 densest cells."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+    from raptor_service_spark.operators.neighborhood import (
+        _offsets,
+        kring_neighbor_col,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    cnt = d.groupBy(cell_encode_col(lat, lng, _KDE_RES).alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    terms = [
+        F.struct(
+            kring_neighbor_col("cell", _KDE_RES, dx, dy).alias("nbr"),
+            F.lit(9 - max(abs(dx), abs(dy)) ** 2).cast("long").alias("w"),
+        )
+        for dx, dy in _offsets(_KDE_K)
+    ]
+    pairs = cnt.select(
+        "cell",
+        "n_points",
+        F.explode(F.filter(F.array(*terms), lambda s: s["nbr"].isNotNull())).alias(
+            "t"
+        ),
+    ).select("cell", "n_points", F.col("t.nbr").alias("nbr"), F.col("t.w").alias("w"))
+    ring = pairs.join(
+        cnt.select(F.col("cell").alias("nbr"), F.col("n_points").alias("np2")),
+        "nbr",
+        "left",
+    )
+    kde = ring.groupBy("cell").agg(
+        F.max("n_points").alias("n_points"),
+        F.sum(F.coalesce("np2", F.lit(0)) * F.col("w")).alias("kde_x9"),
+    )
+    top = Window.orderBy(F.col("kde_x9").desc(), "cell")
+    return (
+        kde.withColumn("rk", F.row_number().over(top).cast("long"))
+        .filter(F.col("rk") <= _KDE_TOPK)
+        .select("cell", "n_points", F.col("kde_x9").cast("long").alias("kde_x9"), "rk")
+    )
+
+
+def _kde_hotspots_sql() -> str:
+    from raptor_service_spark.operators.neighborhood import (
+        _offsets,
+        kring_neighbor_sql,
+    )
+
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, _KDE_RES)
+    offs = ", ".join(
+        f"({dx}, {dy}, {9 - max(abs(dx), abs(dy)) ** 2})"
+        for dx, dy in _offsets(_KDE_K)
+    )
+    nbr = kring_neighbor_sql("c.cell", _KDE_RES, "o.dx", "o.dy")
+    return f"""
+        WITH c AS (SELECT {cell} AS cell, COUNT(*) AS n_points
+                   FROM documents GROUP BY 1),
+        p AS (SELECT c.cell, c.n_points, {nbr} AS nbr, o.w
+              FROM c CROSS JOIN (VALUES {offs}) o(dx, dy, w)
+              WHERE {nbr} IS NOT NULL),
+        k AS (SELECT p.cell, MAX(p.n_points) AS n_points,
+                     CAST(SUM(COALESCE(c2.n_points, 0) * p.w) AS BIGINT)
+                         AS kde_x9
+              FROM p LEFT JOIN c c2 ON p.nbr = c2.cell
+              GROUP BY 1)
+        SELECT cell, n_points, kde_x9, rk FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY kde_x9 DESC, cell)
+                           AS BIGINT) AS rk
+            FROM k)
+        WHERE rk <= {_KDE_TOPK}
+    """
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining for contrastive training (session 10)
+# ---------------------------------------------------------------------------
+
+_HN_Q, _HN_POOL, _HN_K, _HN_RES = 30, 400, 4, 2
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining — the training-data op behind contrastive
+    retrieval fine-tuning (DPR/SimCSE style): for each query document,
+    the top-k most-similar candidates that are NOT its positives. The
+    positive proxy here is spatial co-location (same res-2 tile — the
+    tile tree's own notion of relatedness), so a hard negative is a
+    high-cosine vector from a DIFFERENT tile: maximally confusing,
+    maximally informative gradient. One bounded q×pool broadcast scoring
+    join (at corpus scale the candidate side comes from the ANN index —
+    grid_knn_ann's ring planner — instead of a full pool scan; this
+    bounded pool is the declared parity twin), exact fold cosine,
+    per-query top-4 window."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lat, lng = _latlng_cols(F.col("vec_id"))
+    cells = emb.select(
+        "vec_id", "embedding", cell_encode_col(lat, lng, _HN_RES).alias("cell")
+    )
+    q = cells.filter(F.col("vec_id") < _HN_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("vq"),
+        F.col("cell").alias("qcell"),
+    )
+    c = cells.filter(F.col("vec_id") < _HN_POOL).select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("vc"),
+        F.col("cell").alias("ccell"),
+    )
+    dot = F.aggregate(
+        F.zip_with("vq", "vc", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            "vq", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            "vc", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    pairs = (
+        q.join(
+            F.broadcast(c),
+            (F.col("qid") != F.col("neg_id")) & (F.col("qcell") != F.col("ccell")),
+        )
+        .withColumn("cosine", F.round(dot / (nq * nc), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "neg_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _HN_K)
+        .select("qid", "neg_id", "cosine", "rk")
+        .orderBy("qid", "rk")
+    )
+
+
+def _hard_negatives_sql() -> str:
+    lat, lng = _latlng_sql("vec_id")
+    cell = cell_encode_sql(lat, lng, _HN_RES)
+    da = "list_transform(q.vq, x -> CAST(x AS DOUBLE))"
+    db = "list_transform(c.vc, x -> CAST(x AS DOUBLE))"
+    cos = f"list_cosine_similarity({da}, {db})"
+    return f"""
+        WITH cells AS (
+            SELECT vec_id, embedding, {cell} AS cell FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS vq, cell AS qcell
+              FROM cells WHERE vec_id < {_HN_Q}),
+        c AS (SELECT vec_id AS neg_id, embedding AS vc, cell AS ccell
+              FROM cells WHERE vec_id < {_HN_POOL}),
+        pairs AS (
+            SELECT q.qid, c.neg_id, ROUND({cos}, 6) AS cosine
+            FROM q JOIN c
+              ON q.qid != c.neg_id AND q.qcell != c.ccell)
+        SELECT qid, neg_id, cosine, rk FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY cosine DESC, neg_id) AS BIGINT) AS rk
+            FROM pairs)
+        WHERE rk <= {_HN_K}
+        ORDER BY qid, rk
+    """
+
+
+# ---------------------------------------------------------------------------
+# sampled-source betweenness centrality (Brandes, H-bounded) (session 10)
+# ---------------------------------------------------------------------------
+
+_BTW_SEEDS, _BTW_H, _BTW_RES, _BTW_TOPK = 2, 4, 4, 15
+
+
+def q_betweenness_cells(spark, sf_dir):
+    """Sampled-source betweenness centrality of the occupied res-4 cell
+    lattice — WHICH tiles carry the through-traffic (the corridor/bridge
+    detector next to pagerank's popularity and kcore's density). Exact
+    Brandes (2001) from the 2 busiest cells, horizon-bounded at H=4 hops
+    (the standard sampling + bounded-depth estimator — exact betweenness
+    is all-sources): forward level-synchronous BFS accumulates σ
+    (shortest-path COUNTS — exact integers), backward pass accumulates
+    the dependency δ(v) = Σ_w σv/σw·(1+δw) hop by hop with 9-dp rounds.
+    Spark: one frontier equi-join + anti-join per forward hop, one
+    3-table join per backward hop, seeds on concurrent threads over ONE
+    shared adjacency (the graph_eccentricity posture). Oracle: the
+    identical hops unrolled as CTE chains per seed."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+    from raptor_service_spark.operators.cell_graph import _adjacency, brandes_bounded
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    occ = d.select(cell_encode_col(lat, lng, _BTW_RES).alias("cell"))
+    seeds = sorted(
+        r.cell
+        for r in occ.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "cell")
+        .limit(_BTW_SEEDS)
+        .collect()
+    )
+    occ_d = occ.distinct().localCheckpoint(eager=True)
+    edges = _adjacency(occ_d, _BTW_RES).localCheckpoint(eager=True)
+
+    def _one_seed(s):
+        return brandes_bounded(occ_d, s, _BTW_RES, max_hops=_BTW_H, edges=edges)
+
+    with ThreadPoolExecutor(max_workers=len(seeds)) as ex:
+        parts = list(ex.map(_one_seed, seeds))
+    alld = parts[0]
+    for p in parts[1:]:
+        alld = alld.unionByName(p)
+    btw = alld.groupBy("cell").agg(F.round(F.sum("delta"), 9).alias("btw"))
+    top = Window.orderBy(F.col("btw").desc(), "cell")
+    return (
+        btw.filter(F.col("btw") > 0)
+        .withColumn("rk", F.row_number().over(top).cast("long"))
+        .filter(F.col("rk") <= _BTW_TOPK)
+        .select("cell", (F.floor(F.col("btw") * 1e6) / 1e6).alias("btw"), "rk")
+    )
+
+
+def _betweenness_cells_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import _RING
+
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, _BTW_RES)
+    nbr = kring_neighbor_sql("o.cell", _BTW_RES, "v.dx", "v.dy")
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _RING)
+    ctes = []
+    unions = []
+    for si in range(_BTW_SEEDS):
+        seed = (
+            f"(SELECT cell FROM (SELECT cell, COUNT(*) AS c FROM base "
+            f"GROUP BY 1 ORDER BY c DESC, cell LIMIT 1 OFFSET {si}))"
+        )
+        ctes.append(
+            f"f{si}_0 AS (SELECT cell, CAST(1 AS BIGINT) AS sigma "
+            f"FROM occ WHERE cell = {seed})"
+        )
+        ctes.append(f"v{si}_0 AS (SELECT cell FROM f{si}_0)")
+        for h in range(1, _BTW_H + 1):
+            ctes.append(
+                f"""f{si}_{h} AS (
+                SELECT e.dst AS cell, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+                FROM f{si}_{h - 1} f JOIN e ON e.src = f.cell
+                WHERE e.dst NOT IN (SELECT cell FROM v{si}_{h - 1})
+                GROUP BY 1)"""
+            )
+            ctes.append(
+                f"v{si}_{h} AS (SELECT cell FROM v{si}_{h - 1} "
+                f"UNION ALL SELECT cell FROM f{si}_{h})"
+            )
+        ctes.append(
+            f"d{si}_{_BTW_H} AS (SELECT cell, sigma, "
+            f"CAST(0.0 AS DOUBLE) AS delta FROM f{si}_{_BTW_H})"
+        )
+        unions.append(f"SELECT cell, delta FROM d{si}_{_BTW_H}")
+        for h in range(_BTW_H - 1, 0, -1):
+            ctes.append(
+                f"""d{si}_{h} AS (
+                SELECT u.cell, u.sigma,
+                       ROUND(COALESCE(c.dsum, CAST(0.0 AS DOUBLE)), 9)
+                           AS delta
+                FROM f{si}_{h} u LEFT JOIN (
+                    SELECT e.src AS ucell,
+                           ROUND(SUM(ROUND(CAST(u2.sigma AS DOUBLE)
+                                 / CAST(w.sigma AS DOUBLE)
+                                 * (CAST(1.0 AS DOUBLE) + w.delta), 9)), 9)
+                               AS dsum
+                    FROM f{si}_{h} u2
+                    JOIN e ON e.src = u2.cell
+                    JOIN d{si}_{h + 1} w ON w.cell = e.dst
+                    GROUP BY 1) c ON c.ucell = u.cell)"""
+            )
+            unions.append(f"SELECT cell, delta FROM d{si}_{h}")
+    chain = ",\n        ".join(ctes)
+    union = "\n            UNION ALL ".join(unions)
+    return f"""
+        WITH base AS (SELECT {cell} AS cell FROM documents),
+        occ AS MATERIALIZED (SELECT DISTINCT cell FROM base),
+        e AS MATERIALIZED (
+            SELECT o.cell AS src, {nbr} AS dst
+            FROM occ o CROSS JOIN (VALUES {offs}) v(dx, dy)
+            WHERE {nbr} IS NOT NULL
+              AND {nbr} IN (SELECT cell FROM occ)),
+        {chain},
+        alld AS ({union}),
+        btw AS (SELECT cell, ROUND(SUM(delta), 9) AS btw
+                FROM alld GROUP BY 1)
+        SELECT cell, FLOOR(btw * 1e6) / 1e6 AS btw, rk FROM (
+            SELECT cell, btw,
+                   CAST(ROW_NUMBER() OVER (ORDER BY btw DESC, cell)
+                        AS BIGINT) AS rk
+            FROM btw WHERE btw > 0)
+        WHERE rk <= {_BTW_TOPK}
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -18422,6 +18748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_trend_cells": q_holt_trend_cells,
         "semdedup_clusters": q_semdedup_clusters,
         "plsa_topics": q_plsa_topics,
+        "kde_hotspots": q_kde_hotspots,
+        "hard_negatives": q_hard_negatives,
+        "betweenness_cells": q_betweenness_cells,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -18636,6 +18965,9 @@ def oracle_sql() -> dict[str, str]:
         "holt_trend_cells": _holt_trend_cells_sql(),
         "semdedup_clusters": _semdedup_clusters_sql(),
         "plsa_topics": _plsa_topics_sql(),
+        "kde_hotspots": _kde_hotspots_sql(),
+        "hard_negatives": _hard_negatives_sql(),
+        "betweenness_cells": _betweenness_cells_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -239,6 +239,9 @@ HEADLINE = [
     "holt_trend_cells",
     "semdedup_clusters",
     "plsa_topics",
+    "kde_hotspots",
+    "hard_negatives",
+    "betweenness_cells",
 ]
 
 SEED = 77

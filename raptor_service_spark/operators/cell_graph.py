@@ -653,3 +653,84 @@ def lpa_sql(edges_sql: str, n_iters: int = 4) -> str:
         JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
               FROM l{n_iters} GROUP BY 1) s USING (label)
     """
+
+
+def brandes_bounded(
+    occ: DataFrame,
+    seed_cell: int,
+    res: int,
+    max_hops: int = 4,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Single-source dependency accumulation of Brandes (2001) betweenness,
+    horizon-bounded at ``max_hops`` — returns (cell, delta) for every cell
+    reached at hops 1..H from the seed (delta = the seed's betweenness
+    contribution to that cell). Sum over sampled seeds = the standard
+    sampled betweenness estimator.
+
+    Forward: level-synchronous BFS carrying sigma (shortest-path COUNTS,
+    exact integers) — one frontier equi-join + anti-join per hop.
+    Backward: delta(v) = sum over hop+1 successors w of
+    sigma_v/sigma_w * (1 + delta_w), one 3-table join per hop, 9-dp
+    rounds (the unrolled-CTE oracle replays identical arithmetic).
+    ``edges``: optional prebuilt ``_adjacency`` over distinct ``occ``
+    (the multi-seed sharing convention of bfs_hops)."""
+    if edges is None:
+        occ = occ.select("cell").distinct().localCheckpoint(eager=True)
+        edges = _adjacency(occ, res).localCheckpoint(eager=True)
+    f0 = (
+        occ.filter(F.col("cell") == F.lit(seed_cell))
+        .withColumn("sigma", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontiers = [f0]
+    visited = f0.select("cell")
+    for _ in range(max_hops):
+        cand = frontiers[-1].join(
+            edges, frontiers[-1].cell == edges.src
+        ).select(F.col("dst").alias("cell"), "sigma")
+        nf = (
+            cand.join(visited, "cell", "left_anti")
+            .groupBy("cell")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        frontiers.append(nf)
+        visited = visited.unionByName(nf.select("cell")).localCheckpoint(eager=True)
+    delta = frontiers[max_hops].withColumn("delta", F.lit(0.0).cast("double"))
+    outs = [delta.select("cell", "delta")]
+    for h in range(max_hops - 1, 0, -1):
+        u = frontiers[h]
+        succ = delta.select(
+            F.col("cell").alias("wcell"),
+            F.col("sigma").alias("wsigma"),
+            F.col("delta").alias("wdelta"),
+        )
+        contrib = (
+            u.join(edges, u.cell == edges.src)
+            .join(succ, F.col("dst") == F.col("wcell"))
+            .select(
+                u.cell.alias("ucell"),
+                F.round(
+                    F.col("sigma").cast("double") / F.col("wsigma").cast("double")
+                    * (F.lit(1.0) + F.col("wdelta")),
+                    9,
+                ).alias("term"),
+            )
+            .groupBy("ucell")
+            .agg(F.round(F.sum("term"), 9).alias("dsum"))
+        )
+        delta = (
+            u.join(contrib, u.cell == contrib.ucell, "left")
+            .select(
+                "cell",
+                "sigma",
+                F.round(F.coalesce("dsum", F.lit(0.0)), 9).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        outs.append(delta.select("cell", "delta"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.localCheckpoint(eager=True)

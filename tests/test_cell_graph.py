@@ -214,3 +214,61 @@ def test_kcore_empty_when_k_exceeds_max_degree(spark):
     df = spark.createDataFrame([(c,) for c in occ], "cell long")
     got = kcore(df, RES, k=9, max_rounds=8).count()  # degree <= 8 always
     assert got == 0
+
+
+def _py_brandes_bounded(occ, seed_cell, max_hops):
+    """Pure-Python H-bounded Brandes: returns {cell: delta} for hops 1..H."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r9(x):
+        return float(Decimal(repr(float(x))).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    if seed_cell not in occ:
+        return {}
+    hops = {seed_cell: 0}
+    sigma = {seed_cell: 1}
+    frontier = [seed_cell]
+    levels = {0: [seed_cell]}
+    for h in range(1, max_hops + 1):
+        nxt = {}
+        for u in frontier:
+            for nb in _nbrs(u):
+                if nb in occ and nb not in hops:
+                    nxt[nb] = nxt.get(nb, 0) + sigma[u]
+        for v, s in nxt.items():
+            hops[v] = h
+            sigma[v] = s
+        levels[h] = sorted(nxt)
+        frontier = levels[h]
+    delta = {c: 0.0 for c in levels[max_hops]}
+    out = dict(delta)
+    for h in range(max_hops - 1, 0, -1):
+        nd = {}
+        for u in levels[h]:
+            terms = [
+                r9(sigma[u] / sigma[w] * (1.0 + delta[w]))
+                for w in _nbrs(u)
+                if w in occ and hops.get(w) == h + 1
+            ]
+            nd[u] = r9(sum(terms)) if terms else 0.0
+        delta = nd
+        out.update(nd)
+    return out
+
+
+def test_brandes_bounded_matches_python(spark):
+    from raptor_service_spark.operators.cell_graph import brandes_bounded
+
+    occ = _occ_cells(seed=7, frac=0.5)
+    seed_cell = min(occ)
+    df = spark.createDataFrame([(c,) for c in occ], "cell long")
+    got = {
+        r["cell"]: r["delta"]
+        for r in brandes_bounded(df, seed_cell, RES, max_hops=3).collect()
+    }
+    want = _py_brandes_bounded(occ, seed_cell, 3)
+    assert set(got) == set(want)
+    for c in want:
+        assert abs(got[c] - want[c]) < 1e-9, (c, got[c], want[c])
+    # sanity: some interior cell carries positive dependency
+    assert any(v > 0 for v in got.values())
