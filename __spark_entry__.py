@@ -18468,6 +18468,458 @@ def _betweenness_cells_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# temporal 2-path motifs over the timed transition graph (session 10)
+# ---------------------------------------------------------------------------
+
+_TM_POOL, _TM_RES, _TM_WIN, _TM_TOPK = 200, 3, 900, 20
+
+
+def q_temporal_motifs(spark, sf_dir):
+    """Temporal 2-path motif counting (Paranjape et al. 2017) over the
+    timed cell-transition graph: edges are user moves a→b stamped at the
+    arrival second; a motif is a→b (t₁) followed by b→c (t₂) BY ANY USER
+    with 0 < t₂−t₁ ≤ 15 min — the flow-relay structure plain OD counts
+    cannot see (od_triangles counts the untimed closure; this counts the
+    time-respecting wedge, split into pass-through c≠a vs bounce-back
+    c=a). Spark: the edge-table self-join on the middle cell is bucketed
+    by 15-min epoch (each left edge probes buckets {h, h+1} via a 2-value
+    explode, then the exact window refines — the knox/asof ring-join
+    posture, never a full time-cross product). All-integer output."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < _TM_POOL)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    sec = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)
+    ).cast("long")
+    pts = ev.select(
+        "user_id",
+        sec.alias("t"),
+        F.col("event_id").alias("e"),
+        cell_encode_col(lat, lng, _TM_RES).alias("cell"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "e")
+    mv = (
+        pts.withColumn("src", F.lag("cell").over(w))
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("cell")))
+        .select("src", F.col("cell").alias("dst"), "t")
+        .localCheckpoint(eager=True)
+    )
+    left = mv.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("t").alias("t1"),
+        F.explode(
+            F.array(
+                F.floor(F.col("t") / _TM_WIN).cast("long"),
+                (F.floor(F.col("t") / _TM_WIN) + 1).cast("long"),
+            )
+        ).alias("hb"),
+    )
+    right = mv.select(
+        F.col("src").alias("b2"),
+        F.col("dst").alias("c"),
+        F.col("t").alias("t2"),
+        F.floor(F.col("t") / _TM_WIN).cast("long").alias("hb2"),
+    )
+    wedges = left.join(
+        right, (F.col("b") == F.col("b2")) & (F.col("hb") == F.col("hb2"))
+    ).filter((F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + _TM_WIN))
+    counted = wedges.groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("n_motifs"))
+    top = Window.orderBy(F.col("n_motifs").desc(), "a", "b", "c")
+    return (
+        counted.withColumn(
+            "kind",
+            F.when(F.col("c") == F.col("a"), F.lit("bounce")).otherwise(
+                F.lit("relay")
+            ),
+        )
+        .withColumn("rk", F.row_number().over(top).cast("long"))
+        .filter(F.col("rk") <= _TM_TOPK)
+        .select("a", "b", "c", "kind", "n_motifs", "rk")
+    )
+
+
+def _temporal_motifs_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, _TM_RES)
+    return f"""
+        WITH p AS (
+            SELECT user_id,
+                   CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT) AS t,
+                   event_id AS e, {cell} AS cell
+            FROM events WHERE user_id < {_TM_POOL}),
+        mv AS (
+            SELECT src, cell AS dst, t FROM (
+                SELECT cell, t,
+                       LAG(cell) OVER (PARTITION BY user_id
+                                       ORDER BY t, e) AS src
+                FROM p)
+            WHERE src IS NOT NULL AND src != cell),
+        wedges AS (
+            SELECT m1.src AS a, m1.dst AS b, m2.dst AS c
+            FROM mv m1 JOIN mv m2
+              ON m2.src = m1.dst
+             AND m2.t > m1.t AND m2.t <= m1.t + {_TM_WIN}),
+        counted AS (
+            SELECT a, b, c, COUNT(*) AS n_motifs
+            FROM wedges GROUP BY 1, 2, 3)
+        SELECT a, b, c, kind, n_motifs, rk FROM (
+            SELECT a, b, c,
+                   CASE WHEN c = a THEN 'bounce' ELSE 'relay' END AS kind,
+                   n_motifs,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_motifs DESC, a, b, c)
+                        AS BIGINT) AS rk
+            FROM counted)
+        WHERE rk <= {_TM_TOPK}
+    """
+
+
+# ---------------------------------------------------------------------------
+# query clarity score (query-performance prediction) (session 10)
+# ---------------------------------------------------------------------------
+
+_CLARITY_QUERIES = [
+    ("q_vector", ["vector", "merge", "stream"]),
+    ("q_filter", ["filter", "group"]),
+    ("q_scan", ["scan", "join"]),
+]
+_CLARITY_K = 10
+
+
+def q_clarity_score(spark, sf_dir):
+    """Query clarity score (Cronen-Townsend et al. 2002) — the classic
+    query-performance predictor: KL divergence between the language model
+    of the top-k retrieved documents and the corpus LM. A focused query's
+    results share a vocabulary (high clarity); an ambiguous one's results
+    look like the corpus (≈ 0). P(w|Q) = Σ_{d∈top10} P(w|d)/k with uniform
+    result weights (deterministic), P(w|d) = tf/dl and P(w|C) = cf/total —
+    ALL exact integer ratios, so only the ln term touches libm (the
+    bm25/perplexity-proven discipline); per-term 9-dp pre-rounds. One
+    postings table feeds the ranking, the result LMs, and the corpus LM
+    for all three probe queries."""
+    from raptor_service_spark.operators.bm25 import bm25_topk, doc_postings
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    post = doc_postings(docs).localCheckpoint(eager=True)
+    dlen = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    corpus = post.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = post.agg(F.sum("tf").alias("tot"))
+    outs = []
+    for qid, terms in _CLARITY_QUERIES:
+        top = bm25_topk(docs, list(terms), _CLARITY_K).select("doc_id")
+        lm = (
+            top.join(post, "doc_id")
+            .join(dlen, "doc_id")
+            .groupBy("term")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.col("tf")
+                            / F.col("dl")
+                            / F.lit(float(_CLARITY_K)),
+                            9,
+                        )
+                    ),
+                    9,
+                ).alias("pwq")
+            )
+        )
+        contrib = (
+            lm.join(corpus, "term")
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.round(
+                    F.col("pwq")
+                    * F.log(
+                        F.col("pwq") / (F.col("cf") / F.col("tot"))
+                    ),
+                    9,
+                ).alias("c")
+            )
+        )
+        outs.append(
+            contrib.agg(
+                F.lit(qid).alias("qid"),
+                F.count(F.lit(1)).alias("n_terms"),
+                F.round(F.sum("c"), 6).alias("clarity"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("qid")
+
+
+def _clarity_score_sql() -> str:
+    from raptor_service_spark.operators.bm25 import TOKEN_PATTERN, bm25_sql
+
+    blocks = []
+    for qid, terms in _CLARITY_QUERIES:
+        kw = bm25_sql("documents", list(terms), _CLARITY_K)
+        blocks.append(
+            f"""
+        SELECT '{qid}' AS qid,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               ROUND(SUM(c), 6) AS clarity
+        FROM (
+            SELECT ROUND(lm.pwq * LN(lm.pwq / (ccorpus.cf
+                       / (SELECT tot FROM ctotal))), 9) AS c
+            FROM (
+                SELECT p.term,
+                       ROUND(SUM(ROUND(p.tf / CAST(d.dl AS DOUBLE)
+                                 / {float(_CLARITY_K)!r}, 9)), 9) AS pwq
+                FROM (SELECT doc_id FROM ({kw})) t
+                JOIN cpost p USING (doc_id)
+                JOIN cdlen d USING (doc_id)
+                GROUP BY p.term) lm
+            JOIN ccorpus USING (term))"""
+        )
+    union = "\n        UNION ALL".join(blocks)
+    # outer CTE names are c-prefixed: bm25_sql nests its own WITH (post,
+    # dlen, ...) inside each block, and shadowed names trip a DuckDB
+    # planner assertion ("recursive CTE scan without recursive CTE node")
+    return f"""
+        WITH cpost AS MATERIALIZED (
+            SELECT doc_id, t.term, COUNT(*) AS tf
+            FROM documents,
+                 unnest(regexp_extract_all(lower(text),
+                        '{TOKEN_PATTERN}', 0)) AS t(term)
+            GROUP BY 1, 2),
+        cdlen AS MATERIALIZED (SELECT doc_id, SUM(tf) AS dl FROM cpost
+                               GROUP BY 1),
+        ccorpus AS MATERIALIZED (SELECT term, SUM(tf) AS cf FROM cpost
+                                 GROUP BY 1),
+        ctotal AS (SELECT CAST(SUM(tf) AS DOUBLE) AS tot FROM cpost)
+        SELECT * FROM ({union}) ORDER BY qid
+    """
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-1/2 overlap scoring of blocked candidate pairs (session 10)
+# ---------------------------------------------------------------------------
+
+_ROUGE_POOL, _ROUGE_WIN, _ROUGE_TOPK = 150, 2, 20
+
+
+def q_rouge_pairs(spark, sf_dir):
+    """ROUGE-1/ROUGE-2 F1 between blocked candidate document pairs — the
+    summary/paraphrase overlap metric (Lin 2004) a curation pipeline uses
+    to grade near-duplicate aggressiveness and summary faithfulness.
+    Candidates come from sorted-neighborhood blocking (normalized text
+    key, each record vs its 2 successors — the snm_pairs O(n·w) posture)
+    over the duplicated corpus; per pair, F1 = 2·overlap/(len_a+len_b)
+    with overlap = Σ_g min(tf_a(g), tf_b(g)) — ALL exact integer ratios,
+    zero float protocol beyond the final exact division. One token agg +
+    one bigram agg feed every pair via two (pair ⋈ grams) joins; planted
+    twins surface at F1 = 1.0."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.bm25 import tokenize
+
+    d = _docs_with_dups(spark, sf_dir).filter(
+        (F.col("doc_id") % 1000000) < _ROUGE_POOL
+    )
+    key = F.lower(F.substring(F.trim("text"), 1, 24))
+    w = Window.orderBy("key", "doc_id")
+    ranked = d.select("doc_id", key.alias("key")).withColumn(
+        "rn", F.row_number().over(w)
+    ).localCheckpoint(eager=True)
+    a = ranked.select(F.col("doc_id").alias("id_a"), F.col("rn").alias("ra"))
+    b = ranked.select(F.col("doc_id").alias("id_b"), F.col("rn").alias("rb"))
+    pairs = a.join(
+        b,
+        (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + _ROUGE_WIN),
+    ).select("id_a", "id_b")
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("g"))
+    uni = toks.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    ulen = uni.groupBy("doc_id").agg(F.sum("c").alias("len"))
+    big = (
+        d.select("doc_id", tokenize(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> concat(ws[i - 1], ' ', ws[i]))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    blen = big.groupBy("doc_id").agg(F.sum("c").alias("len"))
+
+    def overlap(grams):
+        ga = grams.select(
+            F.col("doc_id").alias("id_a"), "g", F.col("c").alias("ca")
+        )
+        gb = grams.select(
+            F.col("doc_id").alias("id_b"), "g", F.col("c").alias("cb")
+        )
+        return (
+            pairs.join(ga, "id_a")
+            .join(gb, ["id_b", "g"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.least("ca", "cb")).alias("ov"))
+        )
+    o1 = overlap(uni).withColumnRenamed("ov", "ov1")
+    o2 = overlap(big).withColumnRenamed("ov", "ov2")
+    la1 = ulen.select(F.col("doc_id").alias("id_a"), F.col("len").alias("la1"))
+    lb1 = ulen.select(F.col("doc_id").alias("id_b"), F.col("len").alias("lb1"))
+    la2 = blen.select(F.col("doc_id").alias("id_a"), F.col("len").alias("la2"))
+    lb2 = blen.select(F.col("doc_id").alias("id_b"), F.col("len").alias("lb2"))
+    scored = (
+        pairs.join(o1, ["id_a", "id_b"], "left")
+        .join(o2, ["id_a", "id_b"], "left")
+        .join(la1, "id_a")
+        .join(lb1, "id_b")
+        .join(la2, "id_a", "left")
+        .join(lb2, "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                (F.lit(2) * F.coalesce("ov1", F.lit(0)))
+                / (F.col("la1") + F.col("lb1")),
+                6,
+            ).alias("rouge1_f"),
+            F.when(
+                (F.coalesce("la2", F.lit(0)) + F.coalesce("lb2", F.lit(0))) > 0,
+                F.round(
+                    (F.lit(2) * F.coalesce("ov2", F.lit(0)))
+                    / (F.coalesce("la2", F.lit(0)) + F.coalesce("lb2", F.lit(0))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rouge2_f"),
+        )
+    )
+    top = Window.orderBy(
+        F.col("rouge2_f").desc(), F.col("rouge1_f").desc(), "id_a", "id_b"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(top).cast("long"))
+        .filter(F.col("rk") <= _ROUGE_TOPK)
+        .select("id_a", "id_b", "rouge1_f", "rouge2_f", "rk")
+    )
+
+
+def _rouge_pairs_sql() -> str:
+    from raptor_service_spark.operators.bm25 import TOKEN_PATTERN
+
+    return f"""
+        WITH d AS MATERIALIZED (
+            SELECT doc_id, text FROM {_DOCS_WITH_DUPS_SQL}
+            WHERE doc_id % 1000000 < {_ROUGE_POOL}),
+        ranked AS MATERIALIZED (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY lower(substring(trim(text), 1, 24)), doc_id)
+                       AS rn
+            FROM d),
+        pairs AS MATERIALIZED (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ranked a JOIN ranked b
+              ON b.rn > a.rn AND b.rn <= a.rn + {_ROUGE_WIN}),
+        uni AS MATERIALIZED (
+            SELECT doc_id, t.g, COUNT(*) AS c
+            FROM d, unnest(regexp_extract_all(lower(text),
+                           '{TOKEN_PATTERN}', 0)) AS t(g)
+            GROUP BY 1, 2),
+        ulen AS (SELECT doc_id, SUM(c) AS len FROM uni GROUP BY 1),
+        big AS MATERIALIZED (
+            SELECT doc_id, g, COUNT(*) AS c FROM (
+                SELECT doc_id,
+                       ws[i - 1] || ' ' || ws[i] AS g
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text),
+                                 '{TOKEN_PATTERN}', 0) AS ws
+                      FROM d),
+                     unnest(generate_series(2, len(ws))) AS s(i)
+                WHERE len(ws) >= 2)
+            GROUP BY 1, 2),
+        blen AS (SELECT doc_id, SUM(c) AS len FROM big GROUP BY 1),
+        o1 AS (
+            SELECT p.id_a, p.id_b, SUM(LEAST(ga.c, gb.c)) AS ov
+            FROM pairs p
+            JOIN uni ga ON ga.doc_id = p.id_a
+            JOIN uni gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+            GROUP BY 1, 2),
+        o2 AS (
+            SELECT p.id_a, p.id_b, SUM(LEAST(ga.c, gb.c)) AS ov
+            FROM pairs p
+            JOIN big ga ON ga.doc_id = p.id_a
+            JOIN big gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+            GROUP BY 1, 2),
+        scored AS (
+            SELECT p.id_a, p.id_b,
+                   ROUND(CAST(2 * COALESCE(o1.ov, 0) AS DOUBLE)
+                         / (la1.len + lb1.len), 6) AS rouge1_f,
+                   CASE WHEN COALESCE(la2.len, 0) + COALESCE(lb2.len, 0) > 0
+                        THEN ROUND(CAST(2 * COALESCE(o2.ov, 0) AS DOUBLE)
+                             / (COALESCE(la2.len, 0) + COALESCE(lb2.len, 0)),
+                             6)
+                        ELSE CAST(0.0 AS DOUBLE) END AS rouge2_f
+            FROM pairs p
+            LEFT JOIN o1 ON o1.id_a = p.id_a AND o1.id_b = p.id_b
+            LEFT JOIN o2 ON o2.id_a = p.id_a AND o2.id_b = p.id_b
+            JOIN ulen la1 ON la1.doc_id = p.id_a
+            JOIN ulen lb1 ON lb1.doc_id = p.id_b
+            LEFT JOIN blen la2 ON la2.doc_id = p.id_a
+            LEFT JOIN blen lb2 ON lb2.doc_id = p.id_b)
+        SELECT id_a, id_b, rouge1_f, rouge2_f, rk FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                       ORDER BY rouge2_f DESC, rouge1_f DESC, id_a, id_b)
+                       AS BIGINT) AS rk
+            FROM scored)
+        WHERE rk <= {_ROUGE_TOPK}
+    """
+
+
+# ---------------------------------------------------------------------------
+# k-truss edge peeling (session 10)
+# ---------------------------------------------------------------------------
+
+
+def q_cell_ktruss(spark, sf_dir):
+    """4-truss of the occupied res-5 document-cell lattice: iterative EDGE
+    peeling by triangle support (every kept edge must sit in ≥ 2
+    triangles among survivors) — strictly stronger cohesion than
+    cell_kcore's degree rule; the community-skeleton extractor. Fixpoint
+    within 4 rounds; the oracle unrolls the identical peel (monotone ⇒
+    early convergence agrees; all-integer). Per round: one degree-bounded
+    triangle enumeration + one count filter
+    (operators/cell_graph.py:ktruss)."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+    from raptor_service_spark.operators.cell_graph import ktruss
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    occ = d.select(cell_encode_col(lat, lng, _ISO_RES).alias("cell"))
+    return ktruss(occ, res=_ISO_RES, k=4, max_rounds=4)
+
+
+def _cell_ktruss_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import ktruss_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, _ISO_RES)
+    return ktruss_sql(
+        f"SELECT {cell} AS cell FROM documents", res=_ISO_RES, k=4, max_rounds=4
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -18751,6 +19203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_hotspots": q_kde_hotspots,
         "hard_negatives": q_hard_negatives,
         "betweenness_cells": q_betweenness_cells,
+        "temporal_motifs": q_temporal_motifs,
+        "clarity_score": q_clarity_score,
+        "rouge_pairs": q_rouge_pairs,
+        "cell_ktruss": q_cell_ktruss,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -18968,6 +19424,10 @@ def oracle_sql() -> dict[str, str]:
         "kde_hotspots": _kde_hotspots_sql(),
         "hard_negatives": _hard_negatives_sql(),
         "betweenness_cells": _betweenness_cells_sql(),
+        "temporal_motifs": _temporal_motifs_sql(),
+        "clarity_score": _clarity_score_sql(),
+        "rouge_pairs": _rouge_pairs_sql(),
+        "cell_ktruss": _cell_ktruss_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -242,6 +242,10 @@ HEADLINE = [
     "kde_hotspots",
     "hard_negatives",
     "betweenness_cells",
+    "temporal_motifs",
+    "clarity_score",
+    "rouge_pairs",
+    "cell_ktruss",
 ]
 
 SEED = 77

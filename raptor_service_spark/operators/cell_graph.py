@@ -734,3 +734,84 @@ def brandes_bounded(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.localCheckpoint(eager=True)
+
+
+def ktruss(occ: DataFrame, res: int, k: int = 4, max_rounds: int = 4) -> DataFrame:
+    """k-truss subgraph of the occupied-cell 8-adjacency lattice.
+
+    Edge-peeling (Cohen 2008): repeatedly drop EDGES whose support —
+    triangles through the edge in the SURVIVING subgraph — is < k-2,
+    until fixpoint (or ``max_rounds``). The k-truss is strictly stronger
+    cohesion than the k-core's degree rule (every kept edge is embedded
+    in k-2 triangles), the community-skeleton extractor. Returns
+    (cell, deg) = incident truss-edge count per surviving vertex.
+
+    Scale shape: per round ONE triangle enumeration (two self-equi-joins
+    of the O(edges) list — degree-bounded at 8 on the lattice, so
+    O(edges·deg) rows) + one count filter, with a localCheckpoint lineage
+    cut; the only driver value is the convergence scalar. Peeling is
+    monotone, so the oracle's fixed unroll agrees with Spark's early
+    convergence exactly (all-integer arithmetic, the kcore protocol).
+    """
+    occ = occ.select("cell").distinct().localCheckpoint(eager=True)
+    edges = _adjacency(occ, res).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        e2 = edges.select(F.col("src").alias("u2"), F.col("dst").alias("w"))
+        e3 = edges.select(F.col("src").alias("v3"), F.col("dst").alias("w3"))
+        sup = (
+            e1.join(e2, (F.col("u") == F.col("u2")) & (F.col("w") != F.col("v")))
+            .join(e3, (F.col("v3") == F.col("v")) & (F.col("w3") == F.col("w")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        edges = (
+            sup.filter(F.col("sup") >= k - 2)
+            .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            .localCheckpoint(eager=True)
+        )
+        n_now = edges.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
+    return (
+        edges.groupBy(F.col("src").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy("cell")
+    )
+
+
+def ktruss_sql(
+    base_cells_sql: str, res: int, k: int = 4, max_rounds: int = 4
+) -> str:
+    """DuckDB twin of ktruss: the identical edge peel unrolled."""
+    nbr = kring_neighbor_sql("o.cell", res, "v.dx", "v.dy")
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _RING)
+    steps = []
+    prev = "e0"
+    for r in range(1, max_rounds + 1):
+        steps.append(
+            f"""s{r} AS (
+            SELECT e1.src, e1.dst, COUNT(*) AS sup
+            FROM {prev} e1
+            JOIN {prev} e2 ON e2.src = e1.src AND e2.dst != e1.dst
+            JOIN {prev} e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            GROUP BY 1, 2),
+        e{r} AS MATERIALIZED (
+            SELECT src, dst FROM s{r} WHERE sup >= {k - 2})"""
+        )
+        prev = f"e{r}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH occ AS (SELECT DISTINCT cell FROM ({base_cells_sql})),
+        e0 AS MATERIALIZED (
+            SELECT o.cell AS src, {nbr} AS dst
+            FROM occ o CROSS JOIN (VALUES {offs}) v(dx, dy)
+            WHERE {nbr} IS NOT NULL
+              AND {nbr} IN (SELECT cell FROM occ)
+        ),
+        {chain}
+        SELECT src AS cell, COUNT(*) AS deg FROM {prev}
+        GROUP BY 1 ORDER BY 1
+    """

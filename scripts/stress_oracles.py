@@ -46,7 +46,7 @@ NAMES = [
     # round-3 session-10 float-heavy additions
     "rayleigh_bearing", "bootstrap_ci", "pr_curve_11pt", "kalman_tracks",
     "holt_trend_cells", "semdedup_clusters", "plsa_topics",
-    "betweenness_cells", "hard_negatives",
+    "betweenness_cells", "hard_negatives", "clarity_score", "rouge_pairs",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries

@@ -272,3 +272,37 @@ def test_brandes_bounded_matches_python(spark):
         assert abs(got[c] - want[c]) < 1e-9, (c, got[c], want[c])
     # sanity: some interior cell carries positive dependency
     assert any(v > 0 for v in got.values())
+
+
+def _py_ktruss(occ, k, max_rounds):
+    edges = {
+        (u, v) for u in occ for v in _nbrs(u) if v in occ
+    }
+    for _ in range(max_rounds):
+        sup = {}
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+        for u, v in edges:
+            sup[(u, v)] = len(adj.get(u, set()) & adj.get(v, set()))
+        nxt = {e for e in edges if sup[e] >= k - 2}
+        if nxt == edges:
+            break
+        edges = nxt
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    return deg
+
+
+def test_ktruss_matches_python(spark):
+    from raptor_service_spark.operators.cell_graph import ktruss
+
+    occ = _occ_cells(seed=11, frac=0.55)
+    df = spark.createDataFrame([(c,) for c in occ], "cell long")
+    got = {r["cell"]: r["deg"] for r in ktruss(df, RES, k=4, max_rounds=4).collect()}
+    want = _py_ktruss(occ, 4, 4)
+    assert got == want
+    # the truss is a subgraph of the 3-core (every truss edge needs >= 2
+    # triangle partners, forcing degree >= 3)
+    assert all(d >= 3 for d in got.values())
