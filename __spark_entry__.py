@@ -18920,6 +18920,389 @@ def _cell_ktruss_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Good-Turing smoothing + Chao1 richness + Wilson CTR + SPRT (session 10)
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R, _GT_POOL = 10, 200
+
+
+def _trigram_counts(spark, sf_dir):
+    """(gram, r) trigram frequency table over the bounded doc pool — the
+    n-gram unit where the template corpus actually HAS a rare-count tail
+    (its unigram vocabulary is 31 terms, all frequent), shared by
+    good_turing and chao1_richness."""
+    from raptor_service_spark.operators.bm25 import tokenize
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _GT_POOL)
+        .select("doc_id", "text")
+    )
+    return (
+        docs.select(tokenize(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2), "
+                    "i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))"
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+
+
+def _trigram_counts_sql() -> str:
+    from raptor_service_spark.operators.bm25 import TOKEN_PATTERN
+
+    return f"""(
+        SELECT g, COUNT(*) AS r FROM (
+            SELECT array_to_string(w[i:i + 2], ' ') AS g
+            FROM (SELECT regexp_extract_all(lower(text),
+                         '{TOKEN_PATTERN}', 0) AS w
+                  FROM documents WHERE doc_id < {_GT_POOL}),
+                 unnest(generate_series(1, len(w) - 2)) AS s(i)
+            WHERE len(w) >= 3)
+        GROUP BY 1)"""
+
+
+def q_good_turing(spark, sf_dir):
+    """Good-Turing frequency re-estimation over the pool's TRIGRAM counts
+    — the classical smoothing n-gram LM pipelines apply before trusting
+    raw frequencies: r* = (r+1)·N_{r+1}/N_r from the count-of-counts
+    table (N_r = how many grams occur exactly r times). Everything runs
+    on two nested aggs of the gram table (O(grams) then O(max r) rows);
+    exact integer ratios, r ≤ 10."""
+    cf = _trigram_counts(spark, sf_dir)
+    nr = cf.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    a = nr.select(F.col("r"), F.col("n_r"))
+    b = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        a.join(b, "r", "left")
+        .filter(F.col("r") <= _GT_MAX_R)
+        .select(
+            "r",
+            "n_r",
+            F.round(
+                (F.col("r") + 1) * F.coalesce("n_r1", F.lit(0)) / F.col("n_r"), 6
+            ).alias("r_star"),
+        )
+        .orderBy("r")
+    )
+
+
+def _good_turing_sql() -> str:
+    return f"""
+        WITH post AS {_trigram_counts_sql()},
+        nr AS (SELECT r, COUNT(*) AS n_r FROM post GROUP BY 1)
+        SELECT a.r, a.n_r,
+               ROUND(CAST((a.r + 1) * COALESCE(b.n_r, 0) AS DOUBLE)
+                     / a.n_r, 6) AS r_star
+        FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+        WHERE a.r <= {_GT_MAX_R}
+        ORDER BY a.r
+    """
+
+
+def q_chao1_richness(spark, sf_dir):
+    """Chao1 species-richness estimate of the pool's TRIGRAM inventory +
+    Good's coverage — "how many distinct grams have we NOT seen yet", the
+    sample-completeness audit next to heaps_law's growth curve: chao1 =
+    D + n₁²/(2n₂) (singletons/doubletons), coverage = 1 − n₁/N. One gram
+    agg + one count-of-counts agg; exact integer arithmetic into two
+    final ratios."""
+    cf = _trigram_counts(spark, sf_dir)
+    return cf.agg(
+        F.count(F.lit(1)).alias("d_obs"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum("r").alias("n_tokens"),
+    ).select(
+        "d_obs",
+        "n1",
+        "n2",
+        F.round(
+            F.col("d_obs")
+            + F.col("n1") * F.col("n1") / (F.lit(2.0) * F.col("n2")),
+            6,
+        ).alias("chao1"),
+        F.round(F.lit(1.0) - F.col("n1") / F.col("n_tokens"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+def _chao1_richness_sql() -> str:
+    return f"""
+        WITH post AS {_trigram_counts_sql()},
+        s AS (SELECT COUNT(*) AS d_obs,
+                     CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n1,
+                     CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n2,
+                     SUM(r) AS n_tokens
+              FROM post)
+        SELECT d_obs, n1, n2,
+               ROUND(d_obs + n1 * n1 / (CAST(2.0 AS DOUBLE) * n2), 6)
+                   AS chao1,
+               ROUND(CAST(1.0 AS DOUBLE) - CAST(n1 AS DOUBLE) / n_tokens, 6)
+                   AS coverage
+        FROM s
+    """
+
+
+_WILSON_Z2 = 3.84  # z² at 95% (z = 1.96), an exact decimal literal
+
+
+def q_wilson_ctr(spark, sf_dir):
+    """Wilson-score lower-bound ranking of per-cell conversion rate
+    (purchases out of click+purchase trials) — the small-sample-honest way
+    to rank cells (a raw ratio lets a 1/1 cell beat a 90/100 cell): by the
+    95% lower bound LB = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²))/(1+z²/n).
+    z² = 3.84 as an exact decimal literal, SQRT the only libm call (IEEE-
+    exact); one (cell, type) agg feeds everything. Cells with ≥ 20
+    clicks, top-20 by lower bound."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    counts = (
+        ev.filter(F.col("event_type").isin(["click", "purchase"]))
+        .select(
+            cell_encode_col(lat, lng, 3).alias("cell"),
+            "event_type",
+        )
+        .groupBy("cell")
+        .agg(
+            # trials = all click+purchase events, successes = purchases
+            # (k <= n by construction — the Wilson formula's domain)
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    z2 = F.lit(_WILSON_Z2)
+    p = F.col("k") / F.col("n")
+    n = F.col("n")
+    lb = (
+        p
+        + z2 / (2 * n)
+        - F.sqrt(z2) * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    ) / (1 + z2 / n)
+    scored = counts.select(
+        "cell",
+        "n",
+        "k",
+        F.round(p, 6).alias("ctr"),
+        (F.floor(lb * 1e6) / 1e6).alias("wilson_lb"),
+    )
+    top = Window.orderBy(F.col("wilson_lb").desc(), "cell")
+    return (
+        scored.withColumn("rk", F.row_number().over(top).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("cell", "n", "k", "ctr", "wilson_lb", "rk")
+    )
+
+
+def _wilson_ctr_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    z2 = f"CAST({_WILSON_Z2!r} AS DOUBLE)"
+    p = "(CAST(k AS DOUBLE) / n)"
+    lb = (
+        f"(({p} + {z2} / (2 * n) - SQRT({z2}) * SQRT({p} * (1 - {p}) / n "
+        f"+ {z2} / (4 * n * n))) / (1 + {z2} / n))"
+    )
+    return f"""
+        WITH counts AS (
+            SELECT {cell} AS cell,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS k
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1),
+        ok AS (SELECT * FROM counts WHERE n >= 20),
+        scored AS (
+            SELECT cell, n, k, ROUND({p}, 6) AS ctr,
+                   FLOOR({lb} * 1e6) / 1e6 AS wilson_lb
+            FROM ok)
+        SELECT cell, n, k, ctr, wilson_lb, rk FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY wilson_lb DESC, cell)
+                           AS BIGINT) AS rk
+            FROM scored)
+        WHERE rk <= 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential test monitor (session 10)
+# ---------------------------------------------------------------------------
+
+_SPRT_P0, _SPRT_P1, _SPRT_AB = 0.3, 0.5, 0.05
+_SPRT_CELLS, _SPRT_CAP = 3, 2000
+
+
+def _sprt_consts() -> tuple[float, float, float, float]:
+    """LLR increments and decision thresholds, precomputed ONCE in Python
+    (exact double literals shared by both engines — the fold then touches
+    no libm at runtime): win = ln(p1/p0), loss = ln((1−p1)/(1−p0)),
+    A = ln((1−β)/α) accept-H1, B = ln(β/(1−α)) accept-H0."""
+    import math
+
+    w = math.log(_SPRT_P1 / _SPRT_P0)
+    l = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+    a = math.log((1 - _SPRT_AB) / _SPRT_AB)
+    b = math.log(_SPRT_AB / (1 - _SPRT_AB))
+    return w, l, a, b
+
+
+def _sprt_step_expr(ea, arr) -> str:
+    """Wald SPRT fold step from ONE Python source: acc = [llr, decided,
+    decided_at, i]; after a decision the walk freezes (only i advances).
+    llr' substituted textually (no let bindings)."""
+    w, l, a, b = _sprt_consts()
+    llr, dec, dat, i = (ea("acc", k) for k in range(1, 5))
+    z = ea("z", 1)
+    ip = f"({i} + 1.0)"
+    llrp = (
+        f"round({llr} + (CASE WHEN {z} = 1.0 THEN CAST({w!r} AS DOUBLE) "
+        f"ELSE CAST({l!r} AS DOUBLE) END), 9)"
+    )
+    decp = (
+        f"(CASE WHEN {llrp} >= CAST({a!r} AS DOUBLE) THEN 1.0 "
+        f"WHEN {llrp} <= CAST({b!r} AS DOUBLE) THEN -1.0 ELSE 0.0 END)"
+    )
+    return (
+        f"CASE WHEN {dec} != 0.0 THEN {arr([llr, dec, dat, ip])} "
+        f"ELSE {arr([llrp, decp, f'(CASE WHEN {decp} != 0.0 THEN {ip} ELSE 0.0 END)', ip])} END"
+    )
+
+
+def q_sprt_monitor(spark, sf_dir):
+    """Wald's sequential probability ratio test per busy cell — the
+    always-valid A/B monitor (decide H1: purchase share ≥ p1 = 0.5 vs H0:
+    p0 = 0.3 the moment the evidence suffices, instead of waiting for a
+    fixed n): the LLR random walk over the cell's (ts, event_id)-ordered
+    click/purchase outcomes, frozen at the first threshold crossing.
+    LLR increments and the A/B thresholds are Python-precomputed literals
+    (NO runtime libm), so the fold is pure +/CASE arithmetic — ONE
+    ordered array fold per cell (the kalman/holt discipline). 3 busiest
+    cells (scalar-subquery recomputed in the oracle), first 2000
+    outcomes each."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import cell_encode_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.filter(F.col("event_type").isin(["click", "purchase"])).select(
+        cell_encode_col(lat, lng, 3).alias("cell"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("event_id").alias("e"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("x"),
+    )
+    top = [
+        r.cell
+        for r in pts.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "cell")
+        .limit(_SPRT_CELLS)
+        .collect()
+    ]
+    w = Window.partitionBy("cell").orderBy("t", "e")
+    capped = (
+        pts.filter(F.col("cell").isin(top))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SPRT_CAP)
+    )
+    series = capped.groupBy("cell").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(t, e, x))), "
+            "s -> array(s.x))"
+        ).alias("xs")
+    )
+    step = _sprt_step_expr(
+        lambda n, i: f"element_at({n}, {i})",
+        lambda parts: "array(" + ", ".join(parts) + ")",
+    )
+    fold = (
+        "aggregate(xs, "
+        "array(cast(0.0 as double), cast(0.0 as double), "
+        "cast(0.0 as double), cast(0.0 as double)), "
+        f"(acc, z) -> {step})"
+    )
+    out = series.select(
+        "cell", F.size("xs").cast("long").alias("n_obs"), F.expr(fold).alias("st")
+    )
+    return out.select(
+        "cell",
+        "n_obs",
+        (F.floor(F.expr("element_at(st, 1)") * 1e6) / 1e6).alias("final_llr"),
+        F.when(F.expr("element_at(st, 2)") == 1.0, F.lit("accept_h1"))
+        .when(F.expr("element_at(st, 2)") == -1.0, F.lit("accept_h0"))
+        .otherwise(F.lit("undecided"))
+        .alias("decision"),
+        F.expr("element_at(st, 3)").cast("long").alias("decided_at"),
+    ).orderBy("cell")
+
+
+def _sprt_monitor_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    step = _sprt_step_expr(
+        lambda n, i: f"{n}[{i}]",
+        lambda parts: "[" + ", ".join(parts) + "]",
+    )
+    fold = (
+        "list_reduce(list_prepend("
+        "[CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), "
+        "CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)], xs), "
+        f"(acc, z) -> {step})"
+    )
+    top = (
+        f"(SELECT cell FROM (SELECT cell, COUNT(*) AS c FROM p "
+        f"GROUP BY 1 ORDER BY c DESC, cell LIMIT {_SPRT_CELLS}))"
+    )
+    return f"""
+        WITH p AS (
+            SELECT {cell} AS cell, epoch_us(ts) AS t, event_id AS e,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS x
+            FROM events
+            WHERE event_type IN ('click', 'purchase')),
+        capped AS (
+            SELECT cell, t, e, x FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                          ORDER BY t, e) AS rn
+                FROM p WHERE cell IN {top})
+            WHERE rn <= {_SPRT_CAP}),
+        ser AS (
+            SELECT cell,
+                   list_transform(list_sort(list({{'t': t, 'e': e, 'x': x}})),
+                                  s -> [s.x]) AS xs
+            FROM capped GROUP BY cell),
+        st AS (SELECT cell, CAST(len(xs) AS BIGINT) AS n_obs,
+                      {fold} AS s
+               FROM ser)
+        SELECT cell, n_obs,
+               FLOOR(s[1] * 1e6) / 1e6 AS final_llr,
+               CASE WHEN s[2] = 1.0 THEN 'accept_h1'
+                    WHEN s[2] = -1.0 THEN 'accept_h0'
+                    ELSE 'undecided' END AS decision,
+               CAST(s[3] AS BIGINT) AS decided_at
+        FROM st ORDER BY cell
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -19207,6 +19590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clarity_score": q_clarity_score,
         "rouge_pairs": q_rouge_pairs,
         "cell_ktruss": q_cell_ktruss,
+        "good_turing": q_good_turing,
+        "chao1_richness": q_chao1_richness,
+        "wilson_ctr": q_wilson_ctr,
+        "sprt_monitor": q_sprt_monitor,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -19428,6 +19815,10 @@ def oracle_sql() -> dict[str, str]:
         "clarity_score": _clarity_score_sql(),
         "rouge_pairs": _rouge_pairs_sql(),
         "cell_ktruss": _cell_ktruss_sql(),
+        "good_turing": _good_turing_sql(),
+        "chao1_richness": _chao1_richness_sql(),
+        "wilson_ctr": _wilson_ctr_sql(),
+        "sprt_monitor": _sprt_monitor_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -246,6 +246,10 @@ HEADLINE = [
     "clarity_score",
     "rouge_pairs",
     "cell_ktruss",
+    "good_turing",
+    "chao1_richness",
+    "wilson_ctr",
+    "sprt_monitor",
 ]
 
 SEED = 77

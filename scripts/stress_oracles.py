@@ -47,6 +47,7 @@ NAMES = [
     "rayleigh_bearing", "bootstrap_ci", "pr_curve_11pt", "kalman_tracks",
     "holt_trend_cells", "semdedup_clusters", "plsa_topics",
     "betweenness_cells", "hard_negatives", "clarity_score", "rouge_pairs",
+    "wilson_ctr", "sprt_monitor", "good_turing", "chao1_richness",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
