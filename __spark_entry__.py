@@ -19303,6 +19303,233 @@ def _sprt_monitor_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# PPR sweep cut (local clustering) + rich-club coefficient (session 10)
+# ---------------------------------------------------------------------------
+
+_SWEEP_MAXK, _SWEEP_TOP = 50, 5
+
+
+def q_ppr_sweep_cut(spark, sf_dir):
+    """Local graph clustering by PPR sweep cut (Andersen-Chung-Lang 2006):
+    rank cells by personalized-PageRank-over-degree from the hub seed,
+    then find the prefix with minimum conductance φ(S) =
+    cut(S)/min(vol(S), vol(V∖S)) — the hub's natural community boundary.
+    The sweep is fully relational: every directed edge contributes +cnt
+    at rank min(ru,rv) and −cnt at rank max(ru,rv), so cut(k) is ONE
+    prefix-sum window over the delta table (no per-prefix rescan);
+    volumes are a second cumsum. All-integer cut/vol → exact conductance
+    ratios. Prefixes 2..50; top-5 lowest φ."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.cell_graph import ppr
+
+    edges = (
+        _od_cell_edges(spark, sf_dir)
+        .withColumn("w", F.col("cnt").cast("double"))
+        .localCheckpoint(eager=True)
+    )
+    seed = (
+        edges.groupBy("dst")
+        .agg(F.sum("cnt").alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("dst").asc())
+        .limit(1)
+        .collect()[0]["dst"]
+    )
+    scores = ppr(edges, seed=seed, n_iters=5, damping=0.85)
+    deg = (
+        edges.select(F.col("src").alias("cell"), "cnt")
+        .unionByName(edges.select(F.col("dst").alias("cell"), "cnt"))
+        .groupBy("cell")
+        .agg(F.sum("cnt").alias("deg"))
+    )
+    ranked = (
+        scores.join(deg, "cell")
+        .withColumn("score", F.col("pr") / F.col("deg"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), "cell")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ru = ranked.select(F.col("cell").alias("src"), F.col("rn").alias("ru"))
+    rv = ranked.select(F.col("cell").alias("dst"), F.col("rn").alias("rv"))
+    espan = edges.join(ru, "src").join(rv, "dst")
+    deltas = (
+        espan.select(
+            F.least("ru", "rv").alias("k"), F.col("cnt").alias("d")
+        )
+        .unionByName(
+            espan.select(
+                F.greatest("ru", "rv").alias("k"), (-F.col("cnt")).alias("d")
+            )
+        )
+        .groupBy("k")
+        .agg(F.sum("d").alias("d"))
+    )
+    wk = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = (
+        ranked.join(deltas, ranked.rn == deltas.k, "left")
+        .select("rn", "deg", F.coalesce("d", F.lit(0)).alias("d"))
+        .withColumn("cut", F.sum("d").over(wk).cast("long"))
+        .withColumn("vol", F.sum("deg").over(wk).cast("long"))
+        .withColumn("tot", F.sum("deg").over(Window.partitionBy()).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    scored = sweep.filter(
+        (F.col("rn") >= 2)
+        & (F.col("rn") <= _SWEEP_MAXK)
+        & (F.col("rn") <= F.col("n") - 2)
+    ).select(
+        F.col("rn").alias("k"),
+        "cut",
+        F.col("vol").alias("vol_s"),
+        F.round(
+            F.col("cut") / F.least("vol", F.col("tot") - F.col("vol")), 6
+        ).alias("conductance"),
+    )
+    top = Window.orderBy("conductance", "k")
+    return (
+        scored.withColumn("rk", F.row_number().over(top).cast("long"))
+        .filter(F.col("rk") <= _SWEEP_TOP)
+        .select("k", "cut", "vol_s", "conductance", "rk")
+    )
+
+
+def _ppr_sweep_cut_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import ppr_sql
+
+    seed = (
+        "(SELECT dst FROM e GROUP BY dst "
+        "ORDER BY SUM(cnt) DESC, dst ASC LIMIT 1)"
+    )
+    edges = (
+        f"SELECT src, dst, cnt, CAST(cnt AS DOUBLE) AS w "
+        f"FROM ({_od_cell_edges_sql()})"
+    )
+    inner = ppr_sql(edges, seed=seed, n_iters=5, damping=0.85)
+    return f"""
+        WITH scores AS ({inner}),
+        e2 AS MATERIALIZED ({_od_cell_edges_sql()}),
+        deg AS (SELECT cell, SUM(cnt) AS deg FROM (
+                    SELECT src AS cell, cnt FROM e2
+                    UNION ALL SELECT dst, cnt FROM e2)
+                GROUP BY 1),
+        ranked AS MATERIALIZED (
+            SELECT s.cell, d.deg,
+                   ROW_NUMBER() OVER (ORDER BY s.pr / d.deg DESC, s.cell)
+                       AS rn
+            FROM scores s JOIN deg d ON s.cell = d.cell),
+        espan AS (
+            SELECT LEAST(ru.rn, rv.rn) AS lo, GREATEST(ru.rn, rv.rn) AS hi,
+                   e2.cnt
+            FROM e2 JOIN ranked ru ON e2.src = ru.cell
+                    JOIN ranked rv ON e2.dst = rv.cell),
+        deltas AS (
+            SELECT k, SUM(d) AS d FROM (
+                SELECT lo AS k, cnt AS d FROM espan
+                UNION ALL SELECT hi, -cnt FROM espan)
+            GROUP BY 1),
+        sweep AS (
+            SELECT r.rn,
+                   CAST(SUM(COALESCE(dl.d, 0)) OVER (ORDER BY r.rn)
+                        AS BIGINT) AS cut,
+                   CAST(SUM(r.deg) OVER (ORDER BY r.rn) AS BIGINT) AS vol,
+                   CAST(SUM(r.deg) OVER () AS BIGINT) AS tot,
+                   COUNT(*) OVER () AS n
+            FROM ranked r LEFT JOIN deltas dl ON dl.k = r.rn)
+        SELECT k, cut, vol_s, conductance, rk FROM (
+            SELECT rn AS k, cut, vol AS vol_s,
+                   ROUND(CAST(cut AS DOUBLE)
+                         / LEAST(vol, tot - vol), 6) AS conductance,
+                   CAST(ROW_NUMBER() OVER (ORDER BY
+                        ROUND(CAST(cut AS DOUBLE) / LEAST(vol, tot - vol), 6),
+                        rn) AS BIGINT) AS rk
+            FROM sweep
+            WHERE rn >= 2 AND rn <= {_SWEEP_MAXK} AND rn <= n - 2)
+        WHERE rk <= {_SWEEP_TOP}
+    """
+
+
+_RC_KS = [3, 5, 8]
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient of the res-4 occupied lattice: φ(k) =
+    E_{>k} / (N_{>k}·(N_{>k}−1)) over DIRECTED edges among nodes of
+    degree > k — do the hubs preferentially interconnect? (Colizza 2006;
+    the hub-wiring audit next to degree_assortativity's global mixing.)
+    One degree agg + one edge semi-join per k (3 literal thresholds);
+    all-integer counts into exact ratios."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+    from raptor_service_spark.operators.cell_graph import _adjacency
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    occ = d.select(cell_encode_col(lat, lng, 4).alias("cell")).distinct()
+    occ = occ.localCheckpoint(eager=True)
+    edges = _adjacency(occ, 4).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    outs = []
+    for k in _RC_KS:
+        rich = deg.filter(F.col("deg") > k).select("src")
+        n = rich.count()
+        e = (
+            edges.join(rich, "src")
+            .join(rich.select(F.col("src").alias("dst")), "dst")
+            .count()
+        )
+        # floor-truncation, not Python round (half-to-even) — mirrors the
+        # oracle's FLOOR(x*1e6)/1e6 on the identical double
+        import math
+
+        phi = math.floor(e / (n * (n - 1)) * 1e6) / 1e6 if n >= 2 else 0.0
+        outs.append((k, n, e, phi))
+    return spark.createDataFrame(
+        outs, "k long, n_rich long, e_rich long, phi double"
+    ).orderBy("k")
+
+
+def _rich_club_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import _RING
+
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, 4)
+    nbr = kring_neighbor_sql("o.cell", 4, "v.dx", "v.dy")
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _RING)
+    blocks = []
+    for k in _RC_KS:
+        blocks.append(
+            f"""
+        SELECT CAST({k} AS BIGINT) AS k,
+               (SELECT COUNT(*) FROM deg WHERE deg > {k}) AS n_rich,
+               CAST(COUNT(*) AS BIGINT) AS e_rich,
+               CASE WHEN (SELECT COUNT(*) FROM deg WHERE deg > {k}) >= 2
+                    THEN FLOOR(CAST(COUNT(*) AS DOUBLE)
+                         / ((SELECT COUNT(*) FROM deg WHERE deg > {k})
+                            * ((SELECT COUNT(*) FROM deg WHERE deg > {k})
+                               - 1)) * 1e6) / 1e6
+                    ELSE CAST(0.0 AS DOUBLE) END AS phi
+        FROM e
+        WHERE src IN (SELECT src FROM deg WHERE deg > {k})
+          AND dst IN (SELECT src FROM deg WHERE deg > {k})"""
+        )
+    union = "\n        UNION ALL".join(blocks)
+    return f"""
+        WITH occ AS (SELECT DISTINCT {cell} AS cell FROM documents),
+        e AS MATERIALIZED (
+            SELECT o.cell AS src, {nbr} AS dst
+            FROM occ o CROSS JOIN (VALUES {offs}) v(dx, dy)
+            WHERE {nbr} IS NOT NULL
+              AND {nbr} IN (SELECT cell FROM occ)),
+        deg AS MATERIALIZED (
+            SELECT src, COUNT(*) AS deg FROM e GROUP BY 1)
+        SELECT * FROM ({union}) ORDER BY k
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -19594,6 +19821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chao1_richness": q_chao1_richness,
         "wilson_ctr": q_wilson_ctr,
         "sprt_monitor": q_sprt_monitor,
+        "ppr_sweep_cut": q_ppr_sweep_cut,
+        "rich_club": q_rich_club,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -19819,6 +20048,8 @@ def oracle_sql() -> dict[str, str]:
         "chao1_richness": _chao1_richness_sql(),
         "wilson_ctr": _wilson_ctr_sql(),
         "sprt_monitor": _sprt_monitor_sql(),
+        "ppr_sweep_cut": _ppr_sweep_cut_sql(),
+        "rich_club": _rich_club_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -250,6 +250,8 @@ HEADLINE = [
     "chao1_richness",
     "wilson_ctr",
     "sprt_monitor",
+    "ppr_sweep_cut",
+    "rich_club",
 ]
 
 SEED = 77
