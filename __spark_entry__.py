@@ -19530,6 +19530,198 @@ def _rich_club_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# randomized response (local DP) + bivariate Moran (session 10)
+# ---------------------------------------------------------------------------
+
+_RR_Q = 0.3
+
+
+def q_randomized_response(spark, sf_dir):
+    """Warner's randomized response — the LOCAL-DP collection primitive
+    next to dp_cell_counts' central-DP release: each user reports whether
+    they ever purchased, but flips the answer with probability q = 0.3
+    (coin = md5 of the user id — the seeded-mechanism replay discipline);
+    the collector debiases p̂ = (p_obs − q)/(1 − 2q). The query audits the
+    whole mechanism: true proportion (computable here), observed noisy
+    proportion, debiased estimate, and |error| — all exact integer counts
+    into exact-ratio arithmetic (q an exact decimal literal)."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "truth"
+        )
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rr|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    reported = users.select(
+        "truth",
+        F.when(coin < F.lit(int(_RR_Q * 100)), 1 - F.col("truth"))
+        .otherwise(F.col("truth"))
+        .alias("resp"),
+    )
+    agg = reported.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("truth").cast("long").alias("n_true"),
+        F.sum("resp").cast("long").alias("n_resp"),
+    )
+    p_true = F.col("n_true") / F.col("n_users")
+    p_obs = F.col("n_resp") / F.col("n_users")
+    est = (p_obs - F.lit(_RR_Q)) / F.lit(1.0 - 2 * _RR_Q)
+    return agg.select(
+        "n_users",
+        F.round(p_true, 6).alias("true_p"),
+        F.round(p_obs, 6).alias("obs_p"),
+        F.round(est, 6).alias("est_p"),
+        F.round(F.abs(est - p_true), 6).alias("abs_err"),
+    )
+
+
+def _randomized_response_sql() -> str:
+    q = _RR_Q
+    return f"""
+        WITH users AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS truth
+            FROM events GROUP BY 1),
+        rep AS (
+            SELECT truth,
+                   CASE WHEN ('0x' || substr(md5('rr|'
+                              || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 100 < {int(q * 100)}
+                        THEN 1 - truth ELSE truth END AS resp
+            FROM users),
+        a AS (SELECT COUNT(*) AS n_users,
+                     CAST(SUM(truth) AS BIGINT) AS n_true,
+                     CAST(SUM(resp) AS BIGINT) AS n_resp
+              FROM rep)
+        SELECT n_users,
+               ROUND(CAST(n_true AS DOUBLE) / n_users, 6) AS true_p,
+               ROUND(CAST(n_resp AS DOUBLE) / n_users, 6) AS obs_p,
+               ROUND((CAST(n_resp AS DOUBLE) / n_users - CAST({q!r} AS DOUBLE))
+                     / CAST({1.0 - 2 * q!r} AS DOUBLE), 6) AS est_p,
+               ROUND(ABS((CAST(n_resp AS DOUBLE) / n_users
+                          - CAST({q!r} AS DOUBLE))
+                         / CAST({1.0 - 2 * q!r} AS DOUBLE)
+                         - CAST(n_true AS DOUBLE) / n_users), 6) AS abs_err
+        FROM a
+    """
+
+
+def q_bivariate_moran(spark, sf_dir):
+    """Bivariate (cross) Moran's I between the DOCUMENT density surface
+    and the EVENT density surface at res 5 — do events concentrate where
+    documents do, spatially smoothed by the queen 1-ring? (Wartenberg's
+    I_xy: z-cross-products over neighbor pairs, normalized by both
+    variances.) The cross-table twin of morans_i: one count agg per
+    table, a full-outer cell join (missing side = 0 — the honest grid),
+    ONE ring join over the union of occupied cells; round-6 display per
+    the morans_i float discipline."""
+    from raptor_service_spark.geo.grid import cell_encode_col
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_col
+    from raptor_service_spark.operators.cell_graph import _RING
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat_d, lng_d = _latlng_cols(F.col("doc_id"))
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat_e, lng_e = _latlng_cols(F.col("event_id"))
+    dc = d.groupBy(cell_encode_col(lat_d, lng_d, 5).alias("cell")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    ec = ev.groupBy(cell_encode_col(lat_e, lng_e, 5).alias("cell")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    c = (
+        dc.join(ec, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("x", F.lit(0.0)).alias("x"),
+            F.coalesce("y", F.lit(0.0)).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = c.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("y").alias("sy"),
+    )
+    nbrs = F.array(
+        *[kring_neighbor_col("cell", 5, dx, dy) for dx, dy in _RING]
+    )
+    p = c.select(
+        "cell", "x", F.explode(F.filter(nbrs, lambda v: v.isNotNull())).alias("nbr")
+    )
+    j = p.join(
+        c.select(F.col("cell").alias("nbr"), F.col("y").alias("nbr_y")), "nbr"
+    ).crossJoin(F.broadcast(stats))
+    vx = F.max(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_cells"))
+    vy = F.max(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n_cells"))
+    return j.agg(
+        F.max("n_cells").alias("n_cells"),
+        F.count(F.lit(1)).alias("s0"),
+        F.round(
+            (F.max("n_cells") / F.count(F.lit(1)))
+            * F.sum((F.col("x") - F.col("mx")) * (F.col("nbr_y") - F.col("my")))
+            / F.sqrt(vx * vy),
+            6,
+        ).alias("moran_xy"),
+    )
+
+
+def _bivariate_moran_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import _RING
+
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_sql
+
+    lat_d, lng_d = _latlng_sql("doc_id")
+    lat_e, lng_e = _latlng_sql("event_id")
+    cell_d = cell_encode_sql(lat_d, lng_d, 5)
+    cell_e = cell_encode_sql(lat_e, lng_e, 5)
+    nbr = kring_neighbor_sql("c.cell", 5, "o.dx", "o.dy")
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _RING)
+    return f"""
+        WITH dc AS (SELECT {cell_d} AS cell, CAST(COUNT(*) AS DOUBLE) AS x
+                    FROM documents GROUP BY 1),
+        ec AS (SELECT {cell_e} AS cell, CAST(COUNT(*) AS DOUBLE) AS y
+               FROM events GROUP BY 1),
+        c AS MATERIALIZED (
+            SELECT COALESCE(dc.cell, ec.cell) AS cell,
+                   COALESCE(dc.x, 0.0) AS x, COALESCE(ec.y, 0.0) AS y
+            FROM dc FULL OUTER JOIN ec ON dc.cell = ec.cell),
+        s AS (SELECT COUNT(*) AS n_cells, AVG(x) AS mx, AVG(y) AS my,
+                     SUM(x * x) AS sxx, SUM(x) AS sx,
+                     SUM(y * y) AS syy, SUM(y) AS sy
+              FROM c),
+        p AS (SELECT c.cell, c.x, {nbr} AS nbr
+              FROM c CROSS JOIN (VALUES {offs}) o(dx, dy)
+              WHERE {nbr} IS NOT NULL),
+        j AS (SELECT p.x, c2.y AS nbr_y FROM p JOIN c c2 ON p.nbr = c2.cell)
+        SELECT s.n_cells AS n_cells, COUNT(*) AS s0,
+               ROUND((s.n_cells / CAST(COUNT(*) AS DOUBLE))
+                     * SUM((j.x - s.mx) * (j.nbr_y - s.my))
+                     / SQRT((s.sxx - s.sx * s.sx / s.n_cells)
+                            * (s.syy - s.sy * s.sy / s.n_cells)), 6)
+                   AS moran_xy
+        FROM j CROSS JOIN s
+        GROUP BY s.n_cells, s.mx, s.my, s.sxx, s.sx, s.syy, s.sy
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -19823,6 +20015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt_monitor": q_sprt_monitor,
         "ppr_sweep_cut": q_ppr_sweep_cut,
         "rich_club": q_rich_club,
+        "randomized_response": q_randomized_response,
+        "bivariate_moran": q_bivariate_moran,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -20050,6 +20244,8 @@ def oracle_sql() -> dict[str, str]:
         "sprt_monitor": _sprt_monitor_sql(),
         "ppr_sweep_cut": _ppr_sweep_cut_sql(),
         "rich_club": _rich_club_sql(),
+        "randomized_response": _randomized_response_sql(),
+        "bivariate_moran": _bivariate_moran_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -252,6 +252,8 @@ HEADLINE = [
     "sprt_monitor",
     "ppr_sweep_cut",
     "rich_club",
+    "randomized_response",
+    "bivariate_moran",
 ]
 
 SEED = 77

@@ -48,7 +48,7 @@ NAMES = [
     "holt_trend_cells", "semdedup_clusters", "plsa_topics",
     "betweenness_cells", "hard_negatives", "clarity_score", "rouge_pairs",
     "wilson_ctr", "sprt_monitor", "good_turing", "chao1_richness",
-    "ppr_sweep_cut", "rich_club",
+    "ppr_sweep_cut", "rich_club", "randomized_response", "bivariate_moran",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
