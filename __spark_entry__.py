@@ -19722,6 +19722,236 @@ def _bivariate_moran_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# ordinary kriging at query targets (session 11)
+# ---------------------------------------------------------------------------
+
+_KRIG_TARGETS = {"t1": (12.0, 30.0), "t2": (-25.0, -100.0), "t3": (48.0, 110.0)}
+
+
+def _krig_det3(a) -> str:
+    return (
+        f"({a[0][0]} * ({a[1][1]} * {a[2][2]} - {a[1][2]} * {a[2][1]})"
+        f" - {a[0][1]} * ({a[1][0]} * {a[2][2]} - {a[1][2]} * {a[2][0]})"
+        f" + {a[0][2]} * ({a[1][0]} * {a[2][1]} - {a[1][1]} * {a[2][0]}))"
+    )
+
+
+def _krig_det4(m) -> str:
+    s = ""
+    for j in range(4):
+        minor = [[m[r][c] for c in range(4) if c != j] for r in range(1, 4)]
+        sign = ("" if j == 0 else " + ") if j % 2 == 0 else " - "
+        s += f"{sign}{m[0][j]} * {_krig_det3(minor)}"
+    return f"({s})"
+
+
+def _krig_exprs() -> tuple[dict[str, str], dict[str, str]]:
+    """Ordinary-kriging solve (k=3 neighbors, linear variogram γ(h)=h) as
+    ONE set of generated Cramer-expansion strings over named columns,
+    evaluated VERBATIM by both engines — floats bit-identical by
+    construction (the dtw_levels technique). Inputs: g1..g3 (target→
+    neighbor distances, 6 dp), g12/g13/g23 (pairwise neighbor distances,
+    6 dp). Returns (determinant layer, weight layer)."""
+    A = [
+        ["0.0", "g12", "g13", "1.0"],
+        ["g12", "0.0", "g23", "1.0"],
+        ["g13", "g23", "0.0", "1.0"],
+        ["1.0", "1.0", "1.0", "0.0"],
+    ]
+    b = ["g1", "g2", "g3", "1.0"]
+    dets = {"det": _krig_det4(A)}
+    wts = {}
+    for i, name in enumerate(["w1", "w2", "w3", "mu"]):
+        Ai = [[b[r] if c == i else A[r][c] for c in range(4)] for r in range(4)]
+        dets[f"d_{name}"] = _krig_det4(Ai)
+        wts[name] = f"(d_{name} / det)"
+    return dets, wts
+
+
+def q_kriging_ordinary(spark, sf_dir):
+    """Ordinary kriging of the event `value` field at 3 query targets —
+    the BLUE spatial interpolator (vs the heuristic IDW twin): per target,
+    the 3 exact nearest sample sites (ring-doubling kNN, one site per
+    position — duplicate sites would make the variogram matrix singular),
+    then the 4×4 ordinary-kriging system [γ_ij 1; 1 0][w;μ]=[γ_i0;1] under
+    a linear variogram γ(h)=h, solved by a GENERATED Cramer expansion that
+    both engines evaluate verbatim (dtw_levels technique — bit-identical
+    floats, no per-step rounding needed). Scale shape: site dedup is one
+    window; the kNN is the occupancy-planned ring join (never target ×
+    sites); the solve itself is O(targets) codegen arithmetic. Outputs the
+    estimate AND the kriging variance (the honesty term IDW cannot give).
+    Reference analog: retrieval_service score interpolation over cluster
+    summaries (services/retrieval_service.py) recast as geostatistics."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.geo_knn import geo_knn_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    w = Window.partitionBy("lat", "lng").orderBy("event_id")
+    sites = (
+        pts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    knn = geo_knn_join(
+        sites,
+        _KRIG_TARGETS,
+        k=3,
+        res=6,
+        payload_cols=("event_id", "value", "lat", "lng"),
+    )
+    nb = knn.groupBy("qid").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dist", "event_id", "lng", "lat", "value"))
+        ).alias("nb")
+    )
+    cols = {}
+    for i in (1, 2, 3):
+        el = F.element_at(F.col("nb"), i)
+        cols[f"x{i}"] = el["lng"]
+        cols[f"y{i}"] = el["lat"]
+        cols[f"z{i}"] = el["value"]
+        cols[f"g{i}"] = el["dist"]
+    nb = nb.withColumns(cols)
+    pw = {}
+    for i, j in ((1, 2), (1, 3), (2, 3)):
+        dx = F.col(f"x{i}") - F.col(f"x{j}")
+        dy = F.col(f"y{i}") - F.col(f"y{j}")
+        pw[f"g{i}{j}"] = F.round(F.sqrt(dx * dx + dy * dy), 6)
+    nb = nb.withColumns(pw)
+    dets, wts = _krig_exprs()
+    nb = nb.withColumns({k: F.expr(v) for k, v in dets.items()})
+    nb = nb.withColumns({k: F.expr(v) for k, v in wts.items()})
+    return nb.select(
+        "qid",
+        F.round(F.expr("w1 * z1 + w2 * z2 + w3 * z3"), 6).alias("krig_est"),
+        F.round(F.expr("w1 * g1 + w2 * g2 + w3 * g3 + mu"), 6).alias("krig_var"),
+    ).orderBy("qid")
+
+
+def _kriging_ordinary_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    centers = ", ".join(
+        f"('{q}', {la!r}, {ln!r})" for q, (la, ln) in _KRIG_TARGETS.items()
+    )
+    nb_cols = []
+    for i in (1, 2, 3):
+        for src, dst in (("lng", "x"), ("lat", "y"), ("value", "z"), ("dist", "g")):
+            nb_cols.append(f"MAX(CASE WHEN rn2 = {i} THEN {src} END) AS {dst}{i}")
+    pw = ", ".join(
+        f"ROUND(SQRT((x{i} - x{j}) * (x{i} - x{j})"
+        f" + (y{i} - y{j}) * (y{i} - y{j})), 6) AS g{i}{j}"
+        for i, j in ((1, 2), (1, 3), (2, 3))
+    )
+    dets, wts = _krig_exprs()
+    det_sel = ", ".join(f"{v} AS {k}" for k, v in dets.items())
+    wt_sel = ", ".join(f"{v} AS {k}" for k, v in wts.items())
+    return f"""
+        WITH p0 AS (SELECT event_id, value, {lat} AS lat, {lng} AS lng
+                    FROM events),
+        p AS (SELECT event_id, value, lat, lng FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY lat, lng
+                                               ORDER BY event_id) AS rn
+                  FROM p0) WHERE rn = 1),
+        c(qid, clat, clng) AS (VALUES {centers}),
+        d AS (SELECT qid, event_id, value, lat, lng,
+                     ROUND(SQRT((lat - clat) * (lat - clat)
+                              + (lng - clng) * (lng - clng)), 6) AS dist
+              FROM p CROSS JOIN c),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY dist, event_id) AS rn2
+              FROM d),
+        nb AS (SELECT qid, {', '.join(nb_cols)}
+               FROM r WHERE rn2 <= 3 GROUP BY qid),
+        gm AS (SELECT *, {pw} FROM nb),
+        dets AS (SELECT *, {det_sel} FROM gm),
+        wts AS (SELECT *, {wt_sel} FROM dets)
+        SELECT qid,
+               ROUND(w1 * z1 + w2 * z2 + w3 * z3, 6) AS krig_est,
+               ROUND(w1 * g1 + w2 * g2 + w3 * g3 + mu, 6) AS krig_var
+        FROM wts ORDER BY qid
+    """
+
+
+# ---------------------------------------------------------------------------
+# empty-space F-function (session 11)
+# ---------------------------------------------------------------------------
+
+_FF_BANDS = [0.25, 0.5, 1.0, 2.0, 4.0]
+_FF_NLAT, _FF_NLNG = 18, 20
+
+
+def q_f_function(spark, sf_dir):
+    """Empty-space function F(d) — the ECDF of nearest-EVENT distance from
+    a deterministic 18×20 reference grid (the point-pattern complement of
+    the G-function: G samples the pattern, F samples the empty space; F
+    below the CSR curve ⇔ clustered). NN distances come from the exact
+    query→data ring-doubling join (`nn_join` — `nn_distances` generalized
+    to separate query/data tables); the band evaluation is one broadcast
+    ladder over the 360-row NN table. Scale shape: each round shuffles
+    only unresolved grid points × cover cells against the cell-keyed
+    event table — never grid × events."""
+    from raptor_service_spark.operators.geo_knn import nn_join
+
+    g = spark.range(0, _FF_NLAT * _FF_NLNG).select(
+        F.col("id").alias("pid"),
+        (F.lit(-171.0) + (F.col("id") % _FF_NLNG).cast("double") * F.lit(18.0)).alias(
+            "px"
+        ),
+        (
+            F.lit(-81.0) + F.floor(F.col("id") / _FF_NLNG).cast("double") * F.lit(9.0)
+        ).alias("py"),
+    )
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    data = ev.select(F.col("event_id").alias("did"), lng.alias("dx"), lat.alias("dy"))
+    nn = nn_join(g, data, res=4, max_ring=64)
+    bands = spark.createDataFrame([(b,) for b in _FF_BANDS], "band double")
+    return (
+        nn.crossJoin(F.broadcast(bands))
+        .groupBy("band")
+        .agg(
+            F.sum((F.col("d1") <= F.col("band")).cast("long")).alias("n_le"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "band",
+            "n_le",
+            "n",
+            F.round(F.col("n_le") / F.col("n").cast("double"), 6).alias("f"),
+        )
+        .orderBy("band")
+    )
+
+
+def _f_function_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    bands = ", ".join(f"({b!r})" for b in _FF_BANDS)
+    return f"""
+        WITH g AS (SELECT i * {_FF_NLNG} + j AS pid,
+                          CAST(-171.0 + j * 18.0 AS DOUBLE) AS px,
+                          CAST(-81.0 + i * 9.0 AS DOUBLE) AS py
+                   FROM (SELECT unnest(range({_FF_NLAT})) AS i)
+                   CROSS JOIN (SELECT unnest(range({_FF_NLNG})) AS j)),
+        p AS (SELECT {lng} AS dx, {lat} AS dy FROM events),
+        d AS (SELECT g.pid,
+                     MIN(SQRT((g.px - p.dx) * (g.px - p.dx)
+                            + (g.py - p.dy) * (g.py - p.dy))) AS d1
+              FROM g CROSS JOIN p GROUP BY 1)
+        SELECT band, CAST(SUM(CAST(d1 <= band AS INT)) AS BIGINT) AS n_le,
+               COUNT(*) AS n,
+               ROUND(SUM(CAST(d1 <= band AS INT)) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS f
+        FROM d CROSS JOIN (SELECT CAST(band AS DOUBLE) AS band
+                           FROM (VALUES {bands}) t(band)) b
+        GROUP BY band
+        ORDER BY band
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -20017,6 +20247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "randomized_response": q_randomized_response,
         "bivariate_moran": q_bivariate_moran,
+        "kriging_ordinary": q_kriging_ordinary,
+        "f_function": q_f_function,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -20246,6 +20478,8 @@ def oracle_sql() -> dict[str, str]:
         "rich_club": _rich_club_sql(),
         "randomized_response": _randomized_response_sql(),
         "bivariate_moran": _bivariate_moran_sql(),
+        "kriging_ordinary": _kriging_ordinary_sql(),
+        "f_function": _f_function_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

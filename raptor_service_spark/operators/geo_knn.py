@@ -149,29 +149,50 @@ def nn_distances(
     (callers aggregate first, round last); nn_id is the nearest neighbor's
     pid, ties broken to the smallest pid (struct-min), so downstream
     type-of-neighbor statistics (colocation quotient) are deterministic.
+    """
+    data = points.select(
+        F.col("pid").alias("did"),
+        F.col("px").alias("dx"),
+        F.col("py").alias("dy"),
+    )
+    return nn_join(points, data, res, max_ring=max_ring, exclude_same_id=True)
 
-    Exactness by ring doubling: round R joins each unresolved point's
-    (2R+1)² cover cells against the cell-keyed point table and keeps its
+
+def nn_join(
+    queries: DataFrame,
+    data: DataFrame,
+    res: int,
+    max_ring: int = 32,
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """Exact nearest-DATA-point per QUERY point (degree-space euclid) — the
+    query→data generalization of `nn_distances` (which delegates here with
+    data = the query table itself and ``exclude_same_id=True``). The
+    empty-space F-function and catchment audits need exactly this shape:
+    sample/query points on one side, the observed point pattern on the
+    other.
+
+    ``queries``: (pid, px, py); ``data``: (did, dx, dy). Output:
+    (pid, d1, nn_id) — d1 NOT rounded (callers aggregate first, round
+    last); nn_id ties break to the smallest did (struct-min).
+
+    Exactness by ring doubling: round R joins each unresolved query's
+    (2R+1)² cover cells against the cell-keyed data table and keeps its
     best candidate; the answer is CONFIRMED when best < R·ch (ch = cell
     height — any point in an unexplored cell is at least R·ch away),
-    otherwise the point retries at 2R. O(log max_ring) rounds; each round
-    shuffles only unresolved points × their cover cells — sparse regions
-    pay more rings, dense regions resolve in round 1. Points still
-    unresolved past max_ring keep their best-so-far (or drop out if the
-    whole table is one point).
+    otherwise the query retries at 2R. O(log max_ring) rounds; each round
+    shuffles only unresolved queries × their cover cells — sparse regions
+    pay more rings, dense regions resolve in round 1. Queries still
+    unresolved past max_ring keep their best-so-far (or drop out if no
+    data point was ever seen).
     """
     from raptor_service_spark.operators.bbox_join import cover_cells_col
 
     n = 1 << res
     ch = 180.0 / n
-    pts = points.select("pid", "px", "py").withColumn(
-        "cell", cell_encode_col(F.col("py"), F.col("px"), res)
-    ).localCheckpoint(eager=True)
-    data = pts.select(
-        F.col("pid").alias("did"),
-        F.col("px").alias("dx"),
-        F.col("py").alias("dy"),
-        "cell",
+    pts = queries.select("pid", "px", "py").localCheckpoint(eager=True)
+    data = data.select("did", "dx", "dy").withColumn(
+        "cell", cell_encode_col(F.col("dy"), F.col("dx"), res)
     )
     resolved = None
     unresolved = pts
@@ -191,10 +212,11 @@ def nn_distances(
                 )
             ).alias("cell"),
         )
+        hits = cov.join(data, "cell")
+        if exclude_same_id:
+            hits = hits.filter(F.col("pid") != F.col("did"))
         best = (
-            cov.join(data, "cell")
-            .filter(F.col("pid") != F.col("did"))
-            .select(
+            hits.select(
                 "pid",
                 F.sqrt(
                     (F.col("px") - F.col("dx")) * (F.col("px") - F.col("dx"))
