@@ -19952,6 +19952,322 @@ def _f_function_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# RAKE keyword extraction (session 11)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = ("the", "a", "an", "of", "to", "in", "and", "is", "it", "that")
+_RAKE_TOPK = 20
+
+
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus: candidate
+    phrases are maximal stopword-free token runs (gaps-and-islands: position
+    minus row-number within the non-stop stream), word score = deg/freq
+    where deg sums the lengths of phrases a word appears in, phrase score =
+    Σ word scores. Scores are EXACT integer nano-units ((deg·10⁹) div freq,
+    summed as BIGINT) so cross-engine parity needs no float protocol at
+    all. Scale shape: one explode + two hash aggs + one bounded join
+    (distinct words), one top-k; never doc × doc. The unsupervised keyword
+    leg a tile-level `cell_top_terms` faceting UI would call."""
+    from pyspark.sql import Window
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("p", "w"),
+    ).filter(F.col("w") != "")
+    ns = toks.filter(~F.col("w").isin(*_RAKE_STOP))
+    wgrp = Window.partitionBy("doc_id").orderBy("p")
+    ns = ns.withColumn("grp", F.col("p") - F.row_number().over(wgrp))
+    occ = ns.withColumn(
+        "len", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "grp"))
+    )
+    wstats = occ.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("len").alias("deg")
+    )
+    wscore = wstats.select(
+        "w", F.expr("(deg * 1000000000L) div freq").alias("nanos")
+    )
+    inst = (
+        occ.join(wscore, "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("phrase"),
+            F.max("len").alias("n_words"),
+            F.sum("nanos").alias("nanos"),
+        )
+    )
+    return (
+        inst.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.round(F.max("nanos") / F.lit(1000000000.0), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
+def _rake_keywords_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\\s+') AS arr
+                   FROM documents),
+        toks AS (SELECT doc_id, u.p, u.w
+                 FROM (SELECT doc_id,
+                              UNNEST(list_transform(range(1, len(arr) + 1),
+                                  i -> struct_pack(p := i - 1, w := arr[i])))
+                                  AS u
+                       FROM t)
+                 WHERE u.w != ''),
+        ns AS (SELECT doc_id, p, w,
+                      p - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY p) AS grp
+               FROM toks WHERE w NOT IN ({stop})),
+        occ AS (SELECT doc_id, grp, p, w,
+                       COUNT(*) OVER (PARTITION BY doc_id, grp) AS len
+                FROM ns),
+        ws AS (SELECT w, (SUM(len) * 1000000000) // COUNT(*) AS nanos
+               FROM occ GROUP BY 1),
+        inst AS (SELECT occ.doc_id, occ.grp,
+                        string_agg(occ.w, ' ' ORDER BY occ.p) AS phrase,
+                        MAX(occ.len) AS n_words,
+                        SUM(ws.nanos) AS nanos
+                 FROM occ JOIN ws ON occ.w = ws.w
+                 GROUP BY 1, 2)
+        SELECT phrase, CAST(MAX(n_words) AS BIGINT) AS n_words,
+               COUNT(*) AS n_occ,
+               ROUND(MAX(nanos) / 1000000000.0, 6) AS score
+        FROM inst GROUP BY 1
+        ORDER BY score DESC, phrase LIMIT {_RAKE_TOPK}
+    """
+
+
+# ---------------------------------------------------------------------------
+# split-conformal prediction intervals (session 11)
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHAS = (50, 80, 90, 95)  # coverage targets, percent
+
+
+def q_conformal_intervals(spark, sf_dir):
+    """Split-conformal prediction intervals around the per-cell mean-value
+    predictor — the distribution-free uncertainty wrapper every field
+    estimator (kriging/IDW layers) should ship with. Deterministic md5
+    split (60/20/20 train/calibration/test); predictor = per-res-3-cell
+    train mean with global-mean fallback; conformal radius at coverage α =
+    the ⌈α(n+1)⌉-th smallest calibration |residual| (exact order
+    statistic); reported with the EMPIRICAL test coverage it achieves.
+    Floats are exact by construction: values become integer cents, means
+    are single exact-integer divisions, residual ranks are integers. Scale
+    shape: two hash aggs (cell means), one window rank on the calibration
+    slice, broadcast α ladder — one scan of events."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("conf|"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vi"),
+        cell_encode_col(lat, lng, 3).alias("cell"),
+        u.alias("u"),
+    )
+    train = base.filter(F.col("u") < 0.6)
+    calib = base.filter((F.col("u") >= 0.6) & (F.col("u") < 0.8))
+    test = base.filter(F.col("u") >= 0.8)
+    cmean = train.groupBy("cell").agg(
+        (F.sum("vi") / F.count(F.lit(1))).alias("cpred")
+    )
+    gmean = train.agg((F.sum("vi") / F.count(F.lit(1))).alias("gpred"))
+
+    def _resid(df):
+        return (
+            df.join(F.broadcast(cmean), "cell", "left")
+            .crossJoin(F.broadcast(gmean))
+            .select(
+                "event_id",
+                F.abs(
+                    F.col("vi") - F.coalesce(F.col("cpred"), F.col("gpred"))
+                ).alias("resid"),
+            )
+        )
+
+    from pyspark.sql import Window
+
+    rc = _resid(calib).withColumn(
+        "rn", F.row_number().over(Window.orderBy("resid", "event_id"))
+    )
+    nc = rc.agg(F.count(F.lit(1)).alias("n_calib"))
+    alphas = spark.createDataFrame(
+        [(a,) for a in _CONF_ALPHAS], "alpha_pct int"
+    )
+    ks = (
+        alphas.crossJoin(F.broadcast(nc))
+        .select(
+            "alpha_pct",
+            "n_calib",
+            F.least(
+                F.ceil(
+                    F.col("alpha_pct") * (F.col("n_calib") + 1) / F.lit(100.0)
+                ),
+                F.col("n_calib"),
+            ).alias("k"),
+        )
+    )
+    qs = ks.join(F.broadcast(rc), F.col("k") == F.col("rn")).select(
+        "alpha_pct", "n_calib", F.col("resid").alias("q")
+    )
+    rt = _resid(test)
+    return (
+        rt.crossJoin(F.broadcast(qs))
+        .groupBy("alpha_pct", "n_calib", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum((F.col("resid") <= F.col("q")).cast("long")).alias("n_cov"),
+        )
+        .select(
+            "alpha_pct",
+            "n_calib",
+            "n_test",
+            F.round(F.col("q") / F.lit(100.0), 6).alias("q_resid"),
+            F.round(F.col("n_cov") / F.col("n_test").cast("double"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("alpha_pct")
+    )
+
+
+def _conformal_intervals_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    alphas = ", ".join(f"({a})" for a in _CONF_ALPHAS)
+    return f"""
+        WITH base AS (
+            SELECT event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vi,
+                   {cell} AS cell,
+                   ('0x' || substr(md5('conf|' || CAST(event_id AS VARCHAR)),
+                                   1, 8))::BIGINT / 4294967296.0 AS u
+            FROM events),
+        train AS (SELECT * FROM base WHERE u < 0.6),
+        calib AS (SELECT * FROM base WHERE u >= 0.6 AND u < 0.8),
+        test AS (SELECT * FROM base WHERE u >= 0.8),
+        cmean AS (SELECT cell, SUM(vi) / COUNT(*) AS cpred
+                  FROM train GROUP BY 1),
+        gmean AS (SELECT SUM(vi) / COUNT(*) AS gpred FROM train),
+        rc AS (SELECT c.event_id,
+                      ABS(c.vi - COALESCE(m.cpred, g.gpred)) AS resid
+               FROM calib c LEFT JOIN cmean m ON c.cell = m.cell
+               CROSS JOIN gmean g),
+        rr AS (SELECT resid,
+                      ROW_NUMBER() OVER (ORDER BY resid, event_id) AS rn
+               FROM rc),
+        nc AS (SELECT COUNT(*) AS n_calib FROM rc),
+        ks AS (SELECT a.alpha_pct, nc.n_calib,
+                      LEAST(CAST(CEIL(a.alpha_pct * (nc.n_calib + 1)
+                                      / 100.0) AS BIGINT),
+                            nc.n_calib) AS k
+               FROM (SELECT alpha_pct FROM (VALUES {alphas}) t(alpha_pct)) a
+               CROSS JOIN nc),
+        qs AS (SELECT ks.alpha_pct, ks.n_calib, rr.resid AS q
+               FROM ks JOIN rr ON ks.k = rr.rn),
+        rt AS (SELECT ABS(t.vi - COALESCE(m.cpred, g.gpred)) AS resid
+               FROM test t LEFT JOIN cmean m ON t.cell = m.cell
+               CROSS JOIN gmean g)
+        SELECT qs.alpha_pct, qs.n_calib, COUNT(*) AS n_test,
+               ROUND(qs.q / 100.0, 6) AS q_resid,
+               ROUND(SUM(CAST(rt.resid <= qs.q AS INT))
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+        FROM rt CROSS JOIN qs
+        GROUP BY qs.alpha_pct, qs.n_calib, qs.q
+        ORDER BY alpha_pct
+    """
+
+
+# ---------------------------------------------------------------------------
+# isotonic regression via the minimax formula (session 11)
+# ---------------------------------------------------------------------------
+
+
+def q_isotonic_hourly(spark, sf_dir):
+    """Isotonic (monotone nondecreasing) regression of hourly event volume
+    against hour-of-day — the shape-constrained calibration fit (the same
+    PAVA solution score-calibration pipelines use). For the bounded series
+    the pool-adjacent-violators solution has the closed minimax form
+    fit_i = max_{s≤i} min_{t≥i} mean(y[s..t]), which is PURE relational
+    algebra: prefix sums → all O(n²) window means → two grouped extrema.
+    Every mean is one exact-integer division, so cross-engine floats are
+    identical with no rounding protocol. n=24 rows after the first agg —
+    everything past the scan is driver-trivial but stays declarative."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("h")
+    )
+    hours = ev.groupBy("h").agg(F.count(F.lit(1)).alias("y"))
+    a = hours.select(F.col("h").alias("s"), F.col("y").alias("ys"))
+    b = hours.select(F.col("h").alias("t"), F.col("y").alias("yt"))
+    spans = a.join(b, F.col("s") <= F.col("t"))
+    mids = hours.select(F.col("h").alias("m"), F.col("y").alias("ym"))
+    win = (
+        spans.join(
+            mids, (F.col("m") >= F.col("s")) & (F.col("m") <= F.col("t"))
+        )
+        .groupBy("s", "t")
+        .agg(
+            (F.sum("ym") / F.count(F.lit(1))).alias("mean")
+        )
+    )
+    inner = (
+        hours.select(F.col("h").alias("i"), "y")
+        .join(win, (F.col("s") <= F.col("i")) & (F.col("t") >= F.col("i")))
+        .groupBy("i", "y", "s")
+        .agg(F.min("mean").alias("mn"))
+    )
+    return (
+        inner.groupBy("i", "y")
+        .agg(F.round(F.max("mn"), 6).alias("fit"))
+        .select(F.col("i").alias("hour"), F.col("y").alias("n_events"), "fit")
+        .orderBy("hour")
+    )
+
+
+def _isotonic_hourly_sql() -> str:
+    return """
+        WITH hours AS (SELECT EXTRACT(hour FROM ts) AS h, COUNT(*) AS y
+                       FROM events GROUP BY 1),
+        win AS (SELECT a.h AS s, b.h AS t,
+                       SUM(m.y) / COUNT(*) AS mean
+                FROM hours a JOIN hours b ON a.h <= b.h
+                JOIN hours m ON m.h >= a.h AND m.h <= b.h
+                GROUP BY 1, 2),
+        inner_ AS (SELECT i.h AS i, i.y, w.s, MIN(w.mean) AS mn
+                   FROM hours i JOIN win w ON w.s <= i.h AND w.t >= i.h
+                   GROUP BY 1, 2, 3)
+        SELECT i AS hour, y AS n_events, ROUND(MAX(mn), 6) AS fit
+        FROM inner_ GROUP BY 1, 2
+        ORDER BY hour
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -20249,6 +20565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bivariate_moran": q_bivariate_moran,
         "kriging_ordinary": q_kriging_ordinary,
         "f_function": q_f_function,
+        "rake_keywords": q_rake_keywords,
+        "conformal_intervals": q_conformal_intervals,
+        "isotonic_hourly": q_isotonic_hourly,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -20480,6 +20799,9 @@ def oracle_sql() -> dict[str, str]:
         "bivariate_moran": _bivariate_moran_sql(),
         "kriging_ordinary": _kriging_ordinary_sql(),
         "f_function": _f_function_sql(),
+        "rake_keywords": _rake_keywords_sql(),
+        "conformal_intervals": _conformal_intervals_sql(),
+        "isotonic_hourly": _isotonic_hourly_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
