@@ -20268,6 +20268,318 @@ def _isotonic_hourly_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# media dHash near-dup (session 11)
+# ---------------------------------------------------------------------------
+
+
+def q_media_dhash_pairs(spark, sf_dir):
+    """Multimodal near-dup, second opinion: dHash (horizontal-gradient
+    bits from DECODED pixels — robust to the brightness shifts that flip
+    aHash bits wholesale) over the same RTv1 codec rasters and planted
+    thumbnail twins as `media_ahash_dedup`, then the identical 4-band
+    Hamming-LSH join (pigeonhole-exact at ham ≤ 3). An image-dedup stack
+    runs BOTH hashes; pairs where they agree are the high-precision dup
+    set. The oracle recomputes pixels via the hex-chained md5 arithmetic
+    and the gradient bits as a shifted self-join of the pixel table."""
+    from raptor_service_spark.datagen import gen_documents_df
+    from raptor_service_spark.operators.chunking import explode_spans
+    from raptor_service_spark.operators.tiles import (
+        ahash_neardup_pairs,
+        media_dhash,
+    )
+
+    docs = gen_documents_df(spark, 40, seed=67)
+    return ahash_neardup_pairs(media_dhash(explode_spans(docs)), max_ham=3)
+
+
+def _media_dhash_pairs_sql(n_docs: int = 40, seed: int = 67) -> str:
+    from raptor_service_spark.datagen import _gen_doc
+
+    refs = []
+    for i in range(n_docs):
+        d = _gen_doc(seed, i)
+        for s in d["spans"]:
+            if s["media_ref"]:
+                refs.append(f"('{s['media_ref']}')")
+    links = "md5(media_ref)"
+    link_cols = []
+    for k in range(4):
+        link_cols.append(f"{links} AS l{k}")
+        links = f"md5({links})"
+    pixel = (
+        "('0x' || substr(CASE i // 16 WHEN 0 THEN l0 WHEN 1 THEN l1 "
+        "WHEN 2 THEN l2 ELSE l3 END, 2 * (i % 16) + 1, 2))::BIGINT // 16 * 17"
+    )
+    return f"""
+        WITH refs(media_ref) AS (VALUES {', '.join(refs)}),
+        imgs AS (
+            SELECT media_ref || '#' || tt.t AS img, media_ref, tt.t
+            FROM refs CROSS JOIN (VALUES (0), (1)) tt(t)),
+        links AS (
+            SELECT img, t, {', '.join(link_cols)} FROM imgs),
+        lists AS (
+            SELECT img, t,
+                   list_transform(range(0, 64), i -> struct_pack(
+                       i := i, p := {pixel})) AS ps
+            FROM links),
+        px AS (
+            SELECT img,
+                   u.i AS i,
+                   CASE WHEN u.i = 0 AND t = 1 THEN LEAST(u.p + 17, 255)
+                        ELSE u.p END AS p
+            FROM (SELECT img, t, unnest(ps) AS u FROM lists)),
+        grad AS (
+            SELECT a.img,
+                   (a.i // 8) * 7 + (a.i % 8) AS gi,
+                   CAST(b.p > a.p AS INT) AS bit
+            FROM px a JOIN px b ON a.img = b.img AND b.i = a.i + 1
+            WHERE a.i % 8 != 7),
+        bits AS (
+            SELECT img,
+                   CAST(SUM(CASE WHEN gi < 32 AND bit = 1
+                            THEN (CAST(1 AS BIGINT) << CAST(gi % 32 AS INT))
+                            ELSE 0 END) AS BIGINT) AS w0,
+                   CAST(SUM(CASE WHEN gi >= 32 AND bit = 1
+                            THEN (CAST(1 AS BIGINT) << CAST(gi % 32 AS INT))
+                            ELSE 0 END) AS BIGINT) AS w1
+            FROM grad GROUP BY 1),
+        banded AS (
+            SELECT img, w0, w1, bb.b,
+                   CASE bb.b WHEN 0 THEN w0 % 65536 WHEN 1 THEN w0 // 65536
+                             WHEN 2 THEN w1 % 65536 ELSE w1 // 65536 END AS v
+            FROM bits CROSS JOIN (VALUES (0), (1), (2), (3)) bb(b))
+        SELECT DISTINCT a.img AS img_a, b.img AS img_b,
+               CAST(bit_count(xor(a.w0, b.w0))
+                    + bit_count(xor(a.w1, b.w1)) AS BIGINT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.v = b.v AND a.img < b.img
+        WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+    """
+
+
+# ---------------------------------------------------------------------------
+# TextTiling topic-boundary detection (session 11)
+# ---------------------------------------------------------------------------
+
+_TT_W = 5  # pseudo-sentence block size (tokens)
+
+
+def q_texttiling_boundaries(spark, sf_dir):
+    """TextTiling topic segmentation (Hearst 1997): token stream → fixed
+    pseudo-sentence blocks of {W} tokens → cosine similarity between each
+    adjacent block pair (exact integer dot/norms; one sqrt) → a gap is a
+    topic BOUNDARY when its similarity drops below the doc's mean − σ/2
+    (Hearst's threshold). The chunker upgrade over `split_text_recursive`:
+    semantic boundaries instead of fixed sizes. One explode + two hash
+    aggs + one self-join on (doc, block+1) + a per-doc window — never
+    doc × doc. Sims pre-rounded 9 dp; threshold comparison at 6 dp."""
+    from pyspark.sql import Window
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("p", "w"),
+    ).filter(F.col("w") != "")
+    tf = (
+        toks.withColumn("blk", F.floor(F.col("p") / _TT_W))
+        .groupBy("doc_id", "blk", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sq = tf.groupBy("doc_id", "blk").agg(F.sum(F.col("c") * F.col("c")).alias("sq"))
+    l, r = tf.alias("l"), tf.alias("r")
+    dots = (
+        l.join(
+            r,
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (F.col("l.blk") + 1 == F.col("r.blk"))
+            & (F.col("l.w") == F.col("r.w")),
+        )
+        .groupBy(F.col("l.doc_id").alias("doc_id"), F.col("l.blk").alias("gap"))
+        .agg(F.sum(F.col("l.c") * F.col("r.c")).alias("dot"))
+    )
+    sims = (
+        dots.join(
+            sq.select(
+                F.col("doc_id"), F.col("blk").alias("gap"), F.col("sq").alias("sql_")
+            ),
+            ["doc_id", "gap"],
+        )
+        .join(
+            sq.select(
+                F.col("doc_id"),
+                (F.col("blk") - 1).alias("gap"),
+                F.col("sq").alias("sqr_"),
+            ),
+            ["doc_id", "gap"],
+        )
+        .select(
+            "doc_id",
+            "gap",
+            F.round(
+                F.col("dot") / F.sqrt((F.col("sql_") * F.col("sqr_")).cast("double")),
+                9,
+            ).alias("sim"),
+        )
+    )
+    wd = Window.partitionBy("doc_id")
+    stats = sims.withColumns(
+        {
+            "mu": F.sum("sim").over(wd) / F.count(F.lit(1)).over(wd),
+            "m2": F.sum(F.col("sim") * F.col("sim")).over(wd)
+            / F.count(F.lit(1)).over(wd),
+        }
+    ).withColumn(
+        "thresh",
+        F.col("mu")
+        - F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0)))
+        / F.lit(2.0),
+    )
+    return (
+        stats.select(
+            "doc_id",
+            "gap",
+            F.round("sim", 6).alias("sim"),
+            F.round("thresh", 6).alias("thresh"),
+            (F.round("sim", 6) < F.round("thresh", 6)).alias("is_boundary"),
+        )
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id", "gap")
+    )
+
+
+def _texttiling_boundaries_sql() -> str:
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\\s+') AS arr
+                   FROM documents),
+        toks AS (SELECT doc_id, u.p, u.w
+                 FROM (SELECT doc_id,
+                              UNNEST(list_transform(range(1, len(arr) + 1),
+                                  i -> struct_pack(p := i - 1, w := arr[i])))
+                                  AS u
+                       FROM t)
+                 WHERE u.w != ''),
+        tf AS (SELECT doc_id, p // {_TT_W} AS blk, w, COUNT(*) AS c
+               FROM toks GROUP BY 1, 2, 3),
+        sq AS (SELECT doc_id, blk, SUM(c * c) AS sq
+               FROM tf GROUP BY 1, 2),
+        dots AS (SELECT l.doc_id, l.blk AS gap, SUM(l.c * r.c) AS dot
+                 FROM tf l JOIN tf r
+                   ON l.doc_id = r.doc_id AND l.blk + 1 = r.blk AND l.w = r.w
+                 GROUP BY 1, 2),
+        sims AS (SELECT d.doc_id, d.gap,
+                        ROUND(d.dot / SQRT(CAST(a.sq * b.sq AS DOUBLE)), 9)
+                            AS sim
+                 FROM dots d
+                 JOIN sq a ON a.doc_id = d.doc_id AND a.blk = d.gap
+                 JOIN sq b ON b.doc_id = d.doc_id AND b.blk = d.gap + 1),
+        stats AS (SELECT doc_id, gap, sim,
+                         SUM(sim) OVER (PARTITION BY doc_id)
+                             / COUNT(*) OVER (PARTITION BY doc_id) AS mu,
+                         SUM(sim * sim) OVER (PARTITION BY doc_id)
+                             / COUNT(*) OVER (PARTITION BY doc_id) AS m2
+                  FROM sims),
+        th AS (SELECT doc_id, gap, sim,
+                      mu - SQRT(GREATEST(m2 - mu * mu, 0.0)) / 2.0 AS thresh
+               FROM stats)
+        SELECT doc_id, gap, ROUND(sim, 6) AS sim, ROUND(thresh, 6) AS thresh,
+               ROUND(sim, 6) < ROUND(thresh, 6) AS is_boundary
+        FROM th WHERE doc_id < 200
+        ORDER BY doc_id, gap
+    """
+
+
+# ---------------------------------------------------------------------------
+# trajectory sinuosity (session 11)
+# ---------------------------------------------------------------------------
+
+
+def q_traj_sinuosity(spark, sf_dir):
+    """Per-user trajectory sinuosity: total haversine path length over the
+    great-circle displacement between first and last fix — the
+    route-efficiency index (1 = straight commute, ≫1 = wandering). One
+    window shuffle (lag legs + endpoint first/last in the same window
+    pass) + one agg; the same scale shape as `user_travel`, which this
+    extends with the displacement denominator."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.distance import haversine_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng).filter(
+        F.col("user_id") < 50
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    leg = haversine_col(
+        F.lag("lat").over(w), F.lag("lng").over(w), F.col("lat"), F.col("lng")
+    )
+    net = haversine_col(
+        F.first("lat").over(wall),
+        F.first("lng").over(wall),
+        F.last("lat").over(wall),
+        F.last("lng").over(wall),
+    )
+    agg = (
+        pts.withColumn("leg_km", leg)
+        .withColumn("net_km", net)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("leg_km").alias("path"),
+            F.max("net_km").alias("net"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.round("path", 6).alias("path_km"),
+        F.round("net", 6).alias("net_km"),
+        F.when(
+            F.col("net") > 0, F.round(F.col("path") / F.col("net"), 6)
+        ).alias("sinuosity"),
+    ).orderBy("user_id")
+
+
+def _traj_sinuosity_sql() -> str:
+    from raptor_service_spark.geo.distance import haversine_sql
+
+    lat, lng = _latlng_sql("event_id")
+    leg = haversine_sql("plat", "plng", "lat", "lng")
+    net = haversine_sql("flat", "flng", "llat", "llng")
+    return f"""
+        WITH p AS (SELECT user_id, ts, event_id,
+                          {lat} AS lat, {lng} AS lng
+                   FROM events WHERE user_id < 50),
+        w AS (SELECT user_id, lat, lng,
+                     LAG(lat) OVER win AS plat,
+                     LAG(lng) OVER win AS plng,
+                     FIRST_VALUE(lat) OVER win AS flat,
+                     FIRST_VALUE(lng) OVER win AS flng,
+                     LAST_VALUE(lat) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS llat,
+                     LAST_VALUE(lng) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS llng
+              FROM p
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        agg AS (SELECT user_id, COUNT(*) AS n_events,
+                       SUM({leg}) AS path,
+                       MAX({net}) AS net
+                FROM w GROUP BY 1)
+        SELECT user_id, n_events,
+               ROUND(path, 6) AS path_km,
+               ROUND(net, 6) AS net_km,
+               CASE WHEN net > 0 THEN ROUND(path / net, 6) END AS sinuosity
+        FROM agg ORDER BY user_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -20568,6 +20880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "conformal_intervals": q_conformal_intervals,
         "isotonic_hourly": q_isotonic_hourly,
+        "media_dhash_pairs": q_media_dhash_pairs,
+        "texttiling_boundaries": q_texttiling_boundaries,
+        "traj_sinuosity": q_traj_sinuosity,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -20802,6 +21117,9 @@ def oracle_sql() -> dict[str, str]:
         "rake_keywords": _rake_keywords_sql(),
         "conformal_intervals": _conformal_intervals_sql(),
         "isotonic_hourly": _isotonic_hourly_sql(),
+        "media_dhash_pairs": _media_dhash_pairs_sql(),
+        "texttiling_boundaries": _texttiling_boundaries_sql(),
+        "traj_sinuosity": _traj_sinuosity_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

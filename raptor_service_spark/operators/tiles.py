@@ -242,6 +242,40 @@ def ahash_neardup_pairs(hashes: DataFrame, max_ham: int = 3) -> DataFrame:
     )
 
 
+def media_dhash(spans: DataFrame, w: int = 8, h: int = 8) -> DataFrame:
+    """Perceptual difference-hash per media span (+ the same perturbed
+    thumbnail twin as `media_ahash`): dHash = horizontal-gradient bits
+    (pixel[r][c+1] > pixel[r][c], 8×7 = 56 bits) packed into two words.
+    Gradient hashes are robust to global brightness/contrast shifts that
+    flip aHash bits wholesale — the standard second opinion in image-dedup
+    stacks (pair it with aHash; agreement = high-precision dup). Bit order
+    gi = r·(w−1)+c matches the SQL twin's (i//w)·(w−1) + i%w mapping."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nbits = h * (w - 1)
+        for pdf in batches:
+            rows = {"img": [], "w0": [], "w1": []}
+            for ref in pdf["media_ref"]:
+                base = decode_raster(encode_raster(raster_for_ref_hex(ref, w, h)))
+                for t in (0, 1):
+                    flat = base.reshape(-1).astype(np.int64).copy()
+                    if t:  # thumbnail twin: one quant-step bump on pixel 0
+                        flat[0] = min(flat[0] + 17, 255)
+                    img = flat.reshape(h, w)
+                    bits = (img[:, 1:] > img[:, :-1]).astype(np.int64).reshape(-1)
+                    w0 = int((bits[:32] << np.arange(32)).sum())
+                    w1 = int((bits[32:] << np.arange(nbits - 32)).sum())
+                    rows["img"].append(f"{ref}#{t}")
+                    rows["w0"].append(w0)
+                    rows["w1"].append(w1)
+            yield pd.DataFrame(rows)
+
+    media = spans.filter(F.col("media_ref") != "")
+    return media.select("media_ref").mapInPandas(
+        gen, schema="img string, w0 long, w1 long"
+    )
+
+
 def resize_media(
     spans: DataFrame, out_w: int = 4, out_h: int = 4, src_w: int = 16, src_h: int = 16
 ) -> DataFrame:

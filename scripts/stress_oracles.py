@@ -49,6 +49,8 @@ NAMES = [
     "betweenness_cells", "hard_negatives", "clarity_score", "rouge_pairs",
     "wilson_ctr", "sprt_monitor", "good_turing", "chao1_richness",
     "ppr_sweep_cut", "rich_club", "randomized_response", "bivariate_moran",
+    # round-3 session-11 float-heavy additions
+    "kriging_ordinary", "texttiling_boundaries", "traj_sinuosity",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
