@@ -20580,6 +20580,237 @@ def _traj_sinuosity_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Lee's L bivariate spatial association (session 11)
+# ---------------------------------------------------------------------------
+
+
+def q_lee_l(spark, sf_dir):
+    """Lee's L (Lee 2001) between the document and event density surfaces
+    at res 5 — the smoothing-aware complement to `bivariate_moran`:
+    L = n·Σᵢ x̃ᵢ*ỹᵢ* / (√Σx*² · √Σy*²) where x̃ᵢ* is the row-standardized
+    3×3-neighborhood (incl. self) mean of the deviations. Captures
+    point-wise association AND spatial clustering in one statistic (Moran
+    cross-products only see the latter). Float discipline: neighborhood
+    sums stay INTEGER (x̃* = (Σxⱼ − kᵢ·x̄)/kᵢ — one float op on exact
+    ints), per-cell products pre-rounded 9 dp before the global sum.
+    One ring join over occupied cells — the morans_i scale shape."""
+    from raptor_service_spark.operators.cell_graph import _RING
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_col
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat_d, lng_d = _latlng_cols(F.col("doc_id"))
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat_e, lng_e = _latlng_cols(F.col("event_id"))
+    dc = d.groupBy(cell_encode_col(lat_d, lng_d, 5).alias("cell")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    ec = ev.groupBy(cell_encode_col(lat_e, lng_e, 5).alias("cell")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    c = (
+        dc.join(ec, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nbrs = F.array(
+        kring_neighbor_col("cell", 5, 0, 0),
+        *[kring_neighbor_col("cell", 5, dx, dy) for dx, dy in _RING],
+    )
+    p = c.select(
+        "cell", F.explode(F.filter(nbrs, lambda v: v.isNotNull())).alias("nbr")
+    )
+    sm = (
+        p.join(
+            c.select(
+                F.col("cell").alias("nbr"),
+                F.col("x").alias("nx"),
+                F.col("y").alias("ny"),
+            ),
+            "nbr",
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("nx").alias("sxi"),
+            F.sum("ny").alias("syi"),
+        )
+    )
+    j = sm.crossJoin(F.broadcast(stats))
+    mx = F.col("sx") / F.col("n")
+    my = F.col("sy") / F.col("n")
+    xs = (F.col("sxi") - F.col("k") * mx) / F.col("k")
+    ys = (F.col("syi") - F.col("k") * my) / F.col("k")
+    term = F.round(xs * ys, 9)
+    vx = F.max(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+    vy = F.max(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+    return j.agg(
+        F.max("n").alias("n_cells"),
+        F.round(
+            F.max("n") * F.sum(term) / F.sqrt(vx * vy),
+            6,
+        ).alias("lee_l"),
+    )
+
+
+def _lee_l_sql() -> str:
+    from raptor_service_spark.operators.cell_graph import _RING
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_sql
+
+    lat_d, lng_d = _latlng_sql("doc_id")
+    lat_e, lng_e = _latlng_sql("event_id")
+    cell_d = cell_encode_sql(lat_d, lng_d, 5)
+    cell_e = cell_encode_sql(lat_e, lng_e, 5)
+    nbr = kring_neighbor_sql("c.cell", 5, "o.dx", "o.dy")
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in [(0, 0), *_RING])
+    return f"""
+        WITH dc AS (SELECT {cell_d} AS cell, COUNT(*) AS x
+                    FROM documents GROUP BY 1),
+        ec AS (SELECT {cell_e} AS cell, COUNT(*) AS y
+               FROM events GROUP BY 1),
+        c AS MATERIALIZED (
+            SELECT COALESCE(dc.cell, ec.cell) AS cell,
+                   CAST(COALESCE(dc.x, 0) AS BIGINT) AS x,
+                   CAST(COALESCE(ec.y, 0) AS BIGINT) AS y
+            FROM dc FULL OUTER JOIN ec ON dc.cell = ec.cell),
+        s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * x) AS sxx, SUM(y * y) AS syy
+              FROM c),
+        p AS (SELECT c.cell, {nbr} AS nbr
+              FROM c CROSS JOIN (VALUES {offs}) o(dx, dy)
+              WHERE {nbr} IS NOT NULL),
+        sm AS (SELECT p.cell, COUNT(*) AS k,
+                      SUM(c2.x) AS sxi, SUM(c2.y) AS syi
+               FROM p JOIN c c2 ON p.nbr = c2.cell
+               GROUP BY 1),
+        terms AS (SELECT
+                      ROUND(((sm.sxi - sm.k * (s.sx / CAST(s.n AS DOUBLE)))
+                             / sm.k)
+                          * ((sm.syi - sm.k * (s.sy / CAST(s.n AS DOUBLE)))
+                             / sm.k), 9) AS t,
+                      s.n, s.sx, s.sy, s.sxx, s.syy
+                  FROM sm CROSS JOIN s)
+        SELECT MAX(n) AS n_cells,
+               ROUND(MAX(n) * SUM(t)
+                     / SQRT((MAX(sxx) - MAX(sx) * MAX(sx)
+                             / CAST(MAX(n) AS DOUBLE))
+                          * (MAX(syy) - MAX(sy) * MAX(sy)
+                             / CAST(MAX(n) AS DOUBLE))), 6) AS lee_l
+        FROM terms
+    """
+
+
+# ---------------------------------------------------------------------------
+# reliability diagram + expected calibration error (session 11)
+# ---------------------------------------------------------------------------
+
+_CAL_STOP = ("the", "a", "an", "of", "to", "in", "and", "is", "it", "that")
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability diagram + ECE for a fixed linguistic English-ness
+    scorer: p̂ = min(stopword token hits, 8)/8 (a DYADIC rational — every
+    p̂, every per-bin sum of p̂, is exactly representable, so confidence
+    means are order-independent with NO float protocol), ground truth =
+    (lang = 'en'). 10 equal-width bins: per-bin count, mean confidence,
+    empirical accuracy, |gap|, and the corpus ECE Σ (n_b/n)·gap — the
+    audit every learned quality/langid filter in the curation pipeline
+    should publish before its threshold is trusted. One scan, two aggs."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    hits = toks.groupBy("doc_id", "lang").agg(
+        F.sum(F.col("w").isin(*_CAL_STOP).cast("long")).alias("sh")
+    )
+    scored = hits.select(
+        (F.least(F.col("sh"), F.lit(8)) / F.lit(8.0)).alias("p"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin"),
+        "p",
+        "pos",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("p") / F.count(F.lit(1))).alias("conf"),
+        (F.sum("pos") / F.count(F.lit(1))).alias("acc"),
+    )
+    tot = binned.agg(F.count(F.lit(1)).alias("n"))
+    ece = (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("n_docs") / F.col("n")) * F.abs(F.col("acc") - F.col("conf")),
+                9,
+            ).alias("t")
+        )
+        .agg(F.round(F.sum("t"), 6).alias("ece"))
+    )
+    return (
+        bins.crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            "n_docs",
+            F.round("conf", 6).alias("conf"),
+            F.round("acc", 6).alias("acc"),
+            F.round(F.abs(F.col("acc") - F.col("conf")), 6).alias("gap"),
+            "ece",
+        )
+        .orderBy("bin")
+    )
+
+
+def _calibration_bins_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in _CAL_STOP)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang, UNNEST(
+                regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents),
+        hits AS (
+            SELECT doc_id, lang,
+                   SUM(CAST(w IN ({stop}) AS BIGINT)) AS sh
+            FROM toks GROUP BY 1, 2),
+        scored AS (
+            SELECT LEAST(sh, 8) / 8.0 AS p,
+                   CAST(lang = 'en' AS BIGINT) AS pos
+            FROM hits),
+        binned AS (
+            SELECT CAST(LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS INT)
+                       AS bin, p, pos
+            FROM scored),
+        bins AS (
+            SELECT bin, COUNT(*) AS n_docs,
+                   SUM(p) / COUNT(*) AS conf,
+                   SUM(pos) / CAST(COUNT(*) AS DOUBLE) AS acc
+            FROM binned GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n FROM binned),
+        ece AS (
+            SELECT ROUND(SUM(ROUND((n_docs / CAST(n AS DOUBLE))
+                                   * ABS(acc - conf), 9)), 6) AS ece
+            FROM bins CROSS JOIN tot)
+        SELECT bin, n_docs, ROUND(conf, 6) AS conf, ROUND(acc, 6) AS acc,
+               ROUND(ABS(acc - conf), 6) AS gap, ece.ece AS ece
+        FROM bins CROSS JOIN ece
+        ORDER BY bin
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -20883,6 +21114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash_pairs": q_media_dhash_pairs,
         "texttiling_boundaries": q_texttiling_boundaries,
         "traj_sinuosity": q_traj_sinuosity,
+        "lee_l": q_lee_l,
+        "calibration_bins": q_calibration_bins,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -21120,6 +21353,8 @@ def oracle_sql() -> dict[str, str]:
         "media_dhash_pairs": _media_dhash_pairs_sql(),
         "texttiling_boundaries": _texttiling_boundaries_sql(),
         "traj_sinuosity": _traj_sinuosity_sql(),
+        "lee_l": _lee_l_sql(),
+        "calibration_bins": _calibration_bins_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
