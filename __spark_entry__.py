@@ -20811,6 +20811,335 @@ def _calibration_bins_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Borůvka MST over the occupied-cell graph (session 11)
+# ---------------------------------------------------------------------------
+
+_MST_RES, _MST_ROUNDS, _MST_JUMPS = 4, 10, 10
+
+
+def q_mst_cells(spark, sf_dir):
+    """Minimum spanning tree of the occupied res-4 document-cell adjacency
+    graph (8-adjacency, integer |density difference| weights, (w, a, b)
+    total order ⇒ unique MST) by fixed-schedule distributed Borůvka:
+    per round one grouped-min over the edge table picks each component's
+    cheapest outgoing edge, then hook + 10 pointer-jumping shortcuts merge
+    labels EXACTLY (2^10 ≥ node bound 512 — no convergence loop to
+    truncate). The single-linkage/HDBSCAN backbone over tiles; Θ(log n)
+    rounds of pure joins/aggs, zero floats. See `operators/mst.py`."""
+    from raptor_service_spark.operators.mst import boruvka_mst, cell_edges
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.select(lat.alias("lat"), lng.alias("lng"))
+    return boruvka_mst(
+        cell_edges(pts, _MST_RES), rounds=_MST_ROUNDS, jumps=_MST_JUMPS
+    )
+
+
+def _mst_cells_sql() -> str:
+    from raptor_service_spark.operators.mst import boruvka_mst_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    return boruvka_mst_sql(
+        f"SELECT {lat} AS lat, {lng} AS lng FROM documents",
+        _MST_RES,
+        rounds=_MST_ROUNDS,
+        jumps=_MST_JUMPS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers per cell (session 11)
+# ---------------------------------------------------------------------------
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-cell outlier screen: median and MAD (median absolute
+    deviation) of event values per res-3 cell — both EXACT order
+    statistics on integer cents (lower-median convention: the
+    ⌈n/2⌉-th smallest, so no averaging float) — then flag events with
+    |v − med| > 3·MAD. The robust QC filter that survives the heavy
+    tails that wreck mean/σ rules (`speed_anomalies`' z-scores). Scale
+    shape: two windowed ranks partitioned BY CELL (parallel, no global
+    sort) + one broadcast join back; top-20 most extreme flagged events."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vi"),
+        cell_encode_col(lat, lng, 3).alias("cell"),
+    )
+    wc = Window.partitionBy("cell")
+    med = (
+        base.withColumn(
+            "rn", F.row_number().over(wc.orderBy("vi", "event_id"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select("cell", F.col("vi").alias("med"), F.col("n").alias("n_cell"))
+    )
+    dev = base.join(F.broadcast(med), "cell").withColumn(
+        "ad", F.abs(F.col("vi") - F.col("med"))
+    )
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wc.orderBy("ad", "event_id")))
+        .filter(F.col("rn") == F.ceil(F.col("n_cell") / 2))
+        .select("cell", F.col("ad").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "cell")
+        .filter(F.col("ad") > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "cell",
+            F.round(F.col("vi") / 100.0, 6).alias("value"),
+            F.round(F.col("med") / 100.0, 6).alias("cell_median"),
+            F.round(F.col("mad") / 100.0, 6).alias("cell_mad"),
+            (F.col("ad") - 3 * F.col("mad")).alias("excess_cents"),
+        )
+        .orderBy(F.col("excess_cents").desc(), "event_id")
+        .limit(20)
+    )
+
+
+def _mad_outliers_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH base AS (
+            SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS vi,
+                   {cell} AS cell
+            FROM events),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                                            ORDER BY vi, event_id) AS rn,
+                      COUNT(*) OVER (PARTITION BY cell) AS n
+               FROM base),
+        med AS (SELECT cell, vi AS med, n AS n_cell
+                FROM rk WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)),
+        dev AS (SELECT b.event_id, b.cell, b.vi, m.med, m.n_cell,
+                       ABS(b.vi - m.med) AS ad
+                FROM base b JOIN med m ON b.cell = m.cell),
+        rk2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                                             ORDER BY ad, event_id) AS rn
+                FROM dev),
+        mad AS (SELECT cell, ad AS mad
+                FROM rk2 WHERE rn = CAST(CEIL(n_cell / 2.0) AS BIGINT))
+        SELECT d.event_id, d.cell,
+               ROUND(d.vi / 100.0, 6) AS value,
+               ROUND(d.med / 100.0, 6) AS cell_median,
+               ROUND(x.mad / 100.0, 6) AS cell_mad,
+               CAST(d.ad - 3 * x.mad AS BIGINT) AS excess_cents
+        FROM dev d JOIN mad x ON d.cell = x.cell
+        WHERE d.ad > 3 * x.mad
+        ORDER BY excess_cents DESC, d.event_id
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality decomposition (session 11)
+# ---------------------------------------------------------------------------
+
+
+def q_theil_decomposition(spark, sf_dir):
+    """Theil-T inequality of event activity across res-4 cells, EXACTLY
+    decomposed into between-region and within-region parts over res-2
+    parent regions (T = T_b + Σ s_r T_r) — the additive-decomposability
+    property that makes Theil (not Gini) the inequality index for
+    hierarchical tile rollups. All shares are exact integer ratios; ln
+    appears only on those exact ratios (the `doc_perplexity` discipline);
+    terms pre-rounded 9 dp. One count agg + two grouped sums."""
+    from raptor_service_spark.geo.grid import cell_parent_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    cells = (
+        ev.select(cell_encode_col(lat, lng, 4).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .withColumn("region", cell_parent_col(F.col("cell"), 4, 2))
+    )
+    # NOTE: Spark resolves case-insensitively — the total must NOT be
+    # named "X" or it collides with the per-cell "x".
+    tot = cells.agg(
+        F.sum("x").alias("xt"), F.count(F.lit(1)).alias("n")
+    )
+    reg = cells.groupBy("region").agg(
+        F.sum("x").alias("xr"), F.count(F.lit(1)).alias("nr")
+    )
+    # within: per cell, term = (x/X)·ln( (x/X) / (xr·? ...) ) using the
+    # per-region Theil: T_r = Σ_{i∈r} (x_i/X_r)·ln( n_r·x_i / X_r )
+    j = cells.join(F.broadcast(reg), "region").crossJoin(F.broadcast(tot))
+    tw_term = F.round(
+        (F.col("x") / F.col("xr"))
+        * F.log(F.col("nr") * F.col("x") / F.col("xr")),
+        9,
+    )
+    within = (
+        j.groupBy("region", "xr", "nr")
+        .agg(F.sum(tw_term).alias("t_r"))
+        .crossJoin(F.broadcast(tot))
+    )
+    tb_term = F.round(
+        (F.col("xr") / F.col("xt"))
+        * F.log(
+            (F.col("xr") / F.col("xt")) / (F.col("nr") / F.col("n"))
+        ),
+        9,
+    )
+    tw_scaled = F.round((F.col("xr") / F.col("xt")) * F.col("t_r"), 9)
+    out = within.agg(
+        F.max("n").alias("n_cells"),
+        F.count(F.lit(1)).alias("n_regions"),
+        F.round(F.sum(tb_term), 6).alias("t_between"),
+        F.round(F.sum(tw_scaled), 6).alias("t_within"),
+        F.round(F.sum(tb_term) + F.sum(tw_scaled), 6).alias("t_total"),
+    )
+    return out
+
+
+def _theil_decomposition_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_parent_sql
+
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 4)
+    region = cell_parent_sql("cell", 4, 2)
+    return f"""
+        WITH cells AS (
+            SELECT cell, COUNT(*) AS x, {region} AS region
+            FROM (SELECT {cell} AS cell FROM events) GROUP BY 1),
+        tot AS (SELECT SUM(x) AS X, COUNT(*) AS n FROM cells),
+        reg AS (SELECT region, SUM(x) AS xr, COUNT(*) AS nr
+                FROM cells GROUP BY 1),
+        within AS (
+            SELECT c.region, r.xr, r.nr,
+                   SUM(ROUND((c.x / CAST(r.xr AS DOUBLE))
+                             * LN(r.nr * c.x / CAST(r.xr AS DOUBLE)), 9))
+                       AS t_r
+            FROM cells c JOIN reg r ON c.region = r.region
+            GROUP BY 1, 2, 3)
+        SELECT MAX(t.n) AS n_cells, COUNT(*) AS n_regions,
+               ROUND(SUM(ROUND((w.xr / CAST(t.X AS DOUBLE))
+                               * LN((w.xr / CAST(t.X AS DOUBLE))
+                                    / (w.nr / CAST(t.n AS DOUBLE))), 9)), 6)
+                   AS t_between,
+               ROUND(SUM(ROUND((w.xr / CAST(t.X AS DOUBLE)) * w.t_r, 9)), 6)
+                   AS t_within,
+               ROUND(SUM(ROUND((w.xr / CAST(t.X AS DOUBLE))
+                               * LN((w.xr / CAST(t.X AS DOUBLE))
+                                    / (w.nr / CAST(t.n AS DOUBLE))), 9))
+                     + SUM(ROUND((w.xr / CAST(t.X AS DOUBLE)) * w.t_r, 9)), 6)
+                   AS t_total
+        FROM within w CROSS JOIN tot t
+    """
+
+
+# ---------------------------------------------------------------------------
+# jump-length distribution fit (session 11)
+# ---------------------------------------------------------------------------
+
+
+def q_jump_length_fit(spark, sf_dir):
+    """Jump-length (displacement) distribution of consecutive user fixes
+    with a log-log power-law slope — the mobility-science scaling law
+    (González et al. 2008: P(Δr) ~ Δr^−β). Legs from the one-window lag
+    chain, log₂-binned (exact: FLOOR(LOG2) on integer meters), per-bin
+    counts, then the OLS slope of ln(count) on ln(2)·bin over non-empty
+    bins — every float computed from aggregated exact integers. One
+    window + two tiny aggs; the per-bin histogram is the reusable part."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.distance import haversine_col
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # each user's FIRST fix has no jump: filter the null lag explicitly —
+    # haversine_col's LEAST(1.0, NULL) would otherwise turn it into the
+    # antipodal max (both engines' LEAST skip NULLs).
+    lagged = (
+        pts.withColumn("plat", F.lag("lat").over(w))
+        .withColumn("plng", F.lag("lng").over(w))
+        .filter(F.col("plat").isNotNull())
+    )
+    leg_m = (
+        haversine_col(F.col("plat"), F.col("plng"), F.col("lat"), F.col("lng"))
+        * 1000.0
+    )
+    # bin = floor(log2(round(leg_m))) computed EXACTLY as the bit length
+    # of the integer meters (length(bin(m)) - 1) — libm log2 could round
+    # differently across engines at exact powers of two.
+    bins = (
+        lagged.withColumn("leg_m", leg_m)
+        .filter(F.col("leg_m") >= 1.0)
+        .select(
+            (
+                F.length(F.bin(F.round("leg_m").cast("long"))) - 1
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    fit = bins.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("bin")).alias("sx"),
+        F.sum(F.col("bin") * F.col("bin")).alias("sxx"),
+        F.sum(F.round(F.log("cnt"), 9)).alias("sy"),
+        F.sum(F.col("bin") * F.round(F.log("cnt"), 9)).alias("sxy"),
+    ).select(
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / F.log(F.lit(2.0)),
+            6,
+        ).alias("slope_per_doubling")
+    )
+    return (
+        bins.crossJoin(F.broadcast(fit))
+        .select("bin", "cnt", "slope_per_doubling")
+        .orderBy("bin")
+    )
+
+
+def _jump_length_fit_sql() -> str:
+    from raptor_service_spark.geo.distance import haversine_sql
+
+    lat, lng = _latlng_sql("event_id")
+    leg = haversine_sql("plat", "plng", "lat", "lng")
+    return f"""
+        WITH p AS (SELECT user_id, ts, event_id,
+                          {lat} AS lat, {lng} AS lng
+                   FROM events),
+        legs AS (SELECT ({leg}) * 1000.0 AS leg_m
+                 FROM (SELECT user_id, lat, lng,
+                              LAG(lat) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS plat,
+                              LAG(lng) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS plng
+                       FROM p)
+                 WHERE plat IS NOT NULL),
+        bins AS (SELECT CAST(length(bin(CAST(ROUND(leg_m) AS BIGINT))) - 1
+                             AS BIGINT) AS bin,
+                        COUNT(*) AS cnt
+                 FROM legs WHERE leg_m >= 1.0 GROUP BY 1),
+        fit AS (SELECT ROUND((COUNT(*) * SUM(bin * ROUND(LN(cnt), 9))
+                              - SUM(bin) * SUM(ROUND(LN(cnt), 9)))
+                             / (COUNT(*) * SUM(bin * bin)
+                                - SUM(bin) * SUM(bin))
+                             / LN(2.0), 6) AS slope_per_doubling
+                FROM bins)
+        SELECT bin, cnt, fit.slope_per_doubling
+        FROM bins CROSS JOIN fit
+        ORDER BY bin
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -21116,6 +21445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_sinuosity": q_traj_sinuosity,
         "lee_l": q_lee_l,
         "calibration_bins": q_calibration_bins,
+        "mst_cells": q_mst_cells,
+        "mad_outliers": q_mad_outliers,
+        "theil_decomposition": q_theil_decomposition,
+        "jump_length_fit": q_jump_length_fit,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -21355,6 +21688,10 @@ def oracle_sql() -> dict[str, str]:
         "traj_sinuosity": _traj_sinuosity_sql(),
         "lee_l": _lee_l_sql(),
         "calibration_bins": _calibration_bins_sql(),
+        "mst_cells": _mst_cells_sql(),
+        "mad_outliers": _mad_outliers_sql(),
+        "theil_decomposition": _theil_decomposition_sql(),
+        "jump_length_fit": _jump_length_fit_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -51,7 +51,7 @@ NAMES = [
     "ppr_sweep_cut", "rich_club", "randomized_response", "bivariate_moran",
     # round-3 session-11 float-heavy additions
     "kriging_ordinary", "texttiling_boundaries", "traj_sinuosity",
-    "lee_l",
+    "lee_l", "theil_decomposition", "jump_length_fit",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
