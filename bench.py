@@ -254,6 +254,23 @@ HEADLINE = [
     "rich_club",
     "randomized_response",
     "bivariate_moran",
+    # session-11 additions: geostatistics (kriging, F-function, Lee's L,
+    # Theil), Boruvka MST, robust/calibration stats, text segmentation,
+    # media dHash, mobility scaling laws
+    "kriging_ordinary",
+    "f_function",
+    "rake_keywords",
+    "conformal_intervals",
+    "isotonic_hourly",
+    "media_dhash_pairs",
+    "texttiling_boundaries",
+    "traj_sinuosity",
+    "lee_l",
+    "calibration_bins",
+    "mst_cells",
+    "mad_outliers",
+    "theil_decomposition",
+    "jump_length_fit",
 ]
 
 SEED = 77
