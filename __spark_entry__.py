@@ -21140,6 +21140,345 @@ def _jump_length_fit_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# density-similarity raster segmentation (session 11)
+# ---------------------------------------------------------------------------
+
+_SEG_RES, _SEG_MAXW = 4, 0  # merge only equal-density neighbors
+
+
+def q_cell_segmentation(spark, sf_dir):
+    """Raster segmentation of the document-density surface: merge
+    8-adjacent res-4 cells whose counts differ by ≤ {maxw} (the classic
+    connected-component labeling / region-growing step of every raster
+    pipeline), components via the SAME fixed-schedule Borůvka merge as
+    `mst_cells` (a graph's MST forest spans exactly its components).
+    Isolated occupied cells stay singleton segments. Top-20 segments by
+    size; all-integer."""
+    from raptor_service_spark.operators.mst import cell_edges, graph_components
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.select(lat.alias("lat"), lng.alias("lng"))
+    nodes = (
+        pts.select(
+            cell_encode_col(F.col("lat"), F.col("lng"), _SEG_RES).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    edges = cell_edges(pts, _SEG_RES).filter(F.col("w") <= _SEG_MAXW)
+    comps = graph_components(edges, rounds=_MST_ROUNDS, nodes=nodes)
+    return (
+        comps.join(nodes, "cell")
+        .groupBy(F.col("comp").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("cnt").alias("n_docs"),
+        )
+        .orderBy(F.col("n_cells").desc(), "segment")
+        .limit(20)
+    )
+
+
+def _cell_segmentation_sql() -> str:
+    from raptor_service_spark.operators.mst import boruvka_mst_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, _SEG_RES)
+    comps = boruvka_mst_sql(
+        f"SELECT {lat} AS lat, {lng} AS lng FROM documents",
+        _SEG_RES,
+        rounds=_MST_ROUNDS,
+        jumps=_MST_JUMPS,
+        max_w=_SEG_MAXW,
+        final="components",
+    )
+    return f"""
+        SELECT x.comp AS segment, COUNT(*) AS n_cells,
+               CAST(SUM(y.cnt) AS BIGINT) AS n_docs
+        FROM ({comps}) x
+        JOIN (SELECT {cell} AS cell, COUNT(*) AS cnt
+              FROM documents GROUP BY 1) y ON x.cell = y.cell
+        GROUP BY 1
+        ORDER BY n_cells DESC, segment
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# distribution-based score fusion (session 11)
+# ---------------------------------------------------------------------------
+
+
+def q_dbsf_fusion(spark, sf_dir):
+    """Distribution-based score fusion (DBSF): z-normalize each retrieval
+    leg's scores over its own top-50 pool (BM25 keyword leg; cosine
+    vector leg), fused = Σ z with 0 for a missing leg — the calibrated
+    alternative to `hybrid_retrieval`'s rank-only RRF (score shape
+    matters when one leg is confident). z pre-rounded 9 dp, fused 6 dp;
+    the μ/σ come from 20-row aggregates. Same two-leg scan shape as RRF."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.operators.bm25 import bm25_topk
+
+    kw = bm25_topk(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        list(_BM25_TERMS),
+        50,
+    ).select("doc_id", F.col("score").alias("s"))
+    kw_st = kw.agg(
+        (F.sum("s") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(F.col("s") * F.col("s")) / F.count(F.lit(1))).alias("m2"),
+    )
+    kwz = kw.crossJoin(F.broadcast(kw_st)).select(
+        "doc_id",
+        F.round(
+            (F.col("s") - F.col("mu"))
+            / F.sqrt(
+                F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(1e-12))
+            ),
+            9,
+        ).alias("zk"),
+    )
+    e = _read(spark, sf_dir, "embeddings")
+    vec = (
+        e.withColumn(
+            "sim", F.round(F.lit(1.0) - cosine_dist_col(F.col("embedding"), QVEC), 6)
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(50)
+        .select(F.col("vec_id").alias("doc_id"), "sim")
+    )
+    vec_st = vec.agg(
+        (F.sum("sim") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(F.col("sim") * F.col("sim")) / F.count(F.lit(1))).alias("m2"),
+    )
+    vecz = vec.crossJoin(F.broadcast(vec_st)).select(
+        "doc_id",
+        F.round(
+            (F.col("sim") - F.col("mu"))
+            / F.sqrt(
+                F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(1e-12))
+            ),
+            9,
+        ).alias("zv"),
+    )
+    return (
+        kwz.join(vecz, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("zk"), F.lit(0.0))
+                + F.coalesce(F.col("zv"), F.lit(0.0)),
+                6,
+            ).alias("dbsf"),
+        )
+        .orderBy(F.col("dbsf").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _dbsf_fusion_sql() -> str:
+    return f"""
+        WITH kw AS (SELECT doc_id, score AS s FROM ({_bm25_sql_entry(50)})),
+        kst AS (SELECT SUM(s) / COUNT(*) AS mu,
+                       SUM(s * s) / COUNT(*) AS m2 FROM kw),
+        kwz AS (SELECT doc_id,
+                       ROUND((s - mu) / SQRT(GREATEST(m2 - mu * mu, 1e-12)), 9)
+                           AS zk
+                FROM kw CROSS JOIN kst),
+        vec AS (SELECT vec_id AS doc_id, sim
+                FROM (SELECT vec_id,
+                             ROUND(list_cosine_similarity(
+                                 list_transform(embedding,
+                                                x -> CAST(x AS DOUBLE)),
+                                 {QVEC_SQL}), 6) AS sim
+                      FROM embeddings
+                      ORDER BY sim DESC, vec_id ASC LIMIT 50)),
+        vst AS (SELECT SUM(sim) / COUNT(*) AS mu,
+                       SUM(sim * sim) / COUNT(*) AS m2 FROM vec),
+        vecz AS (SELECT doc_id,
+                        ROUND((sim - mu)
+                              / SQRT(GREATEST(m2 - mu * mu, 1e-12)), 9) AS zv
+                 FROM vec CROSS JOIN vst)
+        SELECT COALESCE(kwz.doc_id, vecz.doc_id) AS doc_id,
+               ROUND(COALESCE(zk, 0.0) + COALESCE(zv, 0.0), 6) AS dbsf
+        FROM kwz FULL OUTER JOIN vecz ON kwz.doc_id = vecz.doc_id
+        ORDER BY dbsf DESC, doc_id ASC LIMIT 10
+    """
+
+
+# ---------------------------------------------------------------------------
+# best-passage extraction (session 11)
+# ---------------------------------------------------------------------------
+
+_BP_W = 10  # passage window, tokens
+
+
+def q_best_passage(spark, sf_dir):
+    """Best-passage (snippet) extraction for the BM25 top-5 docs: the
+    10-token window with the most query-term hits, tie-broken to the
+    earliest start (argmax is a struct-max — no second pass). Candidate
+    starts are query-term positions only (the optimal window starts at a
+    hit), so the candidate join is O(hits²) per doc, hits ≤ tokens.
+    Returns the reconstructed passage text — the search-result snippet
+    leg the retrieval stack serves. All-integer + string ops."""
+    from raptor_service_spark.operators.bm25 import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    top = bm25_topk(docs, list(_BM25_TERMS), 5).select("doc_id")
+    toks = docs.join(F.broadcast(top), "doc_id").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("p", "w"),
+    )
+    qt = toks.filter(F.col("w").isin(*_BM25_TERMS))
+    a, b = qt.alias("a"), qt.alias("b")
+    hits = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.p") >= F.col("a.p"))
+            & (F.col("b.p") < F.col("a.p") + _BP_W),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.p").alias("start"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    best = hits.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("n_hits"), (-F.col("start")).alias("ns"))).alias("b")
+    ).select(
+        "doc_id",
+        F.col("b.n_hits").alias("n_hits"),
+        (-F.col("b.ns")).alias("start"),
+    )
+    passage = (
+        toks.join(F.broadcast(best), "doc_id")
+        .filter(
+            (F.col("p") >= F.col("start")) & (F.col("p") < F.col("start") + _BP_W)
+        )
+        .groupBy("doc_id", "start", "n_hits")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("passage")
+        )
+    )
+    return passage.select("doc_id", "start", "n_hits", "passage").orderBy(
+        "doc_id"
+    )
+
+
+def _best_passage_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+        WITH top AS (SELECT doc_id FROM ({_bm25_sql_entry(5)})),
+        t AS (SELECT d.doc_id,
+                     regexp_split_to_array(trim(d.text), '\\s+') AS arr
+              FROM documents d JOIN top ON d.doc_id = top.doc_id),
+        toks AS (SELECT doc_id, u.p, u.w
+                 FROM (SELECT doc_id,
+                              UNNEST(list_transform(range(1, len(arr) + 1),
+                                  i -> struct_pack(p := i - 1, w := arr[i])))
+                                  AS u
+                       FROM t)),
+        qt AS (SELECT doc_id, p FROM toks WHERE w IN ({terms})),
+        hits AS (SELECT a.doc_id, a.p AS start, COUNT(*) AS n_hits
+                 FROM qt a JOIN qt b
+                   ON a.doc_id = b.doc_id AND b.p >= a.p
+                      AND b.p < a.p + {_BP_W}
+                 GROUP BY 1, 2),
+        best AS (SELECT doc_id,
+                        MAX(struct_pack(n_hits := n_hits, ns := -start)) AS b
+                 FROM hits GROUP BY 1),
+        sel AS (SELECT doc_id, b.n_hits AS n_hits, -b.ns AS start FROM best)
+        SELECT s.doc_id AS doc_id, CAST(s.start AS BIGINT) AS start,
+               CAST(s.n_hits AS BIGINT) AS n_hits,
+               string_agg(k.w, ' ' ORDER BY k.p) AS passage
+        FROM sel s JOIN toks k
+          ON k.doc_id = s.doc_id AND k.p >= s.start
+             AND k.p < s.start + {_BP_W}
+        GROUP BY 1, 2, 3
+        ORDER BY s.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# IDW leave-one-out cross-validation (session 11)
+# ---------------------------------------------------------------------------
+
+_LOOCV_EPS = 8.0
+
+
+def q_idw_loocv(spark, sf_dir):
+    """Leave-one-out cross-validation of the IDW field estimator: every
+    site (bounded probe set, event_id < 2000) is predicted from its
+    OTHER neighbors within ε via the one-shuffle cell/ring ε-join, and
+    the pooled MAE/RMSE is the honesty metric `idw_interpolation` should
+    publish next to its map (the model-validation leg of the kriging /
+    IDW family). Errors in integer cents where possible; per-site preds
+    6 dp, squared errors 9 dp before the final mean."""
+    from raptor_service_spark.operators.pip_join import within_distance_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    probes = pts.filter(F.col("event_id") < 2000)
+    pairs = within_distance_join(probes, pts, eps=_LOOCV_EPS).filter(
+        F.col("l.event_id") != F.col("r.event_id")
+    )
+    wgt = F.lit(1.0) / (F.col("dist") + F.lit(0.001))
+    pred = (
+        pairs.groupBy(
+            F.col("l.event_id").alias("event_id"), F.col("l.value").alias("truth")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.round(
+                F.sum(F.col("r.value") * wgt) / F.sum(wgt), 6
+            ).alias("pred"),
+        )
+    )
+    err = F.col("pred") - F.col("truth")
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_sites"),
+        F.round(F.sum(F.round(F.abs(err), 9)) / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(
+            F.sqrt(F.sum(F.round(err * err, 9)) / F.count(F.lit(1))), 6
+        ).alias("rmse"),
+    )
+
+
+def _idw_loocv_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    return f"""
+        WITH p AS (SELECT event_id, value, {lat} AS lat, {lng} AS lng
+                   FROM events),
+        pr AS (SELECT * FROM p WHERE event_id < 2000),
+        pairs AS (
+            SELECT pr.event_id, pr.value AS truth, x.value AS nv,
+                   ROUND(SQRT((pr.lat - x.lat) * (pr.lat - x.lat)
+                            + (pr.lng - x.lng) * (pr.lng - x.lng)), 6) AS dist
+            FROM pr JOIN p x
+              ON pr.event_id != x.event_id
+             AND ROUND(SQRT((pr.lat - x.lat) * (pr.lat - x.lat)
+                          + (pr.lng - x.lng) * (pr.lng - x.lng)), 6)
+                 <= {_LOOCV_EPS!r}),
+        pred AS (SELECT event_id, truth, COUNT(*) AS n_nbrs,
+                        ROUND(SUM(nv * (1.0 / (dist + 0.001)))
+                              / SUM(1.0 / (dist + 0.001)), 6) AS pred
+                 FROM pairs GROUP BY 1, 2)
+        SELECT COUNT(*) AS n_sites,
+               ROUND(SUM(ROUND(ABS(pred - truth), 9)) / COUNT(*), 6) AS mae,
+               ROUND(SQRT(SUM(ROUND((pred - truth) * (pred - truth), 9))
+                          / COUNT(*)), 6) AS rmse
+        FROM pred
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -21449,6 +21788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "theil_decomposition": q_theil_decomposition,
         "jump_length_fit": q_jump_length_fit,
+        "cell_segmentation": q_cell_segmentation,
+        "dbsf_fusion": q_dbsf_fusion,
+        "best_passage": q_best_passage,
+        "idw_loocv": q_idw_loocv,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -21692,6 +22035,10 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _mad_outliers_sql(),
         "theil_decomposition": _theil_decomposition_sql(),
         "jump_length_fit": _jump_length_fit_sql(),
+        "cell_segmentation": _cell_segmentation_sql(),
+        "dbsf_fusion": _dbsf_fusion_sql(),
+        "best_passage": _best_passage_sql(),
+        "idw_loocv": _idw_loocv_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -85,11 +85,42 @@ def boruvka_mst(
     plan-size-safe choice. The SQL twin unrolls hook + ``jumps``
     pointer-jump layers instead; both converge to the exact roots, so
     results are identical."""
+    chosen_all, _comp, edges = _boruvka_loop(edges, rounds)
+    if chosen_all is None:
+        return edges.select(
+            F.col("a").alias("cell_a"), F.col("b").alias("cell_b"), "w"
+        ).limit(0)
+    return (
+        chosen_all.distinct()
+        .select(F.col("a").alias("cell_a"), F.col("b").alias("cell_b"), "w")
+        .orderBy("w", "cell_a", "cell_b")
+    )
+
+
+def graph_components(
+    edges: DataFrame, rounds: int = 10, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Connected-component labels (cell, comp) of the undirected edge
+    table — the SAME Borůvka merge schedule run to exhaustion (a graph's
+    MST forest spans exactly its components, so the final label table IS
+    the component map; the root label is deterministic under the
+    (w, a, b) total order). ``nodes`` (one ``cell`` column) adds isolated
+    vertices as singleton components. Used for density-similarity raster
+    segmentation (`cell_segmentation`)."""
+    _chosen, comp, _edges = _boruvka_loop(edges, rounds, nodes=nodes)
+    return comp
+
+
+def _boruvka_loop(edges: DataFrame, rounds: int, nodes: DataFrame | None = None):
     edges = edges.localCheckpoint(eager=True)
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("a").alias("cell"))
+            .unionByName(edges.select(F.col("b").alias("cell")))
+            .distinct()
+        )
     comp = (
-        edges.select(F.col("a").alias("cell"))
-        .unionByName(edges.select(F.col("b").alias("cell")))
-        .distinct()
+        nodes.select("cell")
         .withColumn("comp", F.col("cell"))
         .localCheckpoint(eager=True)
     )
@@ -159,15 +190,7 @@ def boruvka_mst(
             .select("cell", F.coalesce("p", "comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-    if chosen_all is None:
-        return edges.select(
-            F.col("a").alias("cell_a"), F.col("b").alias("cell_b"), "w"
-        ).limit(0)
-    return (
-        chosen_all.distinct()
-        .select(F.col("a").alias("cell_a"), F.col("b").alias("cell_b"), "w")
-        .orderBy("w", "cell_a", "cell_b")
-    )
+    return chosen_all, comp, edges
 
 
 def boruvka_mst_sql(
@@ -175,23 +198,27 @@ def boruvka_mst_sql(
     res: int,
     rounds: int = 10,
     jumps: int = 10,
+    max_w: int | None = None,
+    final: str = "mst",
 ) -> str:
     """DuckDB twin: the SAME fixed (rounds, jumps) schedule unrolled as a
     CTE chain (the pagerank_sql technique). ``points_sql`` must yield
-    (lat, lng) rows."""
+    (lat, lng) rows. ``max_w`` pre-filters edges (segmentation);
+    ``final`` picks the MST edge list or the component label map."""
     cell = cell_encode_sql("lat", "lng", res)
     nbr = kring_neighbor_sql("n.cell", res, "o.dx", "o.dy")
     offs = ", ".join(f"({dx}, {dy})" for dx, dy in _RING)
+    wfilter = "" if max_w is None else f" AND ABS(adj.acnt - y.cnt) <= {max_w}"
     ctes = [
         f"pts AS (SELECT lat, lng FROM ({points_sql}))",
         f"nodes AS (SELECT {cell} AS cell, COUNT(*) AS cnt FROM pts GROUP BY 1)",
         f"""adj AS (SELECT n.cell AS a, n.cnt AS acnt, {nbr} AS b
                FROM nodes n CROSS JOIN (VALUES {offs}) o(dx, dy)
                WHERE {nbr} IS NOT NULL)""",
-        """edges AS MATERIALIZED (
+        f"""edges AS MATERIALIZED (
                SELECT adj.a, adj.b, ABS(adj.acnt - y.cnt) AS w
                FROM adj JOIN nodes y ON adj.b = y.cell
-               WHERE adj.a < adj.b)""",
+               WHERE adj.a < adj.b{wfilter})""",
         "c0 AS (SELECT cell, cell AS comp FROM nodes)",
     ]
     pick_unions = []
@@ -240,6 +267,12 @@ def boruvka_mst_sql(
         pick_unions.append(f"SELECT ch.w, ch.a, ch.b FROM ch{r}")
     chain = ",\n        ".join(ctes)
     picks = "\n               UNION\n               ".join(pick_unions)
+    if final == "components":
+        return f"""
+        WITH {chain}
+        SELECT cell, comp FROM c{rounds}
+        ORDER BY cell
+    """
     return f"""
         WITH {chain}
         SELECT a AS cell_a, b AS cell_b, CAST(w AS BIGINT) AS w
