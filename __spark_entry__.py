@@ -21479,6 +21479,205 @@ def _idw_loocv_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# marching-squares contour extraction (raster→vector) (session 11)
+# ---------------------------------------------------------------------------
+
+_MS_RES, _MS_TAU = 4, 2
+_MS_CORNERS = [(0, 0, 8), (1, 0, 4), (1, 1, 2), (0, 1, 1)]  # (dx, dy, bit)
+
+
+def q_contour_cases(spark, sf_dir):
+    """Marching squares over the res-4 document-density raster at
+    iso-level τ={tau}: every 2×2 block touching an occupied cell gets its
+    4-bit inside/outside case (off-grid corners = outside), and the
+    boundary blocks (cases 1–14) are the VECTOR contour of the raster —
+    exactly the raster→vector tile-materialization step a tile server
+    runs to draw density outlines. Cases 5/10 are the saddle blocks (2
+    segments each). One count agg + a 4-way broadcast corner join on the
+    O(occupied) anchor set; all-integer."""
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_col
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    occ = (
+        d.groupBy(cell_encode_col(lat, lng, _MS_RES).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    anchors = (
+        occ.select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            kring_neighbor_col("cell", _MS_RES, -dx, -dy)
+                            for dx, dy, _ in _MS_CORNERS
+                        ]
+                    ),
+                    lambda v: v.isNotNull(),
+                )
+            ).alias("anchor")
+        )
+        .distinct()
+    )
+    blocks = anchors
+    case = F.lit(0)
+    for k, (dx, dy, bit) in enumerate(_MS_CORNERS):
+        corner = occ.select(
+            F.col("cell").alias(f"c{k}"), F.col("cnt").alias(f"n{k}")
+        )
+        blocks = blocks.withColumn(
+            f"c{k}", kring_neighbor_col("anchor", _MS_RES, dx, dy)
+        ).join(F.broadcast(corner), f"c{k}", "left")
+        case = case + F.when(
+            F.coalesce(F.col(f"n{k}"), F.lit(0)) >= _MS_TAU, F.lit(bit)
+        ).otherwise(F.lit(0))
+    cased = blocks.select(case.alias("ms_case")).filter(
+        ~F.col("ms_case").isin(0, 15)
+    )
+    return (
+        cased.groupBy("ms_case")
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+        .select(
+            "ms_case",
+            "n_blocks",
+            (
+                F.col("n_blocks")
+                * F.when(F.col("ms_case").isin(5, 10), 2).otherwise(1)
+            ).alias("n_segments"),
+        )
+        .orderBy("ms_case")
+    )
+
+
+def _contour_cases_sql() -> str:
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    cell = cell_encode_sql(lat, lng, _MS_RES)
+    anchor_list = ", ".join(
+        kring_neighbor_sql("o.cell", _MS_RES, str(-dx), str(-dy))
+        for dx, dy, _ in _MS_CORNERS
+    )
+    corner_joins = []
+    case_terms = []
+    for k, (dx, dy, bit) in enumerate(_MS_CORNERS):
+        nbr = kring_neighbor_sql("a.anchor", _MS_RES, str(dx), str(dy))
+        corner_joins.append(f"LEFT JOIN occ o{k} ON o{k}.cell = {nbr}")
+        case_terms.append(
+            f"CASE WHEN COALESCE(o{k}.cnt, 0) >= {_MS_TAU} THEN {bit} ELSE 0 END"
+        )
+    case = " + ".join(case_terms)
+    return f"""
+        WITH occ AS MATERIALIZED (
+            SELECT cell, COUNT(*) AS cnt
+            FROM (SELECT {cell} AS cell FROM documents) GROUP BY 1),
+        anchors AS (
+            SELECT DISTINCT anchor FROM (
+                SELECT UNNEST([{anchor_list}]) AS anchor
+                FROM occ o)
+            WHERE anchor IS NOT NULL),
+        cased AS (
+            SELECT {case} AS ms_case
+            FROM anchors a
+            {' '.join(corner_joins)})
+        SELECT ms_case, COUNT(*) AS n_blocks,
+               CAST(COUNT(*) * (CASE WHEN ms_case IN (5, 10) THEN 2 ELSE 1 END)
+                    AS BIGINT) AS n_segments
+        FROM cased WHERE ms_case NOT IN (0, 15)
+        GROUP BY 1 ORDER BY ms_case
+    """
+
+
+# ---------------------------------------------------------------------------
+# region vectorization: per-segment bounding boxes (session 11)
+# ---------------------------------------------------------------------------
+
+
+def q_region_bboxes(spark, sf_dir):
+    """Vectorize the raster segments of `cell_segmentation` into bounding
+    boxes: per equal-density region, cell count and integer (x, y) bbox
+    corners plus the exact fill ratio n_cells/bbox-area — the
+    region→geometry handoff a vector tile layer consumes. Top-10 regions
+    by size; all arithmetic integer except the final exact-ratio round."""
+    from raptor_service_spark.operators.mst import cell_edges, graph_components
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.select(lat.alias("lat"), lng.alias("lng"))
+    nodes = (
+        pts.select(
+            cell_encode_col(F.col("lat"), F.col("lng"), _SEG_RES).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    edges = cell_edges(pts, _SEG_RES).filter(F.col("w") <= _SEG_MAXW)
+    comps = graph_components(edges, rounds=_MST_ROUNDS, nodes=nodes)
+    n = 1 << _SEG_RES
+    base = _SEG_RES * (2**54)
+    rem = F.col("cell") - F.lit(base)
+    y = F.floor(rem / n).cast("long")
+    x = (rem - y * n).cast("long")
+    g = comps.select(F.col("comp").alias("segment"), x.alias("x"), y.alias("y"))
+    agg = g.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+        F.min("y").alias("y0"),
+        F.max("y").alias("y1"),
+    )
+    area = (F.col("x1") - F.col("x0") + 1) * (F.col("y1") - F.col("y0") + 1)
+    return (
+        agg.select(
+            "segment",
+            "n_cells",
+            "x0",
+            "x1",
+            "y0",
+            "y1",
+            F.round(F.col("n_cells") / area.cast("double"), 6).alias("fill"),
+        )
+        .orderBy(F.col("n_cells").desc(), "segment")
+        .limit(10)
+    )
+
+
+def _region_bboxes_sql() -> str:
+    from raptor_service_spark.operators.mst import boruvka_mst_sql
+
+    lat, lng = _latlng_sql("doc_id")
+    comps = boruvka_mst_sql(
+        f"SELECT {lat} AS lat, {lng} AS lng FROM documents",
+        _SEG_RES,
+        rounds=_MST_ROUNDS,
+        jumps=_MST_JUMPS,
+        max_w=_SEG_MAXW,
+        final="components",
+    )
+    n = 1 << _SEG_RES
+    base = _SEG_RES * (2**54)
+    return f"""
+        WITH g AS (
+            SELECT comp AS segment,
+                   CAST(FLOOR((cell - {base}) / {n}) AS BIGINT) AS y,
+                   CAST((cell - {base}) - CAST(FLOOR((cell - {base}) / {n})
+                        AS BIGINT) * {n} AS BIGINT) AS x
+            FROM ({comps})),
+        agg AS (
+            SELECT segment, COUNT(*) AS n_cells,
+                   MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1
+            FROM g GROUP BY 1)
+        SELECT segment, n_cells, x0, x1, y0, y1,
+               ROUND(n_cells / CAST((x1 - x0 + 1) * (y1 - y0 + 1) AS DOUBLE), 6)
+                   AS fill
+        FROM agg
+        ORDER BY n_cells DESC, segment
+        LIMIT 10
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -21792,6 +21991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbsf_fusion": q_dbsf_fusion,
         "best_passage": q_best_passage,
         "idw_loocv": q_idw_loocv,
+        "contour_cases": q_contour_cases,
+        "region_bboxes": q_region_bboxes,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -22039,6 +22240,8 @@ def oracle_sql() -> dict[str, str]:
         "dbsf_fusion": _dbsf_fusion_sql(),
         "best_passage": _best_passage_sql(),
         "idw_loocv": _idw_loocv_sql(),
+        "contour_cases": _contour_cases_sql(),
+        "region_bboxes": _region_bboxes_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
