@@ -21678,6 +21678,191 @@ def _region_bboxes_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# ER blocking-quality evaluation (session 11)
+# ---------------------------------------------------------------------------
+
+_BQ_PFX = 24
+
+
+def q_blocking_quality(spark, sf_dir):
+    """Entity-resolution blocking evaluation on the planted-duplicate
+    corpus: candidates = same-24-char-prefix blocks (the key the SNM and
+    ROUGE stages use), ground truth = the planted (doc, doc+10⁶) twins.
+    Reports the two standard blocking metrics — REDUCTION RATIO
+    1 − |candidates|/C(n,2) (how much of the quadratic the key kills) and
+    PAIRS COMPLETENESS |cand ∩ truth|/|truth| (what recall survived) —
+    the audit that justifies every dedup blocking key before it ships.
+    Exact integer ratios; candidate pairs stay inside blocks."""
+    d = _docs_with_dups(spark, sf_dir)
+    keyed = d.select(
+        "doc_id", F.substring(F.trim(F.col("text")), 1, _BQ_PFX).alias("k")
+    )
+    blocks = keyed.groupBy("k").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum((F.col("doc_id") < 1000000).cast("long")).alias("lo"),
+        F.sum((F.col("doc_id") >= 1000000).cast("long")).alias("hi"),
+    )
+    # candidate pairs per block = C(m,2); true pairs caught per block:
+    # a planted twin shares its block iff both halves land in it, and
+    # twins have IDENTICAL text, so per block that's min over the halves
+    # of matching ids — exact: count of ids i with both i and i+1e6 in
+    # the block. Identical text ⇒ same key ⇒ both in the same block, so
+    # caught = number of lo ids whose twin exists = lo (every planted
+    # twin shares the key). Kept verifiable: caught computed by a real
+    # self-join rather than assumed.
+    pairs = keyed.alias("a").join(
+        keyed.alias("b"),
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.doc_id") + 1000000 == F.col("b.doc_id")),
+    )
+    caught = pairs.agg(F.count(F.lit(1)).alias("caught"))
+    tot = keyed.agg(F.count(F.lit(1)).alias("n"))
+    truth = keyed.filter(F.col("doc_id") < 1000000).agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
+    cand = blocks.agg(
+        F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("n_cand")
+    )
+    return (
+        cand.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(caught))
+        .select(
+            "n_cand",
+            "n_truth",
+            "caught",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_cand")
+                / (F.col("n") * (F.col("n") - 1) / F.lit(2.0)),
+                6,
+            ).alias("reduction_ratio"),
+            F.round(F.col("caught") / F.col("n_truth").cast("double"), 6).alias(
+                "pairs_completeness"
+            ),
+        )
+    )
+
+
+def _blocking_quality_sql() -> str:
+    return f"""
+        WITH d AS (SELECT doc_id, text FROM {_DOCS_WITH_DUPS_SQL} t),
+        keyed AS (SELECT doc_id, substr(trim(text), 1, {_BQ_PFX}) AS k FROM d),
+        blocks AS (SELECT k, COUNT(*) AS m FROM keyed GROUP BY 1),
+        cand AS (SELECT CAST(SUM(m * (m - 1) / 2) AS BIGINT) AS n_cand
+                 FROM blocks),
+        tot AS (SELECT COUNT(*) AS n FROM keyed),
+        truth AS (SELECT COUNT(*) AS n_truth FROM keyed
+                  WHERE doc_id < 1000000),
+        caught AS (SELECT COUNT(*) AS caught
+                   FROM keyed a JOIN keyed b
+                     ON a.k = b.k AND a.doc_id + 1000000 = b.doc_id)
+        SELECT cand.n_cand, truth.n_truth, caught.caught,
+               ROUND(1.0 - cand.n_cand / (tot.n * (tot.n - 1) / 2.0), 6)
+                   AS reduction_ratio,
+               ROUND(caught.caught / CAST(truth.n_truth AS DOUBLE), 6)
+                   AS pairs_completeness
+        FROM cand CROSS JOIN tot CROSS JOIN truth CROSS JOIN caught
+    """
+
+
+# ---------------------------------------------------------------------------
+# decision stump: best Gini split (session 11)
+# ---------------------------------------------------------------------------
+
+
+def q_decision_stump(spark, sf_dir):
+    """Train a one-node decision tree: the n_chars threshold minimizing
+    weighted Gini impurity for the (lang = 'en') label — the split-finding
+    primitive inside every distributed tree learner (and the shape Spark
+    MLlib's histogram-based splitter distributes). Relational: sort the
+    distinct feature values once, prefix sums give left/right class
+    counts at EVERY candidate split in one window pass — no per-split
+    rescan. Exact integer counts; impurities are exact ratios pre-rounded
+    9 dp; argmin tie-breaks to the smallest threshold."""
+    from pyspark.sql import Window
+
+    d = _read(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    per_v = d.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    pre = per_v.select(
+        "n_chars",
+        F.sum("m").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"),
+    )
+    tot = per_v.agg(F.sum("m").alias("n"), F.sum("pos").alias("p"))
+    s = pre.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n"))
+    nl, pl = F.col("nl").cast("double"), F.col("pl").cast("double")
+    nr = (F.col("n") - F.col("nl")).cast("double")
+    pr = (F.col("p") - F.col("pl")).cast("double")
+    gl = 1.0 - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl)
+    gr = 1.0 - (pr / nr) * (pr / nr) - ((nr - pr) / nr) * ((nr - pr) / nr)
+    gini = F.round((nl * gl + nr * gr) / F.col("n").cast("double"), 9)
+    scored = s.select(
+        F.col("n_chars").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        gini.alias("gini"),
+    )
+    best = scored.agg(
+        F.min(F.struct("gini", "threshold", "n_left", "pos_left")).alias("b")
+    )
+    return best.select(
+        F.col("b.threshold").alias("threshold"),
+        F.col("b.n_left").alias("n_left"),
+        F.col("b.pos_left").alias("pos_left"),
+        F.round(F.col("b.gini"), 6).alias("gini"),
+    )
+
+
+def _decision_stump_sql() -> str:
+    return """
+        WITH d AS (SELECT n_chars, CAST(lang = 'en' AS BIGINT) AS y
+                   FROM documents),
+        per_v AS (SELECT n_chars, COUNT(*) AS m, SUM(y) AS pos
+                  FROM d GROUP BY 1),
+        pre AS (SELECT n_chars,
+                       SUM(m) OVER (ORDER BY n_chars) AS nl,
+                       SUM(pos) OVER (ORDER BY n_chars) AS pl
+                FROM per_v),
+        tot AS (SELECT SUM(m) AS n, SUM(pos) AS p FROM per_v),
+        s AS (SELECT pre.n_chars, pre.nl, pre.pl, tot.n, tot.p
+              FROM pre CROSS JOIN tot WHERE pre.nl < tot.n),
+        scored AS (SELECT n_chars AS threshold, nl AS n_left,
+                          pl AS pos_left,
+                          ROUND((CAST(nl AS DOUBLE)
+                                   * (1.0
+                                      - (CAST(pl AS DOUBLE) / nl)
+                                        * (CAST(pl AS DOUBLE) / nl)
+                                      - (CAST(nl - pl AS DOUBLE) / nl)
+                                        * (CAST(nl - pl AS DOUBLE) / nl))
+                               + CAST(n - nl AS DOUBLE)
+                                   * (1.0
+                                      - (CAST(p - pl AS DOUBLE) / (n - nl))
+                                        * (CAST(p - pl AS DOUBLE) / (n - nl))
+                                      - (CAST(n - nl - (p - pl) AS DOUBLE)
+                                         / (n - nl))
+                                        * (CAST(n - nl - (p - pl) AS DOUBLE)
+                                           / (n - nl))))
+                                / CAST(n AS DOUBLE), 9) AS gini
+                   FROM s),
+        best AS (SELECT MIN(struct_pack(gini := gini, threshold := threshold,
+                                        n_left := n_left,
+                                        pos_left := pos_left)) AS b
+                 FROM scored)
+        SELECT CAST(b.threshold AS BIGINT) AS threshold,
+               CAST(b.n_left AS BIGINT) AS n_left,
+               CAST(b.pos_left AS BIGINT) AS pos_left,
+               ROUND(b.gini, 6) AS gini
+        FROM best
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -21993,6 +22178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_loocv": q_idw_loocv,
         "contour_cases": q_contour_cases,
         "region_bboxes": q_region_bboxes,
+        "blocking_quality": q_blocking_quality,
+        "decision_stump": q_decision_stump,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -22242,6 +22429,8 @@ def oracle_sql() -> dict[str, str]:
         "idw_loocv": _idw_loocv_sql(),
         "contour_cases": _contour_cases_sql(),
         "region_bboxes": _region_bboxes_sql(),
+        "blocking_quality": _blocking_quality_sql(),
+        "decision_stump": _decision_stump_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

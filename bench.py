@@ -271,6 +271,14 @@ HEADLINE = [
     "mad_outliers",
     "theil_decomposition",
     "jump_length_fit",
+    "cell_segmentation",
+    "dbsf_fusion",
+    "best_passage",
+    "idw_loocv",
+    "contour_cases",
+    "region_bboxes",
+    "blocking_quality",
+    "decision_stump",
 ]
 
 SEED = 77
