@@ -21863,6 +21863,227 @@ def _decision_stump_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# entropy-regularized optimal transport (Sinkhorn) (session 11)
+# ---------------------------------------------------------------------------
+
+_OT_RES, _OT_K, _OT_EPS, _OT_ROUNDS = 2, 8, 20.0, 3
+
+
+def q_ot_transport_plan(spark, sf_dir):
+    """Entropy-regularized optimal transport between the DOCUMENT and
+    EVENT density distributions over their top-8 res-2 cells: Sinkhorn
+    iterations (3 rounds, unrolled identically in both engines) on
+    K = exp(−cost/ε) with degree-space center distances — the
+    distribution-alignment operator behind domain-shift measurement and
+    OT-based dataset reweighting (how much mass must move WHERE, not just
+    how much the histograms differ à la `jsd_sources`). The plan is
+    bounded 8×8 by construction; marginals are exact integer ratios;
+    u/v pre-rounded 9 dp per round (the kmeans/plsa unroll discipline).
+    Output: the 64-entry transport plan with costs and masses."""
+    from raptor_service_spark.geo.grid import cell_center_sql
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat_d, lng_d = _latlng_cols(F.col("doc_id"))
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat_e, lng_e = _latlng_cols(F.col("event_id"))
+
+    def top8(pts_cell):
+        top = (
+            pts_cell.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "cell")
+            .limit(_OT_K)
+        )
+        tot = top.agg(F.sum("cnt").alias("tot"))
+        clat, clng = cell_center_sql("cell", _OT_RES)
+        return (
+            top.crossJoin(F.broadcast(tot))
+            .select(
+                "cell",
+                (F.col("cnt") / F.col("tot")).alias("w"),
+                F.expr(clat).alias("clat"),
+                F.expr(clng).alias("clng"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    a = top8(d.select(cell_encode_col(lat_d, lng_d, _OT_RES).alias("cell")))
+    b = top8(ev.select(cell_encode_col(lat_e, lng_e, _OT_RES).alias("cell")))
+    aa = a.select(
+        F.col("cell").alias("ca"),
+        F.col("w").alias("wa"),
+        F.col("clat").alias("ya"),
+        F.col("clng").alias("xa"),
+    )
+    bb = b.select(
+        F.col("cell").alias("cb"),
+        F.col("w").alias("wb"),
+        F.col("clat").alias("yb"),
+        F.col("clng").alias("xb"),
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    K = (
+        aa.crossJoin(F.broadcast(bb))
+        .select(
+            "ca",
+            "cb",
+            "wa",
+            "wb",
+            F.round(F.sqrt(dx * dx + dy * dy), 6).alias("cost"),
+        )
+        .withColumn("k", F.exp(-F.col("cost") / F.lit(_OT_EPS)))
+        .localCheckpoint(eager=True)
+    )
+    u = aa.select("ca", F.lit(1.0).alias("u"))
+    v = None
+    for _ in range(_OT_ROUNDS):
+        v = (
+            K.join(F.broadcast(u), "ca")
+            .groupBy("cb", "wb")
+            .agg(F.sum(F.round(F.col("k") * F.col("u"), 9)).alias("s"))
+            .select("cb", F.round(F.col("wb") / F.col("s"), 9).alias("v"))
+        )
+        u = (
+            K.join(F.broadcast(v), "cb")
+            .groupBy("ca", "wa")
+            .agg(F.sum(F.round(F.col("k") * F.col("v"), 9)).alias("s"))
+            .select("ca", F.round(F.col("wa") / F.col("s"), 9).alias("u"))
+        )
+    return (
+        K.join(F.broadcast(u), "ca")
+        .join(F.broadcast(v), "cb")
+        .select(
+            F.col("ca").alias("cell_a"),
+            F.col("cb").alias("cell_b"),
+            "cost",
+            F.round(F.col("u") * F.col("k") * F.col("v"), 6).alias("mass"),
+        )
+        .orderBy("cell_a", "cell_b")
+    )
+
+
+def _ot_transport_plan_sql() -> str:
+    from raptor_service_spark.geo.grid import cell_center_sql
+
+    lat_d, lng_d = _latlng_sql("doc_id")
+    lat_e, lng_e = _latlng_sql("event_id")
+    cell_d = cell_encode_sql(lat_d, lng_d, _OT_RES)
+    cell_e = cell_encode_sql(lat_e, lng_e, _OT_RES)
+    clat, clng = cell_center_sql("cell", _OT_RES)
+    rounds = []
+    pu, pv = "u0", None
+    for r in range(1, _OT_ROUNDS + 1):
+        rounds.append(
+            f"""v{r} AS (
+               SELECT K.cb, ROUND(MAX(K.wb) / SUM(ROUND(K.k * {pu}.u, 9)), 9)
+                          AS v
+               FROM K JOIN {pu} ON K.ca = {pu}.ca GROUP BY K.cb)"""
+        )
+        rounds.append(
+            f"""u{r} AS (
+               SELECT K.ca, ROUND(MAX(K.wa) / SUM(ROUND(K.k * v{r}.v, 9)), 9)
+                          AS u
+               FROM K JOIN v{r} ON K.cb = v{r}.cb GROUP BY K.ca)"""
+        )
+        pu, pv = f"u{r}", f"v{r}"
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH da AS (SELECT {cell_d} AS cell FROM documents),
+        db AS (SELECT {cell_e} AS cell FROM events),
+        ta AS (SELECT cell, COUNT(*) AS cnt FROM da GROUP BY 1
+               ORDER BY cnt DESC, cell LIMIT {_OT_K}),
+        tb AS (SELECT cell, COUNT(*) AS cnt FROM db GROUP BY 1
+               ORDER BY cnt DESC, cell LIMIT {_OT_K}),
+        a AS (SELECT cell AS ca, cnt / CAST(tot AS DOUBLE) AS wa,
+                     {clat} AS ya, {clng} AS xa
+              FROM ta CROSS JOIN (SELECT SUM(cnt) AS tot FROM ta)),
+        b AS (SELECT cell AS cb, cnt / CAST(tot AS DOUBLE) AS wb,
+                     {clat} AS yb, {clng} AS xb
+              FROM tb CROSS JOIN (SELECT SUM(cnt) AS tot FROM tb)),
+        K AS MATERIALIZED (
+            SELECT ca, cb, wa, wb,
+                   ROUND(SQRT((xa - xb) * (xa - xb)
+                            + (ya - yb) * (ya - yb)), 6) AS cost,
+                   EXP(-ROUND(SQRT((xa - xb) * (xa - xb)
+                                 + (ya - yb) * (ya - yb)), 6)
+                       / {_OT_EPS!r}) AS k
+            FROM a CROSS JOIN b),
+        u0 AS (SELECT ca, 1.0 AS u FROM a),
+        {chain}
+        SELECT K.ca AS cell_a, K.cb AS cell_b, K.cost,
+               ROUND({pu}.u * K.k * {pv}.v, 6) AS mass
+        FROM K JOIN {pu} ON K.ca = {pu}.ca JOIN {pv} ON K.cb = {pv}.cb
+        ORDER BY cell_a, cell_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# interleaved media run-lengths (session 11)
+# ---------------------------------------------------------------------------
+
+
+def q_media_run_lengths(spark, sf_dir):
+    """Run-length structure of the INTERLEAVED corpus: consecutive spans
+    of the same class (media vs text) form runs (gaps-and-islands on the
+    span index), histogrammed by class and length — the layout statistic
+    that tells a packing/rendering stage whether media arrives as
+    galleries (long media runs) or inline singletons. Deterministic
+    generator corpus; the oracle replays the generator as golden VALUES
+    (the span_position_profile technique). All-integer."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.datagen import gen_documents_df
+
+    docs = gen_documents_df(spark, 200, seed=31)
+    spans = docs.select(
+        "doc_id", F.posexplode(F.col("spans")).alias("j", "s")
+    ).select(
+        "doc_id", "j", (F.col("s.media_ref") != "").cast("int").alias("m")
+    )
+    w = Window.partitionBy("doc_id", "m").orderBy("j")
+    runs = (
+        spans.withColumn("grp", F.col("j") - F.row_number().over(w))
+        .groupBy("doc_id", "m", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("m", "run_len")
+        .agg(F.count(F.lit(1)).alias("n_runs"))
+        .select(
+            F.col("m").alias("is_media"),
+            F.col("run_len"),
+            "n_runs",
+        )
+        .orderBy("is_media", "run_len")
+    )
+
+
+def _media_run_lengths_sql(n_docs: int = 200, seed: int = 31) -> str:
+    from raptor_service_spark.datagen import _gen_doc, doc_id_for
+
+    rows = []
+    for i in range(n_docs):
+        d = _gen_doc(seed, i)
+        did = doc_id_for(seed, i)
+        for j, s in enumerate(d["spans"]):
+            rows.append(f"('{did}', {j}, {1 if s['media_ref'] else 0})")
+    return f"""
+        WITH spans(doc_id, j, m) AS (VALUES {', '.join(rows)}),
+        runs AS (
+            SELECT doc_id, m,
+                   j - ROW_NUMBER() OVER (PARTITION BY doc_id, m
+                                          ORDER BY j) AS grp
+            FROM spans),
+        rl AS (SELECT doc_id, m, grp, COUNT(*) AS run_len
+               FROM runs GROUP BY 1, 2, 3)
+        SELECT CAST(m AS INT) AS is_media, run_len, COUNT(*) AS n_runs
+        FROM rl GROUP BY 1, 2
+        ORDER BY is_media, run_len
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -22180,6 +22401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_bboxes": q_region_bboxes,
         "blocking_quality": q_blocking_quality,
         "decision_stump": q_decision_stump,
+        "ot_transport_plan": q_ot_transport_plan,
+        "media_run_lengths": q_media_run_lengths,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -22431,6 +22654,8 @@ def oracle_sql() -> dict[str, str]:
         "region_bboxes": _region_bboxes_sql(),
         "blocking_quality": _blocking_quality_sql(),
         "decision_stump": _decision_stump_sql(),
+        "ot_transport_plan": _ot_transport_plan_sql(),
+        "media_run_lengths": _media_run_lengths_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

@@ -51,7 +51,8 @@ NAMES = [
     "ppr_sweep_cut", "rich_club", "randomized_response", "bivariate_moran",
     # round-3 session-11 float-heavy additions
     "kriging_ordinary", "texttiling_boundaries", "traj_sinuosity",
-    "lee_l", "theil_decomposition", "jump_length_fit",
+    "lee_l", "theil_decomposition", "jump_length_fit", "dbsf_fusion",
+    "idw_loocv", "ot_transport_plan",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
