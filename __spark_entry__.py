@@ -22084,6 +22084,113 @@ def _media_run_lengths_sql(n_docs: int = 200, seed: int = 31) -> str:
 
 
 # ---------------------------------------------------------------------------
+# LRU tile-cache hit-rate simulation (session 11)
+# ---------------------------------------------------------------------------
+
+_LRU_CAP, _LRU_USERS = 4, 12
+
+
+def _lru_step(dialect: str) -> str:
+    """One LRU transition as a single expression, generated for both
+    engines from this one source (the kalman/holt fold technique). The
+    accumulator is [hits, mru .. lru] (BIGINT list); elements arrive as
+    1-element lists so DuckDB's list_reduce sees uniform list types."""
+    if dialect == "spark":
+        acc, el = "acc", "element_at(el, 1)"
+        cache = "slice(acc, 2, 100000)"
+        contains = f"array_contains({cache}, {el})"
+        hits = "element_at(acc, 1)"
+        hit_new = (
+            f"concat(array({hits} + 1L, {el}), "
+            f"filter({cache}, x -> x != {el}))"
+        )
+        miss_new = (
+            f"concat(array({hits}, {el}), slice({cache}, 1, {_LRU_CAP - 1}))"
+        )
+    else:
+        el = "el[1]"
+        cache = "list_slice(acc, 2, 100000)"
+        contains = f"list_contains({cache}, {el})"
+        hits = "acc[1]"
+        hit_new = (
+            f"list_concat([{hits} + 1, {el}], "
+            f"list_filter({cache}, x -> x != {el}))"
+        )
+        miss_new = (
+            f"list_concat([{hits}, {el}], list_slice({cache}, 1, {_LRU_CAP - 1}))"
+        )
+    return f"CASE WHEN {contains} THEN {hit_new} ELSE {miss_new} END"
+
+
+def q_lru_hit_rate(spark, sf_dir):
+    """LRU tile-cache simulation: replay each user's event-cell request
+    stream (ts order) through an exact capacity-{cap} LRU and report the
+    per-user hit rate — the cache-sizing measurement behind a tile
+    server's memory budget (compulsory misses vs working-set reuse).
+    The whole simulation is ONE ordered array fold per user (aggregate ↔
+    list_reduce, step generated from one source — `_lru_step`); state
+    is the [hits, mru..lru] integer list, so there is no float anywhere
+    until the final exact hit ratio. One collect_list shuffle."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    reqs = (
+        ev.filter(F.col("user_id") < _LRU_USERS)
+        .select(
+            "user_id",
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                F.col("event_id").alias("e"),
+                cell_encode_col(lat, lng, 3).alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda s: s["c"]
+            ).alias("cells")
+        )
+    )
+    folded = reqs.withColumn(
+        "res",
+        F.expr(
+            "aggregate(transform(cells, c -> array(c)), "
+            f"array(CAST(0 AS BIGINT)), (acc, el) -> {_lru_step('spark')})"
+        ),
+    )
+    return folded.select(
+        "user_id",
+        F.size("cells").alias("n_requests"),
+        F.element_at("res", 1).alias("n_hits"),
+        F.round(
+            F.element_at("res", 1) / F.size("cells").cast("double"), 6
+        ).alias("hit_rate"),
+    ).orderBy("user_id")
+
+
+def _lru_hit_rate_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    cell = cell_encode_sql(lat, lng, 3)
+    return f"""
+        WITH reqs AS (
+            SELECT user_id,
+                   LIST({cell} ORDER BY ts, event_id) AS cells
+            FROM events WHERE user_id < {_LRU_USERS}
+            GROUP BY 1),
+        folded AS (
+            SELECT user_id, cells,
+                   list_reduce(
+                       list_prepend([CAST(0 AS BIGINT)],
+                                    list_transform(cells, c -> [c])),
+                       (acc, el) -> {_lru_step('duck')}) AS res
+            FROM reqs)
+        SELECT user_id, CAST(len(cells) AS INT) AS n_requests,
+               res[1] AS n_hits,
+               ROUND(res[1] / CAST(len(cells) AS DOUBLE), 6) AS hit_rate
+        FROM folded ORDER BY user_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -22403,6 +22510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decision_stump": q_decision_stump,
         "ot_transport_plan": q_ot_transport_plan,
         "media_run_lengths": q_media_run_lengths,
+        "lru_hit_rate": q_lru_hit_rate,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -22656,6 +22764,7 @@ def oracle_sql() -> dict[str, str]:
         "decision_stump": _decision_stump_sql(),
         "ot_transport_plan": _ot_transport_plan_sql(),
         "media_run_lengths": _media_run_lengths_sql(),
+        "lru_hit_rate": _lru_hit_rate_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),

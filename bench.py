@@ -279,6 +279,9 @@ HEADLINE = [
     "region_bboxes",
     "blocking_quality",
     "decision_stump",
+    "ot_transport_plan",
+    "media_run_lengths",
+    "lru_hit_rate",
 ]
 
 SEED = 77
