@@ -352,3 +352,37 @@ def test_nn_distances_exact_vs_brute_force(spark):
     assert set(got) == set(range(len(xs)))
     for i, w in enumerate(want):
         assert got[i] == w  # bit-exact: same subtract/multiply/sqrt chain
+
+
+def test_nn_join_query_to_data_exact(spark):
+    """Query→data nn_join vs numpy brute force: sparse query grid against
+    a clustered data pattern (some queries resolve in ring 1, others need
+    many doublings), plus nn identity determinism."""
+    import numpy as np
+
+    from raptor_service_spark.operators.geo_knn import nn_join
+
+    rng = np.random.default_rng(41)
+    qx = np.linspace(-170, 170, 18)
+    qy = np.linspace(-80, 80, 18)
+    queries = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(zip(qx, qy))],
+        "pid long, px double, py double",
+    )
+    dx_ = np.concatenate([rng.uniform(-5, 5, 200), rng.uniform(100, 140, 30)])
+    dy_ = np.concatenate([rng.uniform(-5, 5, 200), rng.uniform(20, 60, 30)])
+    data = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(zip(dx_, dy_))],
+        "did long, dx double, dy double",
+    )
+    got = {r.pid: (r.d1, r.nn_id) for r in nn_join(
+        queries, data, res=4, max_ring=64
+    ).collect()}
+    dd = np.sqrt((qx[:, None] - dx_[None, :]) ** 2
+                 + (qy[:, None] - dy_[None, :]) ** 2)
+    assert set(got) == set(range(len(qx)))
+    for i in range(len(qx)):
+        best = dd[i].min()
+        assert got[i][0] == best  # bit-exact same arithmetic chain
+        # deterministic neighbor identity: smallest did among ties
+        assert got[i][1] == int(np.flatnonzero(dd[i] == best).min())
