@@ -22191,6 +22191,247 @@ def _lru_hit_rate_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# positional retrieval: exact phrase search + minimal cover window (session 12)
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("sort", "merge")
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search ("sort merge") via positional postings — the
+    inverted-index leg BM25 can't serve (bag-of-words loses adjacency).
+    Relational shape: tokenize once, keep ONLY the two query terms'
+    postings (selective — the filter reaches the scan), then ONE
+    (doc_id, position+1) equi-join pins adjacency; per-doc counts and a
+    global top-20. At 100 TB the postings table is the precomputed index
+    and the join is partition-pruned by term; nothing here is per-row
+    Python. Top-20 docs by occurrence count (tie: doc_id)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("p", "w"),
+    ).filter(F.col("w").isin(*_PHRASE))
+    a = (
+        toks.filter(F.col("w") == _PHRASE[0])
+        .select("doc_id", F.col("p").alias("p0"))
+        .alias("pa")
+    )
+    b = (
+        toks.filter(F.col("w") == _PHRASE[1])
+        .select("doc_id", F.col("p").alias("p1"))
+        .alias("pb")
+    )
+    hits = a.join(
+        b,
+        (F.col("pa.doc_id") == F.col("pb.doc_id"))
+        & (F.col("p1") == F.col("p0") + 1),
+    ).select(F.col("pa.doc_id").alias("doc_id"), "p0")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _phrase_search_sql() -> str:
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\\s+') AS arr
+                   FROM documents),
+        toks AS (SELECT doc_id, u.p, u.w
+                 FROM (SELECT doc_id,
+                              UNNEST(list_transform(range(1, len(arr) + 1),
+                                  i -> struct_pack(p := i - 1, w := arr[i])))
+                                  AS u
+                       FROM t)
+                 WHERE u.w IN ('{_PHRASE[0]}', '{_PHRASE[1]}')),
+        hits AS (SELECT a.doc_id
+                 FROM toks a JOIN toks b
+                   ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                 WHERE a.w = '{_PHRASE[0]}' AND b.w = '{_PHRASE[1]}')
+        SELECT doc_id, COUNT(*) AS n_occurrences
+        FROM hits GROUP BY 1
+        ORDER BY n_occurrences DESC, doc_id LIMIT 20
+    """
+
+
+def q_min_cover_window(spark, sf_dir):
+    """Minimal cover window (proximity ranking): per document, the
+    SHORTEST token window containing ALL query terms — the proximity
+    signal ranking stacks blend with BM25 (closer co-occurrence = more
+    topical). Candidate starts are term-hit positions only (the optimal
+    window starts at a hit); for each start, each term's cover end is its
+    min position >= start (one grouped agg over the O(hits²)-bounded
+    hit-pair join — same bound as `best_passage`); a window is valid when
+    all terms are covered. Per-doc min width tie-breaks to the earliest
+    start. Top-20 docs by (width ASC, doc_id)."""
+    terms = list(_BM25_TERMS)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    qt = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("p", "w"),
+    ).filter(F.col("w").isin(*terms))
+    a, b = qt.alias("a"), qt.alias("b")
+    per_term = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.p") >= F.col("a.p")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.p").alias("start"),
+            F.col("b.w").alias("w"),
+        )
+        .agg(F.min("b.p").alias("e"))
+    )
+    windows = (
+        per_term.groupBy("doc_id", "start")
+        .agg(F.count(F.lit(1)).alias("nt"), F.max("e").alias("fin"))
+        .filter(F.col("nt") == len(terms))
+        .select("doc_id", "start", (F.col("fin") - F.col("start") + 1).alias("width"))
+    )
+    best = windows.groupBy("doc_id").agg(
+        F.min(F.struct("width", "start")).alias("b")
+    )
+    return (
+        best.select(
+            "doc_id", F.col("b.width").alias("width"), F.col("b.start").alias("start")
+        )
+        .orderBy("width", "doc_id")
+        .limit(20)
+    )
+
+
+def _min_cover_window_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_split_to_array(trim(text), '\\s+') AS arr
+                   FROM documents),
+        qt AS (SELECT doc_id, u.p, u.w
+               FROM (SELECT doc_id,
+                            UNNEST(list_transform(range(1, len(arr) + 1),
+                                i -> struct_pack(p := i - 1, w := arr[i])))
+                                AS u
+                     FROM t)
+               WHERE u.w IN ({terms})),
+        per_term AS (SELECT a.doc_id, a.p AS start, b.w, MIN(b.p) AS e
+                     FROM qt a JOIN qt b
+                       ON a.doc_id = b.doc_id AND b.p >= a.p
+                     GROUP BY 1, 2, 3),
+        windows AS (SELECT doc_id, start,
+                           MAX(e) - start + 1 AS width
+                    FROM per_term GROUP BY doc_id, start
+                    HAVING COUNT(*) = {len(_BM25_TERMS)}),
+        best AS (SELECT doc_id,
+                        MIN(struct_pack(width := width, start := start)) AS b
+                 FROM windows GROUP BY 1)
+        SELECT doc_id, CAST(b.width AS INT) AS width,
+               CAST(b.start AS INT) AS start
+        FROM best ORDER BY width, doc_id LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# LCSS trajectory similarity (session 12)
+# ---------------------------------------------------------------------------
+
+_LCSS_EPS = 8.0  # degrees; squared threshold on resampled points
+
+
+def q_lcss_pairs(spark, sf_dir):
+    """LCSS trajectory similarity for the `dtw_pairs` 30-user cohort —
+    the noise-robust member of the trajectory-metric family (DTW pays for
+    every point, Hausdorff for the worst point; LCSS simply skips
+    outliers). Same resample + broadcast pair-join + anti-diagonal codegen
+    unroll as DTW, but the DP cells are INTEGERS, so cross-engine parity
+    is exact with no float protocol at all. See `operators/dtw.py`."""
+    from raptor_service_spark.operators.dtw import lcss_pairs, resample_traj
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .filter(F.col("user_id") < _DTW_COHORT)
+    )
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.withColumn("lat", lat).withColumn("lng", lng)
+    return lcss_pairs(resample_traj(pts, _DTW_L), _DTW_L, _LCSS_EPS)
+
+
+def _lcss_pairs_sql() -> str:
+    from raptor_service_spark.operators.dtw import lcss_pairs_sql
+
+    lat, lng = _latlng_sql("event_id")
+    return lcss_pairs_sql(
+        f"(SELECT * FROM events WHERE user_id < {_DTW_COHORT}) ev",
+        _DTW_L,
+        _LCSS_EPS,
+        lat_expr=lat,
+        lng_expr=lng,
+    )
+
+
+# ---------------------------------------------------------------------------
+# readability scores (session 12)
+# ---------------------------------------------------------------------------
+
+_FRE_SENT_TOKENS = 12  # pseudo-sentence length (the texttiling block trick)
+
+
+def q_readability_scores(spark, sf_dir):
+    """Flesch reading-ease per document over PSEUDO-sentences (fixed
+    12-token blocks — the corpus has no sentence punctuation, the same
+    convention `texttiling_boundaries` uses) with the vowel-group syllable
+    heuristic: syllables = regexp count of [aeiou]+ runs (whitespace
+    breaks every run, so the doc-level count equals the per-word sum).
+    FRE = 206.835 − 1.015·words/sentences − 84.6·syllables/words — every
+    input an exact integer, the score one shared closed-form expression
+    (6 dp). Bottom-20 hardest docs (tie: doc_id) — the quality-filter leg
+    next to `doc_quality_top20`."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("words"),
+        F.regexp_count(F.col("text"), F.lit(r"[aeiou]+")).cast("long").alias("syllables"),
+    ).withColumn(
+        "sentences",
+        F.ceil(F.col("words") / F.lit(_FRE_SENT_TOKENS)).cast("long"),
+    )
+    fre = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words") / F.col("sentences").cast("double"))
+        - F.lit(84.6) * (F.col("syllables") / F.col("words").cast("double")),
+        6,
+    )
+    return (
+        base.select("doc_id", "words", "sentences", "syllables", fre.alias("fre"))
+        .orderBy("fre", "doc_id")
+        .limit(20)
+    )
+
+
+def _readability_scores_sql() -> str:
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS words,
+                   len(regexp_extract_all(text, '[aeiou]+')) AS syllables
+            FROM documents),
+        s AS (SELECT doc_id, words, syllables,
+                     CAST(CEIL(words / CAST({_FRE_SENT_TOKENS} AS DOUBLE))
+                          AS BIGINT) AS sentences
+              FROM base)
+        SELECT doc_id, CAST(words AS INT) AS words, sentences,
+               CAST(syllables AS BIGINT) AS syllables,
+               ROUND(206.835
+                     - 1.015 * (words / CAST(sentences AS DOUBLE))
+                     - 84.6 * (syllables / CAST(words AS DOUBLE)), 6) AS fre
+        FROM s ORDER BY fre, doc_id LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -22511,6 +22752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ot_transport_plan": q_ot_transport_plan,
         "media_run_lengths": q_media_run_lengths,
         "lru_hit_rate": q_lru_hit_rate,
+        "phrase_search": q_phrase_search,
+        "min_cover_window": q_min_cover_window,
+        "lcss_pairs": q_lcss_pairs,
+        "readability_scores": q_readability_scores,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -22765,6 +23010,10 @@ def oracle_sql() -> dict[str, str]:
         "ot_transport_plan": _ot_transport_plan_sql(),
         "media_run_lengths": _media_run_lengths_sql(),
         "lru_hit_rate": _lru_hit_rate_sql(),
+        "phrase_search": _phrase_search_sql(),
+        "min_cover_window": _min_cover_window_sql(),
+        "lcss_pairs": _lcss_pairs_sql(),
+        "readability_scores": _readability_scores_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
