@@ -22432,6 +22432,429 @@ def _readability_scores_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# box-counting fractal dimension (session 12)
+# ---------------------------------------------------------------------------
+
+_BOX_RES = (1, 2, 3, 4, 5, 6)
+
+
+def q_box_counting_dim(spark, sf_dir):
+    """Box-counting (Minkowski) fractal dimension of the document point
+    set: occupied-cell counts N(r) on the res 1..6 grid ladder, dimension
+    = OLS slope of ln N(r) against r·ln 2 (uniform scatter → ~2; points
+    on a curve → ~1; heavy clustering → lower) — the spatial-complexity
+    scalar planners use to pick tiling depth. Scale shape: ONE encode at
+    the finest res, parents by integer arithmetic, one distinct-agg per
+    res over an exploded 6-entry ladder — never a rescan per res. OLS
+    follows the `heaps_law` float protocol (ln terms + sums 9 dp, closed
+    form last); x-sums over r = 1..6 are exact literals."""
+    import math
+
+    from raptor_service_spark.geo.grid import cell_encode_col, cell_parent_col
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    top = max(_BOX_RES)
+    enc = d.select(cell_encode_col(lat, lng, top).alias(f"c{top}"))
+    ladder = enc.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("res"),
+                        (
+                            F.col(f"c{top}")
+                            if r == top
+                            else cell_parent_col(F.col(f"c{top}"), top, r)
+                        ).alias("cell"),
+                    )
+                    for r in _BOX_RES
+                ]
+            )
+        ).alias("s")
+    ).select("s.res", "s.cell")
+    counts = ladder.groupBy("res").agg(F.countDistinct("cell").alias("n_cells"))
+    n = len(_BOX_RES)
+    sr = sum(_BOX_RES)
+    srr = sum(r * r for r in _BOX_RES)
+    xy = counts.select(
+        "res", "n_cells", F.log(F.col("n_cells").cast("double")).alias("y")
+    )
+    sums = xy.agg(
+        F.round(F.sum("y"), 9).alias("sy"),
+        F.round(F.sum(F.col("res") * F.col("y")), 9).alias("sry"),
+    )
+    slope = (F.lit(float(n)) * F.col("sry") - F.lit(float(sr)) * F.col("sy")) / F.lit(
+        float(n * srr - sr * sr)
+    )
+    dim = sums.select(
+        F.round(slope / F.lit(math.log(2.0)), 6).alias("fractal_dim")
+    )
+    return (
+        counts.crossJoin(F.broadcast(dim))
+        .select("res", "n_cells", "fractal_dim")
+        .orderBy("res")
+    )
+
+
+def _box_counting_dim_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    top = max(_BOX_RES)
+    c_top = cell_encode_sql(lat, lng, top)
+    arms = " UNION ALL ".join(
+        f"SELECT {r} AS res, "
+        + (c_top if r == top else cell_parent_sql(c_top, top, r))
+        + " AS cell FROM documents"
+        for r in _BOX_RES
+    )
+    n = len(_BOX_RES)
+    sr = sum(_BOX_RES)
+    srr = sum(r * r for r in _BOX_RES)
+    return f"""
+        WITH ladder AS ({arms}),
+        counts AS (SELECT res, COUNT(DISTINCT cell) AS n_cells
+                   FROM ladder GROUP BY 1),
+        xy AS (SELECT res, n_cells, LN(CAST(n_cells AS DOUBLE)) AS y
+               FROM counts),
+        sums AS (SELECT ROUND(SUM(y), 9) AS sy,
+                        ROUND(SUM(res * y), 9) AS sry
+                 FROM xy),
+        dim AS (SELECT ROUND((({n}.0 * sry - {sr}.0 * sy)
+                              / {float(n * srr - sr * sr)!r}) / LN(2.0), 6)
+                           AS fractal_dim
+                FROM sums)
+        SELECT res, n_cells, fractal_dim
+        FROM counts CROSS JOIN dim
+        ORDER BY res
+    """
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (session 12)
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_N = 100000  # bound keeps doubled-rank square-sums within 2^53
+
+
+def q_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between event value and latitude —
+    the monotone-association screen Pearson (`value_correlations`) misses
+    when the relationship is nonlinear. Tie-safe: average ranks enter as
+    EXACT doubled integers (2·avg_rank = 2·RANK() + tie_count − 1), every
+    aggregate is an exact BIGINT (bounded cohort keeps Σ(2r)² < 2^53),
+    and only the final closed form runs in float — identical expression
+    both engines, no summation-order exposure at all. One row: rho 6 dp."""
+    from pyspark.sql import Window
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .filter(F.col("event_id") < _SPEARMAN_N)
+    )
+    lat, _lng = _latlng_cols(F.col("event_id"))
+    base = ev.select(F.col("value").alias("v"), lat.alias("g"))
+
+    def dbl_rank(c):
+        return (
+            F.lit(2) * F.rank().over(Window.orderBy(c))
+            + F.count(F.lit(1)).over(Window.partitionBy(c))
+            - F.lit(1)
+        ).cast("long")
+
+    ranked = base.select(dbl_rank(F.col("v")).alias("x"), dbl_rank(F.col("g")).alias("y"))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return s.select("n", F.round(num / den, 6).alias("rho"))
+
+
+def _spearman_corr_sql() -> str:
+    lat, _lng = _latlng_sql("event_id")
+    return f"""
+        WITH base AS (SELECT value AS v, {lat} AS g
+                      FROM events WHERE event_id < {_SPEARMAN_N}),
+        ranked AS (SELECT
+            CAST(2 * RANK() OVER (ORDER BY v)
+                 + COUNT(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS x,
+            CAST(2 * RANK() OVER (ORDER BY g)
+                 + COUNT(*) OVER (PARTITION BY g) - 1 AS BIGINT) AS y
+            FROM base),
+        s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                     SUM(x * y) AS sxy
+              FROM ranked)
+        SELECT n,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   AS rho
+        FROM s
+    """
+
+
+# ---------------------------------------------------------------------------
+# reverse-NN influence set (session 12)
+# ---------------------------------------------------------------------------
+
+_RNN_Q = (-80.0, -140.0)  # (lat, lng); non-empty influence set at every SF
+_RNN_COHORT = 4000
+
+
+def q_rnn_influence(spark, sf_dir):
+    """Reverse-nearest-neighbor influence set of a candidate facility Q:
+    the documents that would adopt Q as their NEW nearest neighbor, i.e.
+    dist(d, Q) < dist(d, d's current nearest other document) — the
+    bichromatic RNN query behind facility placement and cache-node
+    election. Spark path: per-doc exact NN distance from the ring-doubling
+    self-join (`nn_distances` — each round shuffles unresolved points ×
+    cover cells, never doc × doc) + one codegen distance to Q. The oracle
+    brute-forces the bounded cohort. Both engines compare UNROUNDED
+    distances computed by the same single expression (IEEE sqrt is
+    correctly rounded — identical bits), so the strict < is parity-safe;
+    display values round 6 dp. Ordered by distance to Q."""
+    from raptor_service_spark.operators.geo_knn import nn_distances
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _RNN_COHORT)
+    )
+    lat, lng = _latlng_cols(F.col("doc_id"))
+    pts = d.select(F.col("doc_id").alias("pid"), lng.alias("px"), lat.alias("py"))
+    nn = nn_distances(pts, res=4, max_ring=64)
+    qd = pts.select(
+        "pid",
+        "px",
+        "py",
+        F.sqrt(
+            (F.col("px") - F.lit(_RNN_Q[1])) * (F.col("px") - F.lit(_RNN_Q[1]))
+            + (F.col("py") - F.lit(_RNN_Q[0])) * (F.col("py") - F.lit(_RNN_Q[0]))
+        ).alias("dq"),
+    )
+    out = qd.join(nn, "pid").filter(F.col("dq") < F.col("d1"))
+    return out.select(
+        F.col("pid").alias("doc_id"),
+        F.round("dq", 6).alias("dist_q"),
+        F.round("d1", 6).alias("dist_nn"),
+        F.col("nn_id"),
+    ).orderBy("dist_q", "doc_id")
+
+
+def _rnn_influence_sql() -> str:
+    lat, lng = _latlng_sql("doc_id")
+    return f"""
+        WITH pts AS (SELECT doc_id AS pid, {lng} AS px, {lat} AS py
+                     FROM documents WHERE doc_id < {_RNN_COHORT}),
+        nn AS (SELECT a.pid,
+                      MIN(struct_pack(
+                          d := SQRT((a.px - b.px) * (a.px - b.px)
+                                  + (a.py - b.py) * (a.py - b.py)),
+                          did := b.pid)) AS b
+               FROM pts a JOIN pts b ON a.pid <> b.pid
+               GROUP BY 1),
+        qd AS (SELECT pid, px, py,
+                      SQRT((px - {_RNN_Q[1]!r}) * (px - {_RNN_Q[1]!r})
+                         + (py - {_RNN_Q[0]!r}) * (py - {_RNN_Q[0]!r})) AS dq
+               FROM pts)
+        SELECT qd.pid AS doc_id, ROUND(qd.dq, 6) AS dist_q,
+               ROUND(nn.b.d, 6) AS dist_nn, nn.b.did AS nn_id
+        FROM qd JOIN nn ON qd.pid = nn.pid
+        WHERE qd.dq < nn.b.d
+        ORDER BY dist_q, doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# gradient-boosted stumps (session 12)
+# ---------------------------------------------------------------------------
+
+
+def q_boosted_stumps(spark, sf_dir):
+    """Two rounds of L2 gradient boosting with decision-stump base
+    learners on (n_chars → lang = 'en') — the distributed-GBDT kernel one
+    level up from `decision_stump`. Everything runs on the AGGREGATED
+    per-feature-value table (v, m, pos): round 1 maximizes the variance
+    gain pl²/nl + pr²/nr from exact-integer prefix sums; round-2 residual
+    sums per value are closed forms of (m, pos, leaf prediction), so the
+    residual fit never touches row-level floats. Leaf values and gains are
+    pre-rounded 9 dp (the kmeans/plsa unroll discipline); prefix sums run
+    in value order in BOTH engines, so float accumulation order is
+    identical. Output: one row per round (threshold, left/right value)."""
+    from pyspark.sql import Window
+
+    d = _read(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    per_v = d.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_v.agg(F.sum("m").alias("n"), F.sum("pos").alias("p"))
+    pre = (
+        per_v.select(
+            "n_chars",
+            F.sum("m").over(w).alias("nl"),
+            F.sum("pos").over(w).alias("pl"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("n"))
+    )
+    nl = F.col("nl").cast("double")
+    nr = (F.col("n") - F.col("nl")).cast("double")
+    pl = F.col("pl").cast("double")
+    pr = (F.col("p") - F.col("pl")).cast("double")
+    gain1 = F.round(pl * pl / nl + pr * pr / nr, 9)
+    b1 = pre.agg(
+        F.max(F.struct(gain1.alias("g"), (-F.col("n_chars")).alias("nv"))).alias("b")
+    ).select((-F.col("b.nv")).alias("t1"))
+    r1 = (
+        pre.crossJoin(F.broadcast(b1))
+        .filter(F.col("n_chars") == F.col("t1"))
+        .select(
+            "t1",
+            F.round(pl / nl, 9).alias("lv1"),
+            F.round(pr / nr, 9).alias("rv1"),
+        )
+    )
+    # round 2: residual aggregates per value from (m, pos, leaf prediction)
+    res = per_v.crossJoin(F.broadcast(r1)).select(
+        "n_chars",
+        "m",
+        (
+            F.col("pos").cast("double")
+            - F.col("m").cast("double")
+            * F.when(F.col("n_chars") <= F.col("t1"), F.col("lv1")).otherwise(
+                F.col("rv1")
+            )
+        ).alias("s"),
+        "t1",
+        "lv1",
+        "rv1",
+    )
+    tot2 = res.groupBy("t1", "lv1", "rv1").agg(
+        F.sum("m").alias("n"), F.round(F.sum("s"), 9).alias("stot")
+    )
+    pre2 = (
+        res.select(
+            "n_chars",
+            F.sum("m").over(w).alias("nl"),
+            F.round(F.sum("s").over(w), 9).alias("sl"),
+        )
+        .crossJoin(F.broadcast(tot2))
+        .filter(F.col("nl") < F.col("n"))
+    )
+    sl = F.col("sl")
+    sr = F.col("stot") - F.col("sl")
+    nl2 = F.col("nl").cast("double")
+    nr2 = (F.col("n") - F.col("nl")).cast("double")
+    gain2 = F.round(sl * sl / nl2 + sr * sr / nr2, 9)
+    b2 = pre2.agg(
+        F.max(
+            F.struct(
+                gain2.alias("g"),
+                (-F.col("n_chars")).alias("nv"),
+                F.round(sl / nl2, 9).alias("lv"),
+                F.round(sr / nr2, 9).alias("rv"),
+            )
+        ).alias("b"),
+        F.first("t1").alias("t1"),
+        F.first("lv1").alias("lv1"),
+        F.first("rv1").alias("rv1"),
+    )
+    out = b2.select(
+        F.lit(1).alias("round"),
+        F.col("t1").alias("threshold"),
+        F.col("lv1").alias("left_value"),
+        F.col("rv1").alias("right_value"),
+    ).unionByName(
+        b2.select(
+            F.lit(2).alias("round"),
+            (-F.col("b.nv")).alias("threshold"),
+            F.col("b.lv").alias("left_value"),
+            F.col("b.rv").alias("right_value"),
+        )
+    )
+    return out.orderBy("round")
+
+
+def _boosted_stumps_sql() -> str:
+    return """
+        WITH d AS (SELECT n_chars, CAST(lang = 'en' AS BIGINT) AS y
+                   FROM documents),
+        per_v AS (SELECT n_chars, COUNT(*) AS m, SUM(y) AS pos
+                  FROM d GROUP BY 1),
+        tot AS (SELECT SUM(m) AS n, SUM(pos) AS p FROM per_v),
+        pre AS (SELECT n_chars,
+                       SUM(m) OVER (ORDER BY n_chars) AS nl,
+                       SUM(pos) OVER (ORDER BY n_chars) AS pl,
+                       tot.n, tot.p
+                FROM per_v CROSS JOIN tot),
+        s1 AS (SELECT n_chars, nl, pl, n, p,
+                      ROUND(CAST(pl AS DOUBLE) * pl / nl
+                            + CAST(p - pl AS DOUBLE) * (p - pl) / (n - nl), 9)
+                          AS gain
+               FROM pre WHERE nl < n),
+        b1 AS (SELECT MAX(struct_pack(g := gain, nv := -n_chars)) AS b
+               FROM s1),
+        r1 AS (SELECT s1.n_chars AS t1,
+                      ROUND(CAST(s1.pl AS DOUBLE) / s1.nl, 9) AS lv1,
+                      ROUND(CAST(s1.p - s1.pl AS DOUBLE) / (s1.n - s1.nl), 9)
+                          AS rv1
+               FROM s1 CROSS JOIN b1 WHERE s1.n_chars = -b1.b.nv),
+        res AS (SELECT per_v.n_chars, per_v.m,
+                       CAST(per_v.pos AS DOUBLE)
+                       - CAST(per_v.m AS DOUBLE)
+                         * (CASE WHEN per_v.n_chars <= r1.t1
+                                 THEN r1.lv1 ELSE r1.rv1 END) AS s,
+                       r1.t1, r1.lv1, r1.rv1
+                FROM per_v CROSS JOIN r1),
+        tot2 AS (SELECT t1, lv1, rv1, SUM(m) AS n,
+                        ROUND(SUM(s), 9) AS stot
+                 FROM res GROUP BY 1, 2, 3),
+        pre2 AS (SELECT res.n_chars,
+                        SUM(res.m) OVER (ORDER BY res.n_chars) AS nl,
+                        ROUND(SUM(res.s) OVER (ORDER BY res.n_chars), 9) AS sl,
+                        tot2.n, tot2.stot, tot2.t1, tot2.lv1, tot2.rv1
+                 FROM res CROSS JOIN tot2),
+        s2 AS (SELECT *,
+                      ROUND(sl * sl / nl
+                            + (stot - sl) * (stot - sl) / (n - nl), 9) AS gain
+               FROM pre2 WHERE nl < n),
+        b2 AS (SELECT MAX(struct_pack(
+                          g := gain, nv := -n_chars,
+                          lv := ROUND(sl / nl, 9),
+                          rv := ROUND((stot - sl) / (n - nl), 9))) AS b,
+                      FIRST(t1) AS t1, FIRST(lv1) AS lv1, FIRST(rv1) AS rv1
+               FROM s2)
+        SELECT 1 AS round, CAST(t1 AS BIGINT) AS threshold,
+               lv1 AS left_value, rv1 AS right_value FROM b2
+        UNION ALL
+        SELECT 2 AS round, CAST(-b.nv AS BIGINT) AS threshold,
+               b.lv AS left_value, b.rv AS right_value FROM b2
+        ORDER BY round
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -22756,6 +23179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cover_window": q_min_cover_window,
         "lcss_pairs": q_lcss_pairs,
         "readability_scores": q_readability_scores,
+        "box_counting_dim": q_box_counting_dim,
+        "spearman_corr": q_spearman_corr,
+        "rnn_influence": q_rnn_influence,
+        "boosted_stumps": q_boosted_stumps,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -23014,6 +23441,10 @@ def oracle_sql() -> dict[str, str]:
         "min_cover_window": _min_cover_window_sql(),
         "lcss_pairs": _lcss_pairs_sql(),
         "readability_scores": _readability_scores_sql(),
+        "box_counting_dim": _box_counting_dim_sql(),
+        "spearman_corr": _spearman_corr_sql(),
+        "rnn_influence": _rnn_influence_sql(),
+        "boosted_stumps": _boosted_stumps_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
         "doc_perplexity": _doc_perplexity_sql(),
         "trajectory_simplify": _trajectory_simplify_sql(),
