@@ -22855,6 +22855,436 @@ def _boosted_stumps_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# 1-D Gaussian-mixture EM on log(value) (session 12)
+# ---------------------------------------------------------------------------
+
+_GMM_K = 3
+_GMM_ROUNDS = 3
+_GMM_VFLOOR = 0.01  # variance floor: keeps densities finite, stops collapse
+
+
+def q_gmm_em_values(spark, sf_dir):
+    """1-D Gaussian-mixture EM (K=3, 3 rounds) on ln(event value) — the
+    soft-clustering analog of `kmeans_geo` and the direct stand-in for the
+    reference's GMM cluster step (utils/cluster.py:45-53): lognormal value
+    mixtures are the classic event-magnitude decomposition. Same iterative
+    discipline as kmeans/plsa: parameters are O(K) driver state, each EM
+    round is ONE full-scan codegen agg (densities over literal params, no
+    join, no shuffle of the points), params re-rounded 6 dp per round so
+    the unrolled DuckDB CTE chain converges on identical doubles.
+
+    Float parity: per-row responsibilities are the identical expression in
+    both engines (exp/sqrt over the same 6-dp literals); sums are left
+    UNROUNDED and only the ratios (mu = Sxr·x/Sr etc.) are rounded — ratio
+    relative error from summation order is ~sqrt(n)·eps ≈ 1e-14, far below
+    the 5e-7 boundary of the 6-dp rounding (the od_ipf knife-edge lesson:
+    never 9-dp-round a large-magnitude intermediate sum). Rows whose total
+    density underflows to exact 0.0 (deterministic in IEEE, identical both
+    engines) are excluded from the M-step."""
+    xdf = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select(F.log(F.col("value")).alias("x"))
+        .localCheckpoint(eager=True)  # reused K_ROUNDS+1 times
+    )
+    st = xdf.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.avg("x").alias("ax"),
+        F.avg(F.col("x") * F.col("x")).alias("axx"),
+    )
+    init = st.select(
+        F.round(
+            F.greatest(
+                F.col("axx") - F.col("ax") * F.col("ax"), F.lit(_GMM_VFLOOR)
+            ),
+            6,
+        ).alias("vini"),
+        *[
+            F.round(
+                F.col("mn")
+                + F.lit((k + 0.5) / _GMM_K) * (F.col("mx") - F.col("mn")),
+                6,
+            ).alias(f"mu{k}")
+            for k in range(_GMM_K)
+        ],
+    ).collect()[0]
+    params = [(1.0 / 3.0, init[f"mu{k}"], init["vini"]) for k in range(_GMM_K)]
+
+    for _ in range(_GMM_ROUNDS):
+        dens = [
+            F.lit(w)
+            * F.exp(
+                -(F.col("x") - F.lit(mu))
+                * (F.col("x") - F.lit(mu))
+                / (F.lit(2.0) * F.lit(v))
+            )
+            / F.sqrt(F.lit(v))
+            for (w, mu, v) in params
+        ]
+        es = dens[0] + dens[1] + dens[2]
+        rows = xdf.select(
+            "x", es.alias("es"), *[dens[k].alias(f"e{k}") for k in range(_GMM_K)]
+        ).filter(F.col("es") > 0)
+        aggs = [F.count(F.lit(1)).alias("cnt")]
+        for k in range(_GMM_K):
+            r = F.col(f"e{k}") / F.col("es")
+            aggs += [
+                F.sum(r).alias(f"s{k}"),
+                F.sum(r * F.col("x")).alias(f"sx{k}"),
+                F.sum(r * F.col("x") * F.col("x")).alias(f"sxx{k}"),
+            ]
+        a = rows.agg(*aggs)
+        b = a.select(
+            "*",
+            *[
+                F.round(F.col(f"sx{k}") / F.col(f"s{k}"), 6).alias(f"nmu{k}")
+                for k in range(_GMM_K)
+            ],
+        )
+        c = b.select(
+            *[
+                F.round(
+                    F.col(f"s{k}") / F.col("cnt").cast("double"), 6
+                ).alias(f"nw{k}")
+                for k in range(_GMM_K)
+            ],
+            *[F.col(f"nmu{k}") for k in range(_GMM_K)],
+            *[
+                F.round(
+                    F.greatest(
+                        F.col(f"sxx{k}") / F.col(f"s{k}")
+                        - F.col(f"nmu{k}") * F.col(f"nmu{k}"),
+                        F.lit(_GMM_VFLOOR),
+                    ),
+                    6,
+                ).alias(f"nv{k}")
+                for k in range(_GMM_K)
+            ],
+        ).collect()[0]
+        params = [
+            (c[f"nw{k}"], c[f"nmu{k}"], c[f"nv{k}"]) for k in range(_GMM_K)
+        ]
+
+    return (
+        spark.createDataFrame(
+            [(k, params[k][0], params[k][1], params[k][2]) for k in range(_GMM_K)],
+            "comp int, weight double, mu double, sigma2 double",
+        )
+        .orderBy("comp")
+    )
+
+
+def _gmm_em_values_sql() -> str:
+    k_range = range(_GMM_K)
+    fr = [repr((k + 0.5) / _GMM_K) for k in k_range]
+    p0 = ", ".join(
+        f"(1.0/3.0) AS w{k}, ROUND(mn + {fr[k]} * (mx - mn), 6) AS mu{k}, "
+        f"vini AS v{k}"
+        for k in k_range
+    )
+    steps = []
+    prev = "p0"
+    for t in range(1, _GMM_ROUNDS + 1):
+        dens = ", ".join(
+            f"p.w{k} * EXP(-(x.x - p.mu{k}) * (x.x - p.mu{k}) "
+            f"/ (2.0 * p.v{k})) / SQRT(p.v{k}) AS e{k}"
+            for k in k_range
+        )
+        sums = ", ".join(
+            f"SUM(e{k} / es) AS s{k}, SUM(e{k} / es * x) AS sx{k}, "
+            f"SUM(e{k} / es * x * x) AS sxx{k}"
+            for k in k_range
+        )
+        mus = ", ".join(f"ROUND(sx{k} / s{k}, 6) AS nmu{k}" for k in k_range)
+        news = ", ".join(
+            f"ROUND(s{k} / CAST(cnt AS DOUBLE), 6) AS w{k}, nmu{k} AS mu{k}, "
+            f"ROUND(GREATEST(sxx{k} / s{k} - nmu{k} * nmu{k}, {_GMM_VFLOOR}), 6)"
+            f" AS v{k}"
+            for k in k_range
+        )
+        steps.append(
+            f"""d{t} AS (SELECT x.x, {dens} FROM x CROSS JOIN {prev} p),
+        f{t} AS (SELECT x, e0, e1, e2, e0 + e1 + e2 AS es FROM d{t}
+                 WHERE e0 + e1 + e2 > 0),
+        s{t} AS (SELECT COUNT(*) AS cnt, {sums} FROM f{t}),
+        m{t} AS (SELECT *, {mus} FROM s{t}),
+        p{t} AS (SELECT {news} FROM m{t})"""
+        )
+        prev = f"p{t}"
+    chain = ",\n        ".join(steps)
+    arms = " UNION ALL ".join(
+        f"SELECT {k} AS comp, w{k} AS weight, mu{k} AS mu, v{k} AS sigma2 "
+        f"FROM {prev}"
+        for k in k_range
+    )
+    return f"""
+        WITH x AS (SELECT LN(value) AS x FROM events WHERE value > 0),
+        st AS (SELECT MIN(x) AS mn, MAX(x) AS mx,
+                      ROUND(GREATEST(AVG(x * x) - AVG(x) * AVG(x),
+                                     {_GMM_VFLOOR}), 6) AS vini
+               FROM x),
+        p0 AS (SELECT {p0} FROM st),
+        {chain}
+        SELECT comp, weight, mu, sigma2 FROM ({arms}) ORDER BY comp
+    """
+
+
+# ---------------------------------------------------------------------------
+# group meeting point — Weiszfeld geometric median (session 12)
+# ---------------------------------------------------------------------------
+
+_MEET_ROUNDS = 3
+_MEET_EPS = 1e-6  # smoothed distance sqrt(d2 + eps): bounds 1/d, kills the
+# Weiszfeld singularity when the estimate lands on a data point
+
+
+def q_meeting_point(spark, sf_dir):
+    """Geometric median ("meeting point") per event_type via 3 smoothed
+    Weiszfeld rounds — the L1-optimal facility location the plain centroid
+    (`spherical_centroid`) over-smooths: the median is outlier-robust, the
+    workhorse behind dispatch-point and depot placement. Init = centroid;
+    each round reweights points by 1/sqrt(d²+ε) toward the current
+    estimate and takes the weighted mean, re-rounded 6 dp (the kmeans/ipf
+    unroll discipline). Output adds the mean distance to the final point.
+
+    Scale shape: per-group estimates are O(groups) rows; each round is one
+    broadcast join of the checkpointed point table against that tiny
+    estimate table + a partial+final agg — never a point×point dataflow,
+    and rounds are fixed (3), not convergence-polled. Float parity: per-row
+    weights are identical doubles in both engines (sqrt and division are
+    correctly rounded IEEE ops over identical inputs); only the final
+    ratios get the 6-dp rounding, keeping knife-edges ~1e-13 away."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(
+        "event_type", lat.alias("y"), lng.alias("x")
+    ).localCheckpoint(eager=True)
+    m = pts.groupBy("event_type").agg(
+        F.round(F.avg("y"), 6).alias("my"), F.round(F.avg("x"), 6).alias("mx")
+    )
+    for _ in range(_MEET_ROUNDS):
+        j = pts.join(F.broadcast(m), "event_type")
+        w = F.lit(1.0) / F.sqrt(
+            (F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))
+            + (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))
+            + F.lit(_MEET_EPS)
+        )
+        m = (
+            j.select(
+                "event_type",
+                w.alias("w"),
+                (w * F.col("y")).alias("wy"),
+                (w * F.col("x")).alias("wx"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.round(F.sum("wy") / F.sum("w"), 6).alias("my"),
+                F.round(F.sum("wx") / F.sum("w"), 6).alias("mx"),
+            )
+        )
+    j = pts.join(F.broadcast(m), "event_type")
+    d = F.sqrt(
+        (F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))
+        + (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))
+    )
+    return (
+        j.groupBy("event_type", "my", "mx")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg(d), 6).alias("avg_dist"),
+        )
+        .select(
+            "event_type",
+            "n_points",
+            F.col("my").alias("m_lat"),
+            F.col("mx").alias("m_lng"),
+            "avg_dist",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _meeting_point_sql() -> str:
+    lat, lng = _latlng_sql("event_id")
+    steps = []
+    prev = "m0"
+    for t in range(1, _MEET_ROUNDS + 1):
+        wexpr = (
+            f"(1.0 / SQRT((p.y - m.my) * (p.y - m.my) "
+            f"+ (p.x - m.mx) * (p.x - m.mx) + {_MEET_EPS!r}))"
+        )
+        steps.append(
+            f"""m{t} AS (
+            SELECT p.event_type,
+                   ROUND(SUM({wexpr} * p.y) / SUM({wexpr}), 6) AS my,
+                   ROUND(SUM({wexpr} * p.x) / SUM({wexpr}), 6) AS mx
+            FROM p JOIN {prev} m ON p.event_type = m.event_type
+            GROUP BY 1)"""
+        )
+        prev = f"m{t}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH p AS (SELECT event_type, {lat} AS y, {lng} AS x FROM events),
+        m0 AS (SELECT event_type, ROUND(AVG(y), 6) AS my,
+                      ROUND(AVG(x), 6) AS mx
+               FROM p GROUP BY 1),
+        {chain}
+        SELECT p.event_type, COUNT(*) AS n_points, m.my AS m_lat,
+               m.mx AS m_lng,
+               ROUND(AVG(SQRT((p.y - m.my) * (p.y - m.my)
+                              + (p.x - m.mx) * (p.x - m.mx))), 6) AS avg_dist
+        FROM p JOIN {prev} m ON p.event_type = m.event_type
+        GROUP BY 1, m.my, m.mx
+        ORDER BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# OD segment rasterization — exact integer Bresenham/DDA (session 12)
+# ---------------------------------------------------------------------------
+
+_BRES_RES = 6
+
+
+def q_od_segment_raster(spark, sf_dir):
+    """Exact vector→raster burn of OD segments onto the res-6 grid: every
+    consecutive event pair per user is a segment between two cell coords,
+    rasterized by integer DDA — steps = max(|dx|,|dy|) samples, the minor
+    coordinate rounded by the EXACT integer formula
+    x0 + floor((2·i·dx + steps) / (2·steps)) — so the crossed-cell set is
+    pure int64 arithmetic, bit-identical in any engine (the media_run_
+    lengths / contour_cases raster family, but for line geometry; this is
+    the exact sibling of `traj_cells`' 9-point sampled approximation).
+    Top-30 hottest raster cells with segment and user counts.
+
+    Scale shape: window lag + a ≤64× bounded explode (res-6 grid is 64
+    wide, so steps ≤ 63 by construction) + ONE partial+final agg; a 100 TB
+    event table never pairs rows beyond the per-user lag. FLOOR-division
+    safety: numerators are exact small integers in double, and non-integer
+    quotients sit ≥ 1/(2·steps) ≥ 1/126 from an integer — no boundary
+    risk."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import RES_MULTIPLIER
+
+    n = 2**_BRES_RES
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    gx = (
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(n - 1), F.floor((lng + F.lit(180.0)) / F.lit(360.0) * F.lit(n))),
+        )
+    ).cast("long")
+    gy = (
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(n - 1), F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(n))),
+        )
+    ).cast("long")
+    pts = ev.select("user_id", "ts", "event_id", gx.alias("gx"), gy.alias("gy"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.select(
+            "user_id",
+            F.lag("gx").over(w).alias("x0"),
+            F.lag("gy").over(w).alias("y0"),
+            F.col("gx").alias("x1"),
+            F.col("gy").alias("y1"),
+        )
+        .filter(F.col("x0").isNotNull())
+        .select(
+            "user_id",
+            "x0",
+            "y0",
+            (F.col("x1") - F.col("x0")).alias("dx"),
+            (F.col("y1") - F.col("y0")).alias("dy"),
+            F.greatest(
+                F.abs(F.col("x1") - F.col("x0")), F.abs(F.col("y1") - F.col("y0"))
+            ).alias("steps"),
+        )
+    )
+    e = seg.withColumn("i", F.explode(F.sequence(F.lit(0), F.col("steps"))))
+
+    def _interp(p0: str, d: str):
+        return F.when(F.col("steps") == 0, F.col(p0)).otherwise(
+            F.col(p0)
+            + F.floor(
+                (
+                    F.lit(2) * F.col("i") * F.col(d) + F.col("steps")
+                ).cast("double")
+                / (F.lit(2) * F.col("steps"))
+            ).cast("long")
+        )
+
+    cell = (
+        F.lit(_BRES_RES * RES_MULTIPLIER)
+        + _interp("y0", "dy") * F.lit(n)
+        + _interp("x0", "dx")
+    ).cast("long")
+    return (
+        e.select("user_id", cell.alias("cell"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_segments"), F.asc("cell"))
+        .limit(30)
+    )
+
+
+def _od_segment_raster_sql() -> str:
+    from raptor_service_spark.geo.grid import RES_MULTIPLIER
+
+    n = 2**_BRES_RES
+    lat, lng = _latlng_sql("event_id")
+    gx = (
+        f"GREATEST(0, LEAST({n - 1}, "
+        f"CAST(FLOOR(({lng} + 180.0) / 360.0 * {n}) AS BIGINT)))"
+    )
+    gy = (
+        f"GREATEST(0, LEAST({n - 1}, "
+        f"CAST(FLOOR(({lat} + 90.0) / 180.0 * {n}) AS BIGINT)))"
+    )
+    interp_x = (
+        "CASE WHEN steps = 0 THEN x0 ELSE x0 + CAST(FLOOR("
+        "CAST(2 * i * dx + steps AS DOUBLE) / (2 * steps)) AS BIGINT) END"
+    )
+    interp_y = (
+        "CASE WHEN steps = 0 THEN y0 ELSE y0 + CAST(FLOOR("
+        "CAST(2 * i * dy + steps AS DOUBLE) / (2 * steps)) AS BIGINT) END"
+    )
+    return f"""
+        WITH p AS (SELECT user_id, ts, event_id, {gx} AS gx, {gy} AS gy
+                   FROM events),
+        seg AS (SELECT user_id,
+                       LAG(gx) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS x0,
+                       LAG(gy) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS y0,
+                       gx AS x1, gy AS y1
+                FROM p),
+        s2 AS (SELECT user_id, x0, y0, x1 - x0 AS dx, y1 - y0 AS dy,
+                      GREATEST(ABS(x1 - x0), ABS(y1 - y0)) AS steps
+               FROM seg WHERE x0 IS NOT NULL),
+        e AS (SELECT user_id, x0, y0, dx, dy, steps,
+                     UNNEST(generate_series(0, steps)) AS i
+              FROM s2),
+        c AS (SELECT user_id,
+                     CAST({_BRES_RES * RES_MULTIPLIER} AS BIGINT)
+                     + ({interp_y}) * {n} + ({interp_x}) AS cell
+              FROM e)
+        SELECT cell, COUNT(*) AS n_segments,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM c GROUP BY 1
+        ORDER BY n_segments DESC, cell ASC
+        LIMIT 30
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -23183,6 +23613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_corr": q_spearman_corr,
         "rnn_influence": q_rnn_influence,
         "boosted_stumps": q_boosted_stumps,
+        "gmm_em_values": q_gmm_em_values,
+        "meeting_point": q_meeting_point,
+        "od_segment_raster": q_od_segment_raster,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -23443,6 +23876,9 @@ def oracle_sql() -> dict[str, str]:
         "readability_scores": _readability_scores_sql(),
         "box_counting_dim": _box_counting_dim_sql(),
         "spearman_corr": _spearman_corr_sql(),
+        "gmm_em_values": _gmm_em_values_sql(),
+        "meeting_point": _meeting_point_sql(),
+        "od_segment_raster": _od_segment_raster_sql(),
         "rnn_influence": _rnn_influence_sql(),
         "boosted_stumps": _boosted_stumps_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
