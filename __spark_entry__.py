@@ -23285,6 +23285,458 @@ def _od_segment_raster_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# viewshed over the event-density raster (session 12)
+# ---------------------------------------------------------------------------
+
+_VIEW_RES = 6
+_VIEW_R = 20  # Chebyshev radius: 41×41 target window, all inside the grid
+_VIEW_OX, _VIEW_OY = 32, 32  # observer at the res-6 grid center
+_VIEW_H = 1  # observer mast height above its cell's elevation
+
+
+def q_viewshed_cells(spark, sf_dir):
+    """Raster viewshed (line-of-sight) over the event-count elevation
+    model: each res-6 cell's 'elevation' is its event count (the density
+    raster as synthetic terrain — signal-obstruction-by-buildings), and a
+    target cell at offset (dx,dy) from the center observer is visible iff
+    no intermediate cell on the integer-DDA ray subtends a larger
+    elevation angle. The angle test is the EXACT cross-multiplied integer
+    comparison (ej−eo−H)·steps ≥ (et−eo−H)·j — zero float anywhere, so
+    parity is bit-trivial. Output: per Chebyshev ring 1..20, cells tested
+    and cells visible.
+
+    Scale shape: ONE partial+final agg builds the raster; the ray walk is
+    a fixed 41×41×≤19 exploded lattice (O(1) in table size) equi-joined
+    against the raster (broadcast at any SF — a res-6 raster is ≤4096
+    rows). The DDA minor-axis formula is shared with od_segment_raster."""
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    n = 2**_VIEW_RES
+    gx = (
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(n - 1), F.floor((lng + F.lit(180.0)) / F.lit(360.0) * F.lit(n))),
+        )
+    ).cast("long")
+    gy = (
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(n - 1), F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(n))),
+        )
+    ).cast("long")
+    raster = (
+        ev.select(gx.alias("gx"), gy.alias("gy"))
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("elev"))
+    )
+    eo_df = raster.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("gx") == _VIEW_OX) & (F.col("gy") == _VIEW_OY),
+                    F.col("elev"),
+                )
+            ),
+            F.lit(0),
+        ).alias("eo")
+    )
+    rng = F.explode(F.sequence(F.lit(-_VIEW_R), F.lit(_VIEW_R)))
+    targets = (
+        spark.range(1)
+        .select(rng.alias("dx"))
+        .select("dx", rng.alias("dy"))
+        .filter(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+        .select(
+            "dx",
+            "dy",
+            F.greatest(F.abs("dx"), F.abs("dy")).alias("steps"),
+            (F.lit(_VIEW_OX) + F.col("dx")).alias("tx"),
+            (F.lit(_VIEW_OY) + F.col("dy")).alias("ty"),
+        )
+    )
+    t2 = (
+        targets.join(
+            F.broadcast(raster),
+            (F.col("tx") == F.col("gx")) & (F.col("ty") == F.col("gy")),
+            "left",
+        )
+        .select("dx", "dy", "steps", F.coalesce("elev", F.lit(0)).alias("et"))
+        .crossJoin(F.broadcast(eo_df))
+    )
+    far = t2.filter(F.col("steps") >= 2).withColumn(
+        "j", F.explode(F.sequence(F.lit(1), F.col("steps") - 1))
+    )
+
+    def _ray(d: str):
+        return F.floor(
+            (F.lit(2) * F.col("j") * F.col(d) + F.col("steps")).cast("double")
+            / (F.lit(2) * F.col("steps"))
+        ).cast("long")
+
+    jc = far.select(
+        "dx",
+        "dy",
+        "steps",
+        "et",
+        "eo",
+        "j",
+        (F.lit(_VIEW_OX) + _ray("dx")).alias("xj"),
+        (F.lit(_VIEW_OY) + _ray("dy")).alias("yj"),
+    )
+    jb = jc.join(
+        F.broadcast(raster),
+        (F.col("xj") == F.col("gx")) & (F.col("yj") == F.col("gy")),
+        "left",
+    ).select(
+        "dx",
+        "dy",
+        (
+            (F.coalesce("elev", F.lit(0)) - F.col("eo") - F.lit(_VIEW_H))
+            * F.col("steps")
+            >= (F.col("et") - F.col("eo") - F.lit(_VIEW_H)) * F.col("j")
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    nb = jb.groupBy("dx", "dy").agg(F.sum("b").alias("nb"))
+    vis = t2.join(nb, ["dx", "dy"], "left").select(
+        F.col("steps").alias("ring"),
+        (F.coalesce("nb", F.lit(0)) == 0).cast("long").alias("visible"),
+    )
+    return (
+        vis.groupBy("ring")
+        .agg(F.count(F.lit(1)).alias("n_cells"), F.sum("visible").alias("n_visible"))
+        .orderBy("ring")
+    )
+
+
+def _viewshed_cells_sql() -> str:
+    n = 2**_VIEW_RES
+    lat, lng = _latlng_sql("event_id")
+    gx = (
+        f"GREATEST(0, LEAST({n - 1}, "
+        f"CAST(FLOOR(({lng} + 180.0) / 360.0 * {n}) AS BIGINT)))"
+    )
+    gy = (
+        f"GREATEST(0, LEAST({n - 1}, "
+        f"CAST(FLOOR(({lat} + 90.0) / 180.0 * {n}) AS BIGINT)))"
+    )
+    return f"""
+        WITH r AS (SELECT gx, gy, COUNT(*) AS elev FROM
+                       (SELECT {gx} AS gx, {gy} AS gy FROM events)
+                   GROUP BY 1, 2),
+        eo AS (SELECT CAST(COALESCE(SUM(CASE WHEN gx = {_VIEW_OX}
+                                              AND gy = {_VIEW_OY}
+                                         THEN elev END), 0) AS BIGINT) AS eo
+               FROM r),
+        t AS (SELECT dx, dy, GREATEST(ABS(dx), ABS(dy)) AS steps,
+                     {_VIEW_OX} + dx AS tx, {_VIEW_OY} + dy AS ty
+              FROM (SELECT UNNEST(generate_series(-{_VIEW_R}, {_VIEW_R})) AS dx) a
+              CROSS JOIN
+                   (SELECT UNNEST(generate_series(-{_VIEW_R}, {_VIEW_R})) AS dy) b
+              WHERE NOT (dx = 0 AND dy = 0)),
+        t2 AS (SELECT t.dx, t.dy, t.steps, COALESCE(r.elev, 0) AS et, eo.eo
+               FROM t LEFT JOIN r ON t.tx = r.gx AND t.ty = r.gy
+               CROSS JOIN eo),
+        far AS (SELECT dx, dy, steps, et, eo,
+                       UNNEST(generate_series(1, steps - 1)) AS j
+                FROM t2 WHERE steps >= 2),
+        jc AS (SELECT dx, dy, steps, et, eo, j,
+                      {_VIEW_OX} + CAST(FLOOR(CAST(2 * j * dx + steps AS DOUBLE)
+                                              / (2 * steps)) AS BIGINT) AS xj,
+                      {_VIEW_OY} + CAST(FLOOR(CAST(2 * j * dy + steps AS DOUBLE)
+                                              / (2 * steps)) AS BIGINT) AS yj
+               FROM far),
+        jb AS (SELECT jc.dx, jc.dy,
+                      CASE WHEN (COALESCE(r.elev, 0) - jc.eo - {_VIEW_H})
+                                * jc.steps
+                                >= (jc.et - jc.eo - {_VIEW_H}) * jc.j
+                           THEN 1 ELSE 0 END AS b
+               FROM jc LEFT JOIN r ON jc.xj = r.gx AND jc.yj = r.gy),
+        nb AS (SELECT dx, dy, CAST(SUM(b) AS BIGINT) AS nb
+               FROM jb GROUP BY 1, 2)
+        SELECT t2.steps AS ring, COUNT(*) AS n_cells,
+               CAST(SUM(CASE WHEN COALESCE(nb.nb, 0) = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_visible
+        FROM t2 LEFT JOIN nb ON t2.dx = nb.dx AND t2.dy = nb.dy
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# two-step floating catchment area accessibility (session 12)
+# ---------------------------------------------------------------------------
+
+_SFCA_RES = 5
+_SFCA_RING = 2  # Chebyshev catchment radius: 5×5 cells
+
+
+def q_sfca_accessibility(spark, sf_dir):
+    """Two-step floating catchment area (2SFCA) — the spatial-access
+    workhorse of health-geography: facilities (documents doc_id < 2000,
+    capacity 1 + doc_id % 5) first get a supply-to-demand ratio
+    R_j = capacity / Σ(event demand within their Chebyshev-2 res-5
+    catchment); each demand cell then sums the R_j of every facility
+    whose catchment covers it. Top-20 best-served demand cells.
+
+    Scale shape: demand and supply are each ONE partial+final agg; the
+    catchment is the standard 25-offset k-ring EXPLODE + equi-join (the
+    cell_kring_smooth plan — never a distance cross join); sites with
+    zero catchment demand drop (ratio undefined). Float protocol: R_j is
+    a 9-dp-rounded ratio of exact integers; accessibility sums tens of
+    those pre-rounded terms and rounds 6 dp."""
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_col
+
+    offs = [
+        (dx, dy)
+        for dy in range(-_SFCA_RING, _SFCA_RING + 1)
+        for dx in range(-_SFCA_RING, _SFCA_RING + 1)
+    ]
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 2000)
+    )
+    dlat, dlng = _latlng_cols(F.col("doc_id"))
+    sup = (
+        d.select(
+            cell_encode_col(dlat, dlng, _SFCA_RES).alias("scell"),
+            (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(5))).alias("cap"),
+        )
+        .groupBy("scell")
+        .agg(F.sum("cap").alias("cap"))
+    )
+    ev = _read(spark, sf_dir, "events").select("event_id")
+    elat, elng = _latlng_cols(F.col("event_id"))
+    dem = (
+        ev.select(cell_encode_col(elat, elng, _SFCA_RES).alias("dcell"))
+        .groupBy("dcell")
+        .agg(F.count(F.lit(1)).alias("n_dem"))
+    )
+    ring = F.array(
+        *[kring_neighbor_col("scell", _SFCA_RES, dx, dy) for dx, dy in offs]
+    )
+    sring = sup.select("scell", "cap", F.explode(ring).alias("nbr")).filter(
+        F.col("nbr").isNotNull()
+    )
+    rj = (
+        sring.join(dem, sring.nbr == dem.dcell)
+        .groupBy("scell", "cap")
+        .agg(F.sum("n_dem").alias("dsum"))
+        .select(
+            "scell",
+            F.round(
+                F.col("cap").cast("double") / F.col("dsum").cast("double"), 9
+            ).alias("rj"),
+        )
+    )
+    rring = rj.select("scell", "rj", F.explode(ring).alias("nbr")).filter(
+        F.col("nbr").isNotNull()
+    )
+    return (
+        rring.join(dem, rring.nbr == dem.dcell)
+        .groupBy("dcell", "n_dem")
+        .agg(F.round(F.sum("rj"), 6).alias("access"))
+        .select(F.col("dcell").alias("cell"), F.col("n_dem").alias("demand"), "access")
+        .orderBy(F.desc("access"), F.asc("cell"))
+        .limit(20)
+    )
+
+
+def _sfca_accessibility_sql() -> str:
+    from raptor_service_spark.operators.neighborhood import kring_neighbor_sql
+
+    dlat, dlng = _latlng_sql("doc_id")
+    elat, elng = _latlng_sql("event_id")
+    scell = cell_encode_sql(dlat, dlng, _SFCA_RES)
+    dcell = cell_encode_sql(elat, elng, _SFCA_RES)
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dy in range(-_SFCA_RING, _SFCA_RING + 1)
+        for dx in range(-_SFCA_RING, _SFCA_RING + 1)
+    )
+    nbr = kring_neighbor_sql("s.scell", _SFCA_RES, "o.dx", "o.dy")
+    nbr2 = kring_neighbor_sql("r.scell", _SFCA_RES, "o.dx", "o.dy")
+    return f"""
+        WITH sup AS (SELECT scell, CAST(SUM(cap) AS BIGINT) AS cap FROM
+                         (SELECT {scell} AS scell, 1 + (doc_id % 5) AS cap
+                          FROM documents WHERE doc_id < 2000)
+                     GROUP BY 1),
+        dem AS (SELECT {dcell} AS dcell, COUNT(*) AS n_dem
+                FROM events GROUP BY 1),
+        sring AS (SELECT s.scell, s.cap, {nbr} AS nbr
+                  FROM sup s CROSS JOIN (VALUES {offs}) o(dx, dy)
+                  WHERE {nbr} IS NOT NULL),
+        rj AS (SELECT sr.scell,
+                      ROUND(CAST(MAX(sr.cap) AS DOUBLE)
+                            / CAST(SUM(d.n_dem) AS DOUBLE), 9) AS rj
+               FROM sring sr JOIN dem d ON sr.nbr = d.dcell
+               GROUP BY 1),
+        rring AS (SELECT r.scell, r.rj, {nbr2} AS nbr
+                  FROM rj r CROSS JOIN (VALUES {offs}) o(dx, dy)
+                  WHERE {nbr2} IS NOT NULL)
+        SELECT d.dcell AS cell, MAX(d.n_dem) AS demand,
+               ROUND(SUM(rr.rj), 6) AS access
+        FROM rring rr JOIN dem d ON rr.nbr = d.dcell
+        GROUP BY 1
+        ORDER BY access DESC, cell ASC
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# space-time prism rasterization (session 12)
+# ---------------------------------------------------------------------------
+
+_PRISM_RES = 4
+_PRISM_VMAX = 25.0  # planar speed budget, degrees/hour
+_PRISM_BMAX = 400.0  # cap: beyond this the ellipse covers the whole grid
+
+
+def q_spacetime_prism(spark, sf_dir):
+    """Hägerstrand space-time prism rasterization: for each consecutive
+    event pair per user, the reachable set under speed budget vmax is the
+    ellipse {c : d(p0,c) + d(c,p1) ≤ vmax·Δt}; its res-4 cell-center
+    raster is the potential-path area. Infeasible segments (straight-line
+    distance already exceeds the budget — the teleport_flags population)
+    drop out. Output: top-30 cells by prism coverage count.
+
+    Scale shape: window lag → segments, then a broadcast nested-loop join
+    against the FIXED 256-row res-4 cell-center inventory with the bbox
+    pre-filter |c−mid| ≤ B/2 (a provable superset of the ellipse: median
+    ≤ half focal-distance sum) before the two sqrt's — at 100 TB the bbox
+    becomes a cell-index range scan. Float parity: Δt→budget→distances
+    are one shared expression; the ≤ comparisons see bit-identical
+    doubles in both engines."""
+    from pyspark.sql import Window
+
+    from raptor_service_spark.geo.grid import RES_MULTIPLIER
+
+    n = 2**_PRISM_RES
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat, lng = _latlng_cols(F.col("event_id"))
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        lat.alias("y1"),
+        lng.alias("x1"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = pts.select(
+        "user_id",
+        F.lag("y1").over(w).alias("y0"),
+        F.lag("x1").over(w).alias("x0"),
+        (F.col("us") - F.lag("us").over(w)).alias("dt_us"),
+        "y1",
+        "x1",
+    ).filter(F.col("y0").isNotNull())
+    b = F.least(
+        F.lit(_PRISM_VMAX) * (F.col("dt_us").cast("double") / F.lit(3.6e9)),
+        F.lit(_PRISM_BMAX),
+    )
+    d01 = F.sqrt(
+        (F.col("y1") - F.col("y0")) * (F.col("y1") - F.col("y0"))
+        + (F.col("x1") - F.col("x0")) * (F.col("x1") - F.col("x0"))
+    )
+    feas = seg.withColumn("b", b).filter(d01 <= F.col("b"))
+    rngc = F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+    cells = (
+        spark.range(1)
+        .select(rngc.alias("gx"))
+        .select("gx", rngc.alias("gy"))
+        .select(
+            (F.lit(-90.0) + (F.col("gy") + F.lit(0.5)) * F.lit(180.0) / F.lit(n)).alias(
+                "clat"
+            ),
+            (
+                F.lit(-180.0) + (F.col("gx") + F.lit(0.5)) * F.lit(360.0) / F.lit(n)
+            ).alias("clng"),
+            (
+                F.lit(_PRISM_RES * RES_MULTIPLIER)
+                + F.col("gy") * F.lit(n)
+                + F.col("gx")
+            ).cast("long").alias("cell"),
+        )
+    )
+    cand = feas.crossJoin(F.broadcast(cells)).filter(
+        (
+            F.abs(F.col("clat") - (F.col("y0") + F.col("y1")) / F.lit(2.0))
+            <= F.col("b") / F.lit(2.0)
+        )
+        & (
+            F.abs(F.col("clng") - (F.col("x0") + F.col("x1")) / F.lit(2.0))
+            <= F.col("b") / F.lit(2.0)
+        )
+    )
+    d0 = F.sqrt(
+        (F.col("clat") - F.col("y0")) * (F.col("clat") - F.col("y0"))
+        + (F.col("clng") - F.col("x0")) * (F.col("clng") - F.col("x0"))
+    )
+    d1 = F.sqrt(
+        (F.col("clat") - F.col("y1")) * (F.col("clat") - F.col("y1"))
+        + (F.col("clng") - F.col("x1")) * (F.col("clng") - F.col("x1"))
+    )
+    return (
+        cand.filter(d0 + d1 <= F.col("b"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_prisms"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_prisms"), F.asc("cell"))
+        .limit(30)
+    )
+
+
+def _spacetime_prism_sql() -> str:
+    from raptor_service_spark.geo.grid import RES_MULTIPLIER
+
+    n = 2**_PRISM_RES
+    lat, lng = _latlng_sql("event_id")
+    return f"""
+        WITH p AS (SELECT user_id, ts, event_id, {lat} AS y1, {lng} AS x1,
+                          epoch_us(ts) AS us
+                   FROM events),
+        seg AS (SELECT user_id,
+                       LAG(y1) OVER w AS y0, LAG(x1) OVER w AS x0,
+                       us - LAG(us) OVER w AS dt_us, y1, x1
+                FROM p
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        feas AS (SELECT *,
+                        LEAST({_PRISM_VMAX!r} * (CAST(dt_us AS DOUBLE) / 3.6e9),
+                              {_PRISM_BMAX!r}) AS b
+                 FROM seg
+                 WHERE y0 IS NOT NULL
+                   AND SQRT((y1 - y0) * (y1 - y0) + (x1 - x0) * (x1 - x0))
+                       <= LEAST({_PRISM_VMAX!r} * (CAST(dt_us AS DOUBLE) / 3.6e9),
+                                {_PRISM_BMAX!r})),
+        cells AS (SELECT -90.0 + (gy + 0.5) * 180.0 / {n} AS clat,
+                         -180.0 + (gx + 0.5) * 360.0 / {n} AS clng,
+                         CAST({_PRISM_RES * RES_MULTIPLIER}
+                              + gy * {n} + gx AS BIGINT) AS cell
+                  FROM (SELECT UNNEST(generate_series(0, {n - 1})) AS gx) a
+                  CROSS JOIN
+                       (SELECT UNNEST(generate_series(0, {n - 1})) AS gy) b),
+        cand AS (SELECT f.user_id, f.b, c.cell,
+                        SQRT((c.clat - f.y0) * (c.clat - f.y0)
+                             + (c.clng - f.x0) * (c.clng - f.x0))
+                        + SQRT((c.clat - f.y1) * (c.clat - f.y1)
+                               + (c.clng - f.x1) * (c.clng - f.x1)) AS dsum
+                 FROM feas f CROSS JOIN cells c
+                 WHERE ABS(c.clat - (f.y0 + f.y1) / 2.0) <= f.b / 2.0
+                   AND ABS(c.clng - (f.x0 + f.x1) / 2.0) <= f.b / 2.0)
+        SELECT cell, COUNT(*) AS n_prisms,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM cand WHERE dsum <= b
+        GROUP BY 1
+        ORDER BY n_prisms DESC, cell ASC
+        LIMIT 30
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -23616,6 +24068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmm_em_values": q_gmm_em_values,
         "meeting_point": q_meeting_point,
         "od_segment_raster": q_od_segment_raster,
+        "viewshed_cells": q_viewshed_cells,
+        "sfca_accessibility": q_sfca_accessibility,
+        "spacetime_prism": q_spacetime_prism,
         "interarrival_fit": q_interarrival_fit,
         "doc_perplexity": q_doc_perplexity,
         "trajectory_simplify": q_trajectory_simplify,
@@ -23879,6 +24334,9 @@ def oracle_sql() -> dict[str, str]:
         "gmm_em_values": _gmm_em_values_sql(),
         "meeting_point": _meeting_point_sql(),
         "od_segment_raster": _od_segment_raster_sql(),
+        "viewshed_cells": _viewshed_cells_sql(),
+        "sfca_accessibility": _sfca_accessibility_sql(),
+        "spacetime_prism": _spacetime_prism_sql(),
         "rnn_influence": _rnn_influence_sql(),
         "boosted_stumps": _boosted_stumps_sql(),
         "interarrival_fit": _interarrival_fit_sql(),
