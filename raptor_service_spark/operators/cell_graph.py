@@ -815,3 +815,87 @@ def ktruss_sql(
         SELECT src AS cell, COUNT(*) AS deg FROM {prev}
         GROUP BY 1 ORDER BY 1
     """
+
+
+def katz(
+    edges: DataFrame,
+    n_iters: int = 4,
+    alpha: float = 0.05,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Katz centrality over a directed edge list, fixed iteration count.
+
+    x_{t+1}(v) = 1 + alpha * sum_{u->v} x_t(u)  with x_0 = 1 — the
+    truncated Katz series sum_{k<=t} alpha^k paths_k(v) (Katz 1953),
+    the walk-counting complement to `pagerank` (no out-degree
+    normalization: prolific hubs inflate their targets instead of
+    diluting). Adjacency is UNWEIGHTED distinct edges and alpha is
+    fixed well under 1/lambda_max for the truncation to be the story,
+    not divergence. Each round rounds to 9 dp (the pagerank
+    cross-engine discipline); output (cell, katz) at 6 dp.
+
+    Scale shape: identical to `pagerank` — every round is one join of
+    the O(nodes) score table into the edge list + one partial+final
+    agg; AQE broadcasts the score side while it fits.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("cell"))
+        .unionByName(e.select(F.col("dst").alias("cell")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x = nodes.withColumn("x", F.lit(1.0))
+    for _ in range(n_iters):
+        inflow = (
+            e.join(x.withColumnRenamed("cell", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("x").alias("inflow"))
+        )
+        x = (
+            nodes.join(inflow, nodes.cell == inflow.dst, "left")
+            .select(
+                "cell",
+                F.round(
+                    F.lit(1.0) + F.lit(alpha) * F.coalesce("inflow", F.lit(0.0)), 9
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x.select("cell", F.round("x", 6).alias("katz"))
+
+
+def katz_sql(edges_sql: str, n_iters: int = 4, alpha: float = 0.05) -> str:
+    """DuckDB twin of katz: the same iterations unrolled as a CTE chain.
+
+    ``edges_sql`` must yield (src, dst); edges are de-duplicated here.
+    """
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    steps = []
+    for t in range(1, n_iters + 1):
+        steps.append(
+            f"""x{t} AS (
+            SELECT n.cell,
+                   ROUND(1.0 + {a} * COALESCE(i.inflow, 0.0), 9) AS x
+            FROM nodes n
+            LEFT JOIN (
+                SELECT e.dst, SUM(p.x) AS inflow
+                FROM e JOIN x{t - 1} p ON e.src = p.cell
+                GROUP BY e.dst
+            ) i ON n.cell = i.dst
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+        nodes AS (SELECT DISTINCT src AS cell FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        x0 AS (SELECT cell, 1.0 AS x FROM nodes),
+        {chain}
+        SELECT cell, ROUND(x, 6) AS katz FROM x{n_iters}
+    """

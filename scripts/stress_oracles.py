@@ -53,6 +53,9 @@ NAMES = [
     "kriging_ordinary", "texttiling_boundaries", "traj_sinuosity",
     "lee_l", "theil_decomposition", "jump_length_fit", "dbsf_fusion",
     "idw_loocv", "ot_transport_plan",
+    # round-3 session-12/13 float-heavy additions
+    "ridge_regression", "llr_bigrams", "nearest_centroid_eval",
+    "katz_centrality",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries

@@ -306,3 +306,38 @@ def test_ktruss_matches_python(spark):
     # the truss is a subgraph of the 3-core (every truss edge needs >= 2
     # triangle partners, forcing degree >= 3)
     assert all(d >= 3 for d in got.values())
+
+
+def test_katz_matches_numpy(spark):
+    from raptor_service_spark.operators.cell_graph import katz
+
+    rng = np.random.default_rng(13)
+    n_nodes = 30
+    edges = sorted(
+        {
+            (int(s), int(d))
+            for s, d in rng.integers(0, n_nodes, (120, 2))
+            if s != d
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["cell"]: r["katz"] for r in katz(df, n_iters=4, alpha=0.05).collect()}
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    def rhu(v, dp):  # Spark ROUND is half-away-from-zero; np.round is half-even
+        p = 10.0**dp
+        return np.floor(np.abs(v) * p + 0.5) * np.sign(v) / p
+
+    x = np.ones(len(nodes))
+    for _ in range(4):
+        inflow = np.zeros(len(nodes))
+        for s, d in edges:
+            inflow[idx[d]] += x[idx[s]]
+        x = rhu(1.0 + 0.05 * inflow, 9)
+    want = {v: float(rhu(x[idx[v]], 6)) for v in nodes}
+    assert got == want
+    # every score >= 1 (the constant injection) and in-degree-0 nodes stay at 1
+    indeg0 = {v for v in nodes if all(d != v for _, d in edges)}
+    assert all(got[v] == 1.0 for v in indeg0)
+    assert min(got.values()) >= 1.0
