@@ -55,7 +55,8 @@ NAMES = [
     "idw_loocv", "ot_transport_plan",
     # round-3 session-12/13 float-heavy additions
     "ridge_regression", "llr_bigrams", "nearest_centroid_eval",
-    "katz_centrality",
+    "katz_centrality", "jw_title_pairs", "simrank_pairs", "gesd_outliers",
+    "cochran_armitage",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
