@@ -112,3 +112,72 @@ def jw_similarity(a: F.Column, b: F.Column) -> F.Column:
         )
 
     return _jw(a, b)
+
+
+def dl_batch(a, b) -> np.ndarray:
+    """Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner 1975)
+    for aligned arrays of strings — pinned to DuckDB's built-in
+    ``damerau_levenshtein``: TRUE DL with the alphabet-indexed last-seen
+    table (dl('ca','abc') = 2, not OSA's 3), computed over UTF-8 BYTES.
+
+    Vectorized ACROSS PAIRS: the O(L1·L2) DP loop runs once per byte-cell,
+    each step a numpy op over the whole batch — per-row Python never. The
+    (batch, 256) last-seen table is what makes the unrestricted
+    transposition term batchable. Callers bound L via candidate keys
+    (titles); cost is O(L²) per pair like any DL."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    ba = [s.encode("utf-8") for s in a]
+    bb = [s.encode("utf-8") for s in b]
+    la = np.fromiter((len(s) for s in ba), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in bb), dtype=np.int64, count=n)
+    L1 = max(1, int(la.max()))
+    L2 = max(1, int(lb.max()))
+    A = np.asarray(ba, dtype=f"S{L1}").view(np.uint8).reshape(n, L1)
+    B = np.asarray(bb, dtype=f"S{L2}").view(np.uint8).reshape(n, L2)
+
+    maxd = (la + lb).astype(np.int32)
+    D = np.zeros((n, L1 + 2, L2 + 2), dtype=np.int32)
+    D[:, 0, :] = maxd[:, None]
+    D[:, :, 0] = maxd[:, None]
+    D[:, 1, 1:] = np.arange(L2 + 1, dtype=np.int32)[None, :]
+    D[:, 1:, 1] = np.arange(L1 + 1, dtype=np.int32)[None, :]
+    da = np.zeros((n, 256), dtype=np.int32)  # last 1-based i of each byte in a
+    rows = np.arange(n)
+
+    for i in range(1, L1 + 1):
+        act_i = i <= la
+        if not act_i.any():
+            break
+        ca = A[:, i - 1].astype(np.int64)
+        db = np.zeros(n, dtype=np.int32)
+        for j in range(1, L2 + 1):
+            act = act_i & (j <= lb)
+            cb = B[:, j - 1]
+            k = da[rows, cb]
+            l = db
+            eq = ca == cb
+            cost = np.where(eq, 0, 1).astype(np.int32)
+            db = np.where(act & eq, j, db).astype(np.int32)
+            sub = D[:, i, j] + cost
+            ins = D[:, i + 1, j] + 1
+            dele = D[:, i, j + 1] + 1
+            trans = D[rows, k, l] + (i - k - 1) + 1 + (j - l - 1)
+            val = np.minimum(np.minimum(sub, ins), np.minimum(dele, trans))
+            D[:, i + 1, j + 1] = np.where(act, val, D[:, i + 1, j + 1])
+        da[rows[act_i], ca[act_i]] = i
+    return D[rows, la + 1, lb + 1].astype(np.int64)
+
+
+def dl_distance(a: F.Column, b: F.Column) -> F.Column:
+    """Column expression: unrestricted Damerau-Levenshtein distance of two
+    string columns (Arrow-batched pandas UDF over dl_batch)."""
+
+    @pandas_udf("long")
+    def _dl(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            dl_batch(sa.to_numpy(dtype=object), sb.to_numpy(dtype=object))
+        )
+
+    return _dl(a, b)

@@ -87,3 +87,67 @@ def test_jw_bounds_and_symmetry():
     assert np.array_equal(fwd, rev)
     assert (fwd >= 0).all() and (fwd <= 1).all()
     assert _mine([("xyz", "xyz")])[0] == 1.0
+
+
+def test_dl_pinned_conventions():
+    from raptor_service_spark.operators.stringsim import dl_batch
+
+    pairs = [
+        ("ca", "abc"),  # TRUE DL = 2 (OSA would say 3) — the pin that matters
+        ("ab", "ba"),
+        ("martha", "marhta"),
+        ("kitten", "sitting"),
+        ("日本", "本日"),  # byte-level: 4, not the codepoint answer
+        ("same", "same"),
+        ("", "abc"),
+        ("abc", ""),
+    ]
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    got = dl_batch(a, b)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, a VARCHAR, b VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?)", [(i, p[0], p[1]) for i, p in enumerate(pairs)]
+    )
+    want = np.array(
+        [r[0] for r in con.execute(
+            "SELECT damerau_levenshtein(a,b) FROM t ORDER BY i").fetchall()]
+    )
+    assert np.array_equal(got, want)
+    assert got[0] == 2 and got[1] == 1
+
+
+def test_dl_fuzz_matches_duckdb():
+    from raptor_service_spark.operators.stringsim import dl_batch
+
+    rng = random.Random(11)
+    words = "key agg row scan slow fast table value part hash".split()
+    pairs = []
+    for _ in range(500):
+        pairs.append(
+            (
+                " ".join(rng.choices(words, k=rng.randint(1, 3))),
+                " ".join(rng.choices(words, k=rng.randint(1, 3))),
+            )
+        )
+    for _ in range(500):
+        pairs.append(
+            (
+                "".join(rng.choices("abcdé日", k=rng.randint(0, 10))),
+                "".join(rng.choices("abcdé日", k=rng.randint(0, 10))),
+            )
+        )
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    got = dl_batch(a, b)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, a VARCHAR, b VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?)", [(i, p[0], p[1]) for i, p in enumerate(pairs)]
+    )
+    want = np.array(
+        [r[0] for r in con.execute(
+            "SELECT damerau_levenshtein(a,b) FROM t ORDER BY i").fetchall()]
+    )
+    assert np.array_equal(got, want)
