@@ -282,6 +282,45 @@ HEADLINE = [
     "ot_transport_plan",
     "media_run_lengths",
     "lru_hit_rate",
+    # session 12: text/retrieval positional ops, fractal/rank stats,
+    # facility + terrain rasters, local models
+    "phrase_search",
+    "min_cover_window",
+    "readability_scores",
+    "box_counting_dim",
+    "spearman_corr",
+    "boosted_stumps",
+    "gmm_em_values",
+    "meeting_point",
+    "od_segment_raster",
+    "viewshed_cells",
+    "sfca_accessibility",
+    "lof_outliers",
+    "gwr_cells",
+    "dasymetric_realloc",
+    "modularity_score",
+    "ridge_regression",
+    "llr_bigrams",
+    "d8_flow_dirs",
+    "nearest_centroid_eval",
+    # session 13: hydrology pair, walk/structural centralities, string-sim
+    # kernels with independent oracles, GLM/EB/inequality stats, ST-DBSCAN
+    "flow_accumulation",
+    "watershed_basins",
+    "katz_centrality",
+    "mobility_motifs",
+    "jw_title_pairs",
+    "damerau_title_pairs",
+    "cochran_armitage",
+    "simrank_pairs",
+    "gesd_outliers",
+    "majority_automaton",
+    "poisson_irls",
+    "st_dbscan",
+    "james_stein",
+    "atkinson_index",
+    "bradley_terry",
+    "spatial_markov",
 ]
 
 SEED = 77
