@@ -321,6 +321,10 @@ HEADLINE = [
     "atkinson_index",
     "bradley_terry",
     "spatial_markov",
+    "hough_lines",
+    "apriori_rules",
+    "median_polish",
+    "curve_locality_audit",
 ]
 
 SEED = 77
