@@ -325,6 +325,10 @@ HEADLINE = [
     "apriori_rules",
     "median_polish",
     "curve_locality_audit",
+    "cox_ph",
+    "markov_surprise",
+    "rank_aggregation",
+    "rbp_eval",
 ]
 
 SEED = 77
