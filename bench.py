@@ -329,6 +329,10 @@ HEADLINE = [
     "markov_surprise",
     "rank_aggregation",
     "rbp_eval",
+    "logrank_test",
+    "effective_mesh",
+    "harmonic_centrality",
+    "media_phash_pairs",
 ]
 
 SEED = 77

@@ -480,3 +480,97 @@ def tile_pyramid(
         .withColumn("res", F.floor(F.col("cell") / F.lit(RES_MULTIPLIER)).cast("long"))
         .select("res", "cell", "n_points")
     )
+
+
+def phash_dct_table(scale: int = 16384) -> list:
+    """Fixed-point 8-point DCT-II coefficient table: (u, x, t) with
+    t = round(scale * s(u) * cos((2x+1)uπ/16)), s(0)=sqrt(1/8),
+    s(u>0)=1/2 — generated ONCE here and embedded as literals by BOTH
+    the numpy kernel and the SQL oracle, so the integer DCT is identical
+    by construction (no engine libm anywhere)."""
+    import math
+
+    out = []
+    for u in range(8):
+        s = math.sqrt(1.0 / 8.0) if u == 0 else 0.5
+        for x in range(8):
+            v = scale * s * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            t = int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+            out.append((u, x, t))
+    return out
+
+
+def media_phash(spans: DataFrame, w: int = 8, h: int = 8) -> DataFrame:
+    """Perceptual DCT hash (pHash) per media span (+ the same perturbed
+    thumbnail twin as aHash/dHash): pixels → EXACT fixed-point integer
+    8×8 DCT-II (T·P·Tᵀ with the shared 14-bit coefficient table — every
+    product < 2^53, so int64 matmul is exact) → top-left 4×4 block minus
+    DC = 15 AC coefficients → bits = coeff > exact integer median (8th
+    of 15). The frequency-domain member of the image-dedup trio
+    (aHash = brightness, dHash = gradient, pHash = structure); robust to
+    the high-frequency noise that flips both. Output: (img, hv) — a
+    15-bit hash, one BIGINT per image."""
+    tbl = np.zeros((8, 8), dtype=np.int64)
+    for u, x, t in phash_dct_table():
+        tbl[u, x] = t
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"img": [], "hv": []}
+            for ref in pdf["media_ref"]:
+                base = decode_raster(encode_raster(raster_for_ref_hex(ref, w, h)))
+                for t in (0, 1):
+                    img = base.astype(np.int64).copy()
+                    if t:
+                        img[0, 0] = min(img[0, 0] + 17, 255)
+                    c = tbl @ img @ tbl.T
+                    ac = c[:4, :4].reshape(-1)[1:]  # drop DC
+                    med = np.sort(ac)[7]
+                    bits = (ac > med).astype(np.int64)
+                    hv = int((bits << np.arange(15)).sum())
+                    rows["img"].append(f"{ref}#{t}")
+                    rows["hv"].append(hv)
+            yield pd.DataFrame(rows)
+
+    media = spans.filter(F.col("media_ref") != "")
+    return media.select("media_ref").mapInPandas(gen, schema="img string, hv long")
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_ham: int = 2) -> DataFrame:
+    """Hamming-LSH join over 15-bit pHashes: 3 bands of 5 bits —
+    pigeonhole-exact for max_ham <= 2. Same guarantee structure as the
+    aHash/dHash 4×16 banding."""
+    assert max_ham < 3, "3x5-bit banding is exact only for max_ham <= 2"
+    banded = hashes.select(
+        "img",
+        "hv",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("b"), (F.col("hv") % 32).alias("v")),
+                F.struct(
+                    F.lit(1).alias("b"),
+                    (F.floor(F.col("hv") / 32) % 32).alias("v"),
+                ),
+                F.struct(
+                    F.lit(2).alias("b"), F.floor(F.col("hv") / 1024).alias("v")
+                ),
+            )
+        ).alias("band"),
+    ).select("img", "hv", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.expr("a.hv ^ b.hv")).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.img") < F.col("b.img")),
+        )
+        .select(
+            F.col("a.img").alias("img_a"),
+            F.col("b.img").alias("img_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_ham)
+        .distinct()
+    )

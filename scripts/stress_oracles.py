@@ -58,7 +58,7 @@ NAMES = [
     "katz_centrality", "jw_title_pairs", "simrank_pairs", "gesd_outliers",
     "cochran_armitage", "poisson_irls", "st_dbscan", "james_stein",
     "atkinson_index", "bradley_terry", "median_polish", "curve_locality_audit", "cox_ph", "markov_surprise",
-    "rbp_eval",
+    "rbp_eval", "logrank_test", "effective_mesh", "harmonic_centrality",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
