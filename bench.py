@@ -333,6 +333,10 @@ HEADLINE = [
     "effective_mesh",
     "harmonic_centrality",
     "media_phash_pairs",
+    "hill_diversity",
+    "adjusted_rand",
+    "croston_cells",
+    "capture_recapture",
 ]
 
 SEED = 77

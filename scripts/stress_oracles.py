@@ -59,6 +59,7 @@ NAMES = [
     "cochran_armitage", "poisson_irls", "st_dbscan", "james_stein",
     "atkinson_index", "bradley_terry", "median_polish", "curve_locality_audit", "cox_ph", "markov_surprise",
     "rbp_eval", "logrank_test", "effective_mesh", "harmonic_centrality",
+    "hill_diversity", "adjusted_rand", "croston_cells", "capture_recapture",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
