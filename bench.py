@@ -337,6 +337,10 @@ HEADLINE = [
     "adjusted_rand",
     "croston_cells",
     "capture_recapture",
+    "huber_irls",
+    "general_g",
+    "matrix_profile",
+    "domain_shift_ppl",
 ]
 
 SEED = 77

@@ -60,6 +60,7 @@ NAMES = [
     "atkinson_index", "bradley_terry", "median_polish", "curve_locality_audit", "cox_ph", "markov_surprise",
     "rbp_eval", "logrank_test", "effective_mesh", "harmonic_centrality",
     "hill_diversity", "adjusted_rand", "croston_cells", "capture_recapture",
+    "huber_irls", "general_g", "domain_shift_ppl",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
