@@ -341,6 +341,10 @@ HEADLINE = [
     "general_g",
     "matrix_profile",
     "domain_shift_ppl",
+    "propensity_ate",
+    "design_effect",
+    "gpd_tail",
+    "seq_patterns",
 ]
 
 SEED = 77
