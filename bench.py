@@ -345,6 +345,9 @@ HEADLINE = [
     "design_effect",
     "gpd_tail",
     "seq_patterns",
+    "pair_correlation",
+    "abc_analysis",
+    "bm25f_topk",
 ]
 
 SEED = 77

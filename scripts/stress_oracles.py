@@ -61,7 +61,8 @@ NAMES = [
     "rbp_eval", "logrank_test", "effective_mesh", "harmonic_centrality",
     "hill_diversity", "adjusted_rand", "croston_cells", "capture_recapture",
     "huber_irls", "general_g", "domain_shift_ppl",
-    "propensity_ate", "design_effect", "gpd_tail",
+    "propensity_ate", "design_effect", "gpd_tail", "pair_correlation",
+    "bm25f_topk",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
