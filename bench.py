@@ -348,6 +348,10 @@ HEADLINE = [
     "pair_correlation",
     "abc_analysis",
     "bm25f_topk",
+    "polygon_polyfill",
+    "trimmed_means",
+    "nelson_aalen",
+    "power_analysis",
 ]
 
 SEED = 77

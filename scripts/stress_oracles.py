@@ -62,7 +62,7 @@ NAMES = [
     "hill_diversity", "adjusted_rand", "croston_cells", "capture_recapture",
     "huber_irls", "general_g", "domain_shift_ppl",
     "propensity_ate", "design_effect", "gpd_tail", "pair_correlation",
-    "bm25f_topk",
+    "bm25f_topk", "trimmed_means", "nelson_aalen", "power_analysis",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
