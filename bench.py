@@ -352,6 +352,10 @@ HEADLINE = [
     "trimmed_means",
     "nelson_aalen",
     "power_analysis",
+    "raster_crosstab",
+    "focal_mode",
+    "cost_allocation",
+    "ruggedness_index",
 ]
 
 SEED = 77
