@@ -356,6 +356,10 @@ HEADLINE = [
     "focal_mode",
     "cost_allocation",
     "ruggedness_index",
+    "ucb_replay",
+    "shape_compactness",
+    "recurrence_quant",
+    "allan_variance",
 ]
 
 SEED = 77
