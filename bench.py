@@ -360,6 +360,10 @@ HEADLINE = [
     "shape_compactness",
     "recurrence_quant",
     "allan_variance",
+    "regression_influence",
+    "block_entropy",
+    "dyad_census",
+    "fano_factor",
 ]
 
 SEED = 77

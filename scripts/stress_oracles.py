@@ -64,6 +64,7 @@ NAMES = [
     "propensity_ate", "design_effect", "gpd_tail", "pair_correlation",
     "bm25f_topk", "trimmed_means", "nelson_aalen", "power_analysis",
     "ucb_replay", "shape_compactness", "allan_variance",
+    "regression_influence", "block_entropy", "fano_factor",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
