@@ -364,6 +364,10 @@ HEADLINE = [
     "block_entropy",
     "dyad_census",
     "fano_factor",
+    "kendall_tau",
+    "competing_risks",
+    "rfm_segments",
+    "cross_variogram",
 ]
 
 SEED = 77

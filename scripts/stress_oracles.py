@@ -65,6 +65,7 @@ NAMES = [
     "bm25f_topk", "trimmed_means", "nelson_aalen", "power_analysis",
     "ucb_replay", "shape_compactness", "allan_variance",
     "regression_influence", "block_entropy", "fano_factor",
+    "kendall_tau", "competing_risks", "cross_variogram",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
