@@ -368,6 +368,9 @@ HEADLINE = [
     "competing_risks",
     "rfm_segments",
     "cross_variogram",
+    "skew_report",
+    "leaderboard_churn",
+    "week_overlap",
 ]
 
 SEED = 77

@@ -65,7 +65,8 @@ NAMES = [
     "bm25f_topk", "trimmed_means", "nelson_aalen", "power_analysis",
     "ucb_replay", "shape_compactness", "allan_variance",
     "regression_influence", "block_entropy", "fano_factor",
-    "kendall_tau", "competing_risks", "cross_variogram",
+    "kendall_tau", "competing_risks", "cross_variogram", "skew_report",
+    "leaderboard_churn", "week_overlap",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
