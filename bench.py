@@ -38,6 +38,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 HEADLINE = [
+    # Order = sweep priority under SPARK_GRAFT_BENCH_QUERY_BUDGET:
+    # core flagship/geo/dedup/ANN block, then the newest session-12/13
+    # families (never yet timed at sf0.1), then the session-8..11 blocks
+    # whose timings earlier BENCH artifacts already recorded.
     "grid_collapsed_retrieval",
     "grid_traversal_retrieval",
     "doc_cells",
@@ -76,15 +80,11 @@ HEADLINE = [
     "tree_build_docs",
     "tree_build_synthetic",
     "collapsed_retrieval_synthetic",
-    # session-3 additions: spatial statistics, spatio-temporal joins,
-    # graph iteration, and the curation/profiling block
     "morans_i",
     "user_colocation",
     "cell_pagerank",
     "cell_trend_slope",
     "doc_stratified_sample",
-    # session-4 additions: point-pattern stats, sub-document dedup,
-    # mercator tiling, curation composition, and diversity re-rank
     "ripley_k",
     "emerging_hotspots",
     "local_moran",
@@ -95,8 +95,6 @@ HEADLINE = [
     "trajectory_simplify",
     "mmr_retrieval",
     "od_triangles",
-    # session-5 additions: space-filling-curve layouts, hex/geohash
-    # binning, iterative k-means, map-matching snap, weighted SSSP
     "hilbert_layout",
     "hex_density",
     "geohash_coverage",
@@ -104,186 +102,6 @@ HEADLINE = [
     "snap_points",
     "cell_sssp",
     "density_gradient",
-    "gravity_fit",
-    "dtw_pairs",
-    "theil_sen_cells",
-    "event_funnel",
-    "seq_packing",
-    "zrange_scan",
-    "kanon_cells",
-    # session-6 additions: exact fuzzy join, TF-IDF, scan statistic,
-    # adaptive tiling, robust anomaly screen, k-core, join counts
-    "fuzzy_title_pairs",
-    "doc_tfidf_terms",
-    "spacetime_scan",
-    "quadtree_bins",
-    "speed_anomalies",
-    "cell_kcore",
-    "join_counts",
-    "gearys_c",
-    "source_delta",
-    "colocation_quotient",
-    "heaps_law",
-    "cluster_hulls",
-    "g_function",
-    "mixture_resample",
-    "interarrival_fit",
-    "doc_bigram_ppl",
-    "bpe_merges",
-    "teleport_flags",
-    "huff_demand",
-    "quadrat_csr",
-    "hourly_acf",
-    "cross_k",
-    "deviational_ellipse",
-    "knox_test",
-    "span_transitions",
-    "doc_char_entropy",
-    "cell_markov",
-    "user_burstiness",
-    "cell_gini",
-    # round-3 additions: oracle'd IVF ANN, GMM-overlap tree build, the
-    # traversal synthetic twin, decoded-pixel media features, star-rounds
-    # components (shares the persisted shingle stream with minhash_pairs)
-    "ivf_knn_ann",
-    "tree_build_overlap",
-    "traversal_retrieval_synthetic",
-    "media_features",
-    "neardup_components",
-    "doc_dup_substrings",
-    "dsir_weights",
-    "viterbi_match",
-    "rendezvous_shards",
-    "pip_polygon_table",
-    "cotravel_pairs",
-    "pca_top_component",
-    "colbert_maxsim",
-    "contact_reach",
-    # session-8 additions: geostatistics (variogram), IPF matrix balancing,
-    # and the distributed-sketch trio (KMV distinct, Bloom join, CMS)
-    "semivariogram",
-    "variogram_fit",
-    "od_ipf_balance",
-    "kmv_distinct",
-    "bloom_semi_join",
-    "cms_heavy_hitters",
-    "histogram_quantiles",
-    "matryoshka_recall",
-    "bpe_encode",
-    "kmv_set_ops",
-    "binary_quant_recall",
-    "psi_drift",
-    "ks_two_sample",
-    "fellegi_sunter",
-    "cell_seasonal",
-    "radiation_model",
-    "ab_proportions",
-    "fdr_hotspots",
-    "ewma_anomaly",
-    "prf_expansion",
-    "commute_flows",
-    "chaikin_smooth",
-    "media_ahash_dedup",
-    "rbo_rankings",
-    "kaplan_meier",
-    "did_estimator",
-    "dp_cell_counts",
-    "join_size_estimate",
-    "crosstrack_deviation",
-    # session-9 additions: two-sided centrality, vector-space PRF, CDC
-    # dedup, graph structure, corpus drift, LM smoothing, sketches, ML
-    "hits_scores",
-    "rocchio_feedback",
-    "cdc_chunks",
-    "link_prediction",
-    "jsd_sources",
-    "kn_bigram_lm",
-    "hll_distinct",
-    "textrank_keywords",
-    "lpa_communities",
-    "nb_langid",
-    "silhouette_kmeans",
-    "symspell_lookup",
-    "logreg_train",
-    "moran_correlogram",
-    "monge_elkan_pairs",
-    "media_scene_cuts",
-    "permutation_test",
-    "maxscore_pruning",
-    "minhash_jaccard_audit",
-    "markov_attribution",
-    "graph_eccentricity",
-    "ldiv_tcloseness",
-    "semivariogram_dir",
-    "cell_xcorr",
-    "align_titles",
-    "jl_projection_audit",
-    "spherical_centroid",
-    "mobility_entropy_rate",
-    "term_burstiness",
-    "participation_index",
-    "greedy_set_cover",
-    "segregation_indices",
-    "percolation_curve",
-    "stl_lite",
-    "changepoint_detect",
-    "ransac_fit",
-    "next_cell_eval",
-    "span_position_profile",
-    "multiprobe_lsh_recall",
-    # session 10
-    "rayleigh_bearing",
-    "bootstrap_ci",
-    "pr_curve_11pt",
-    "kalman_tracks",
-    "holt_trend_cells",
-    "semdedup_clusters",
-    "plsa_topics",
-    "kde_hotspots",
-    "hard_negatives",
-    "betweenness_cells",
-    "temporal_motifs",
-    "clarity_score",
-    "rouge_pairs",
-    "cell_ktruss",
-    "good_turing",
-    "chao1_richness",
-    "wilson_ctr",
-    "sprt_monitor",
-    "ppr_sweep_cut",
-    "rich_club",
-    "randomized_response",
-    "bivariate_moran",
-    # session-11 additions: geostatistics (kriging, F-function, Lee's L,
-    # Theil), Boruvka MST, robust/calibration stats, text segmentation,
-    # media dHash, mobility scaling laws
-    "kriging_ordinary",
-    "f_function",
-    "rake_keywords",
-    "conformal_intervals",
-    "isotonic_hourly",
-    "media_dhash_pairs",
-    "texttiling_boundaries",
-    "traj_sinuosity",
-    "lee_l",
-    "calibration_bins",
-    "mst_cells",
-    "mad_outliers",
-    "theil_decomposition",
-    "jump_length_fit",
-    "cell_segmentation",
-    "dbsf_fusion",
-    "best_passage",
-    "idw_loocv",
-    "contour_cases",
-    "region_bboxes",
-    "blocking_quality",
-    "decision_stump",
-    "ot_transport_plan",
-    "media_run_lengths",
-    "lru_hit_rate",
-    # session 12: text/retrieval positional ops, fractal/rank stats,
-    # facility + terrain rasters, local models
     "phrase_search",
     "min_cover_window",
     "readability_scores",
@@ -303,8 +121,6 @@ HEADLINE = [
     "llr_bigrams",
     "d8_flow_dirs",
     "nearest_centroid_eval",
-    # session 13: hydrology pair, walk/structural centralities, string-sim
-    # kernels with independent oracles, GLM/EB/inequality stats, ST-DBSCAN
     "flow_accumulation",
     "watershed_basins",
     "katz_centrality",
@@ -371,6 +187,171 @@ HEADLINE = [
     "skew_report",
     "leaderboard_churn",
     "week_overlap",
+    "gravity_fit",
+    "dtw_pairs",
+    "theil_sen_cells",
+    "event_funnel",
+    "seq_packing",
+    "zrange_scan",
+    "kanon_cells",
+    "fuzzy_title_pairs",
+    "doc_tfidf_terms",
+    "spacetime_scan",
+    "quadtree_bins",
+    "speed_anomalies",
+    "cell_kcore",
+    "join_counts",
+    "gearys_c",
+    "source_delta",
+    "colocation_quotient",
+    "heaps_law",
+    "cluster_hulls",
+    "g_function",
+    "mixture_resample",
+    "interarrival_fit",
+    "doc_bigram_ppl",
+    "bpe_merges",
+    "teleport_flags",
+    "huff_demand",
+    "quadrat_csr",
+    "hourly_acf",
+    "cross_k",
+    "deviational_ellipse",
+    "knox_test",
+    "span_transitions",
+    "doc_char_entropy",
+    "cell_markov",
+    "user_burstiness",
+    "cell_gini",
+    "ivf_knn_ann",
+    "tree_build_overlap",
+    "traversal_retrieval_synthetic",
+    "media_features",
+    "neardup_components",
+    "doc_dup_substrings",
+    "dsir_weights",
+    "viterbi_match",
+    "rendezvous_shards",
+    "pip_polygon_table",
+    "cotravel_pairs",
+    "pca_top_component",
+    "colbert_maxsim",
+    "contact_reach",
+    "semivariogram",
+    "variogram_fit",
+    "od_ipf_balance",
+    "kmv_distinct",
+    "bloom_semi_join",
+    "cms_heavy_hitters",
+    "histogram_quantiles",
+    "matryoshka_recall",
+    "bpe_encode",
+    "kmv_set_ops",
+    "binary_quant_recall",
+    "psi_drift",
+    "ks_two_sample",
+    "fellegi_sunter",
+    "cell_seasonal",
+    "radiation_model",
+    "ab_proportions",
+    "fdr_hotspots",
+    "ewma_anomaly",
+    "prf_expansion",
+    "commute_flows",
+    "chaikin_smooth",
+    "media_ahash_dedup",
+    "rbo_rankings",
+    "kaplan_meier",
+    "did_estimator",
+    "dp_cell_counts",
+    "join_size_estimate",
+    "crosstrack_deviation",
+    "hits_scores",
+    "rocchio_feedback",
+    "cdc_chunks",
+    "link_prediction",
+    "jsd_sources",
+    "kn_bigram_lm",
+    "hll_distinct",
+    "textrank_keywords",
+    "lpa_communities",
+    "nb_langid",
+    "silhouette_kmeans",
+    "symspell_lookup",
+    "logreg_train",
+    "moran_correlogram",
+    "monge_elkan_pairs",
+    "media_scene_cuts",
+    "permutation_test",
+    "maxscore_pruning",
+    "minhash_jaccard_audit",
+    "markov_attribution",
+    "graph_eccentricity",
+    "ldiv_tcloseness",
+    "semivariogram_dir",
+    "cell_xcorr",
+    "align_titles",
+    "jl_projection_audit",
+    "spherical_centroid",
+    "mobility_entropy_rate",
+    "term_burstiness",
+    "participation_index",
+    "greedy_set_cover",
+    "segregation_indices",
+    "percolation_curve",
+    "stl_lite",
+    "changepoint_detect",
+    "ransac_fit",
+    "next_cell_eval",
+    "span_position_profile",
+    "multiprobe_lsh_recall",
+    "rayleigh_bearing",
+    "bootstrap_ci",
+    "pr_curve_11pt",
+    "kalman_tracks",
+    "holt_trend_cells",
+    "semdedup_clusters",
+    "plsa_topics",
+    "kde_hotspots",
+    "hard_negatives",
+    "betweenness_cells",
+    "temporal_motifs",
+    "clarity_score",
+    "rouge_pairs",
+    "cell_ktruss",
+    "good_turing",
+    "chao1_richness",
+    "wilson_ctr",
+    "sprt_monitor",
+    "ppr_sweep_cut",
+    "rich_club",
+    "randomized_response",
+    "bivariate_moran",
+    "kriging_ordinary",
+    "f_function",
+    "rake_keywords",
+    "conformal_intervals",
+    "isotonic_hourly",
+    "media_dhash_pairs",
+    "texttiling_boundaries",
+    "traj_sinuosity",
+    "lee_l",
+    "calibration_bins",
+    "mst_cells",
+    "mad_outliers",
+    "theil_decomposition",
+    "jump_length_fit",
+    "cell_segmentation",
+    "dbsf_fusion",
+    "best_passage",
+    "idw_loocv",
+    "contour_cases",
+    "region_bboxes",
+    "blocking_quality",
+    "decision_stump",
+    "ot_transport_plan",
+    "media_run_lengths",
+    "lru_hit_rate",
 ]
 
 SEED = 77
