@@ -66,7 +66,8 @@ NAMES = [
     "ucb_replay", "shape_compactness", "allan_variance",
     "regression_influence", "block_entropy", "fano_factor",
     "kendall_tau", "competing_risks", "cross_variogram", "skew_report",
-    "leaderboard_churn", "week_overlap",
+    "leaderboard_churn", "week_overlap", "friendship_paradox",
+    "emd_values", "conversion_lag_quantiles",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
