@@ -67,7 +67,8 @@ NAMES = [
     "regression_influence", "block_entropy", "fano_factor",
     "kendall_tau", "competing_risks", "cross_variogram", "skew_report",
     "leaderboard_churn", "week_overlap", "friendship_paradox",
-    "emd_values", "conversion_lag_quantiles",
+    "emd_values", "conversion_lag_quantiles", "flow_asymmetry",
+    "runs_test", "goertzel_power",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
