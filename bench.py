@@ -80,6 +80,12 @@ HEADLINE = [
     "tree_build_docs",
     "tree_build_synthetic",
     "collapsed_retrieval_synthetic",
+    # session-14 families (never yet timed at sf0.1) come right after the
+    # core block so the budgeted sweep times them at least once
+    "mann_kendall",
+    "roc_auc",
+    "cohen_kappa",
+    "mcnemar",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
