@@ -86,6 +86,10 @@ HEADLINE = [
     "roc_auc",
     "cohen_kappa",
     "mcnemar",
+    "transfer_entropy",
+    "granger_causality",
+    "permutation_entropy",
+    "sample_entropy",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
