@@ -90,6 +90,10 @@ HEADLINE = [
     "granger_causality",
     "permutation_entropy",
     "sample_entropy",
+    "hurst_rs",
+    "visibility_graph",
+    "page_hinkley",
+    "elo_replay",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
