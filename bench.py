@@ -94,6 +94,10 @@ HEADLINE = [
     "visibility_graph",
     "page_hinkley",
     "elo_replay",
+    "kcenter_coreset",
+    "topsis_sites",
+    "hmm_forward",
+    "g_test",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
