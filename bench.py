@@ -98,6 +98,10 @@ HEADLINE = [
     "topsis_sites",
     "hmm_forward",
     "g_test",
+    "rmst",
+    "odds_ratio",
+    "siegel_slopes",
+    "hopkins_statistic",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
