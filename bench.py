@@ -102,6 +102,10 @@ HEADLINE = [
     "odds_ratio",
     "siegel_slopes",
     "hopkins_statistic",
+    "local_geary",
+    "item_item_cf",
+    "line_clipping",
+    "soundex_blocking",
     "morans_i",
     "user_colocation",
     "cell_pagerank",

@@ -1076,3 +1076,103 @@ def moran_correlogram_sql(
                      SUM(x * x) AS sxx, SUM(x) AS sx FROM c)
         SELECT * FROM ({union}) ORDER BY lag
     """
+
+
+# ---------------------------------------------------------------------------
+# Local Geary c (LISA) — per-cell dissimilarity with the neighbor ring
+# ---------------------------------------------------------------------------
+
+
+def local_geary(
+    points: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Anselin's Local Geary c_i per occupied cell, queen 1-ring weights
+    (Anselin 1995, the Geary sibling of local_morans_i):
+
+        c_i = (1/k_i) * sum_j w_ij (x_i - x_j)^2 / m2,  m2 = sum(x-m)^2 / n
+
+    Low c = the cell VALUE resembles its ring (cluster membership — of
+    either hot or cold clusters), high c = a value discontinuity (edge /
+    outlier) — the distance-based view local Moran's cross-product can
+    blur (Moran can score an HL outlier near zero when deviations cancel;
+    Geary squares them). Numerator sums are exact squares of integral
+    counts; m2 is the one shared float tail. Label: 'similar' when the
+    6-dp c_i < 1, else 'dissimilar' (compared on the rounded value —
+    no knife edge).
+
+    Scale shape: identical to local_morans_i — one point shuffle into
+    cell counts, broadcast scalar moments, the 8x ring join on O(occupied
+    cells); all algebra codegen.
+    """
+    cnt = _cell_counts(points, res, lat_col, lng_col)
+    stats = cnt.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("x").alias("sx"),
+    ).select(
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_cells"))
+            / F.col("n_cells")
+        ).alias("m2")
+    )
+    ring = (
+        _ring_joined(cnt, res)
+        .groupBy("cell")
+        .agg(
+            F.max("x").alias("x"),
+            F.sum(
+                (F.col("x") - F.col("nbr_x")) * (F.col("x") - F.col("nbr_x"))
+            ).alias("c_num"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    out = ring.crossJoin(F.broadcast(stats)).select(
+        "cell",
+        F.col("x").cast("long").alias("n_points"),
+        F.col("k").cast("long").alias("k_ring"),
+        F.round(
+            F.col("c_num") / (F.col("k") * F.col("m2")), 6
+        ).alias("local_c"),
+    )
+    return out.select(
+        "cell",
+        "n_points",
+        "k_ring",
+        "local_c",
+        F.when(F.col("local_c") < 1.0, F.lit("similar"))
+        .otherwise(F.lit("dissimilar"))
+        .alias("label"),
+    ).orderBy("cell")
+
+
+def local_geary_sql(points_sql: str, lat: str, lng: str, res: int) -> str:
+    """DuckDB twin of local_geary."""
+    cell = cell_encode_sql(lat, lng, res)
+    nbr = kring_neighbor_sql("c.cell", res, "o.dx", "o.dy")
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _RING)
+    return f"""
+        WITH c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS DOUBLE) AS x
+                   FROM {points_sql} GROUP BY 1),
+        s AS (SELECT (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)) / COUNT(*)
+                   AS m2
+              FROM c),
+        p AS (SELECT c.cell, c.x, {nbr} AS nbr
+              FROM c CROSS JOIN (VALUES {offs}) o(dx, dy)
+              WHERE {nbr} IS NOT NULL),
+        rg AS (SELECT p.cell, MAX(p.x) AS x,
+                      SUM((p.x - c2.x) * (p.x - c2.x)) AS c_num,
+                      COUNT(*) AS k
+               FROM p JOIN c c2 ON p.nbr = c2.cell
+               GROUP BY p.cell),
+        lc AS (SELECT rg.cell, CAST(rg.x AS BIGINT) AS n_points,
+                      CAST(rg.k AS BIGINT) AS k_ring,
+                      ROUND(rg.c_num / (rg.k * s.m2), 6) AS local_c
+               FROM rg CROSS JOIN s)
+        SELECT cell, n_points, k_ring, local_c,
+               CASE WHEN local_c < 1.0 THEN 'similar'
+                    ELSE 'dissimilar' END AS label
+        FROM lc ORDER BY cell
+    """
