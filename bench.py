@@ -106,6 +106,10 @@ HEADLINE = [
     "item_item_cf",
     "line_clipping",
     "soundex_blocking",
+    "maup_audit",
+    "variance_partition",
+    "knn_regression_cells",
+    "beta_binomial_ctr",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
