@@ -110,6 +110,10 @@ HEADLINE = [
     "variance_partition",
     "knn_regression_cells",
     "beta_binomial_ctr",
+    "burrows_delta",
+    "beta_diversity",
+    "yule_k",
+    "contagion_index",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
