@@ -114,6 +114,10 @@ HEADLINE = [
     "beta_diversity",
     "yule_k",
     "contagion_index",
+    "yokoi_connectivity",
+    "binary_morphology",
+    "lacunarity",
+    "jenks_breaks",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
