@@ -118,6 +118,10 @@ HEADLINE = [
     "binary_morphology",
     "lacunarity",
     "jenks_breaks",
+    "von_mises_hours",
+    "ljung_box",
+    "burt_constraint",
+    "mark_correlation",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
