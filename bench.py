@@ -122,6 +122,10 @@ HEADLINE = [
     "ljung_box",
     "burt_constraint",
     "mark_correlation",
+    "brier_decomposition",
+    "theils_u2",
+    "morisita_index",
+    "xicor",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
