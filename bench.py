@@ -126,6 +126,10 @@ HEADLINE = [
     "theils_u2",
     "morisita_index",
     "xicor",
+    "crps_eval",
+    "pinball_loss",
+    "kuiper_test",
+    "knapsack_sites",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
