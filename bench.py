@@ -130,6 +130,10 @@ HEADLINE = [
     "pinball_loss",
     "kuiper_test",
     "knapsack_sites",
+    "anderson_darling",
+    "broken_stick",
+    "ppcc_expon",
+    "turning_points",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
