@@ -134,6 +134,10 @@ HEADLINE = [
     "broken_stick",
     "ppcc_expon",
     "turning_points",
+    "skyline_sites",
+    "shapley_coverage",
+    "dea_efficiency",
+    "qn_scale",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
