@@ -138,6 +138,10 @@ HEADLINE = [
     "shapley_coverage",
     "dea_efficiency",
     "qn_scale",
+    "taylors_law",
+    "simpsons_paradox",
+    "partial_correlation",
+    "growth_accounting",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
