@@ -142,6 +142,10 @@ HEADLINE = [
     "simpsons_paradox",
     "partial_correlation",
     "growth_accounting",
+    "harrell_c",
+    "gumbel_maxima",
+    "tsp_sites",
+    "log_loss_eval",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
