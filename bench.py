@@ -146,6 +146,10 @@ HEADLINE = [
     "gumbel_maxima",
     "tsp_sites",
     "log_loss_eval",
+    "welch_t",
+    "ppcc_weibull",
+    "madogram",
+    "bhattacharyya_hours",
     "morans_i",
     "user_colocation",
     "cell_pagerank",
