@@ -34,6 +34,79 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+# --------------------------------------------------------------------------
+# Iceberg SQL twins
+#
+# The exact SQL each SnapshotCatalog operation runs on a real Iceberg
+# deployment (catalog jars present). Each catalog method records its twin in
+# the commit's props["iceberg_sql"], so every snapshot in the lineage log
+# carries the statement a cluster-side run would have executed, and the swap
+# from this parquet stand-in to `spark.sql(...)` is mechanical (golden-tested
+# in tests/test_resume.py). `{staging}` denotes a temp view over the incoming
+# DataFrame (df.createOrReplaceTempView).
+# --------------------------------------------------------------------------
+
+
+def iceberg_append_sql(table: str, staging: str = "_staging") -> str:
+    return f"INSERT INTO {table} SELECT * FROM {staging}"
+
+
+def iceberg_merge_sql(table: str, key_cols: list[str], staging: str = "_staging") -> str:
+    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    return (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def iceberg_insert_if_absent_sql(table: str, key_cols: list[str],
+                                 staging: str = "_staging") -> str:
+    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    return (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def iceberg_delete_where_sql(table: str, predicate: str) -> str:
+    return f"DELETE FROM {table} WHERE {predicate}"
+
+
+def iceberg_delete_matching_sql(table: str, on: list[str],
+                                extra_predicate: str | None = None,
+                                staging: str = "_doomed_keys") -> str:
+    exists = " AND ".join(f"k.{c} = t.{c}" for c in on)
+    pred = f"EXISTS (SELECT 1 FROM {staging} k WHERE {exists})"
+    if extra_predicate:
+        pred = f"({extra_predicate}) AND {pred}"
+    return f"DELETE FROM {table} t WHERE {pred}"
+
+
+def iceberg_time_travel_sql(table: str, version: int) -> str:
+    return f"SELECT * FROM {table} VERSION AS OF {version}"
+
+
+def iceberg_compact_sql(table: str, target_file_bytes: int) -> str:
+    return (
+        "CALL system.rewrite_data_files(table => "
+        f"'{table}', options => map('target-file-size-bytes', "
+        f"'{target_file_bytes}'))"
+    )
+
+
+def iceberg_expire_snapshots_sql(table: str, keep_last: int) -> str:
+    return (
+        f"CALL system.expire_snapshots(table => '{table}', "
+        f"retain_last => {keep_last})"
+    )
+
+
+def iceberg_rollback_sql(table: str, version: int) -> str:
+    return (
+        f"CALL system.rollback_to_snapshot('{table}', {version})"
+    )
+
 
 class SnapshotCatalog:
     def __init__(self, root: str, spark: SparkSession):
@@ -132,6 +205,7 @@ class SnapshotCatalog:
             else:
                 df = df.select(*cols)
         path, rows = self._write_data(table, df)
+        props = {"iceberg_sql": iceberg_append_sql(table), **(props or {})}
         return self._commit(table, prev["files"] + [path], "append", rows, props)
 
     def overwrite(self, table: str, df: DataFrame, props: dict | None = None) -> int:
@@ -161,6 +235,7 @@ class SnapshotCatalog:
         else:
             merged = updates
         path, rows = self._write_data(table, merged)
+        props = {"iceberg_sql": iceberg_merge_sql(table, key_cols), **(props or {})}
         return self._commit(table, [path], "merge", rows, props)
 
     def insert_if_absent(self, table: str, rows_df: DataFrame, key_cols: list[str],
@@ -173,6 +248,8 @@ class SnapshotCatalog:
         else:
             merged = rows_df
         path, rows = self._write_data(table, merged)
+        props = {"iceberg_sql": iceberg_insert_if_absent_sql(table, key_cols),
+                 **(props or {})}
         return self._commit(table, [path], "insert_if_absent", rows, props)
 
     def delete_where(self, table: str, predicate: str, props: dict | None = None) -> int:
@@ -181,7 +258,41 @@ class SnapshotCatalog:
         cur = self.read(table)
         kept = cur.filter(f"NOT ({predicate})")
         path, rows = self._write_data(table, kept)
-        return self._commit(table, [path], "delete", rows, {"predicate": predicate, **(props or {})})
+        return self._commit(
+            table, [path], "delete", rows,
+            {"predicate": predicate,
+             "iceberg_sql": iceberg_delete_where_sql(table, predicate),
+             **(props or {})},
+        )
+
+    def delete_matching(self, table: str, keys: DataFrame, on: list[str],
+                        extra_predicate: str | None = None,
+                        props: dict | None = None) -> int:
+        """Join-based DELETE: drop rows whose ``on`` columns match a row of
+        ``keys`` (AND ``extra_predicate`` if given).
+
+        The Iceberg twin is ``DELETE FROM t WHERE EXISTS (SELECT 1 FROM keys
+        ...)``. Unlike :meth:`delete_where` with a collected IN-list literal,
+        the delete set here stays a DataFrame — at backfill scale an IN-list
+        becomes a multi-MB SQL string with an O(list) parse, while this rides
+        an anti-join Catalyst can broadcast (small batch) or shuffle (large
+        backfill).
+        """
+        cur = self.read(table)
+        k = keys.select(*on).dropDuplicates(on)
+        if extra_predicate:
+            scoped = cur.filter(extra_predicate)
+            kept = cur.filter(f"NOT ({extra_predicate})").unionByName(
+                scoped.join(k, on, "left_anti")
+            )
+        else:
+            kept = cur.join(k, on, "left_anti")
+        path, rows = self._write_data(table, kept)
+        return self._commit(
+            table, [path], "delete", rows,
+            {"iceberg_sql": iceberg_delete_matching_sql(table, on, extra_predicate),
+             **(props or {})},
+        )
 
     def snapshots(self, table: str) -> list[dict]:
         snapdir = self._snapdir(table)
@@ -227,7 +338,9 @@ class SnapshotCatalog:
         path, rows = self._write_data(table, df)
         return self._commit(
             table, [path], "compact", rows,
-            {"files_before": len(files), "files_after": n_out, **(props or {})},
+            {"files_before": len(files), "files_after": n_out,
+             "iceberg_sql": iceberg_compact_sql(table, target_file_bytes),
+             **(props or {})},
         )
 
     def expire_snapshots(self, table: str, keep_last: int = 3) -> list[int]:

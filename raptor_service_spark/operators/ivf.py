@@ -154,12 +154,80 @@ def best_list_col(vec_name: str, cents: list[tuple[int, list[float]]]) -> F.Colu
     cid). array_min over (−dot, cid) structs = lexicographic argmax.
     ``vec_name``: SQL name of a MATERIALIZED array<double> column (pass a
     localCheckpointed frame — Catalyst would otherwise inline the vector's
-    defining subtree into every one of the 16×dim references)."""
+    defining subtree into every one of the 16×dim references).
+
+    NOTE on size: at 16 lists × dim 64 the generated 1024-term expression
+    lands in ONE whole-stage-codegen method (WSCG consumes local variables,
+    so Spark cannot split it) and crosses the JVM 64 KB limit — Janino
+    fails, Spark silently interprets (BENCH_r03 tail). Use
+    ``assign_cids_det_udf`` for k·dim ≳ 512; this literal form remains for
+    small codebooks and as the semantics reference."""
     structs = ", ".join(
         f"named_struct('nd', -ROUND({_dot_sql(vec_name, cv)}, 9), 'cid', {int(cid)})"
         for cid, cv in cents
     )
     return F.expr(f"array_min(array({structs})).cid")
+
+
+def _round_half_up9_np(x):
+    """Vectorized HALF_UP at 9 dp with F.round's exact semantics (the
+    streaming/teleport.py:_round_half_up6 recipe at 9 dp): fast path
+    floor(x·1e9 + 0.5)/1e9; elements within a few ulps of a .5 boundary —
+    where the binary product can disagree with the shortest-decimal view
+    BigDecimal.valueOf uses — re-round exactly via Decimal(repr(x))."""
+    scaled = x * 1e9
+    r = np.floor(scaled + 0.5) / 1e9
+    finite = np.isfinite(scaled)
+    frac = scaled - np.floor(scaled)
+    near = finite & (np.abs(frac - 0.5) <= 4 * np.spacing(np.abs(scaled)))
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("1e-9")
+        flat = r.reshape(-1)
+        xf = x.reshape(-1)
+        for i in np.nonzero(near.reshape(-1))[0]:
+            flat[i] = float(Decimal(repr(float(xf[i]))).quantize(q, ROUND_HALF_UP))
+    return r
+
+
+def assign_cids_det_udf(cents: list[tuple[int, list[float]]]):
+    """Arrow twin of ``best_list_col`` — bit-identical cid per vector, no
+    giant codegen expression (the literal form blows the 64 KB JVM method
+    limit at 16×64 terms; see best_list_col).
+
+    Parity argument: per centroid the dot is accumulated SEQUENTIALLY per
+    element (acc += v[i]·c[i] from i=0, acc starts 0.0) — the exact IEEE
+    fold of DuckDB's ``list_dot_product`` (plain loop) and of the SQL
+    left-assoc ``v[0]*c0 + v[1]*c1 + …`` chain (0.0 + t0 == t0); the dot is
+    then HALF_UP-rounded to 9 dp with F.round's BigDecimal semantics
+    (_round_half_up9_np) and argmax ties break to the smaller cid
+    (centroids scanned in cid order, np.argmax takes the first maximum).
+    Scale shape: centroids are O(k·dim) broadcast state; the data path is
+    one vectorized Arrow pass — the same posture as the production
+    ``assign_lists`` GEMM, with parity rounding added.
+    """
+    order = sorted(cents, key=lambda c: c[0])
+    cids = np.array([c for c, _ in order], dtype=np.int64)
+    cmat = np.array([cv for _, cv in order], dtype=np.float64)  # (k, dim)
+
+    @F.pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        m = np.vstack(vs.to_numpy())  # (n, dim) float64
+        n = m.shape[0]
+        dots = np.empty((n, len(cids)), dtype=np.float64)
+        for j in range(cmat.shape[0]):
+            c = cmat[j]
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(m.shape[1]):
+                acc += m[:, i] * c[i]
+            dots[:, j] = _round_half_up9_np(acc)
+        best = np.argmax(dots, axis=1)
+        return pd.Series(cids[best].astype(np.int32))
+
+    return _assign
 
 
 def train_ivf_centroids_det(
@@ -184,9 +252,12 @@ def train_ivf_centroids_det(
     - empty clusters drop out of the next round on both engines.
 
     Scale shape: centroids are O(k) driver state; each round is ONE
-    codegen projection (k literal dots, no join/shuffle of the points)
-    followed by a partial+final agg down to k rows of ``dim`` AVG buffers
-    — the MLlib dataflow, nothing data-sized collected.
+    vectorized Arrow assignment pass (assign_cids_det_udf — k broadcast
+    dots per row, no join/shuffle of the points) followed by a
+    partial+final agg down to k rows of ``dim`` AVG buffers — the MLlib
+    dataflow, nothing data-sized collected. (The former all-literal codegen
+    argmax blew the JVM 64 KB method limit at 16×64 terms and silently ran
+    interpreted; see best_list_col's NOTE.)
     """
     if pre_normalized:
         # caller already materialized the 9-dp-normalized vectors (e.g. via
@@ -214,7 +285,7 @@ def train_ivf_centroids_det(
     )
     for _ in range(iters):
         agg = (
-            vn.withColumn("cid", best_list_col("vn", cents))
+            vn.withColumn("cid", assign_cids_det_udf(cents)(F.col("vn")))
             .groupBy("cid")
             .agg(*avg_exprs)
         )

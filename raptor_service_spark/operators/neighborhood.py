@@ -32,22 +32,52 @@ def _offsets(k: int) -> list[tuple[int, int]]:
     return [(dx, dy) for dy in range(-k, k + 1) for dx in range(-k, k + 1)]
 
 
-def kring_neighbor_col(cell: F.Column | str, res: int, dx: int, dy: int) -> F.Column:
+def kring_neighbor_col(
+    cell: F.Column | str,
+    res: int,
+    dx: int | F.Column,
+    dy: int | F.Column,
+) -> F.Column:
     """Neighbor cell id at offset (dx, dy); NULL when clamped off the poles.
 
     Pure +/%/floor on the packed id (no bitwise ops) so the same formula is
-    expressible in the oracle SQL.
+    expressible in the oracle SQL.  ``dx``/``dy`` may be Columns: for large
+    rings, explode a CONSTANTS-ONLY (dx, dy) array first and compute this
+    expression once on the exploded rows — building the ring as an array of
+    per-offset neighbor expressions duplicates the decode arithmetic
+    (2k+1)² times and at k >= 3 the generated Generate method crosses the
+    JVM 64 KB limit (Janino fallback, BENCH_r03; see ring_offsets_explode).
     """
     if isinstance(cell, str):
         cell = F.col(cell)
+    dxc = dx if isinstance(dx, F.Column) else F.lit(dx)
+    dyc = dy if isinstance(dy, F.Column) else F.lit(dy)
     n = 2**res
     rem = cell - F.lit(res * RES_MULTIPLIER)
     y = F.floor(rem / F.lit(n)).cast("long")
     x = (rem - y * F.lit(n)).cast("long")
-    xx = ((x + F.lit(dx)) % F.lit(n) + F.lit(n)) % F.lit(n)  # lng wrap
-    yy = y + F.lit(dy)
+    xx = ((x + dxc) % F.lit(n) + F.lit(n)) % F.lit(n)  # lng wrap
+    yy = y + dyc
     nbr = (F.lit(res * RES_MULTIPLIER) + yy * F.lit(n) + xx).cast("long")
     return F.when((yy >= 0) & (yy < n), nbr)  # lat clamp -> NULL
+
+
+def ring_offsets_explode(offsets: list[tuple[int, int]]) -> F.Column:
+    """Codegen-size-safe ring fan-out: ``F.explode`` of a CONSTANTS-ONLY
+    (dx, dy) struct array.  Pair with ``kring_neighbor_col(cell, res,
+    col("o.dx"), col("o.dy"))`` AFTER the explode so the cell decode
+    arithmetic is generated exactly once, independent of ring size — the
+    per-element-expression form blew the 64 KB JVM method limit at k >= 3
+    (pair_correlation k=4, cross_variogram k=3; BENCH_r03 Janino tail).
+    Row counts and values are identical to the per-element form."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in offsets
+            ]
+        )
+    )
 
 
 def kring_smooth(

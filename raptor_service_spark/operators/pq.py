@@ -102,10 +102,25 @@ def pq_dist_array_exprs(
     return out
 
 
-def pq_code_expr(ds_col: str, dialect: str) -> str:
-    """1-based index of the first minimum — the same tie rule both engines."""
+def pq_code_expr(ds_col: str, dialect: str, k: int = 16) -> str:
+    """1-based index of the first minimum — the same tie rule both engines.
+
+    Spark form references the distance array ONCE: zip each distance with its
+    1-based index, take the struct array_min (lexicographic struct compare =
+    first-min tie rule), read back ``.i``.  The naive
+    ``array_position(ds, array_min(ds))`` inlines ``ds`` twice, and after
+    CollapseProject merges the encode+score chain into one Project the m·k·dsub
+    literal arithmetic doubled per reference — the generated processNext()
+    blew past the JVM's 64 KB method limit (Janino "Code grows beyond 64 KB",
+    BENCH_r03 tail) and Spark silently fell back to interpreted execution.
+    Single-reference argmin keeps the whole pipeline inside whole-stage
+    codegen; verified by scripts/find_codegen_fallback.py with
+    spark.sql.codegen.fallback=false."""
     if dialect == "spark":
-        return f"array_position({ds_col}, array_min({ds_col}))"
+        return (
+            f"array_min(zip_with({ds_col}, sequence(1, {k}), "
+            "(d, i) -> struct(d, i))).i"
+        )
     return f"list_position({ds_col}, list_min({ds_col}))"
 
 
@@ -164,7 +179,9 @@ def ivf_pq_knn(
     for s, ds in enumerate(pq_dist_array_exprs(books, vec_col, "spark")):
         e = e.withColumn(f"_ds{s}", F.expr(ds))
     for s in range(m):
-        e = e.withColumn(f"_pc{s}", F.expr(pq_code_expr(f"_ds{s}", "spark")))
+        e = e.withColumn(
+            f"_pc{s}", F.expr(pq_code_expr(f"_ds{s}", "spark", books.shape[1]))
+        )
     score = F.expr(
         adc_score_expr(adc_tables(books, q), [f"_pc{s}" for s in range(m)], "spark")
     )
@@ -183,10 +200,10 @@ def pq_encode_cols(books: np.ndarray, vec_col: str):
     by construction (pytest-asserted)."""
     from pyspark.sql import functions as F
 
-    m = books.shape[0]
+    m, k = books.shape[0], books.shape[1]
     ds = pq_dist_array_exprs(books, vec_col, "spark")
     codes = [
-        f"cast(array_position({d}, array_min({d})) as int)" for d in ds
+        f"cast({pq_code_expr(d, 'spark', k)} as int)" for d in ds
     ]
     return F.expr("array(" + ", ".join(codes) + ")")
 

@@ -58,6 +58,28 @@ class TreeParams:
     # edges, and provenance links carry the overlap memberships. 0 (default)
     # = hard single membership (the parity-test path, SURVEY §2.10).
     overlap_kring: int = 0
+    # C6/C7 pluggable production hooks (reference summarizer.py:79-119 and
+    # voyage_client.py:222-251 are network clients behind the same seams;
+    # SURVEY §2.10 "pluggable LLM in prod"). Column functions, so a real
+    # model plugs in as a pandas UDF without touching the build loop:
+    #   embed_fn(text: Column) -> Column            array<float> of ``dim``
+    #   summarize_fn(texts: Column) -> Column       string; ``texts`` is the
+    #     ordered array of child texts packed for one summary group
+    # Defaults (None) = the deterministic hermetic fakes every oracle and
+    # parity test pins: hash_embed_udf(dim) and first-``summary_max_chars``
+    # of the newline-joined children.
+    embed_fn: object | None = None
+    summarize_fn: object | None = None
+
+    def resolved_embed_fn(self):
+        return self.embed_fn or hash_embed_udf(self.dim)
+
+    def resolved_summarize_fn(self):
+        if self.summarize_fn is not None:
+            return self.summarize_fn
+        return lambda texts: F.substring(
+            F.concat_ws("\n", texts), 1, self.summary_max_chars
+        )
 
 
 @dataclass
@@ -161,7 +183,8 @@ def _ascend_one_level(
     n_cur: int,
 ) -> tuple[DataFrame, DataFrame, DataFrame, int, bool]:
     """One ladder step: returns (parents, edges, parent_links, n_groups, forced)."""
-    embed = hash_embed_udf(p.dim)
+    embed = p.resolved_embed_fn()
+    summarize = p.resolved_summarize_fn()
     cur = cur.withColumn("parent_cell", cell_parent_col(F.col("cell"), child_res, parent_res))
     cur_primary = cur
 
@@ -218,10 +241,8 @@ def _ascend_one_level(
                 "dataset_id",
                 F.col("parent_cell").alias("cell"),
                 F.lit(level).alias("level"),
-                F.substring(
-                    F.concat_ws("\n", F.transform("items", lambda s: s["text"])),
-                    1,
-                    p.summary_max_chars,
+                summarize(
+                    F.transform("items", lambda s: s["text"])
                 ).alias("text"),
             )
             .withColumn(
@@ -434,15 +455,23 @@ def ingest_incremental(
     parents = parents.withColumn("kind", F.lit("summary")).persist()
 
     # 4. merge level 1: recomputed ids are deterministic per cell, so the
-    # delete set is exactly the dirty cells / their parent ids
-    pid_sql = ",".join(f"'{r.node_id}'" for r in parents.select("node_id").collect())
-    cell_sql = ",".join(str(c) for c in dirty)
-    catalog.delete_where(t_nodes, f"level = 1 AND cell IN ({cell_sql})", props={"op": "ingest"})
+    # delete set is exactly the dirty cells / their parent ids. Deletes are
+    # JOIN-based (catalog.delete_matching): the key sets ride an anti-join
+    # instead of a collected IN-list SQL literal, so a large backfill never
+    # builds a multi-MB SQL string (Catalyst broadcasts the small-batch case
+    # on its own).
+    dirty_cells = parents.select("cell").distinct()
+    pids = parents.select("node_id")
+    catalog.delete_matching(t_nodes, dirty_cells, ["cell"],
+                            extra_predicate="level = 1", props={"op": "ingest"})
     catalog.append(t_nodes, parents.select(*NODE_COLS), props={"level": 1, "op": "ingest"})
     if catalog.exists(t_edges):
-        catalog.delete_where(t_edges, f"level = 1 AND parent_id IN ({pid_sql})", props={"op": "ingest"})
+        catalog.delete_matching(
+            t_edges, pids.withColumnRenamed("node_id", "parent_id"),
+            ["parent_id"], extra_predicate="level = 1", props={"op": "ingest"})
     catalog.append(t_edges, edges, props={"level": 1, "op": "ingest"})
-    catalog.delete_where(t_links, f"level = 1 AND node_id IN ({pid_sql})", props={"op": "ingest"})
+    catalog.delete_matching(t_links, pids, ["node_id"],
+                            extra_predicate="level = 1", props={"op": "ingest"})
     catalog.append(t_links, links, props={"level": 1, "op": "ingest"})
     leaves_dirty.unpersist()
     parents.unpersist()

@@ -72,3 +72,73 @@ def test_recall_at_nprobe(trained, emb):
     # case for any clustering quantizer; real-corpus vectors have manifold
     # structure and much higher recall at the same probe fraction
     assert sum(recalls) / len(recalls) >= 0.6  # nprobe=8 of 16 lists
+
+
+def test_assign_udf_matches_literal_argmax(spark, emb):
+    """assign_cids_det_udf (Arrow, sequential-fold dots + HALF_UP 9 dp) must
+    reproduce best_list_col (literal SQL argmax) cid-for-cid — the UDF
+    replaced the literal form in the hot path because the 16×64-term
+    generated expression blew the JVM 64 KB codegen limit (BENCH_r03)."""
+    from raptor_service_spark.operators.ivf import (
+        assign_cids_det_udf,
+        best_list_col,
+        normalize_vec_col,
+    )
+
+    vn = (
+        emb.limit(500)
+        .select(
+            "id",
+            normalize_vec_col(F.col("v").cast("array<double>")).alias("vn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = vn.orderBy("id").limit(6).collect()
+    cents = [(i, list(r.vn)) for i, r in enumerate(rows)]
+    lit = {
+        r.id: r.cid
+        for r in vn.withColumn("cid", best_list_col("vn", cents)).collect()
+    }
+    udf = {
+        r.id: r.cid
+        for r in vn.withColumn(
+            "cid", assign_cids_det_udf(cents)(F.col("vn"))
+        ).collect()
+    }
+    assert lit == udf and len(lit) == 500
+
+
+def test_multi_model_embed_by_model(spark):
+    """Multi-model dim config (VERDICT r3 item 8; reference
+    embedding_config.py:22-28): one Arrow pass embeds a mixed-model frame at
+    each row's model dim, values identical to the single-model kernel."""
+    import pandas as pd
+
+    from raptor_service_spark.functions.embedding_config import (
+        EMBEDDING_MODEL_DIMS,
+        embed_by_model,
+        model_dim,
+    )
+    from raptor_service_spark.functions.vector import hash_embed_np
+
+    rows = [(f"d{i}", f"text number {i}",
+             "hash-xof-64" if i % 2 == 0 else "hash-xof-32")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, text string, model string")
+    got = {r.doc_id: (r.model, list(r.v))
+           for r in embed_by_model(df).collect()}
+    assert len(got) == 40
+    for doc_id, text, model in rows:
+        v = got[doc_id][1]
+        assert len(v) == EMBEDDING_MODEL_DIMS[model]
+        expect = hash_embed_np(pd.Series([text]), model_dim(model)).astype(
+            np.float32
+        )[0]
+        assert np.array_equal(np.array(v, dtype=np.float32), expect)
+
+
+def test_model_dim_unknown_raises():
+    from raptor_service_spark.functions.embedding_config import model_dim
+
+    with pytest.raises(ValueError):
+        model_dim("voyage-context-3")

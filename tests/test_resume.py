@@ -258,3 +258,73 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert got == {(1, None), (2, 9.5), (3, None)}
     # pre-evolution snapshot time-travels WITHOUT the new column
     assert "score" not in cat.read("t", version=v2 - 1).columns
+
+
+def test_delete_matching_join_based(spark, tmp_path):
+    """Join-based DELETE (VERDICT r3 item 5): key-set rides an anti-join,
+    scoped by an extra predicate; rows outside the predicate survive even
+    when their keys match."""
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    cat.append(
+        "t",
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 0, "b"), (1, 1, "c"), (3, 1, "d")],
+            "k int, level int, s string",
+        ),
+    )
+    keys = spark.createDataFrame([(1,), (3,)], "k int")
+    cat.delete_matching("t", keys, ["k"], extra_predicate="level = 1")
+    got = {(r.k, r.level, r.s) for r in cat.read("t").collect()}
+    assert got == {(1, 0, "a"), (2, 0, "b")}
+    # unscoped delete drops every matching key
+    cat.delete_matching("t", keys, ["k"])
+    assert {(r.k, r.s) for r in cat.read("t").collect()} == {(2, "b")}
+
+
+def test_iceberg_sql_twins_golden(spark, tmp_path):
+    """Every catalog commit records the exact Iceberg SQL the cluster-side
+    deployment would run (VERDICT r3 item 9) — golden-pinned so the
+    jar-present swap is mechanical."""
+    from raptor_service_spark.io.catalog import (
+        iceberg_compact_sql,
+        iceberg_delete_matching_sql,
+        iceberg_expire_snapshots_sql,
+        iceberg_rollback_sql,
+        iceberg_time_travel_sql,
+    )
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    cat.append("t", df)
+    cat.merge("t", spark.createDataFrame([(1, "z")], "id int, s string"), ["id"])
+    cat.insert_if_absent("t", df, ["id"])
+    cat.delete_where("t", "id = 99")
+    cat.delete_matching(
+        "t", spark.createDataFrame([(1,)], "id int"), ["id"],
+        extra_predicate="s = 'never'",
+    )
+    twins = [s["props"].get("iceberg_sql") for s in cat.snapshots("t")]
+    assert twins == [
+        "INSERT INTO t SELECT * FROM _staging",
+        "MERGE INTO t t USING _staging s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        "MERGE INTO t t USING _staging s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *",
+        "DELETE FROM t WHERE id = 99",
+        "DELETE FROM t t WHERE (s = 'never') AND "
+        "EXISTS (SELECT 1 FROM _doomed_keys k WHERE k.id = t.id)",
+    ]
+    assert iceberg_time_travel_sql("t", 3) == "SELECT * FROM t VERSION AS OF 3"
+    assert iceberg_rollback_sql("t", 2) == "CALL system.rollback_to_snapshot('t', 2)"
+    assert (
+        iceberg_expire_snapshots_sql("t", 3)
+        == "CALL system.expire_snapshots(table => 't', retain_last => 3)"
+    )
+    assert iceberg_compact_sql("t", 134217728) == (
+        "CALL system.rewrite_data_files(table => 't', options => "
+        "map('target-file-size-bytes', '134217728'))"
+    )
+    assert iceberg_delete_matching_sql("t", ["a", "b"]) == (
+        "DELETE FROM t t WHERE EXISTS "
+        "(SELECT 1 FROM _doomed_keys k WHERE k.a = t.a AND k.b = t.b)"
+    )

@@ -249,3 +249,51 @@ def test_multi_dataset_build_isolates_trees(spark):
                        .select("node_id", "chunk_id", "rank").collect()))
         return n, l
     assert sig(both, "ds-81") == sig(solo, "ds-81")
+
+
+def test_pluggable_embed_summarize_hooks(spark):
+    """C6/C7 pluggable hooks (VERDICT r3 item 4; reference summarizer.py:
+    79-119 / voyage_client.py:222-251 are network clients behind the same
+    seams): a custom column-fn pair flows through the build loop, and the
+    default (hooks unset) is bit-identical to the pre-hook behavior every
+    tree oracle pins."""
+    from pyspark.sql import functions as F
+
+    from raptor_service_spark.datagen import gen_documents_df
+    from raptor_service_spark.functions.vector import embed_spans
+    from raptor_service_spark.operators.chunking import explode_spans
+    from raptor_service_spark.operators.tree import TreeParams, build_tile_tree
+
+    docs = gen_documents_df(spark, 20, seed=23)
+    spans = embed_spans(explode_spans(docs), dim=16).persist()
+    spans.count()
+
+    base = TreeParams(res_ladder=(6, 3, 0), summary_cap=8, salt_buckets=2, dim=16)
+    t_default = build_tile_tree(spans, base)
+
+    def my_summarize(texts):
+        return F.concat(F.lit("SUM:"), F.substring(F.concat_ws("|", texts), 1, 64))
+
+    def my_embed(text):
+        return F.array_repeat(
+            (F.length(text) % 7).cast("float") / F.lit(7.0), 16
+        )
+
+    hooked = TreeParams(
+        res_ladder=(6, 3, 0), summary_cap=8, salt_buckets=2, dim=16,
+        embed_fn=my_embed, summarize_fn=my_summarize,
+    )
+    t_hooked = build_tile_tree(spans, hooked)
+
+    sums_d = t_default.nodes.filter("level > 0").select("text").collect()
+    sums_h = t_hooked.nodes.filter("level > 0").select("node_id", "text", "v").collect()
+    assert sums_h and all(r.text.startswith("SUM:") for r in sums_h)
+    assert not any(r.text.startswith("SUM:") for r in sums_d)
+    # custom embed flows into the summary nodes' vectors
+    for r in sums_h:
+        assert len(r.v) == 16 and len(set(r.v)) == 1
+    # structure (ids, edges) is unchanged by the hooks — same grouping
+    ids_d = sorted(r.node_id for r in t_default.nodes.select("node_id").collect())
+    ids_h = sorted(r.node_id for r in t_hooked.nodes.select("node_id").collect())
+    assert ids_d == ids_h
+    spans.unpersist()
