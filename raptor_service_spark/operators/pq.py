@@ -113,9 +113,12 @@ def pq_code_expr(ds_col: str, dialect: str, k: int = 16) -> str:
     literal arithmetic doubled per reference — the generated processNext()
     blew past the JVM's 64 KB method limit (Janino "Code grows beyond 64 KB",
     BENCH_r03 tail) and Spark silently fell back to interpreted execution.
-    Single-reference argmin keeps the whole pipeline inside whole-stage
-    codegen; verified by scripts/find_codegen_fallback.py with
-    spark.sql.codegen.fallback=false."""
+    zip_with is a higher-order function — a deliberate CodegenFallback
+    expression: the same interpreted execution the silent fallback produced
+    (measured equal-or-faster, pq_knn 3.3 -> 2.7 s at sf0.1), but VISIBLE
+    in the plan and error-free under spark.sql.codegen.fallback=false,
+    which bench.py and scripts/find_codegen_fallback.py now enforce (no
+    compile is attempted, so nothing can fail at runtime)."""
     if dialect == "spark":
         return (
             f"array_min(zip_with({ds_col}, sequence(1, {k}), "

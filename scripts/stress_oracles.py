@@ -69,6 +69,9 @@ NAMES = [
     "leaderboard_churn", "week_overlap", "friendship_paradox",
     "emd_values", "conversion_lag_quantiles", "flow_asymmetry",
     "runs_test", "goertzel_power",
+    # round-4 session-15: codegen-fix reworks + the new multi-model family
+    "pq_knn", "stkde_hotspots", "multi_model_dims",
+    "gopher_quality", "c4_filter",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
