@@ -623,6 +623,12 @@ def main() -> None:
                       and os.environ.get("SPARK_GRAFT_BENCH_LOWPAIR", "1") != "0")
         probe_target = 0.85
         max_attempts = 4 if lowpair_on else 2
+        # wall-clock cap on the whole retry machinery so a string of
+        # contended windows cannot push the bench past the driver's capture
+        # window (minimum 2 attempts always run)
+        legs_budget = float(os.environ.get("SPARK_GRAFT_BENCH_SCALING_BUDGET",
+                                           "1500"))
+        legs_t0 = time.perf_counter()
 
         def _north_eff() -> float | None:
             if not (lows and bases):
@@ -642,7 +648,11 @@ def main() -> None:
                 lows.append(_measured_subprocess(2, spans_path, warm_path))
             bases.append(_measured_subprocess(base_cpus, spans_path, warm_path))
             eff_now = _north_eff()
-            if attempt >= 1 and (eff_now is None or eff_now >= 0.8):
+            if attempt >= 1 and (
+                eff_now is None
+                or eff_now >= 0.8
+                or time.perf_counter() - legs_t0 > legs_budget
+            ):
                 break
         base = min(bases, key=lambda r: r["sec_total"])
         fulls = [_measured_subprocess(cpus, spans_path, warm_path)
