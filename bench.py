@@ -718,7 +718,9 @@ def main() -> None:
     all_names = HEADLINE + [n for n in qmap if n not in set(HEADLINE)]
     order = _sweep_order(all_names, ledger)
     per_query: dict[str, float] = {}
-    codegen_errors: dict[str, str] = {}
+    query_errors: dict[str, str] = {}  # strict-codegen failures AND any
+    # other per-query raise (e.g. a data-dependent ANSI error only a larger
+    # SF triggers) — recorded by name, sweep continues
     skipped = 0
     sweep_t0 = time.perf_counter()
     for name in order:
@@ -730,7 +732,7 @@ def main() -> None:
             df = qmap[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
         except Exception as e:  # noqa: BLE001 - recorded, sweep continues
-            codegen_errors[name] = str(e)[:400]
+            query_errors[name] = str(e)[:400]
             continue
         per_query[name] = round(time.perf_counter() - t0, 3)
     spark.stop()
@@ -743,7 +745,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "queries_skipped": skipped,
-        "codegen_errors": codegen_errors,
+        "query_errors": query_errors,
         "never_timed_remaining": sorted(
             n for n in all_names if n not in ledger["queries"]
         ),
@@ -788,8 +790,8 @@ def main() -> None:
         "queries_n": len(per_query),
         "queries_skipped": skipped,
         "queries_sec_total": round(sum(per_query.values()), 1),
-        "codegen_errors_n": len(codegen_errors),
-        "codegen_errors": sorted(codegen_errors)[:5],
+        "query_errors_n": len(query_errors),
+        "query_errors": sorted(query_errors)[:5],
         "never_timed_n": len(full_report["never_timed_remaining"]),
         "queries_full": "bench_full.json",
         "scaling": scaling,

@@ -269,6 +269,9 @@ def train_ivf_centroids_det(
             F.col(id_col).alias("id"),
             normalize_vec_col(F.col(vec_col).cast("array<double>")).alias("vn"),
         ).localCheckpoint(eager=True)
+    # NOT a global sort: orderBy().limit(k) plans as TakeOrderedAndProject
+    # (per-partition top-k, k-row driver merge) — O(k) driver state even at
+    # 10^12 rows, same class as the sampled production trainer's collect
     init = vn.orderBy("id").limit(n_lists).collect()
     init.sort(key=lambda r: r.id)
     cents = [(i, list(r.vn)) for i, r in enumerate(init)]
