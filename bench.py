@@ -23,7 +23,12 @@ Structure (see raptor_service_spark/pipeline.py), in EXECUTION ORDER:
      LAST, so its ~3-4 min of heat cannot pollute the scaling legs.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-SPARK_GRAFT_BENCH_SCALING=0 to skip the N/4-core run.
+SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling legs,
+SPARK_GRAFT_BENCH_QUERY_BUDGET (sweep wall-clock cap, default 420 s),
+SPARK_GRAFT_BENCH_SCALING_BUDGET (retry cap for the probe-gated north-pair
+legs, default 1500 s), SPARK_GRAFT_CODEGEN_STRICT=0 to allow silent
+codegen fallback in the sweep (default: fallback disabled, offenders
+recorded by name in query_errors).
 """
 
 from __future__ import annotations

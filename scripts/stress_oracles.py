@@ -71,7 +71,7 @@ NAMES = [
     "runs_test", "goertzel_power",
     # round-4 session-15: codegen-fix reworks + the new multi-model family
     "pq_knn", "stkde_hotspots", "multi_model_dims",
-    "gopher_quality", "c4_filter",
+    "gopher_quality", "c4_filter", "curation_pipeline_v2",
 ]
 qs, os_ = mod.queries(), mod.oracle_sql()
 if len(sys.argv) > 2:  # optional: restrict to named queries
