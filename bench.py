@@ -700,7 +700,7 @@ def main() -> None:
     # failure normally degrades silently to interpreted execution (the
     # Janino trace in BENCH_r03's stderr tail).  With fallback disabled the
     # offending query RAISES instead; the sweep records it by name in
-    # `codegen_errors` and keeps going, so a de-optimized query can never
+    # `query_errors` and keeps going, so a de-optimized query can never
     # hide in the artifact again.
     strict = os.environ.get("SPARK_GRAFT_CODEGEN_STRICT", "1") != "0"
     spark = get_spark(

@@ -254,9 +254,17 @@ class SnapshotCatalog:
 
     def delete_where(self, table: str, predicate: str, props: dict | None = None) -> int:
         """DELETE FROM table WHERE predicate (copy-on-write; reference
-        dataset cascade delete dataset_repo_pg.py:129-148)."""
+        dataset cascade delete dataset_repo_pg.py:129-148).
+
+        SQL DELETE removes rows where the predicate is TRUE; rows where it
+        evaluates NULL (e.g. a three-valued comparison on a NULL column) are
+        KEPT.  ``filter(NOT pred)`` would drop them too, so keep rows where
+        the predicate is NULL or false — matching the recorded Iceberg twin."""
+        from pyspark.sql import functions as F
+
         cur = self.read(table)
-        kept = cur.filter(f"NOT ({predicate})")
+        p = F.expr(predicate)
+        kept = cur.filter(p.isNull() | ~p)
         path, rows = self._write_data(table, kept)
         return self._commit(
             table, [path], "delete", rows,
@@ -278,11 +286,18 @@ class SnapshotCatalog:
         an anti-join Catalyst can broadcast (small batch) or shuffle (large
         backfill).
         """
+        from pyspark.sql import functions as F
+
         cur = self.read(table)
         k = keys.select(*on).dropDuplicates(on)
         if extra_predicate:
-            scoped = cur.filter(extra_predicate)
-            kept = cur.filter(f"NOT ({extra_predicate})").unionByName(
+            # DELETE semantics: a row is doomed only when the predicate is
+            # TRUE *and* a key matches.  Rows where the predicate is NULL are
+            # kept (NULL is not TRUE), matching the Iceberg twin
+            # ``DELETE FROM t WHERE (pred) AND EXISTS(...)``.
+            p = F.expr(extra_predicate)
+            scoped = cur.filter(p)
+            kept = cur.filter(p.isNull() | ~p).unionByName(
                 scoped.join(k, on, "left_anti")
             )
         else:

@@ -102,7 +102,7 @@ def pq_dist_array_exprs(
     return out
 
 
-def pq_code_expr(ds_col: str, dialect: str, k: int = 16) -> str:
+def pq_code_expr(ds_col: str, dialect: str, k: int | None = None) -> str:
     """1-based index of the first minimum — the same tie rule both engines.
 
     Spark form references the distance array ONCE: zip each distance with its
@@ -118,10 +118,15 @@ def pq_code_expr(ds_col: str, dialect: str, k: int = 16) -> str:
     (measured equal-or-faster, pq_knn 3.3 -> 2.7 s at sf0.1), but VISIBLE
     in the plan and error-free under spark.sql.codegen.fallback=false,
     which bench.py and scripts/find_codegen_fallback.py now enforce (no
-    compile is attempted, so nothing can fail at runtime)."""
+    compile is attempted, so nothing can fail at runtime).
+
+    ``k`` defaults to ``size(ds_col)`` so a caller cannot silently truncate
+    (or NULL-pad) the index sequence by omitting it with a codebook of a
+    different subcode count (ADVICE r4); pass it only to pin a literal."""
     if dialect == "spark":
+        n = f"size({ds_col})" if k is None else str(k)
         return (
-            f"array_min(zip_with({ds_col}, sequence(1, {k}), "
+            f"array_min(zip_with({ds_col}, sequence(1, {n}), "
             "(d, i) -> struct(d, i))).i"
         )
     return f"list_position({ds_col}, list_min({ds_col}))"

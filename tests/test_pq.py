@@ -94,6 +94,21 @@ def test_pq_recall_against_exact(spark):
     assert len(set(pq_top) & set(exact_top)) >= 3
 
 
+def test_pq_code_expr_nondefault_k(spark):
+    """pq_code_expr without an explicit k must follow the distance-array
+    size (ADVICE r4): with a 24-subcode codebook, codes above 16 can win
+    and no NULL-index struct sneaks into the argmin."""
+    books = train_pq_codebooks(k=24)
+    assert books.shape == (8, 24, 8)
+    x = _vectors(n=50, seed=11)
+    q = _vectors(n=1, seed=3)[0]
+    got = _spark_codes_scores(spark, x, books, q)
+    want = _numpy_codes_scores(x, books, q)
+    for i in got:
+        assert got[i][0] == want[i][0], f"codes differ for {i}"
+    assert any(c > 16 for codes, _ in want.values() for c in codes)
+
+
 def test_pq_training_deterministic():
     a = train_pq_codebooks()
     b = train_pq_codebooks()

@@ -281,6 +281,26 @@ def test_delete_matching_join_based(spark, tmp_path):
     assert {(r.k, r.s) for r in cat.read("t").collect()} == {(2, "b")}
 
 
+def test_delete_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE removes rows where the predicate is TRUE; NULL-predicate
+    rows are KEPT (NULL is not TRUE) — the Iceberg-twin contract (ADVICE r4).
+    Both delete_where and scoped delete_matching must honor it."""
+    cat = SnapshotCatalog(str(tmp_path / "cat"), spark)
+    rows = [(1, 1, "a"), (2, None, "b"), (3, 2, "c")]
+    cat.append("t", spark.createDataFrame(rows, "k int, level int, s string"))
+    # level = 1 is NULL for k=2 -> that row must survive the delete
+    cat.delete_where("t", "level = 1")
+    got = {(r.k, r.level) for r in cat.read("t").collect()}
+    assert got == {(2, None), (3, 2)}
+
+    cat2 = SnapshotCatalog(str(tmp_path / "cat2"), spark)
+    cat2.append("t", spark.createDataFrame(rows, "k int, level int, s string"))
+    keys = spark.createDataFrame([(1,), (2,)], "k int")
+    cat2.delete_matching("t", keys, ["k"], extra_predicate="level = 1")
+    got2 = {(r.k, r.level) for r in cat2.read("t").collect()}
+    assert got2 == {(2, None), (3, 2)}
+
+
 def test_iceberg_sql_twins_golden(spark, tmp_path):
     """Every catalog commit records the exact Iceberg SQL the cluster-side
     deployment would run (VERDICT r3 item 9) — golden-pinned so the
