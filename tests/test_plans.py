@@ -555,3 +555,78 @@ def test_multi_model_embed_single_arrow_pass(spark, qmap):
     assert plan.count("MapInPandas") == 1
     scans = plan.count("Scan parquet")
     assert scans == 1, f"expected one documents scan, got {scans}"
+
+
+# ---------------------------------------------------------------- round 5
+
+
+def _partitionless_window_kinds(df):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from lint_window_partitions import partitionless_windows
+
+    return [kind for _, kind in partitionless_windows(df)]
+
+
+def test_orders_page_is_take_ordered_not_global_window(spark, qmap):
+    """VERDICT r4 item 1: offset paging rides TakeOrderedAndProject
+    (per-partition 30-row heaps); the only window left ranks the 30
+    surviving rows (limit-bounded)."""
+    plan = _plan(qmap["orders_page"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    kinds = _partitionless_window_kinds(qmap["orders_page"](spark, SF_DIR))
+    assert kinds == ["limit"], kinds
+
+
+def test_term_topk_queries_take_ordered(spark, qmap):
+    """zipf_slope / source_delta / cms_heavy_hitters / bpe_encode: the
+    top-k over the O(vocab) count table is orderBy+limit, never a full
+    row_number window."""
+    for name in ("zipf_slope", "source_delta", "cms_heavy_hitters", "bpe_encode"):
+        df = qmap[name](spark, SF_DIR)
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan, name
+        kinds = _partitionless_window_kinds(df)
+        assert all(k == "limit" for k in kinds), (name, kinds)
+
+
+def test_seq_packing_two_phase_prefix_sum(spark, qmap):
+    """The corpus cumsum is partitioned by md5-prefix bucket; bucket
+    offsets come from a triangular join-agg over the 256-row bucket
+    table, so NO partition-less window exists anywhere in the plan."""
+    df = qmap["seq_packing"](spark, SF_DIR)
+    kinds = _partitionless_window_kinds(df)
+    assert kinds == [], kinds
+    plan = _plan(df)
+    # the per-row cumsum window is PARTITIONED by the md5-prefix bucket
+    assert "Window" in plan and "windowspecdefinition(b#" in plan
+
+
+def test_two_phase_rank_queries_no_row_windows(spark, qmap):
+    """rfm_segments / ppcc_expon / ppcc_weibull / conversion_lag_quantiles:
+    global ranks are two-phase (bucketed); every remaining partition-less
+    window rides an aggregate or a checkpointed bounded table."""
+    for name in ("rfm_segments", "ppcc_expon", "ppcc_weibull",
+                 "conversion_lag_quantiles"):
+        kinds = _partitionless_window_kinds(qmap[name](spark, SF_DIR))
+        assert all(k in ("agg", "ckpt", "limit") for k in kinds), (name, kinds)
+
+
+def test_two_phase_row_number_matches_global(spark):
+    """_two_phase_row_number == row_number over the global order, for a
+    monotone bucket with in-bucket ties."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, (i * 37) % 11, f"u{i:03d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "rid int, v long, uid string")
+    got = {
+        r.rid: r.rn
+        for r in entry_mod._two_phase_row_number(
+            df, F.col("v"), [F.col("v"), F.col("uid")]
+        ).collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[2]))
+    for rank, (rid, _, _) in enumerate(order, start=1):
+        assert got[rid] == rank
