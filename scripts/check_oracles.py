@@ -6,17 +6,39 @@ value hash over name-sorted columns — the same compare the driver records in
 CORRECTNESS_r{N}.json.  Usage::
 
     python scripts/check_oracles.py [sf_dir] [only_query ...]
+    python scripts/check_oracles.py --stratified N [sf_dir] [--json out.json]
+
+``--stratified N`` (VERDICT r4 item 7) checks the first 50 registry keys
+(the driver's rotated gate window, which already leads with the
+always-gated core) PLUS a deterministic md5-hash sample of the remainder up
+to N total — so three rounds of stratified runs cover the whole registry
+even though any single driver gate samples only 50/499.  The sample is
+keyed on (query name, committed-round count), so it shifts each round but
+is identical for everyone on the same commit.  ``--json`` writes the
+per-query verdicts as a driver-shaped artifact.
 """
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import sys
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+args = sys.argv[1:]
+STRATIFIED = 0
+JSON_OUT = None
+if "--stratified" in args:
+    i = args.index("--stratified")
+    STRATIFIED = int(args[i + 1])
+    del args[i:i + 2]
+if "--json" in args:
+    i = args.index("--json")
+    JSON_OUT = args[i + 1]
+    del args[i:i + 2]
+SF_DIR = args[0] if args else "/root/testdata/sf0.01"
+ONLY = set(args[1:])
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
@@ -68,9 +90,38 @@ def main() -> int:
         )
 
     qs, os_ = mod.queries(), mod.oracle_sql()
+    selected = set(qs)
+    if STRATIFIED:
+        keys = list(qs)
+        head = keys[:50]  # the driver's gate window (core + rotation)
+        # seed the hash sample on the committed-round count (same source of
+        # truth as _registry_rotation) so the sample shifts per round but is
+        # identical on every checkout of the same commit
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                ["git", "-C", "/root/repo", "ls-files", "CORRECTNESS_r*.json"],
+                capture_output=True, text=True, timeout=10, check=True,
+            ).stdout
+            rounds = len([ln for ln in out.splitlines() if ln.strip()])
+        except Exception:
+            rounds = 0
+        rest = sorted(
+            (n for n in keys[50:]),
+            key=lambda n: hashlib.md5(f"{rounds}|{n}".encode()).hexdigest(),
+        )
+        selected = set(head + rest[: max(0, STRATIFIED - len(head))])
+        print(
+            f"stratified: {len(head)} gate-window + "
+            f"{len(selected) - len(head)} hash-sampled (seed round={rounds})"
+        )
     bad = 0
+    results = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
+            continue
+        if STRATIFIED and name not in selected:
             continue
         if name not in os_:
             print(f"{name:35s} rows-only (no oracle)")
@@ -85,6 +136,8 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             bad += 1
             print(f"{name:35s} ERROR: {type(e).__name__}: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": str(e)[:300]}
             continue
         rows_ok = len(srows) == len(orows)
         schema_ok = sorted(scols) == sorted(ocols)
@@ -96,11 +149,19 @@ def main() -> int:
         mark = "OK " if (rows_ok and schema_ok and hash_ok) else "FAIL"
         if mark != "OK ":
             bad += 1
+        results[name] = {
+            "rows_match": rows_ok, "schema_match": schema_ok,
+            "hash_match": hash_ok, "spark_rows": len(srows),
+            "oracle_rows": len(orows), "err": None,
+        }
         schema_note = "=" if schema_ok else f"{sorted(scols)}|{sorted(ocols)}"
         print(
             f"{name:35s} {mark} rows={len(srows)}/{len(orows)} "
             f"schema={schema_note} hash={'=' if hash_ok else 'X'}"
         )
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     print(f"\n{'ALL GREEN' if bad == 0 else f'{bad} FAILURES'}")
     return 1 if bad else 0
 
