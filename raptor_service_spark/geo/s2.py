@@ -221,8 +221,9 @@ def latlng_to_cellid_np(lat, lng, level: int = MAX_LEVEL) -> np.ndarray:
         [z / x, z / y, -y / z, y / x, -x / y],
         default=-x / z,
     )
-    st_u = np.where(u >= 0, 0.5 * np.sqrt(1 + 3 * u), 1 - 0.5 * np.sqrt(1 - 3 * u))
-    st_v = np.where(v >= 0, 0.5 * np.sqrt(1 + 3 * v), 1 - 0.5 * np.sqrt(1 - 3 * v))
+    with np.errstate(invalid="ignore"):  # np.where evaluates both branches
+        st_u = np.where(u >= 0, 0.5 * np.sqrt(1 + 3 * u), 1 - 0.5 * np.sqrt(1 - 3 * u))
+        st_v = np.where(v >= 0, 0.5 * np.sqrt(1 + 3 * v), 1 - 0.5 * np.sqrt(1 - 3 * v))
     n = np.int64(1) << level
     i = np.clip(np.floor(st_u * n).astype(np.int64), 0, n - 1)
     j = np.clip(np.floor(st_v * n).astype(np.int64), 0, n - 1)
