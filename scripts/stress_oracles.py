@@ -20,6 +20,8 @@ spark = get_spark()
 spark.sparkContext.setLogLevel("ERROR")
 
 NAMES = [
+    "ppcc_expon", "ppcc_weibull", "spearman_corr", "rfm_segments",
+    "conversion_lag_quantiles", "zipf_slope", "source_delta",  # round-5 two-phase rewrites
     "kmeans_geo", "cell_pagerank", "cell_sssp", "gravity_fit",
     "theil_sen_cells", "mmr_retrieval", "dtw_pairs", "huff_demand",
     "spacetime_scan", "idw_interpolation", "morans_i", "getis_hotspots",
