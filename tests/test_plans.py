@@ -630,3 +630,18 @@ def test_two_phase_row_number_matches_global(spark):
     order = sorted(rows, key=lambda t: (t[1], t[2]))
     for rank, (rid, _, _) in enumerate(order, start=1):
         assert got[rid] == rank
+
+
+def test_always_gated_core_lint_clean(spark, qmap):
+    """The 10 always-gated core queries (every driver sample re-verifies
+    them) must stay clean under the window-partition lint — the cheap
+    permanent slice of the full-registry run."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from lint_window_partitions import lint_query
+
+    for name in entry_mod._ALWAYS_GATED_CORE:
+        v = lint_query(name, qmap[name](spark, SF_DIR))
+        assert v is None, v
