@@ -73,7 +73,9 @@ def test_hilbert_locality_every_face():
             if prev is not None:
                 assert abs(i - prev[0]) + abs(j - prev[1]) == 1, (face, d)
             prev = (i, j)
-        assert u0 in (base, base)  # start cell participates in the walk
+        # (i=0, j=0) is the curve's first cell on every face: its ij key is
+        # 0, and kIJtoPos[r][0] stays on the d=0 branch for r in {0, 1}
+        assert u0 == base
 
 
 def test_encode_decode_roundtrip():
