@@ -208,6 +208,7 @@ def test_registry_query_matches_scalar(spark):
         assert r.s2_cell == want, r.doc_id
         assert r.s2_cell_l5 == cell_parent(want, 5), r.doc_id
         assert cell_level(r.s2_cell) == 12 and cell_level(r.s2_cell_l5) == 5
+        assert r.s2_token == cell_token(want), r.doc_id
 
 
 def test_arrow_udf_column(spark):
