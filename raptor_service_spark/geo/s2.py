@@ -182,6 +182,18 @@ def cell_center_latlng(cell_id: int) -> tuple[float, float]:
     return lat, lng
 
 
+def cell_range(cell_id: int) -> tuple[int, int]:
+    """[range_min, range_max] of leaf ids under this cell — the containment
+    interval that makes ancestor<->descendant joins RANGE joins (a leaf d
+    is inside cell c iff c.range_min <= d <= c.range_max), which is also
+    the file/partition-pruning predicate on an id-sorted layout."""
+    u = cell_id & ((1 << 64) - 1)
+    lsb = u & (~u + 1)
+    lo, hi = u - (lsb - 1), u + (lsb - 1)
+    sign = lambda x: x - (1 << 64) if x >= (1 << 63) else x  # noqa: E731
+    return sign(lo), sign(hi)
+
+
 def cell_token(cell_id: int) -> str:
     u = cell_id & ((1 << 64) - 1)
     if u == 0:

@@ -211,6 +211,43 @@ def test_registry_query_matches_scalar(spark):
         assert r.s2_token == cell_token(want), r.doc_id
 
 
+def test_cell_range_contains_descendants():
+    from raptor_service_spark.geo.s2 import cell_range
+
+    rng = np.random.default_rng(29)
+    for _ in range(50):
+        f = int(rng.integers(0, 6))
+        i = int(rng.integers(0, 1 << 30))
+        j = int(rng.integers(0, 1 << 30))
+        leaf = cellid_from_face_ij(f, i, j, 30)
+        for lv in (0, 4, 11, 29):
+            p = cell_parent(leaf, lv)
+            lo, hi = cell_range(p)
+            assert lo <= leaf <= hi, (lv, leaf, lo, hi)
+            assert lo <= p <= hi
+        # a different-face cell never falls in the range
+        other = cellid_from_face_ij((f + 1) % 6, i, j, 30)
+        lo, hi = cell_range(cell_parent(leaf, 4))
+        assert not (lo <= other <= hi)
+
+
+def test_containment_join_equals_rollup(spark):
+    """The BETWEEN range join (s2_containment_join) must reproduce the
+    arithmetic prefix rollup (s2_tile_rollup) ancestor-for-ancestor."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    roll = {
+        r.s2_cell_l4: r.n_events
+        for r in entry.q_s2_tile_rollup(spark, sf).collect()
+    }
+    cont = {
+        r.s2_cell_l4: r.n_contained
+        for r in entry.q_s2_containment_join(spark, sf).collect()
+    }
+    assert roll == cont and len(roll) > 0
+
+
 def test_arrow_udf_column(spark):
     rows = [(k, -80.0 + k * 1.7, -170.0 + k * 3.3) for k in range(100)]
     df = spark.createDataFrame(rows, "rid int, lat double, lng double")
