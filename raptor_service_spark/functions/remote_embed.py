@@ -143,3 +143,58 @@ def remote_embed_fn(
         return pd.Series(out)
 
     return lambda col: _embed(col)
+
+
+def remote_summarize_fn(
+    endpoint: str,
+    model: str = "default",
+    batch_size: int = 16,
+    token_budget: int | None = None,
+    max_retries: int = 3,
+    timeout: float = 60.0,
+    backoff_s: float = 0.2,
+    api_key: str | None = None,
+    joiner: str = "\n",
+):
+    """Column function for ``TreeParams.summarize_fn`` — the C6 twin of
+    :func:`remote_embed_fn` (reference summarizer.py:79-119 analog).
+
+    The hook receives the ORDERED array of child texts packed for one
+    summary group; each group is joined into a single prompt document, the
+    prompts are re-packed into request batches under the same item/token
+    caps, and the service returns one summary string per prompt as
+    ``{"data": [{"summary": ...}, ...]}``.  Same bounded-retry / no-
+    fabrication semantics as the embed adapter."""
+
+    @F.pandas_udf("string")
+    def _summ(groups: pd.Series) -> pd.Series:
+        prompts = [
+            joiner.join(
+                "" if t is None else str(t)
+                for t in ([] if g is None else g)  # Arrow hands numpy arrays
+            )
+            for g in groups.tolist()
+        ]
+        out: list[str | None] = [None] * len(prompts)
+        for batch in pack_batches(
+            [_token_count(p) for p in prompts], batch_size, token_budget
+        ):
+            resp = _post_json(
+                endpoint,
+                {"input": [prompts[i] for i in batch], "model": model,
+                 "task": "summarize"},
+                api_key,
+                timeout,
+                max_retries,
+                backoff_s,
+            )
+            data = resp["data"]
+            if len(data) != len(batch):
+                raise RuntimeError(
+                    f"summarize response size {len(data)} != batch {len(batch)}"
+                )
+            for k, i in enumerate(batch):
+                out[i] = str(data[k]["summary"])
+        return pd.Series(out)
+
+    return lambda texts_col: _summ(texts_col)

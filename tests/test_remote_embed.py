@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from raptor_service_spark.functions.remote_embed import (
     pack_batches,
     remote_embed_fn,
+    remote_summarize_fn,
 )
 from raptor_service_spark.functions.vector import hash_embed_np
 
@@ -33,8 +34,14 @@ class _StubHandler(BaseHTTPRequestHandler):
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
         texts = body["input"]
         srv.batch_sizes.append(len(texts))
-        mat = hash_embed_np(texts, DIM)
-        data = [{"embedding": [float(x) for x in mat[i]]} for i in range(len(texts))]
+        if body.get("task") == "summarize":
+            # the hermetic default's semantics: first 512 chars of the
+            # joined children (the prompt arrives pre-joined)
+            data = [{"summary": t[:512]} for t in texts]
+        else:
+            mat = hash_embed_np(texts, DIM)
+            data = [{"embedding": [float(x) for x in mat[i]]}
+                    for i in range(len(texts))]
         out = json.dumps({"data": data}).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
@@ -145,4 +152,67 @@ def test_tree_build_with_adapter_equals_hermetic(spark, stub):
 
     assert sig(t_remote) == sig(t_default)
     assert stub.n_attempts > 0  # the build really went through HTTP
+    spans.unpersist()
+
+
+def test_summarize_adapter_matches_hermetic_default(spark, stub):
+    """remote_summarize_fn on array<string> groups: the stub applies the
+    hermetic default's semantics (first 512 chars of the joined children),
+    so outputs must equal fake_summarize exactly."""
+    from raptor_service_spark.functions.text import fake_summarize
+
+    rows = [
+        (1, ["alpha text", "beta text", "gamma"]),
+        (2, ["x" * 600]),                 # truncation branch
+        (3, ["one"]),
+    ]
+    df = spark.createDataFrame(rows, "gid int, texts array<string>")
+    fn = remote_summarize_fn(_endpoint(stub), batch_size=2, token_budget=256)
+    got = {
+        r.gid: r.s
+        for r in df.select("gid", fn(F.col("texts")).alias("s")).collect()
+    }
+    want = {
+        r.gid: r.s
+        for r in df.select(
+            "gid", fake_summarize(F.col("texts")).alias("s")
+        ).collect()
+    }
+    assert got == want
+    assert all(b <= 2 for b in stub.batch_sizes)
+
+
+def test_tree_build_with_both_adapters_equals_hermetic(spark, stub):
+    """C6 + C7 adapters together: a tile-tree build through BOTH hooks is
+    bit-identical to the hermetic default when the stub serves the default
+    semantics — closing the full adapter pair (reference summarizer.py +
+    voyage_client.py analogs)."""
+    from raptor_service_spark.datagen import gen_documents_df
+    from raptor_service_spark.functions.vector import embed_spans
+    from raptor_service_spark.operators.chunking import explode_spans
+    from raptor_service_spark.operators.tree import TreeParams, build_tile_tree
+
+    docs = gen_documents_df(spark, 15, seed=31)
+    spans = embed_spans(explode_spans(docs), dim=DIM).persist()
+    spans.count()
+    base = dict(res_ladder=(6, 3, 0), summary_cap=8, salt_buckets=2, dim=DIM)
+    t_default = build_tile_tree(spans, TreeParams(**base))
+    t_remote = build_tile_tree(
+        spans,
+        TreeParams(
+            **base,
+            embed_fn=remote_embed_fn(_endpoint(stub), dim=DIM, batch_size=16),
+            summarize_fn=remote_summarize_fn(_endpoint(stub), batch_size=8),
+        ),
+    )
+
+    def sig(tree):
+        return sorted(
+            (r.node_id, r.level, r.kind, r.cell, r.text,
+             tuple(round(float(x), 6) for x in r.v))
+            for r in tree.nodes.select("node_id", "level", "kind", "cell",
+                                       "text", "v").collect()
+        )
+
+    assert sig(t_remote) == sig(t_default)
     spans.unpersist()
